@@ -1,0 +1,81 @@
+"""Sources producing the ``data_files`` relation (FIXTURES.md §1) —
+one row per Iceberg manifest entry: (partition_key string,
+file_size_in_bytes long, content int).
+
+Two providers:
+- golden_fixture_files: the reference's deterministic 900-row unit
+  fixture (tests/test_metric_calculator.py:19-37) for pinning exact
+  semantics.
+- files_from_lineitem: a DuckDB-oracle-checkable proxy mapping the
+  driver's lineitem table onto the data_files schema, so diagnostics
+  aggregation semantics can be hash-verified against plain SQL
+  (FIXTURES.md §3 note).
+
+On a real deployment this relation comes straight from the Iceberg
+metadata table ``spark.table("cat.db.tbl.files")`` (SURVEY §2 S4):
+columns partition / file_size_in_bytes / content map 1:1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+FILES_SCHEMA = "partition_key string, file_size_in_bytes long, content int"
+
+MIB = 1024 * 1024
+GOLDEN_MANIFEST_COUNT = 10
+
+
+def golden_fixture_files(spark: SparkSession) -> DataFrame:
+    """Reference golden fixture, generated distributively.
+
+    For i in 1..300: partition ``partition{(i % 3) + 1}``, one DATA
+    file of (12 + i%13) MiB, plus delete files by i%3:
+    0 → 10+5 MiB, 1 → 20 MiB, 2 → 5+5+10 MiB. 900 rows total.
+    (Reference builds the same rows in a Python loop; we declare it as
+    a range + explode so generation itself scales.)
+    """
+    i = F.col("id")
+    part = F.concat(F.lit("partition"), ((i % 3) + 1).cast("string"))
+    data_size = (F.lit(12) + (i % 13)) * MIB
+
+    deletes = (
+        F.when(i % 3 == 0, F.array(F.lit(10 * MIB), F.lit(5 * MIB)))
+        .when(i % 3 == 1, F.array(F.lit(20 * MIB)))
+        .otherwise(F.array(F.lit(5 * MIB), F.lit(5 * MIB), F.lit(10 * MIB)))
+    )
+    # content code 2 = EQUALITY_DELETES, matching the fixture stub.
+    files = (
+        spark.range(1, 301)
+        .select(
+            part.alias("partition_key"),
+            F.concat(
+                F.array(F.struct(data_size.cast("long").alias("size"), F.lit(0).alias("content"))),
+                F.transform(
+                    deletes,
+                    lambda s: F.struct(s.cast("long").alias("size"), F.lit(2).alias("content")),
+                ),
+            ).alias("fs"),
+        )
+        .select("partition_key", F.explode("fs").alias("f"))
+        .select(
+            "partition_key",
+            F.col("f.size").alias("file_size_in_bytes"),
+            F.col("f.content").alias("content"),
+        )
+    )
+    return files
+
+
+def files_from_lineitem(lineitem: DataFrame) -> DataFrame:
+    """Deterministic lineitem → data_files projection (oracle proxy).
+
+    partition_key = l_returnflag, size = extendedprice scaled to a
+    file-like byte count (~MBs so the cost model's DIV matters),
+    content = l_linenumber % 3 (mix of DATA/deletes).
+    """
+    return lineitem.select(
+        F.col("l_returnflag").alias("partition_key"),
+        (F.col("l_extendedprice") * 1000).cast("long").alias("file_size_in_bytes"),
+        (F.col("l_linenumber") % 3).cast("int").alias("content"),
+    )

@@ -1,0 +1,43 @@
+"""Parquet sources for the driver-generated test tables.
+
+At 100 TB these reads are identical — ``spark.read.parquet`` on an
+object-store prefix; Catalyst handles split planning, column pruning
+and predicate pushdown. Nothing here materializes data on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. Column pruning/pushdown stay available
+    because we return the lazy scan, never a cached/collected copy."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so ``spark.sql`` queries can
+    name them exactly as the DuckDB oracle does."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
