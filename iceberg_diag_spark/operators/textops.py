@@ -1,0 +1,137 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are JVM built-ins (split/regexp/aggregate) —
+no Python UDFs — so they pipeline inside whole-stage codegen and scale
+linearly with the scan. Per-document outputs are narrow (ids + a few
+numerics), keeping shuffle/output volume tiny relative to input text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from iceberg_diag_spark.operators.dedup import normalized_text
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately minimal — language ID here is a scoring
+# shape (count hits per language, argmax), not a model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of normalized text."""
+    return F.split(normalized_text(col), " ")
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """A BPE-ish subword proxy: split on whitespace AND on
+    letter/digit/punctuation boundaries, the usual pre-tokenization
+    regex shape. Gives a deterministic token count without a real
+    tokenizer dependency."""
+    pieces = F.regexp_extract_all(
+        F.lower(col), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+    )
+    return pieces
+
+
+def text_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document counting stats: characters, whitespace tokens,
+    distinct tokens, BPE-ish subword count."""
+    t = tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("char_len"),
+        F.size(t).cast("long").alias("token_count"),
+        F.size(F.array_distinct(t)).cast("long").alias("uniq_token_count"),
+        F.size(bpe_ish_tokens(F.col(text_col))).cast("long").alias("subword_count"),
+    )
+
+
+def quality_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality signals: mean token length, type-token
+    ratio, stopword ratio (en), alpha ratio. Composable filters for
+    corpus curation; each is a plain column over one scan."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    text = F.col(text_col)
+    alpha_chars = F.length(F.regexp_replace(F.lower(text), r"[^a-z]", ""))
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(t, sw))
+    return docs.select(
+        F.col(id_col),
+        (F.length(text) / F.greatest(n_tok, F.lit(1))).alias("mean_token_len"),
+        (
+            F.size(F.array_distinct(t)).cast("double") / F.greatest(n_tok, F.lit(1))
+        ).alias("type_token_ratio"),
+        (stop_hits.cast("double") / F.greatest(n_tok, F.lit(1))).alias(
+            "stopword_ratio"
+        ),
+        (alpha_chars.cast("double") / F.greatest(F.length(text), F.lit(1))).alias(
+            "alpha_ratio"
+        ),
+    )
+
+
+def language_id(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-voting language ID: count token hits against each
+    language's stopword list, argmax via greatest-of-structs (same
+    max(struct) trick as the diagnostics argmax — no shuffle at all,
+    it's a pure projection)."""
+    t = tokens(F.col(text_col))
+    lang_scores = [
+        F.struct(
+            F.size(
+                F.array_intersect(t, F.array([F.lit(w) for w in words]))
+            ).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    best = F.greatest(*lang_scores)
+    return docs.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "pred_lang"
+        ),
+        best["hits"].alias("stopword_hits"),
+    )
+
+
+def rolling_fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Document fingerprint: winnowing-style — take word 8-gram
+    shingles, hash each (md5 → first 16 hex chars as the rolling
+    hash), keep the minimum as the document fingerprint. Robust to
+    small edits at the ends; oracle-expressible (md5)."""
+    from iceberg_diag_spark.operators.dedup import word_ngrams
+
+    grams = word_ngrams(F.col(text_col), window)
+    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
+    return docs.select(
+        F.col(id_col),
+        F.coalesce(F.array_min(hashes), F.lit("")).alias("fingerprint"),
+    )
+
+
+def lang_stats(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """Corpus rollup by language label."""
+    return docs.groupBy(lang_col).agg(
+        F.count("*").alias("doc_count"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )

@@ -1,0 +1,639 @@
+"""Query registry: every operator exposed through the driver contract.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DF``
+with (where expressible) an equivalent DuckDB SQL oracle over the
+same parquet tables. The driver hash-compares values column-by-column
+after sorting by name, so builders and SQL alias every computed
+column identically.
+
+Cross-engine determinism rules used throughout (verified in
+tests/test_oracle_parity.py):
+- integer casts: Spark ``cast("long")`` truncates while DuckDB
+  ``CAST(double AS BIGINT)`` rounds → oracles always use
+  ``CAST(FLOOR(x) AS BIGINT)`` (inputs are non-negative).
+- money sums: floor-to-integer-cents per row, then exact integer
+  sums — immune to float summation order.
+- division by FETCH_SIZE (2^25) is exact in doubles, so DIV ≡
+  floor(double division) on both engines.
+- DuckDB aggregate sums of BIGINT return HUGEINT → always CAST back
+  to BIGINT; row_number returns BIGINT → Spark side casts to long.
+- timestamps: UTC session timezone; formatted to strings on output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from iceberg_diag_spark.functions.cost import read_file_cost
+from iceberg_diag_spark.operators import dedup, events, similarity, textops
+from iceberg_diag_spark.operators.binpack import binpack_groups
+from iceberg_diag_spark.operators.diagnostics import (
+    partition_stats,
+    table_metrics,
+)
+from iceberg_diag_spark.sources.data_files import files_from_lineitem
+from iceberg_diag_spark.sources.tpch import load_table
+
+PROXY_MANIFEST_COUNT = 10
+
+# Shared oracle prelude: the lineitem → data_files proxy
+# (FIXTURES.md §3: partition=l_returnflag, size≈extendedprice bytes).
+FILES_CTE = """
+  SELECT l_returnflag AS partition_key,
+         CAST(FLOOR(l_extendedprice * 1000) AS BIGINT) AS file_size_in_bytes,
+         CAST(l_linenumber % 3 AS INTEGER) AS content
+  FROM lineitem
+"""
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → rows-only driver check
+    doc: str
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------
+# Diagnostics family (SURVEY §2 A1-A11 over the data_files relation)
+# --------------------------------------------------------------------
+
+def _diag_partition_stats(spark, sf_dir):
+    files = files_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    return partition_stats(files).select(
+        "partition_key",
+        F.col("file_count").cast("long").alias("file_count"),
+        F.col("total_size").cast("long").alias("total_size"),
+        F.col("scan_overhead").cast("long").alias("scan_overhead"),
+        F.col("data_file_count").cast("long").alias("data_file_count"),
+        F.col("data_size").cast("long").alias("data_size"),
+    )
+
+
+_DIAG_PARTITION_STATS_SQL = f"""
+WITH files AS ({FILES_CTE})
+SELECT partition_key,
+       CAST(count(*) AS BIGINT) AS file_count,
+       CAST(sum(file_size_in_bytes) AS BIGINT) AS total_size,
+       CAST(sum(file_size_in_bytes // 33554432 + 2) AS BIGINT) AS scan_overhead,
+       CAST(sum(CASE WHEN content = 0 THEN 1 ELSE 0 END) AS BIGINT) AS data_file_count,
+       CAST(coalesce(sum(CASE WHEN content = 0 THEN file_size_in_bytes END), 0) AS BIGINT) AS data_size
+FROM files
+GROUP BY partition_key
+"""
+
+
+def _diag_table_stats(spark, sf_dir):
+    files = files_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    ps = partition_stats(files)
+    return (
+        ps.agg(
+            F.sum("file_count").cast("long").alias("file_count"),
+            F.sum("total_size").cast("long").alias("total_size"),
+            (F.sum("scan_overhead") + PROXY_MANIFEST_COUNT)
+            .cast("long")
+            .alias("full_scan_overhead"),
+            F.sum("data_file_count").cast("long").alias("data_file_count"),
+            F.sum("data_size").cast("long").alias("data_size"),
+            F.count("*").cast("long").alias("total_partitions"),
+            F.round(F.min(F.col("total_size") / F.col("file_count")), 6).alias(
+                "worst_avg_file_size"
+            ),
+            F.max("total_size").cast("long").alias("largest_partition_size"),
+        )
+        .withColumn(
+            "avg_file_size",
+            F.round(F.col("data_size") / F.col("data_file_count"), 6),
+        )
+    )
+
+
+_DIAG_TABLE_STATS_SQL = f"""
+WITH files AS ({FILES_CTE}),
+p AS (
+  SELECT partition_key,
+         count(*) AS fc,
+         sum(file_size_in_bytes) AS ts,
+         sum(file_size_in_bytes // 33554432 + 2) AS oh,
+         sum(CASE WHEN content = 0 THEN 1 ELSE 0 END) AS dfc,
+         coalesce(sum(CASE WHEN content = 0 THEN file_size_in_bytes END), 0) AS dsz
+  FROM files GROUP BY partition_key
+)
+SELECT CAST(sum(fc) AS BIGINT) AS file_count,
+       CAST(sum(ts) AS BIGINT) AS total_size,
+       CAST(sum(oh) + {PROXY_MANIFEST_COUNT} AS BIGINT) AS full_scan_overhead,
+       CAST(sum(dfc) AS BIGINT) AS data_file_count,
+       CAST(sum(dsz) AS BIGINT) AS data_size,
+       CAST(count(*) AS BIGINT) AS total_partitions,
+       round(min(CAST(ts AS DOUBLE) / fc), 6) AS worst_avg_file_size,
+       CAST(max(ts) AS BIGINT) AS largest_partition_size,
+       round(CAST(sum(dsz) AS DOUBLE) / sum(dfc), 6) AS avg_file_size
+FROM p
+"""
+
+
+def _diag_metrics(spark, sf_dir):
+    files = files_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    return table_metrics(files, PROXY_MANIFEST_COUNT)
+
+
+def _diag_binpack(spark, sf_dir):
+    files = files_from_lineitem(_t(spark, sf_dir, "lineitem")).filter(
+        F.col("content") == 0
+    )
+    return binpack_groups(files)
+
+
+# --------------------------------------------------------------------
+# Relational suite (joins / aggregation / windows over the star schema)
+# --------------------------------------------------------------------
+
+_CUTOFF = "1998-03-15 00:00:00"
+
+
+def _rev_cents():
+    return F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+
+
+def _q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    charge = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+    ).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias(
+                "sum_qty_cents"
+            ),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_base_cents"
+            ),
+            F.sum(_rev_cents()).alias("sum_disc_cents"),
+            F.sum(charge).alias("sum_charge_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q3(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_CUTOFF).cast("timestamp")
+    )
+    # customer is the small side → broadcast; lineitem↔orders shuffle
+    # on the join key. Catalyst/AQE would choose this anyway at these
+    # sizes; the hint pins it for the 100 TB case.
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        joined.groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_rev_cents()).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority,
+       CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{_CUTOFF}'
+GROUP BY l_orderkey, order_date, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def _q5(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    # Fact-to-fact (lineitem↔orders) shuffles on orderkey; every
+    # dimension is broadcast so no additional shuffles occur.
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(_rev_cents()).alias("revenue_cents")
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def _top_orders_per_customer(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_TOP_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+def _orders_monthly(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+
+
+_ORDERS_MONTHLY_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       o_orderstatus,
+       CAST(count(*) AS BIGINT) AS order_count,
+       CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY order_month, o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------
+# Dedup / text analysis (documents)
+# --------------------------------------------------------------------
+
+def _dedup_exact_groups(spark, sf_dir):
+    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_SQL = r"""
+SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+       CAST(count(*) AS BIGINT) AS dup_count,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM documents
+GROUP BY content_hash
+"""
+
+
+def _text_stats(spark, sf_dir):
+    return textops.text_stats(_t(spark, sf_dir, "documents"))
+
+
+_TEXT_STATS_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, text,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS char_len,
+       CAST(len(string_split(t, ' ')) AS BIGINT) AS token_count,
+       CAST(len(list_distinct(string_split(t, ' '))) AS BIGINT) AS uniq_token_count,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS subword_count
+FROM norm
+"""
+
+
+def _lang_stats(spark, sf_dir):
+    return textops.lang_stats(_t(spark, sf_dir, "documents"))
+
+
+_LANG_STATS_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+def _doc_fingerprint(spark, sf_dir):
+    return textops.rolling_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+_DOC_FINGERPRINT_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 8 THEN
+           list_distinct(list_transform(
+             generate_series(0, greatest(len(toks) - 8, 0)),
+             i -> array_to_string(toks[i + 1 : i + 8], ' ')))
+         ELSE [] END AS grams
+  FROM norm
+)
+SELECT doc_id,
+       coalesce(list_min(list_transform(grams, g -> substring(md5(g), 1, 16))), '') AS fingerprint
+FROM grams
+"""
+
+
+def _minhash_pairs(spark, sf_dir):
+    return dedup.minhash_candidate_pairs(_t(spark, sf_dir, "documents")).select(
+        "doc_a", "doc_b", F.col("n_shared_bands").cast("long").alias("n_shared_bands")
+    )
+
+
+_MINHASH_PAIRS_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(
+             generate_series(0, greatest(len(toks) - 3, 0)),
+             i -> array_to_string(toks[i + 1 : i + 3], ' ')))
+         ELSE [] END AS grams
+  FROM norm
+),
+eg AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
+es AS (SELECT doc_id, gram, unnest(generate_series(0, 15)) AS seed FROM eg),
+sig AS (
+  SELECT doc_id, seed, min(md5(concat_ws('#', seed, gram))) AS minhash
+  FROM es GROUP BY doc_id, seed
+),
+keys AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         array_to_string(list_sort(list(minhash)), '|') AS band_key
+  FROM sig GROUP BY doc_id, band
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM keys a
+JOIN keys b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+"""
+
+
+def _simhash(spark, sf_dir):
+    return dedup.simhash64(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------
+# Similarity search (embeddings)
+# --------------------------------------------------------------------
+
+def _ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+_ANN_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, q.q_vec, e.embedding AS n_vec
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+terms AS (
+  SELECT query_id, neighbor_id,
+         unnest(q_vec) AS x, unnest(n_vec) AS y
+  FROM pairs
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dotp,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nn
+  FROM terms GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         dotp / (sqrt(qq) * sqrt(nn)) AS cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dotp / (sqrt(qq) * sqrt(nn)) DESC,
+                                     neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(cos_raw, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _lsh_topk(spark, sf_dir):
+    return similarity.lsh_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+# --------------------------------------------------------------------
+# Events (batch analytics; streaming versions in streaming/)
+# --------------------------------------------------------------------
+
+def _events_hourly(spark, sf_dir):
+    return events.hourly_rollup(_t(spark, sf_dir, "events"))
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS event_count,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+       CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY window_start, event_type
+"""
+
+
+def _events_sessionize(spark, sf_dir):
+    return events.sessionize(_t(spark, sf_dir, "events")).select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "event_count",
+        "session_start",
+        "session_end",
+    )
+
+
+_EVENTS_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS event_count,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+def _events_json(spark, sf_dir):
+    return events.json_props_rollup(_t(spark, sf_dir, "events"))
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS event_count,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events
+GROUP BY event_type
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "diag_partition_stats": QuerySpec(
+        _diag_partition_stats, _DIAG_PARTITION_STATS_SQL,
+        "A1/A3 per-partition before-stats over the data_files proxy",
+    ),
+    "diag_table_stats": QuerySpec(
+        _diag_table_stats, _DIAG_TABLE_STATS_SQL,
+        "A2-A7 global before metrics (single row)",
+    ),
+    "diag_metrics": QuerySpec(
+        _diag_metrics, None,
+        "Flagship 9-metric diagnostics incl. bin-pack after/improvement "
+        "(A8-A11; packing is a sequential fold → rows-only check)",
+    ),
+    "diag_binpack_groups": QuerySpec(
+        _diag_binpack, None,
+        "A9 greedy bin-packing groups per partition (rows-only check)",
+    ),
+    "q1_pricing_summary": QuerySpec(_q1, _Q1_SQL, "TPC-H Q1 shape"),
+    "q3_shipping_priority": QuerySpec(_q3, _Q3_SQL, "TPC-H Q3 shape, top-10"),
+    "q5_local_supplier_volume": QuerySpec(_q5, _Q5_SQL, "TPC-H Q5 shape"),
+    "top_orders_per_customer": QuerySpec(
+        _top_orders_per_customer, _TOP_ORDERS_SQL, "window rank top-3"
+    ),
+    "orders_monthly": QuerySpec(
+        _orders_monthly, _ORDERS_MONTHLY_SQL, "calendar rollup"
+    ),
+    "dedup_exact_groups": QuerySpec(
+        _dedup_exact_groups, _DEDUP_EXACT_SQL, "exact dedup via sha256 groups"
+    ),
+    "text_stats": QuerySpec(_text_stats, _TEXT_STATS_SQL, "token/char stats"),
+    "lang_stats": QuerySpec(_lang_stats, _LANG_STATS_SQL, "per-language rollup"),
+    "doc_fingerprint": QuerySpec(
+        _doc_fingerprint, _DOC_FINGERPRINT_SQL, "winnowing-min fingerprint"
+    ),
+    "minhash_pairs": QuerySpec(
+        _minhash_pairs, _MINHASH_PAIRS_SQL, "MinHash-LSH near-dup candidates"
+    ),
+    "simhash": QuerySpec(
+        _simhash, None, "64-bit SimHash fingerprints (engine-private hash → rows-only)"
+    ),
+    "ann_cosine_topk": QuerySpec(
+        _ann_topk, _ANN_TOPK_SQL, "brute-force cosine top-5 for 10 queries"
+    ),
+    "lsh_cosine_topk": QuerySpec(
+        _lsh_topk, None, "sign-LSH bucketed approximate kNN (rows-only)"
+    ),
+    "events_hourly": QuerySpec(
+        _events_hourly, _EVENTS_HOURLY_SQL, "tumbling 1h rollup"
+    ),
+    "events_sessionize": QuerySpec(
+        _events_sessionize, _EVENTS_SESSIONIZE_SQL, "gap-based sessionization"
+    ),
+    "events_json_rollup": QuerySpec(
+        _events_json, _EVENTS_JSON_SQL, "JSON dot-path extraction rollup"
+    ),
+}

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
     "region",
@@ -32,7 +32,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. Column pruning/pushdown stay available
-    because we return the lazy scan, never a cached/collected copy."""
+    because we return the lazy scan, never a cached/collected copy.
+
+    events.ts is stored as parquet TIMESTAMP(NANOS), which Spark 4
+    refuses by default: read it as a long (legacy conf, runtime-
+    settable) and convert ns → µs with exact integer division
+    (``div`` — a double division would lose precision at 1e18 ns and
+    round instead of truncate; DuckDB's ns→µs conversion truncates).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
