@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline registry queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE
+JSON line with per-query and total wall-clock seconds.
+
+Each query is forced with a full collect() so the figure includes
+result materialization, not just plan time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from iceberg_diag_spark.plans.registry import REGISTRY
+from iceberg_diag_spark.session import get_spark
+
+HEADLINE = [
+    "diag_metrics",
+    "diag_partition_stats",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_orders_per_customer",
+    "orders_monthly",
+    "dedup_exact_groups",
+    "text_stats",
+    "minhash_pairs",
+    "ann_cosine_topk",
+    "events_hourly",
+    "events_sessionize",
+    "events_json_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    spark = get_spark(app_name="iceberg-diag-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/readers once so per-query numbers measure the
+    # queries, not first-touch class loading.
+    REGISTRY["diag_partition_stats"].build(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        rows = REGISTRY[name].build(spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({len(rows)} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

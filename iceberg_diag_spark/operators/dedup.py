@@ -75,6 +75,36 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(cnt >= n, grams).otherwise(F.array()))
 
 
+def minhash_signatures_wide(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature, one column per seed: for seed
+    s in 0..num_hashes-1, min over shingles of md5(s || '#' ||
+    shingle). Output: (doc_id, h0..h{n-1}).
+
+    Shape matters at scale: ONE groupBy(doc_id) with num_hashes
+    min-aggregates — the shuffle carries one row per (doc, shingle),
+    NOT per (doc, shingle, seed); map-side combine collapses it to
+    one row per doc per task before the exchange. md5-as-hex keeps
+    every hash reproducible in plain SQL for the DuckDB oracle; a
+    100 TB deployment would swap in xxhash64(seed||gram) for ~10×
+    cheaper hashing with identical pipeline shape.
+    """
+    grams = word_ngrams(F.col(text_col), ngram)
+    exploded = docs.select(F.col(id_col), grams.alias("grams")).select(
+        F.col(id_col), F.explode("grams").alias("gram")
+    )
+    aggs = [
+        F.min(F.md5(F.concat_ws("#", F.lit(s), F.col("gram")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -82,25 +112,18 @@ def minhash_signatures(
     num_hashes: int = 16,
     ngram: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature: for seed s in 0..num_hashes-1,
-    min over shingles of md5(seed || '#' || shingle).
-
-    Output: (doc_id, seed, minhash). md5-as-hex keeps the whole
-    pipeline expressible in ANSI-ish SQL for oracle checks; at scale
-    the md5 cost is per (doc, shingle, seed) — for cheaper runs drop
-    num_hashes or switch the hash fn, semantics are unchanged.
-    """
-    grams = word_ngrams(F.col(text_col), ngram).alias("grams")
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    exploded = (
-        docs.select(F.col(id_col), grams)
-        .select(F.col(id_col), F.explode("grams").alias("gram"))
-        .select(F.col(id_col), F.explode(seeds).alias("seed"), F.col("gram"))
+    """Long-form signature view (doc_id, seed, minhash) — an unpivot
+    of the wide aggregation (kept for API parity / inspection)."""
+    wide = minhash_signatures_wide(docs, text_col, id_col, num_hashes, ngram)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(s).alias("seed"), F.col(f"h{s}").alias("minhash"))
+            for s in range(num_hashes)
+        ]
     )
-    sig = exploded.groupBy(id_col, "seed").agg(
-        F.min(F.md5(F.concat_ws("#", F.col("seed"), F.col("gram")))).alias("minhash")
+    return wide.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, "p.seed", "p.minhash"
     )
-    return sig
 
 
 def minhash_candidate_pairs(
@@ -112,9 +135,9 @@ def minhash_candidate_pairs(
     ngram: int = 3,
 ) -> DataFrame:
     """LSH banding: split the signature into `bands` bands of
-    num_hashes/bands rows, concatenate each band to a bucket key, and
-    self-join on (band, bucket). Output: candidate (doc_a, doc_b,
-    n_shared_bands) pairs with doc_a < doc_b.
+    num_hashes/bands consecutive seeds, concatenate each band into a
+    bucket key, and self-join on (band, bucket). Output: candidate
+    (doc_a, doc_b, n_shared_bands) pairs with doc_a < doc_b.
 
     Scale: the self-join key is (band_id, band_hash) — uniformly
     distributed, so the shuffle is balanced; only near-identical
@@ -122,17 +145,24 @@ def minhash_candidate_pairs(
     of true near-dups rather than quadratic in corpus size.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, id_col, num_hashes, ngram)
-    banded = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    band_keys = banded.groupBy(id_col, "band").agg(
-        F.concat_ws("|", F.array_sort(F.collect_list("minhash"))).alias("band_key")
+    wide = minhash_signatures_wide(docs, text_col, id_col, num_hashes, ngram)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
     )
-    a = band_keys.select(
-        F.col(id_col).alias("doc_a"), "band", F.col("band_key")
+    band_keys = wide.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        id_col, "b.band", "b.band_key"
     )
-    b = band_keys.select(
-        F.col(id_col).alias("doc_b"), "band", F.col("band_key")
-    )
+    a = band_keys.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+    b = band_keys.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     return (
         a.join(b, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))

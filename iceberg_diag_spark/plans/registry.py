@@ -447,7 +447,7 @@ sig AS (
 ),
 keys AS (
   SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-         array_to_string(list_sort(list(minhash)), '|') AS band_key
+         array_to_string(list(minhash ORDER BY seed), '|') AS band_key
   FROM sig GROUP BY doc_id, band
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
