@@ -1,0 +1,70 @@
+"""Catalog surface (SURVEY §2 S1-S3, P1, O1): namespace / table
+listing with glob filtering, expressed against the Spark catalog so
+the same calls work on an Iceberg catalog
+(``spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog``)
+or the local session catalog in tests.
+
+Reference behavior mirrored:
+- list_namespaces → sorted namespace names (manager.py:74-76);
+- list_tables(db, pattern) → paginated scan + Iceberg-type filter +
+  fnmatch glob + sort (manager.py:84-113) — Spark's SHOW TABLES
+  handles pagination internally; the glob becomes an anchored regex
+  filter evaluated in the engine, not the driver;
+- a LIMIT 1 existence probe (manager.py:63-72).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from iceberg_diag_spark.functions.formatting import glob_to_regex
+
+
+def list_namespaces(spark: SparkSession, catalog: str | None = None) -> DataFrame:
+    """Sorted namespace listing (S1/O1)."""
+    target = f" IN {catalog}" if catalog else ""
+    df = spark.sql(f"SHOW NAMESPACES{target}")
+    col = df.columns[0]
+    return df.select(F.col(col).alias("namespace")).orderBy("namespace")
+
+
+def list_tables(
+    spark: SparkSession, database: str, pattern: str = "*"
+) -> DataFrame:
+    """Sorted table listing with glob filter (S2/P1/F4/O1)."""
+    df = spark.sql(f"SHOW TABLES IN {database}")
+    return (
+        df.select(F.col("tableName").alias("table_name"))
+        .filter(F.col("table_name").rlike(glob_to_regex(pattern)))
+        .orderBy("table_name")
+    )
+
+
+def iceberg_tables(spark: SparkSession, database: str) -> DataFrame:
+    """S3: keep only Iceberg-provider tables. Uses the catalog's
+    table metadata; non-Iceberg session catalogs yield an empty
+    result rather than an error."""
+    rows = []
+    for t in spark.catalog.listTables(database):
+        try:
+            detail = spark.sql(
+                f"DESCRIBE TABLE EXTENDED {database}.{t.name}"
+            ).collect()
+            provider = {
+                r["col_name"]: r["data_type"]
+                for r in detail
+                if r["col_name"] in ("Provider", "Table Properties")
+            }
+            if "iceberg" in str(provider.get("Provider", "")).lower():
+                rows.append((t.name,))
+        except Exception:
+            continue
+    return spark.createDataFrame(rows or [], "table_name string").orderBy(
+        "table_name"
+    )
+
+
+def connection_probe(spark: SparkSession, catalog: str | None = None) -> bool:
+    """S5: LIMIT-1 existence scan validating the catalog binding."""
+    target = f" IN {catalog}" if catalog else ""
+    return len(spark.sql(f"SHOW NAMESPACES{target}").limit(1).collect()) >= 0
