@@ -84,6 +84,33 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with a < b
+    and cosine >= threshold. Output: (vec_a, vec_b, cos_sim rounded 6).
+
+    This exact variant is O(n²) dot products with a broadcast of one
+    side — correct and oracle-checkable at validation scale. The
+    100 TB path is the same filter applied within sign-LSH buckets
+    (see lsh_topk): swap the crossJoin for a bucket equi-join and the
+    pair count drops from quadratic to per-bucket-quadratic.
+    """
+    a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_raw")
+        )
+        .filter(F.col("cos_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic unit-ish hyperplanes for sign-LSH."""
     rng = random.Random(seed)

@@ -462,6 +462,143 @@ def _simhash(spark, sf_dir):
     return dedup.simhash64(_t(spark, sf_dir, "documents"))
 
 
+def _exact_dedup_corpus(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select(
+        "doc_id", "text", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+_EXACT_DEDUP_CORPUS_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+         sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+  FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM h GROUP BY ch)
+SELECT d.doc_id, d.text, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN keep USING (doc_id)
+"""
+
+
+def _ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    cands = dedup.minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    return dedup.ngram_jaccard_pairs(docs, cands).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+_NGRAM_JACCARD_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(
+             generate_series(0, greatest(len(toks) - 3, 0)),
+             i -> array_to_string(toks[i + 1 : i + 3], ' ')))
+         ELSE [] END AS grams
+  FROM norm
+),
+eg AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
+es AS (SELECT doc_id, gram, unnest(generate_series(0, 15)) AS seed FROM eg),
+sig AS (
+  SELECT doc_id, seed, min(md5(concat_ws('#', seed, gram))) AS minhash
+  FROM es GROUP BY doc_id, seed
+),
+keys AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         array_to_string(list(minhash ORDER BY seed), '|') AS band_key
+  FROM sig GROUP BY doc_id, band
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys a
+  JOIN keys b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(CASE WHEN len(list_distinct(list_concat(ga.grams, gb.grams))) > 0
+             THEN CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(ga.grams, gb.grams)))
+             ELSE 0.0 END, 6) AS jaccard
+FROM cands c
+JOIN grams ga ON ga.doc_id = c.doc_a
+JOIN grams gb ON gb.doc_id = c.doc_b
+"""
+
+
+def _quality_scores(spark, sf_dir):
+    return textops.quality_scores(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("type_token_ratio", 6).alias("type_token_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+    )
+
+
+_QUALITY_SCORES_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, text,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       round(CAST(length(text) AS DOUBLE) / greatest(len(toks), 1), 6) AS mean_token_len,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6) AS type_token_ratio,
+       round(CAST(len(list_intersect(toks,
+             ['the','and','of','to','a','in','is','that','it','for'])) AS DOUBLE)
+             / greatest(len(toks), 1), 6) AS stopword_ratio,
+       round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS alpha_ratio
+FROM norm
+"""
+
+
+def _language_id(spark, sf_dir):
+    return textops.language_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "pred_lang",
+        F.col("stopword_hits").cast("long").alias("stopword_hits"),
+    )
+
+
+def _lang_list_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textops.STOPWORDS[lang])
+    return f"[{words}]"
+
+
+_LANGUAGE_ID_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+scores AS (
+  SELECT doc_id, 'de' AS lang, len(list_intersect(toks, {_lang_list_sql('de')})) AS hits FROM norm
+  UNION ALL
+  SELECT doc_id, 'en', len(list_intersect(toks, {_lang_list_sql('en')})) FROM norm
+  UNION ALL
+  SELECT doc_id, 'es', len(list_intersect(toks, {_lang_list_sql('es')})) FROM norm
+  UNION ALL
+  SELECT doc_id, 'fr', len(list_intersect(toks, {_lang_list_sql('fr')})) FROM norm
+),
+best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+  FROM scores
+)
+SELECT doc_id,
+       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang,
+       CAST(hits AS BIGINT) AS stopword_hits
+FROM best WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------
 # Similarity search (embeddings)
 # --------------------------------------------------------------------
@@ -509,6 +646,33 @@ FROM ranked WHERE rank <= 5
 
 def _lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+def _emb_near_dup(spark, sf_dir):
+    return similarity.embedding_near_dup(_t(spark, sf_dir, "embeddings"))
+
+
+_EMB_NEAR_DUP_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+terms AS (
+  SELECT vec_a, vec_b, unnest(va) AS x, unnest(vb) AS y FROM pairs
+),
+scored AS (
+  SELECT vec_a, vec_b,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dotp,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS aa,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS bb
+  FROM terms GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b,
+       round(dotp / (sqrt(aa) * sqrt(bb)), 6) AS cos_sim
+FROM scored
+WHERE dotp / (sqrt(aa) * sqrt(bb)) >= 0.45
+"""
 
 
 # --------------------------------------------------------------------
@@ -620,6 +784,26 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "simhash": QuerySpec(
         _simhash, None, "64-bit SimHash fingerprints (engine-private hash → rows-only)"
+    ),
+    "exact_dedup_corpus": QuerySpec(
+        _exact_dedup_corpus, _EXACT_DEDUP_CORPUS_SQL,
+        "deduplicated corpus (min doc_id per content hash survives)",
+    ),
+    "ngram_jaccard": QuerySpec(
+        _ngram_jaccard, _NGRAM_JACCARD_SQL,
+        "exact 3-gram Jaccard verification of MinHash-LSH candidates",
+    ),
+    "quality_scores": QuerySpec(
+        _quality_scores, _QUALITY_SCORES_SQL,
+        "heuristic quality signals (token len / TTR / stopword / alpha ratios)",
+    ),
+    "language_id": QuerySpec(
+        _language_id, _LANGUAGE_ID_SQL,
+        "stopword-voting language ID (argmax via greatest-of-structs)",
+    ),
+    "embedding_near_dup": QuerySpec(
+        _emb_near_dup, _EMB_NEAR_DUP_SQL,
+        "embedding-cosine near-dup pairs above threshold",
     ),
     "ann_cosine_topk": QuerySpec(
         _ann_topk, _ANN_TOPK_SQL, "brute-force cosine top-5 for 10 queries"
