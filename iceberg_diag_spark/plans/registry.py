@@ -37,6 +37,7 @@ from iceberg_diag_spark.operators.diagnostics import (
 )
 from iceberg_diag_spark.sources.data_files import files_from_lineitem
 from iceberg_diag_spark.sources.tpch import load_table
+from iceberg_diag_spark.streaming import stream_ops
 
 PROXY_MANIFEST_COUNT = 10
 
@@ -744,6 +745,90 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------
+# Structured Streaming (events as a file stream, drained with
+# availableNow → memory sink; over the complete finite input the
+# result equals the batch query, so DuckDB oracles apply)
+# --------------------------------------------------------------------
+
+def _stream_tumbling(spark, sf_dir):
+    ev = stream_ops.read_events_stream(spark, sf_dir)
+    return stream_ops.run_to_table(
+        stream_ops.tumbling_counts(ev), "complete", "stream_tumbling"
+    )
+
+
+_STREAM_TUMBLING_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS event_count,
+       CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY window_start, event_type
+"""
+
+
+def _stream_sessions(spark, sf_dir):
+    ev = stream_ops.read_events_stream(spark, sf_dir)
+    return stream_ops.run_to_table(
+        stream_ops.session_windows(ev), "complete", "stream_sessions"
+    )
+
+
+_STREAM_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_last_ts,
+       CAST(count(*) AS BIGINT) AS event_count
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+def _stream_dedup(spark, sf_dir):
+    ev = stream_ops.read_events_stream(spark, sf_dir)
+    return stream_ops.run_to_table(
+        stream_ops.dedup_keys_stream(ev), "append", "stream_dedup"
+    )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def _stream_user_stats(spark, sf_dir):
+    ev = stream_ops.read_events_stream(spark, sf_dir)
+    return stream_ops.run_to_table(
+        stream_ops.user_running_stats(ev), "update", "stream_user_stats"
+    )
+
+
+_STREAM_USER_STATS_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS event_count,
+       CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "diag_partition_stats": QuerySpec(
         _diag_partition_stats, _DIAG_PARTITION_STATS_SQL,
@@ -819,5 +904,25 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "events_json_rollup": QuerySpec(
         _events_json, _EVENTS_JSON_SQL, "JSON dot-path extraction rollup"
+    ),
+    "stream_tumbling_counts": QuerySpec(
+        _stream_tumbling, _STREAM_TUMBLING_SQL,
+        "Structured Streaming watermarked 1h tumbling rollup "
+        "(availableNow drain; equals batch over finite input)",
+    ),
+    "stream_session_windows": QuerySpec(
+        _stream_sessions, _STREAM_SESSIONS_SQL,
+        "Structured Streaming native session_window per user "
+        "(gap-merge semantics == batch sessionization)",
+    ),
+    "stream_dedup_keys": QuerySpec(
+        _stream_dedup, _STREAM_DEDUP_SQL,
+        "streaming exact dedup via dropDuplicatesWithinWatermark "
+        "(key-projected → order-independent)",
+    ),
+    "stream_user_running_stats": QuerySpec(
+        _stream_user_stats, _STREAM_USER_STATS_SQL,
+        "custom stateful op (applyInPandasWithState): per-user running "
+        "count/cents/max-ts; final state == batch rollup",
     ),
 }

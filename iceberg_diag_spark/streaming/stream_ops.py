@@ -1,0 +1,224 @@
+"""Structured Streaming operators over the `events` table.
+
+The reference is batch-only (SURVEY.md §2 "Streaming — none"); this
+module is the north-star extension surface: watermarked tumbling /
+sliding / session windows, streaming exact dedup, and a custom
+stateful operator via applyInPandasWithState.
+
+Execution contract: every operator is a pure stream-DataFrame
+transform (readStream in → unbounded DataFrame out), so the SAME
+transform runs against a real Kafka/file stream in production and
+against a finite parquet directory in tests. `run_to_table` drains a
+finite source with trigger(availableNow=True) into a memory sink and
+returns the materialized result, which lets the driver hash-compare
+streaming results against batch DuckDB oracles.
+
+Scale posture (100 TB/day stream): all windowed aggregations keep
+state keyed by (window, group) — bounded by watermark eviction, not
+by stream length; dedup state is bounded by
+dropDuplicatesWithinWatermark. Shuffle is one exchange per agg on the
+group key. At production rates the same code runs with a Kafka source
+and checkpointLocation on durable storage.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+SESSION_GAP = "30 minutes"
+_QUERY_SEQ = itertools.count()
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over the events parquet directory. Schema is
+    taken from a batch probe (streams require an explicit schema); a
+    production deployment would pass the Kafka/Iceberg source instead.
+
+    events.ts is parquet TIMESTAMP(NANOS) — read as long via the
+    legacy conf and converted ns → µs exactly, mirroring
+    sources/tpch.py's batch loader.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema: StructType = spark.read.parquet(path).schema
+    # The file stream source requires a directory. testdata ships
+    # events.parquet as a single file → stream sf_dir with an exact
+    # glob; a directory-of-part-files layout streams directly.
+    if os.path.isdir(path):
+        stream_dir, glob = path, "*.parquet"
+    else:
+        stream_dir, glob = sf_dir, "events.parquet"
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(stream_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, size: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window rollup per event type: count,
+    value-cents sum. State per (window, type) row is evicted once the
+    watermark passes window end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "event_count",
+            "value_cents",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window event counts: each event lands in size/slide
+    overlapping windows. State cost is (size/slide)× tumbling — the
+    standard trade for smoother trend curves."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("event_count"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "event_type",
+            "event_count",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = SESSION_GAP, watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows per user: events closer than `gap` merge
+    into one session (Spark's session_window end = last event + gap,
+    so last_ts is recovered by subtracting the gap). Equivalent to the
+    batch gap-sessionization in operators/events.py — the test suite
+    and oracle pin that equivalence."""
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("event_count"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(
+                F.col("w.end").cast("timestamp") - gap_expr, "yyyy-MM-dd HH:mm:ss"
+            ).alias("session_last_ts"),
+            "event_count",
+        )
+    )
+
+
+def dedup_keys_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup projected to the key columns: emit each
+    distinct key combination once. Projecting BEFORE dedup makes the
+    result order-independent (a set), so it is oracle-checkable;
+    dropDuplicatesWithinWatermark bounds state by the watermark
+    horizon instead of retaining every key forever."""
+    return (
+        events.withWatermark("ts", watermark)
+        .select(*keys, "ts")
+        .dropDuplicatesWithinWatermark(list(keys))
+        .select(*keys)
+    )
+
+
+def user_running_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running aggregate maintained across micro-batches — event count,
+    value-cents sum, and max timestamp seen. Emits one updated row per
+    user per batch; state is a single tuple per user (bounded by the
+    user cardinality, the canonical keyed-state shape).
+
+    The reference has no stateful streaming; this models the
+    "pluggable per-row callback" role its metric_function params play
+    (SURVEY.md §2 UDF surface) in streaming form.
+    """
+    import pandas as pd  # local import: worker-side dependency
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, event_count long, value_cents long, last_ts string"
+    )
+    state_schema = "count long, cents long, max_ns long"
+
+    import numpy as np
+
+    def update(key, pdfs, state: GroupState):
+        count, cents, max_ns = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            count += len(pdf)
+            cents += int(np.floor(pdf["value"] * 100).astype("int64").sum())
+            max_ns = max(max_ns, int(pdf["ts"].astype("int64").max()))
+        state.update((count, cents, max_ns))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_count": [count],
+                "value_cents": [cents],
+                "last_ts": [
+                    pd.Timestamp(max_ns, unit="ns").strftime("%Y-%m-%d %H:%M:%S")
+                ],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_table(
+    stream_df: DataFrame,
+    output_mode: str,
+    name_prefix: str = "stream_result",
+) -> DataFrame:
+    """Drain a finite stream with trigger(availableNow=True) into a
+    memory sink; return the materialized table. Complete mode for
+    windowed aggs (emits final windows regardless of watermark),
+    append for dedup."""
+    spark = stream_df.sparkSession
+    name = f"{name_prefix}_{next(_QUERY_SEQ)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,152 @@
+"""Structured Streaming operators: batch-equivalence over a finite
+source, plus state semantics under multi-batch incremental processing.
+
+Strategy: drain each stream with trigger(availableNow=True) into a
+memory sink, then compare against the equivalent batch DataFrame
+query over the same parquet — exact row-set equality. The registry's
+DuckDB oracles re-check the same equivalences cross-engine.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_diag_spark.operators import events as batch_events
+from iceberg_diag_spark.sources.tpch import load_table
+from iceberg_diag_spark.streaming import stream_ops as so
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def rowset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+def test_tumbling_equals_batch(spark, events_batch):
+    got = so.run_to_table(
+        so.tumbling_counts(so.read_events_stream(spark, SF_DIR)),
+        "complete",
+        "t_tumb",
+    )
+    want = (
+        events_batch.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+    assert rowset(got) == rowset(want)
+
+
+def test_sliding_counts_total(spark, events_batch):
+    got = so.run_to_table(
+        so.sliding_counts(so.read_events_stream(spark, SF_DIR)),
+        "complete",
+        "t_slide",
+    )
+    # each event lands in exactly size/slide = 2 windows
+    total = got.agg(F.sum("event_count")).collect()[0][0]
+    assert total == 2 * events_batch.count()
+    # window bounds are size (1h) apart
+    bad = got.filter(
+        F.unix_timestamp("window_end") - F.unix_timestamp("window_start") != 3600
+    ).count()
+    assert bad == 0
+
+
+def test_session_windows_equal_batch_sessionize(spark, events_batch):
+    got = so.run_to_table(
+        so.session_windows(so.read_events_stream(spark, SF_DIR)),
+        "complete",
+        "t_sess",
+    )
+    want = batch_events.sessionize(events_batch).select(
+        "user_id",
+        "session_start",
+        F.col("session_end").alias("session_last_ts"),
+        "event_count",
+    )
+    assert rowset(got.select("user_id", "session_start", "session_last_ts", "event_count")) == rowset(want)
+
+
+def test_dedup_keys_equals_distinct(spark, events_batch):
+    got = so.run_to_table(
+        so.dedup_keys_stream(so.read_events_stream(spark, SF_DIR)),
+        "append",
+        "t_dedup",
+    )
+    want = events_batch.select("user_id", "event_type").distinct()
+    assert rowset(got) == rowset(want)
+
+
+def test_user_running_stats_final_state(spark, events_batch):
+    got = so.run_to_table(
+        so.user_running_stats(so.read_events_stream(spark, SF_DIR)),
+        "update",
+        "t_urs",
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count("*").alias("event_count"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+    assert rowset(got) == rowset(want.select("user_id", "event_count", "value_cents", "last_ts"))
+
+
+def test_stateful_incremental_batches(spark, tmp_path_factory, events_batch):
+    """Split events into 3 parquet files and stream them one file per
+    trigger: the stateful operator must carry state across
+    micro-batches, and its LAST emitted row per user must equal the
+    global batch rollup."""
+    src = str(tmp_path_factory.mktemp("ev_parts"))
+    (
+        events_batch.withColumn("ts", F.unix_micros("ts") * 1000)  # back to ns longs
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(os.path.join(src, "events.parquet"))
+    )
+    try:
+        ev = so.read_events_stream(spark, src, max_files_per_trigger=1)
+        out = so.run_to_table(so.user_running_stats(ev), "update", "t_urs_inc")
+        rows = out.collect()
+        # multiple updates per user across batches; final value = max count
+        final = {}
+        for r in rows:
+            cur = final.get(r.user_id)
+            if cur is None or r.event_count > cur.event_count:
+                final[r.user_id] = r
+        want = {
+            r.user_id: r
+            for r in events_batch.groupBy("user_id")
+            .agg(
+                F.count("*").alias("event_count"),
+                F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+                F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            )
+            .collect()
+        }
+        assert set(final) == set(want)
+        for uid, row in final.items():
+            assert (row.event_count, row.value_cents, row.last_ts) == (
+                want[uid].event_count,
+                want[uid].value_cents,
+                want[uid].last_ts,
+            ), uid
+        # state really accumulated across >1 batch for some user
+        assert len(rows) > len(final)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
