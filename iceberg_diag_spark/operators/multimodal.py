@@ -1,0 +1,226 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The reference has no media handling; this is north-star extension
+surface (BASELINE.json: "multimodal columns"). Design per the 100 TB
+playbook: media lives in `binary` columns next to typed metadata
+structs; per-item decoding runs worker-side as Arrow-batched
+mapInPandas so payload bytes never touch the driver; every derived
+column is deterministic so results are oracle-checkable.
+
+Since the test corpus has no real media, payloads are derived
+deterministically from `documents.text` (UTF-8 bytes) — the SPARK
+PLUMBING (binary schema, metadata struct, Arrow batch shape, pandas
+UDF signatures, partition behavior) is real and tested; only the
+codec call itself is stubbed: `_decode_media` tries the real
+libraries (PIL / soundfile — not installed here) and falls back to a
+clearly-marked deterministic fake over the raw bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+FRAME_BYTES = 64          # video "frame" granularity in the fake codec
+FEATURE_DIM = 16          # decoded feature-vector width
+MEDIA_TYPES = ("image", "audio", "video")
+
+
+def with_media(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Attach the multimodal column pair: `payload` (opaque binary)
+    and `meta` (typed metadata struct), plus a `media_type` tag.
+    Everything is a JVM-side expression — no Python in this path, so
+    at 100 TB the scan→project stays in whole-stage codegen."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    byte_len = F.length(payload).cast("long")
+    media_type = F.element_at(
+        F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+        (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
+    )
+    meta = F.struct(
+        byte_len.alias("byte_len"),
+        (32 + F.pmod(F.col(id_col) * 7, F.lit(480))).cast("int").alias("width"),
+        (32 + F.pmod(F.col(id_col) * 13, F.lit(360))).cast("int").alias("height"),
+        F.element_at(
+            F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
+            (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
+        ).alias("sample_rate"),
+        F.ceil(byte_len / FRAME_BYTES).cast("int").alias("n_frames"),
+    )
+    return docs.select(
+        F.col(id_col),
+        media_type.alias("media_type"),
+        payload.alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def media_catalog(media: DataFrame) -> DataFrame:
+    """Flattened per-item metadata + payload fingerprint — the 'list
+    what's in the lake' query. md5 over the binary column stays
+    JVM-side."""
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.n_frames").cast("long").alias("n_frames"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+def media_type_stats(media: DataFrame) -> DataFrame:
+    """Per-modality rollup: one shuffle on a 3-value key (tiny; at
+    scale AQE coalesces the post-shuffle partitions)."""
+    return media.groupBy("media_type").agg(
+        F.count("*").alias("item_count"),
+        F.sum("meta.byte_len").alias("total_bytes"),
+        F.min("meta.byte_len").alias("min_bytes"),
+        F.max("meta.byte_len").alias("max_bytes"),
+        F.sum(F.col("meta.n_frames").cast("long")).alias("total_frames"),
+    )
+
+
+def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
+    """Sample every k-th FRAME_BYTES-sized frame from each payload —
+    the video-keyframe-extraction shape. Arrow-batched mapInPandas:
+    one task per input partition, no shuffle at all; output is
+    ~1/k of input volume. Emits (doc_id, frame_idx, frame_len,
+    frame_md5)."""
+    import hashlib
+
+    import pandas as pd
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, md5s = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                for fi in range(0, (len(buf) + FRAME_BYTES - 1) // FRAME_BYTES, every_k):
+                    frame = buf[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    lens.append(len(frame))
+                    md5s.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_len": lens, "frame_md5": md5s}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        sample, "doc_id long, frame_idx long, frame_len long, frame_md5 string"
+    )
+
+
+def byte_histogram(media: DataFrame, bucket_width: int = 32) -> DataFrame:
+    """Byte-value histogram per item via mapInPandas (vectorized
+    numpy inside the worker): emits (doc_id, bucket, byte_count) rows.
+    The exploded-rows layout keeps the result joinable/aggregable and
+    hash-checkable without array comparison."""
+    import numpy as np
+    import pandas as pd
+
+    n_buckets = 256 // bucket_width
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, buckets, counts = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                c = np.bincount(arr // bucket_width, minlength=n_buckets)
+                nz = np.nonzero(c)[0]
+                ids.extend([doc_id] * len(nz))
+                buckets.extend(nz.tolist())
+                counts.extend(c[nz].tolist())
+            yield pd.DataFrame(
+                {"doc_id": ids, "bucket": buckets, "byte_count": counts}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        hist, "doc_id long, bucket long, byte_count long"
+    )
+
+
+def _decode_media(media_type: str, payload: bytes, meta: dict):
+    """Decode one media item to a numpy array. Tries the real codec
+    libraries first (not installed in this container); otherwise uses
+    a DETERMINISTIC FAKE decode over the raw bytes so the downstream
+    plumbing is fully exercisable and reproducible.
+    """
+    import numpy as np
+
+    if media_type == "image":
+        try:  # real path — PIL not available here
+            import io
+
+            from PIL import Image  # noqa: F401
+
+            return np.asarray(Image.open(io.BytesIO(payload)))
+        except ImportError:
+            # fake: tile bytes into a (height, width) grid
+            h, w = meta["height"], meta["width"]
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            reps = (h * w + len(arr) - 1) // len(arr)
+            return np.tile(arr, reps)[: h * w].reshape(h, w)
+    if media_type == "audio":
+        try:  # real path — soundfile not available here
+            import io
+
+            import soundfile  # noqa: F401
+
+            return soundfile.read(io.BytesIO(payload))[0]
+        except ImportError:
+            # fake: bytes as a centered waveform in [-1, 1)
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            return (arr.astype(np.float64) - 128.0) / 128.0
+    if media_type == "video":
+        # fake: stack FRAME_BYTES-sized frames (zero-padded tail)
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        n = (len(arr) + FRAME_BYTES - 1) // FRAME_BYTES
+        out = np.zeros(n * FRAME_BYTES, dtype=np.uint8)
+        out[: len(arr)] = arr
+        return out.reshape(n, FRAME_BYTES)
+    raise NotImplementedError(f"unknown media_type {media_type!r}")
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract via mapInPandas: per item, decode the
+    payload (stubbed codec, see _decode_media) and emit a fixed
+    FEATURE_DIM-wide float vector (normalized byte-value histogram,
+    mean, std — on the decoded array). Output schema
+    (doc_id, media_type, feature array<double>) is the ANN-ingest
+    shape: downstream similarity search consumes it directly.
+    No shuffle; Arrow carries the array column."""
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for mt, payload, meta in zip(
+                pdf["media_type"], pdf["payload"], pdf["meta"]
+            ):
+                decoded = _decode_media(mt, bytes(payload), meta)
+                flat = np.asarray(decoded, dtype=np.float64).ravel()
+                # scale fake-decoded outputs to a common 0..255 domain
+                if mt == "audio":
+                    flat = flat * 128.0 + 128.0
+                hist = np.histogram(flat, bins=FEATURE_DIM - 2, range=(0, 256))[0]
+                total = max(len(flat), 1)
+                vec = np.concatenate(
+                    [hist / total, [flat.mean() / 256.0, flat.std() / 256.0]]
+                )
+                feats.append(vec.round(9).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(
+        extract, "doc_id long, media_type string, feature array<double>"
+    )

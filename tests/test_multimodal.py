@@ -1,0 +1,94 @@
+"""Multimodal plumbing: binary payload/metadata schema, Arrow batch
+shape through mapInPandas, deterministic fake decode, frame math.
+Oracle parity for the SQL-expressible subset runs in
+test_oracle_parity.py; these tests pin the Python-side semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from iceberg_diag_spark.operators import multimodal as mm
+from iceberg_diag_spark.sources.tpch import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return mm.with_media(load_table(spark, SF_DIR, "documents"))
+
+
+def test_media_schema(media):
+    schema = dict(media.dtypes)
+    assert isinstance(media.schema["payload"].dataType, BinaryType)
+    assert schema["media_type"] == "string"
+    meta = media.schema["meta"].dataType
+    assert [f.name for f in meta.fields] == [
+        "byte_len", "width", "height", "sample_rate", "n_frames",
+    ]
+
+
+def test_payload_roundtrip(media, spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    joined = media.join(docs, "doc_id").select(
+        "doc_id", "payload", "text", "meta.byte_len"
+    )
+    for r in joined.take(20):
+        assert bytes(r.payload).decode("utf-8") == r.text
+        assert r.byte_len == len(r.text)
+
+
+def test_frame_sample_matches_python(media):
+    rows = mm.frame_sample(media, every_k=4).filter(F.col("doc_id") < 5).collect()
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in media.filter(F.col("doc_id") < 5).collect()
+    }
+    got = {(r.doc_id, r.frame_idx): (r.frame_len, r.frame_md5) for r in rows}
+    want = {}
+    for doc_id, buf in payloads.items():
+        n_frames = (len(buf) + mm.FRAME_BYTES - 1) // mm.FRAME_BYTES
+        for fi in range(0, n_frames, 4):
+            frame = buf[fi * mm.FRAME_BYTES : (fi + 1) * mm.FRAME_BYTES]
+            want[(doc_id, fi)] = (len(frame), hashlib.md5(frame).hexdigest())
+    assert got == want
+
+
+def test_byte_histogram_totals(media):
+    hist = mm.byte_histogram(media)
+    per_doc = hist.groupBy("doc_id").agg(F.sum("byte_count").alias("n"))
+    lens = media.select("doc_id", F.col("meta.byte_len").alias("n"))
+    mismatch = per_doc.join(lens, "doc_id").filter(
+        per_doc["n"] != lens["n"]
+    )
+    assert mismatch.count() == 0
+
+
+def test_decode_features_shape_and_determinism(media):
+    f1 = {r.doc_id: r.feature for r in mm.decode_features(media).collect()}
+    f2 = {r.doc_id: r.feature for r in mm.decode_features(media).collect()}
+    assert f1 == f2  # deterministic across runs
+    assert all(len(v) == mm.FEATURE_DIM for v in f1.values())
+    # histogram part sums to ~1 (bins cover the full byte domain)
+    for v in list(f1.values())[:10]:
+        assert abs(sum(v[:-2]) - 1.0) < 1e-6  # 9-decimal rounding per bin
+
+
+def test_decode_fake_video_shape():
+    import numpy as np
+
+    payload = b"x" * 130
+    out = mm._decode_media("video", payload, {})
+    assert out.shape == (3, mm.FRAME_BYTES)
+    assert out[2, 2:].sum() == 0  # zero-padded tail
+    img = mm._decode_media("image", payload, {"height": 16, "width": 20})
+    assert img.shape == (16, 20)
+    audio = mm._decode_media("audio", payload, {})
+    assert np.all((audio >= -1) & (audio < 1))
+    with pytest.raises(NotImplementedError):
+        mm._decode_media("hologram", payload, {})
