@@ -32,6 +32,7 @@ from iceberg_diag_spark.functions.cost import read_file_cost
 from iceberg_diag_spark.operators import (
     dedup,
     events,
+    joins,
     multimodal,
     similarity,
     textops,
@@ -752,6 +753,98 @@ GROUP BY event_type
 
 
 # --------------------------------------------------------------------
+# Time-series joins (as-of / range) over events
+# --------------------------------------------------------------------
+
+def _dedup_clicks(ev):
+    # one click per (user, ts): max event_id — removes tie ambiguity
+    # so the as-of match is deterministic on both engines
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+
+
+def _asof_purchase_attribution(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = _dedup_clicks(ev)
+    out = joins.asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        right_cols=("click_event_id",),
+        how="inner",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+        "click_event_id_right",
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.expr("(unix_micros(ts) - unix_micros(ts_right)) div 1000000").alias(
+            "gap_seconds"
+        ),
+    ).withColumnRenamed("click_event_id_right", "click_event_id")
+
+
+_ASOF_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id,
+       p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CAST(FLOOR(p.value * 100) AS BIGINT) AS value_cents,
+       c.click_event_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT) AS gap_seconds
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def _range_clicks_before_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return joins.range_join_before(
+        purchases,
+        clicks,
+        on="user_id",
+        before_seconds=1800,
+        left_cols=("event_id",),
+        right_cols=("event_id",),
+    ).select(
+        "user_id",
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        "gap_seconds",
+    )
+
+
+_RANGE_SQL = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT) AS gap_seconds
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+ AND epoch_us(c.ts) <= epoch_us(p.ts)
+"""
+
+
+# --------------------------------------------------------------------
 # Multimodal columns (binary payload + typed metadata over documents;
 # payloads are deterministic UTF-8 encodings and the corpus is pure
 # ASCII, so DuckDB string-side oracles verify binary-side Spark ops)
@@ -996,6 +1089,15 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "events_json_rollup": QuerySpec(
         _events_json, _EVENTS_JSON_SQL, "JSON dot-path extraction rollup"
+    ),
+    "asof_purchase_attribution": QuerySpec(
+        _asof_purchase_attribution, _ASOF_SQL,
+        "as-of join: latest preceding click per purchase "
+        "(union+window single-shuffle formulation)",
+    ),
+    "range_clicks_before_purchase": QuerySpec(
+        _range_clicks_before_purchase, _RANGE_SQL,
+        "time-bucketed range join: clicks within 30 min before purchase",
     ),
     "media_catalog": QuerySpec(
         _media_catalog, _MEDIA_CATALOG_SQL,
