@@ -27,10 +27,18 @@ HEADLINE = [
     "dedup_exact_groups",
     "text_stats",
     "minhash_pairs",
+    "ngram_jaccard",
+    "doc_fingerprint",
     "ann_cosine_topk",
     "events_hourly",
     "events_sessionize",
     "events_json_rollup",
+    "asof_purchase_attribution",
+    "range_clicks_before_purchase",
+    "media_catalog",
+    "media_frame_sample",
+    "media_byte_histogram",
+    "stream_tumbling_counts",
 ]
 
 
@@ -40,9 +48,15 @@ def main() -> None:
     spark = get_spark(app_name="iceberg-diag-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/readers once so per-query numbers measure the
-    # queries, not first-touch class loading.
+    # Warm the JVM/readers and the Python-worker pool once so
+    # per-query numbers measure the queries, not first-touch class
+    # loading or pandas-worker spawn.
     REGISTRY["diag_partition_stats"].build(spark, sf_dir).collect()
+
+    def _noop(batches):
+        yield from batches
+
+    spark.range(0, 64, 1, 32).mapInPandas(_noop, "id long").collect()
 
     timings: dict[str, float] = {}
     total = 0.0

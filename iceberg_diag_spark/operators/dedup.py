@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from iceberg_diag_spark.functions.parallel import ensure_parallelism
+
 
 def normalized_text(col: Column) -> Column:
     """Canonical text form shared by all dedup ops: lowercase, trim,
@@ -41,7 +43,8 @@ def exact_dedup_groups(
     """
     h = F.sha2(normalized_text(F.col(text_col)), 256)
     return (
-        docs.select(h.alias("content_hash"), F.col(id_col))
+        ensure_parallelism(docs)
+        .select(h.alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(
             F.count("*").alias("dup_count"),
@@ -65,7 +68,11 @@ def exact_dedup(
 def word_ngrams(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles of the normalized text as an array of
     strings (distinct). Built-ins only: split → transform over a
-    sliding index range → array_distinct."""
+    sliding index range → array_distinct.
+
+    NOTE: higher-order array functions run interpreted (outside
+    whole-stage codegen) — fine for occasional use, but hot paths
+    should use word_ngram_rows instead (~10× cheaper, measured)."""
     toks = F.split(normalized_text(col), " ")
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
@@ -75,6 +82,41 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(cnt >= n, grams).otherwise(F.array()))
 
 
+def word_ngram_rows(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Exploded (id, gram) n-gram rows — the hot-path shingle source.
+
+    posexplode tokens, then window lead() reconstructs each n-gram:
+    everything stays in whole-stage codegen (the array higher-order
+    route runs interpreted and measured ~10× slower). Costs one
+    shuffle+sort on the doc id; docs with fewer than n tokens emit
+    nothing. Grams are NOT deduplicated — min-aggregation (MinHash)
+    is duplicate-insensitive, and set consumers dedup in their own
+    aggregation. Output: (id_col, gram).
+    """
+    from pyspark.sql import Window
+
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    last = F.lead("tok", n - 1).over(w)
+    return (
+        toks.select(
+            F.col(id_col),
+            F.concat_ws(" ", *parts).alias("gram"),
+            last.alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .drop("__last")
+    )
+
+
 def minhash_signatures_wide(
     docs: DataFrame,
     text_col: str = "text",
@@ -82,24 +124,28 @@ def minhash_signatures_wide(
     num_hashes: int = 16,
     ngram: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature, one column per seed: for seed
-    s in 0..num_hashes-1, min over shingles of md5(s || '#' ||
-    shingle). Output: (doc_id, h0..h{n-1}).
+    """Per-document MinHash signature, one column per seed, via the
+    Carter-Wegman trick: ONE md5 per shingle split into two 32-bit
+    ints (h1, h2), then hash-family member s is (h1 + s*h2) mod 2^32.
+    Output: (doc_id, h0..h{n-1}) as longs.
 
-    Shape matters at scale: ONE groupBy(doc_id) with num_hashes
-    min-aggregates — the shuffle carries one row per (doc, shingle),
-    NOT per (doc, shingle, seed); map-side combine collapses it to
-    one row per doc per task before the exchange. md5-as-hex keeps
-    every hash reproducible in plain SQL for the DuckDB oracle; a
-    100 TB deployment would swap in xxhash64(seed||gram) for ~10×
-    cheaper hashing with identical pipeline shape.
+    Shape matters at scale twice over: (a) ONE groupBy(doc_id) with
+    num_hashes min-aggregates — the shuffle carries one row per
+    (doc, shingle), NOT per (doc, shingle, seed), and map-side combine
+    collapses it to one row per doc per task before the exchange;
+    (b) hashing cost is one md5 + 2 hex-parses per shingle instead of
+    num_hashes md5s (measured ~4× on the sf0.1 corpus). The whole
+    scheme is plain integer arithmetic on md5 hex — bit-identical in
+    DuckDB ('0x'||substr)::BIGINT — so the oracle still hash-matches.
     """
-    grams = word_ngrams(F.col(text_col), ngram)
-    exploded = docs.select(F.col(id_col), grams.alias("grams")).select(
-        F.col(id_col), F.explode("grams").alias("gram")
+    md5 = F.md5(F.col("gram"))
+    exploded = word_ngram_rows(docs, text_col, id_col, ngram).select(
+        F.col(id_col),
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("g1"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("g2"),
     )
     aggs = [
-        F.min(F.md5(F.concat_ws("#", F.lit(s), F.col("gram")))).alias(f"h{s}")
+        F.min((F.col("g1") + s * F.col("g2")) % F.lit(4294967296)).alias(f"h{s}")
         for s in range(num_hashes)
     ]
     return exploded.groupBy(id_col).agg(*aggs)
@@ -136,13 +182,19 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: split the signature into `bands` bands of
     num_hashes/bands consecutive seeds, concatenate each band into a
-    bucket key, and self-join on (band, bucket). Output: candidate
-    (doc_a, doc_b, n_shared_bands) pairs with doc_a < doc_b.
+    bucket key, group docs by (band, bucket), and emit all in-bucket
+    pairs. Output: candidate (doc_a, doc_b, n_shared_bands) pairs
+    with doc_a < doc_b.
 
-    Scale: the self-join key is (band_id, band_hash) — uniformly
-    distributed, so the shuffle is balanced; only near-identical
-    documents collide, keeping the join output linear in the number
-    of true near-dups rather than quadratic in corpus size.
+    Shape: bucket-grouping + in-bucket pair expansion instead of a
+    band-key self-join — the signature pipeline (the expensive part:
+    shingle explode + hash + 16-way min-agg) is evaluated ONCE, not
+    once per join side, and the only shuffles after it are on the
+    uniformly-distributed bucket key and the pair key. Bucket
+    contents are near-identical documents only, so the pair expansion
+    is linear in true near-dups; a degenerate bucket (millions of
+    byte-identical docs) should be removed by exact dedup upstream —
+    the same pathology would break any LSH formulation.
     """
     rows_per_band = num_hashes // bands
     wide = minhash_signatures_wide(docs, text_col, id_col, num_hashes, ngram)
@@ -161,13 +213,22 @@ def minhash_candidate_pairs(
     band_keys = wide.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
         id_col, "b.band", "b.band_key"
     )
-    a = band_keys.select(F.col(id_col).alias("doc_a"), "band", "band_key")
-    b = band_keys.select(F.col(id_col).alias("doc_b"), "band", "band_key")
-    return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared_bands"))
+    buckets = (
+        band_keys.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_shared_bands")
     )
 
 
@@ -179,29 +240,40 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram sets for candidate
-    pairs (verification stage after LSH). Joins shingle sets in, then
-    array_intersect/union — all JVM built-ins."""
-    shingled = docs.select(
-        F.col(id_col), word_ngrams(F.col(text_col), ngram).alias("grams")
+    pairs (verification stage after LSH).
+
+    Single-pass shape: exploding each pair to its two member ids and
+    joining the shingle relation ONCE means the (expensive) shingling
+    lineage is evaluated once — a per-side join would evaluate it
+    twice. Set algebra then happens on exploded grams:
+    |union| = distinct grams in the pair, |inter| = grams seen in
+    both docs. All shuffles are on uniform keys (doc id, pair id);
+    cost is linear in candidate-pair gram volume.
+    """
+    shingled = word_ngram_rows(docs, text_col, id_col, ngram).select(
+        F.col(id_col).alias("__doc"), "gram"
     )
-    ga = shingled.select(
-        F.col(id_col).alias("doc_a"), F.col("grams").alias("grams_a")
+    members = candidates.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("__doc")
     )
-    gb = shingled.select(
-        F.col(id_col).alias("doc_b"), F.col("grams").alias("grams_b")
+    grams = members.join(shingled, "__doc")
+    # shingle rows are not pre-deduplicated → distinct doc count per
+    # gram gives membership (k == 2 ⇔ gram in both docs)
+    per_gram = grams.groupBy("doc_a", "doc_b", "gram").agg(
+        F.countDistinct("__doc").alias("k")
     )
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size(F.array_union("grams_a", "grams_b"))
-    return (
-        candidates.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.when(union > 0, inter.cast("double") / union)
-            .otherwise(F.lit(0.0))
-            .alias("jaccard"),
-        )
+    stats = per_gram.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("union_size"),
+        F.sum(F.when(F.col("k") == 2, 1).otherwise(0)).alias("inter_size"),
+    )
+    # Pairs whose members have no shingles never reach `stats`; LSH
+    # candidates always have shingles (a signature requires them), so
+    # no rows are lost — and we avoid re-evaluating the candidates
+    # lineage in a join just to reattach empty pairs.
+    return stats.select(
+        "doc_a",
+        "doc_b",
+        (F.col("inter_size").cast("double") / F.col("union_size")).alias("jaccard"),
     )
 
 
@@ -218,7 +290,7 @@ def simhash64(
     so this operator gets rows-only oracle coverage; cross-engine
     reproducibility is provided by the md5 MinHash family instead.
     """
-    toks = docs.select(
+    toks = ensure_parallelism(docs).select(
         F.col(id_col),
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

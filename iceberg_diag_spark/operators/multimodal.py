@@ -22,6 +22,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
+from iceberg_diag_spark.functions.parallel import ensure_parallelism
+
 FRAME_BYTES = 64          # video "frame" granularity in the fake codec
 FEATURE_DIM = 16          # decoded feature-vector width
 MEDIA_TYPES = ("image", "audio", "video")
@@ -109,7 +111,7 @@ def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
                 {"doc_id": ids, "frame_idx": idxs, "frame_len": lens, "frame_md5": md5s}
             )
 
-    return media.select("doc_id", "payload").mapInPandas(
+    return ensure_parallelism(media.select("doc_id", "payload")).mapInPandas(
         sample, "doc_id long, frame_idx long, frame_len long, frame_md5 string"
     )
 
@@ -138,7 +140,7 @@ def byte_histogram(media: DataFrame, bucket_width: int = 32) -> DataFrame:
                 {"doc_id": ids, "bucket": buckets, "byte_count": counts}
             )
 
-    return media.select("doc_id", "payload").mapInPandas(
+    return ensure_parallelism(media.select("doc_id", "payload")).mapInPandas(
         hist, "doc_id long, bucket long, byte_count long"
     )
 
@@ -221,6 +223,6 @@ def decode_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(
+    return ensure_parallelism(media).mapInPandas(
         extract, "doc_id long, media_type string, feature array<double>"
     )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from iceberg_diag_spark.functions.parallel import ensure_parallelism
 from iceberg_diag_spark.operators.dedup import normalized_text
 
 # Tiny per-language stopword lists for the n-gram/stopword language
@@ -45,7 +46,7 @@ def text_stats(
     """Per-document counting stats: characters, whitespace tokens,
     distinct tokens, BPE-ish subword count."""
     t = tokens(F.col(text_col))
-    return docs.select(
+    return ensure_parallelism(docs).select(
         F.col(id_col),
         F.length(F.col(text_col)).cast("long").alias("char_len"),
         F.size(t).cast("long").alias("token_count"),
@@ -66,7 +67,7 @@ def quality_scores(
     alpha_chars = F.length(F.regexp_replace(F.lower(text), r"[^a-z]", ""))
     sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
     stop_hits = F.size(F.array_intersect(t, sw))
-    return docs.select(
+    return ensure_parallelism(docs).select(
         F.col(id_col),
         (F.length(text) / F.greatest(n_tok, F.lit(1))).alias("mean_token_len"),
         (
@@ -99,7 +100,7 @@ def language_id(
         for lang, words in sorted(STOPWORDS.items())
     ]
     best = F.greatest(*lang_scores)
-    return docs.select(
+    return ensure_parallelism(docs).select(
         F.col(id_col),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
             "pred_lang"
@@ -117,14 +118,23 @@ def rolling_fingerprint(
     """Document fingerprint: winnowing-style — take word 8-gram
     shingles, hash each (md5 → first 16 hex chars as the rolling
     hash), keep the minimum as the document fingerprint. Robust to
-    small edits at the ends; oracle-expressible (md5)."""
-    from iceberg_diag_spark.operators.dedup import word_ngrams
+    small edits at the ends; oracle-expressible (md5).
 
-    grams = word_ngrams(F.col(text_col), window)
-    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
-    return docs.select(
-        F.col(id_col),
-        F.coalesce(F.array_min(hashes), F.lit("")).alias("fingerprint"),
+    Hot-path shape: exploded codegen shingles + min-aggregate (one
+    shuffle, map-side combine), not interpreted array transforms;
+    a left join reattaches docs too short to shingle ('')."""
+    from iceberg_diag_spark.operators.dedup import word_ngram_rows
+
+    grams = word_ngram_rows(docs, text_col, id_col, window)
+    fp = grams.groupBy(id_col).agg(
+        F.min(F.substring(F.md5("gram"), 1, 16)).alias("__fp")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(fp, id_col, "left")
+        .select(
+            F.col(id_col), F.coalesce(F.col("__fp"), F.lit("")).alias("fingerprint")
+        )
     )
 
 

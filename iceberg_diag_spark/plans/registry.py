@@ -448,10 +448,16 @@ grams AS (
   FROM norm
 ),
 eg AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
-es AS (SELECT doc_id, gram, unnest(generate_series(0, 15)) AS seed FROM eg),
+hh AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(gram), 1, 8))::BIGINT AS g1,
+         ('0x' || substring(md5(gram), 9, 8))::BIGINT AS g2
+  FROM eg
+),
 sig AS (
-  SELECT doc_id, seed, min(md5(concat_ws('#', seed, gram))) AS minhash
-  FROM es GROUP BY doc_id, seed
+  SELECT doc_id, seed, min((g1 + seed * g2) % 4294967296) AS minhash
+  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, seed
 ),
 keys AS (
   SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
@@ -513,10 +519,16 @@ grams AS (
   FROM norm
 ),
 eg AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
-es AS (SELECT doc_id, gram, unnest(generate_series(0, 15)) AS seed FROM eg),
+hh AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(gram), 1, 8))::BIGINT AS g1,
+         ('0x' || substring(md5(gram), 9, 8))::BIGINT AS g2
+  FROM eg
+),
 sig AS (
-  SELECT doc_id, seed, min(md5(concat_ws('#', seed, gram))) AS minhash
-  FROM es GROUP BY doc_id, seed
+  SELECT doc_id, seed, min((g1 + seed * g2) % 4294967296) AS minhash
+  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, seed
 ),
 keys AS (
   SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,

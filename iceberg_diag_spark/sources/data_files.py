@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from iceberg_diag_spark.functions.parallel import ensure_parallelism
+
 FILES_SCHEMA = "partition_key string, file_size_in_bytes long, content int"
 
 MIB = 1024 * 1024
@@ -73,7 +75,13 @@ def files_from_lineitem(lineitem: DataFrame) -> DataFrame:
     partition_key = l_returnflag, size = extendedprice scaled to a
     file-like byte count (~MBs so the cost model's DIV matters),
     content = l_linenumber % 3 (mix of DATA/deletes).
+
+    The scan is spread to default parallelism first: the test parquet
+    is one unsplittable row group, and everything downstream (two
+    aggregation passes + the bin-pack exchange) inherits the scan's
+    partitioning.
     """
+    lineitem = ensure_parallelism(lineitem)
     return lineitem.select(
         F.col("l_returnflag").alias("partition_key"),
         (F.col("l_extendedprice") * 1000).cast("long").alias("file_size_in_bytes"),
