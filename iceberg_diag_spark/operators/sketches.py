@@ -1,0 +1,72 @@
+"""Sketch / quantile operators — the approximate-aggregation surface
+a 100 TB pipeline leans on when exact distinct/quantile state would
+blow memory.
+
+Three tiers, all built-ins (Datasketches HLL + Tungsten percentile):
+- exact percentiles (distributed exact algorithm; fine at metadata
+  scale and used as the oracle-checkable tier);
+- approx_count_distinct / percentile_approx (bounded-error, fixed
+  memory — the default at raw-event scale);
+- HLL sketch columns (hll_sketch_agg → hll_union_agg): MERGEABLE
+  state, the key scale property — pre-aggregate once per fine bucket,
+  then roll up to any coarser granularity by unioning sketches
+  instead of re-scanning raw data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def value_quantiles(events: DataFrame) -> DataFrame:
+    """Exact p50/p90/p99 of value per event type (linear
+    interpolation — same definition as DuckDB quantile_cont, so this
+    tier is hash-checkable cross-engine)."""
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("event_count"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def approx_user_stats(events: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """Fixed-memory approximations per event type: HLL distinct users
+    (relative std dev `rsd`) and quantile-sketch percentiles. The
+    shuffle carries one sketch per (type, task), never raw values."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), 10000).alias(
+            "value_p50_p90"
+        ),
+    ).select(
+        "event_type",
+        "approx_users",
+        F.round(F.element_at("value_p50_p90", 1), 6).alias("p50_approx"),
+        F.round(F.element_at("value_p50_p90", 2), 6).alias("p90_approx"),
+    )
+
+
+def hourly_user_sketch_rollup(events: DataFrame) -> DataFrame:
+    """Mergeable-sketch rollup: build one HLL sketch of user_id per
+    (day, hour), then union the hour sketches into daily distinct
+    counts. At scale the raw events are scanned ONCE; every coarser
+    rollup (day → week → month) unions byte-sized sketches. Output:
+    one row per day with the sketch-estimated distinct users and the
+    hour count."""
+    hourly = (
+        events.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    return (
+        hourly.groupBy("day")
+        .agg(
+            F.count("*").alias("hours_covered"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_distinct_users"
+            ),
+        )
+    )

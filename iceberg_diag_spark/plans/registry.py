@@ -35,6 +35,7 @@ from iceberg_diag_spark.operators import (
     joins,
     multimodal,
     similarity,
+    sketches,
     textops,
 )
 from iceberg_diag_spark.operators.binpack import binpack_groups
@@ -348,6 +349,167 @@ SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
        CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 GROUP BY order_month, o_orderstatus
+"""
+
+
+def _q4_semi(spark, sf_dir):
+    """Semi-join shape (TPC-H Q4 adapted): orders in 1996H1 having at
+    least one high-discount lineitem, counted by priority. Left-semi
+    keeps the probe side unduplicated — no post-join distinct."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.08)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q4_SEMI_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.08)
+GROUP BY o_orderpriority
+"""
+
+
+def _q13_distribution(spark, sf_dir):
+    """Left-outer + two-level aggregation (TPC-H Q13 shape): order
+    count per customer (F-status orders), then the distribution of
+    those counts. Customers without orders land in bucket 0 via the
+    outer join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderstatus = 'F'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def _anti_inactive_customers(spark, sf_dir):
+    """Anti-join shape (TPC-H Q22 flavor): customers with no pending
+    ('P'-status) orders, counted per market segment with their
+    balance mass. (Every customer in the testdata has SOME order, so
+    the filter keeps the anti join non-trivial.)"""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("customer_count"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")).alias(
+                "acctbal_cents"
+            ),
+        )
+    )
+
+
+_ANTI_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS customer_count,
+       CAST(sum(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+GROUP BY c_mktsegment
+"""
+
+
+def _q18_heavy_orders(spark, sf_dir):
+    """Aggregate-then-join + HAVING (TPC-H Q18 shape): orders whose
+    total quantity exceeds 150, joined back for customer context.
+    The heavy groupBy runs BEFORE the join, so the join probe side is
+    already reduced to qualifying orders only."""
+    li = _t(spark, sf_dir, "lineitem")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.floor(F.sum("l_quantity")).cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        heavy.join(orders, heavy.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias(
+                "totalprice_cents"
+            ),
+            "total_qty",
+        )
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       total_qty
+FROM (
+  SELECT l_orderkey, CAST(FLOOR(sum(l_quantity)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def _orders_rollup(spark, sf_dir):
+    """ROLLUP grouping-sets: order counts/value at (status, priority),
+    (status), and grand-total levels in ONE pass — the fused
+    multi-granularity aggregation the reference computes with two
+    manual passes (SURVEY §2 A1+A2)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "order_count",
+            "total_cents",
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS order_count,
+       CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
@@ -749,6 +911,29 @@ GROUP BY user_id, session_seq
 """
 
 
+def _events_quantiles(spark, sf_dir):
+    return sketches.value_quantiles(_t(spark, sf_dir, "events"))
+
+
+_EVENTS_QUANTILES_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS event_count,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+def _events_approx(spark, sf_dir):
+    return sketches.approx_user_stats(_t(spark, sf_dir, "events"))
+
+
+def _events_sketch_rollup(spark, sf_dir):
+    return sketches.hourly_user_sketch_rollup(_t(spark, sf_dir, "events"))
+
+
 def _events_json(spark, sf_dir):
     return events.json_props_rollup(_t(spark, sf_dir, "events"))
 
@@ -1053,6 +1238,21 @@ REGISTRY: dict[str, QuerySpec] = {
     "orders_monthly": QuerySpec(
         _orders_monthly, _ORDERS_MONTHLY_SQL, "calendar rollup"
     ),
+    "q4_order_priority_semi": QuerySpec(
+        _q4_semi, _Q4_SEMI_SQL, "left-semi join (EXISTS shape)"
+    ),
+    "q13_customer_distribution": QuerySpec(
+        _q13_distribution, _Q13_SQL, "left-outer join + 2-level agg"
+    ),
+    "inactive_customers_anti": QuerySpec(
+        _anti_inactive_customers, _ANTI_SQL, "anti join (NOT EXISTS shape)"
+    ),
+    "q18_heavy_orders": QuerySpec(
+        _q18_heavy_orders, _Q18_SQL, "aggregate-then-join + HAVING"
+    ),
+    "orders_rollup": QuerySpec(
+        _orders_rollup, _ROLLUP_SQL, "ROLLUP grouping sets, one pass"
+    ),
     "dedup_exact_groups": QuerySpec(
         _dedup_exact_groups, _DEDUP_EXACT_SQL, "exact dedup via sha256 groups"
     ),
@@ -1101,6 +1301,20 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "events_json_rollup": QuerySpec(
         _events_json, _EVENTS_JSON_SQL, "JSON dot-path extraction rollup"
+    ),
+    "events_value_quantiles": QuerySpec(
+        _events_quantiles, _EVENTS_QUANTILES_SQL,
+        "exact distributed percentiles (== DuckDB quantile_cont)",
+    ),
+    "events_approx_stats": QuerySpec(
+        _events_approx, None,
+        "HLL distinct + quantile-sketch percentiles (bounded error, "
+        "fixed memory — error-bound test in tests/test_sketches.py)",
+    ),
+    "events_user_sketch_rollup": QuerySpec(
+        _events_sketch_rollup, None,
+        "mergeable HLL sketches: hourly sketch → daily union rollup "
+        "(scan raw data once, re-aggregate at any granularity)",
     ),
     "asof_purchase_attribution": QuerySpec(
         _asof_purchase_attribution, _ASOF_SQL,
