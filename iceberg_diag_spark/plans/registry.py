@@ -1150,6 +1150,32 @@ GROUP BY window_start, event_type
 """
 
 
+def _stream_sliding(spark, sf_dir):
+    ev = stream_ops.read_events_stream(spark, sf_dir)
+    return stream_ops.run_to_table(
+        stream_ops.sliding_counts(ev), "complete", "stream_sliding"
+    )
+
+
+# every event belongs to exactly 2 sliding windows (1h size / 30m
+# slide): the ones starting at floor(ts, 30m) and floor(ts, 30m)-30m
+_STREAM_SLIDING_SQL = """
+WITH starts AS (
+  SELECT event_type,
+         unnest([make_timestamp(epoch_us(ts) // 1800000000 * 1800000000),
+                 make_timestamp(epoch_us(ts) // 1800000000 * 1800000000
+                                - 1800000000)]) AS ws
+  FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS event_count
+FROM starts
+GROUP BY ws, event_type
+"""
+
+
 def _stream_sessions(spark, sf_dir):
     ev = stream_ops.read_events_stream(spark, sf_dir)
     return stream_ops.run_to_table(
@@ -1349,6 +1375,10 @@ REGISTRY: dict[str, QuerySpec] = {
         _stream_tumbling, _STREAM_TUMBLING_SQL,
         "Structured Streaming watermarked 1h tumbling rollup "
         "(availableNow drain; equals batch over finite input)",
+    ),
+    "stream_sliding_counts": QuerySpec(
+        _stream_sliding, _STREAM_SLIDING_SQL,
+        "Structured Streaming sliding windows (1h size / 30m slide)",
     ),
     "stream_session_windows": QuerySpec(
         _stream_sessions, _STREAM_SESSIONS_SQL,

@@ -1,0 +1,89 @@
+"""Write-side strategies: partition pruning on partitioned parquet,
+and shuffle-free joins on co-bucketed tables — asserted from the
+physical plan, not just row counts.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_diag_spark.sources import sinks
+from iceberg_diag_spark.sources.tpch import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _explain(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_partitioned_write_prunes(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("part_out")) + "/events_by_type"
+    events = load_table(spark, SF_DIR, "events")
+    sinks.write_partitioned(events, out, ("event_type",))
+    try:
+        back = sinks.read_partitioned(spark, out)
+        assert back.count() == events.count()
+        clicks = back.filter(F.col("event_type") == "click")
+        assert clicks.count() == events.filter(
+            F.col("event_type") == "click"
+        ).count()
+        # pruning: the partition filter appears as PartitionFilters,
+        # not a post-scan Filter over all data
+        plan = _explain(clicks)
+        assert "PartitionFilters" in plan
+        assert "event_type" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    sinks.write_bucketed(orders, "b_orders", "o_orderkey", 8, "o_orderkey")
+    sinks.write_bucketed(li, "b_lineitem", "l_orderkey", 8, "l_orderkey")
+    try:
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.count("*").alias("n"))
+        # disable broadcast so the join strategy decision is real
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _physical_plan(joined)
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # co-located buckets: the join itself needs no shuffle — any
+        # Exchange in the plan belongs to the post-join groupBy, not
+        # the join inputs
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        # correctness of the join itself
+        want = (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
