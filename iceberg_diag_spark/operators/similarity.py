@@ -135,37 +135,215 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
-def lsh_topk(
+def ivf_topk(
     embeddings: DataFrame,
+    queries: DataFrame | None = None,
     k: int = 5,
-    n_planes: int = 8,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate kNN — the classic coarse-quantizer scale path:
+
+    1. TRAIN: KMeans (seeded) clusters the corpus into n_lists cells.
+    2. INDEX: each vector is assigned to its nearest centroid — the
+       'inverted list' it lives in (one shuffle, done once; in a real
+       deployment this materializes as a `list_id`-partitioned table).
+    3. SEARCH: each query scores only the n_probe nearest cells, so
+       the candidate set is ~n_probe/n_lists of the corpus instead of
+       all of it. Centroids are model state (n_lists × dim floats) —
+       broadcast as literals, never a shuffle.
+
+    Output: (query_id, neighbor_id, rank, cos_sim). Approximate:
+    recall is tested against exact brute force, not hash-matched.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window
+
+    ds = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(ds)
+    assigned = model.transform(ds).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.col("prediction").alias("list_id"),
+    )
+
+    cent_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("list_id"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("centroid"),
+            )
+            for i, c in enumerate(model.clusterCenters())
+        ]
+    )
+    qs = (queries if queries is not None else embeddings).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    # squared euclidean to each centroid (same metric KMeans assigns
+    # by), keep the n_probe nearest lists per query
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            F.col("c.centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "c.list_id")
+    probes = (
+        qs.select("query_id", "q_vec", F.explode(cent_structs).alias("c"))
+        .withColumn("d2", d2)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "q_vec", F.col("c.list_id").alias("list_id"))
+    )
+
+    pairs = probes.join(assigned, "list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("n_vec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )
+
+
+def lsh_candidates(
+    embeddings: DataFrame,
+    n_planes: int = 4,
+    n_tables: int = 16,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate all-pairs kNN: bucket by sign-LSH, join within
-    buckets, rank within query. The shuffle key is the bucket id —
-    2^n_planes buckets; raise n_planes as the corpus grows to keep
-    per-bucket candidate counts bounded (bucket size drives cost, so
-    this is the knob that makes 100 TB feasible)."""
-    planes = random_hyperplanes(dim, n_planes, seed)
+    """Multi-table sign-LSH candidate pairs (query_id < neighbor_id
+    ordering NOT applied — both directions emitted for top-k use;
+    `.distinct()`-ed so each direction appears once).
+
+    Collision prob for angle θ: 1-(1-(1-θ/π)^n_planes)^n_tables —
+    n_planes controls bucket selectivity (cost), n_tables buys recall
+    back. Sign-LSH is a NEAR-DUP instrument: at cos ≥ 0.45 the
+    defaults give >95% recall; weakly-similar neighbors (cos ≈ 0.3)
+    are fundamentally below its resolution — use ivf_topk for
+    generic kNN."""
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                lsh_bucket(
+                    F.col(vec_col), random_hyperplanes(dim, n_planes, seed + t)
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
     bucketed = embeddings.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+        F.col(id_col), F.explode(bucket_structs).alias("b")
+    ).select(id_col, "b.table_id", "b.bucket")
+    a = bucketed.select("table_id", "bucket", F.col(id_col).alias("query_id"))
+    b = bucketed.select("table_id", "bucket", F.col(id_col).alias("neighbor_id"))
+    return (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    a = bucketed.select(
-        F.col("bucket"),
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+
+
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100 TB path for embedding_near_dup: cosine-threshold pairs
+    restricted to LSH candidates, so the pair count is per-bucket-
+    quadratic instead of corpus-quadratic. Same output contract as
+    embedding_near_dup (vec_a < vec_b, cos_sim ≥ threshold) minus the
+    LSH-missed tail (recall pinned in tests/test_similarity.py)."""
+    cand = lsh_candidates(
+        embeddings, n_planes, n_tables, dim, seed, id_col, vec_col
+    ).filter(F.col("query_id") < F.col("neighbor_id"))
+    vecs_a = embeddings.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("va")
     )
-    b = bucketed.select(
-        F.col("bucket"),
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("n_vec"),
+    vecs_b = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb")
     )
-    pairs = a.join(b, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos_sim")
+    return (
+        cand.join(vecs_a, "query_id")
+        .join(vecs_b, "neighbor_id")
+        .select(
+            F.col("query_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+            cosine(F.col("va"), F.col("vb")).alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs kNN via multi-table sign-LSH: n_tables
+    independent hash tables of n_planes sign bits each; vectors
+    colliding in ANY table become candidates (distinct-ed before
+    scoring so each pair is scored once).
+
+    A neighbor at angle θ collides in one table with prob
+    (1-θ/π)^n_planes, across tables 1-(1-p)^n_tables — see
+    lsh_candidates for the cost/recall model and its near-dup-grade
+    resolution caveat (generic weak-neighbor kNN wants ivf_topk)."""
+    cand = lsh_candidates(
+        embeddings, n_planes, n_tables, dim, seed, id_col, vec_col
+    )
+    vecs_q = embeddings.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    vecs_n = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    scored = (
+        cand.join(vecs_q, "query_id")
+        .join(vecs_n, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("n_vec")).alias("cos_sim"),
+        )
     )
     from pyspark.sql.window import Window
 

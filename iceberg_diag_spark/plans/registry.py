@@ -830,6 +830,16 @@ def _lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+def _ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5)
+
+
+def _lsh_near_dup(spark, sf_dir):
+    return similarity.lsh_near_dup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
 def _emb_near_dup(spark, sf_dir):
     return similarity.embedding_near_dup(_t(spark, sf_dir, "embeddings"))
 
@@ -1318,6 +1328,16 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "lsh_cosine_topk": QuerySpec(
         _lsh_topk, None, "sign-LSH bucketed approximate kNN (rows-only)"
+    ),
+    "ivf_cosine_topk": QuerySpec(
+        _ivf_topk, None,
+        "IVF approximate kNN: KMeans coarse quantizer + n_probe "
+        "inverted lists (recall-tested vs brute force, rows-only)",
+    ),
+    "lsh_near_dup": QuerySpec(
+        _lsh_near_dup, None,
+        "sign-LSH bucketed embedding near-dup — the linear-shuffle "
+        "scale path for embedding_near_dup (recall-tested, rows-only)",
     ),
     "events_hourly": QuerySpec(
         _events_hourly, _EVENTS_HOURLY_SQL, "tumbling 1h rollup"
