@@ -1,0 +1,52 @@
+"""CLI surface: namespace/table listing and the --files diagnostics
+path end-to-end (EP1/EP2 parity with the reference's cli.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_diag_spark.cli import main
+from iceberg_diag_spark.sources.data_files import files_from_lineitem
+from iceberg_diag_spark.sources.tpch import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_cli_lists_namespaces(spark, capsys):
+    assert main([], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "namespace" in out and "default" in out
+
+
+def test_cli_lists_tables_with_glob(spark, capsys):
+    spark.sql("CREATE TABLE IF NOT EXISTS cli_demo_a (x INT) USING parquet")
+    spark.sql("CREATE TABLE IF NOT EXISTS cli_demo_b (x INT) USING parquet")
+    spark.sql("CREATE TABLE IF NOT EXISTS other_tbl (x INT) USING parquet")
+    try:
+        assert main(["--database", "default"], spark=spark) == 0
+        out = capsys.readouterr().out
+        assert "cli_demo_a" in out and "other_tbl" in out
+    finally:
+        for t in ("cli_demo_a", "cli_demo_b", "other_tbl"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cli_diagnoses_files_parquet(spark, capsys, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("cli_files")) + "/files.parquet"
+    files = files_from_lineitem(load_table(spark, SF_DIR, "lineitem"))
+    files.write.mode("overwrite").parquet(out_dir)
+    assert main(
+        ["--files", out_dir, "--manifest-count", "10"], spark=spark
+    ) == 0
+    out = capsys.readouterr().out
+    assert "FILE_COUNT" in out or "Total File Count" in out
+    assert "%" in out  # improvement column rendered
+
+
+def test_cli_no_match_returns_error(spark, capsys):
+    assert (
+        main(["--database", "default", "--table-name", "zzz_*"], spark=spark)
+        == 1
+    )
+    assert "no tables match" in capsys.readouterr().out
