@@ -352,6 +352,66 @@ GROUP BY order_month, o_orderstatus
 """
 
 
+def _revenue_daily_gapfill(spark, sf_dir):
+    """Date-spine gap fill + running total: complete daily series via
+    sequence(min,max) even for days with no orders, then a cumulative
+    window. The spine is post-aggregation scale (one row per DAY —
+    thousands of rows at any data size), so the unpartitioned
+    cumulative window is not a scale hazard."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("order_count"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )
+    spine = (
+        orders.agg(
+            F.min(F.to_date("o_orderdate")).alias("lo"),
+            F.max(F.to_date("o_orderdate")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    filled = spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("order_count", F.lit(0)).alias("order_count"),
+        F.coalesce("revenue_cents", F.lit(0)).alias("revenue_cents"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return filled.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "order_count",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).alias("cum_revenue_cents"),
+    )
+
+
+_GAPFILL_SQL = """
+WITH b AS (
+  SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+         max(CAST(o_orderdate AS DATE)) AS hi
+  FROM orders
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM b
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS order_count,
+         CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM orders GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       coalesce(order_count, 0) AS order_count,
+       coalesce(revenue_cents, 0) AS revenue_cents,
+       CAST(sum(coalesce(revenue_cents, 0))
+            OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_revenue_cents
+FROM spine LEFT JOIN daily USING (day)
+"""
+
+
 def _q4_semi(spark, sf_dir):
     """Semi-join shape (TPC-H Q4 adapted): orders in 1996H1 having at
     least one high-discount lineitem, counted by priority. Left-semi
@@ -1288,6 +1348,10 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "orders_rollup": QuerySpec(
         _orders_rollup, _ROLLUP_SQL, "ROLLUP grouping sets, one pass"
+    ),
+    "revenue_daily_gapfill": QuerySpec(
+        _revenue_daily_gapfill, _GAPFILL_SQL,
+        "date-spine gap fill (sequence+explode) + cumulative window",
     ),
     "dedup_exact_groups": QuerySpec(
         _dedup_exact_groups, _DEDUP_EXACT_SQL, "exact dedup via sha256 groups"

@@ -1,0 +1,45 @@
+"""Salted two-stage aggregation: result equality with the direct
+groupBy on a deliberately skewed key distribution, and the fan-out
+property (stage-1 groups >> distinct keys for the hot key)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_diag_spark.functions.skew import salted_agg
+
+
+def test_salted_agg_equals_direct(spark):
+    # 100k rows, 90% on one hot key — the shape that melts a single
+    # reduce task at scale
+    df = spark.range(100_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 50).cast("string")))
+        .alias("key"),
+        (F.col("id") % 997).alias("v"),
+    )
+    got = salted_agg(
+        df,
+        ["key"],
+        {
+            "cnt": ("sum", F.count("*")),
+            "total": ("sum", F.sum("v")),
+            "vmin": ("min", F.min("v")),
+            "vmax": ("max", F.max("v")),
+        },
+        n_salts=16,
+    )
+    want = df.groupBy("key").agg(
+        F.count("*").alias("cnt"),
+        F.sum("v").alias("total"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_salted_stage1_fans_out(spark):
+    df = spark.range(10_000).select(F.lit("only").alias("key"), F.col("id").alias("v"))
+    salted = df.withColumn("__salt", (F.rand(seed=42) * 16).cast("int"))
+    n_groups = salted.select("key", "__salt").distinct().count()
+    assert n_groups > 8  # the single hot key splits across salts
