@@ -85,6 +85,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         spark = get_spark(app_name="iceberg-diag-spark-cli")
         spark.sparkContext.setLogLevel("ERROR")
 
+    from iceberg_diag_spark.errors import DiagError
     from iceberg_diag_spark.sources import catalog as cat
 
     try:
@@ -118,6 +119,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         else:
             _print_df(cat.list_namespaces(spark, args.catalog))
         return 0
+    except DiagError as ex:
+        print(f"error: {ex}")
+        return 1
     finally:
         if own_session:
             spark.stop()

@@ -31,8 +31,17 @@ def list_namespaces(spark: SparkSession, catalog: str | None = None) -> DataFram
 def list_tables(
     spark: SparkSession, database: str, pattern: str = "*"
 ) -> DataFrame:
-    """Sorted table listing with glob filter (S2/P1/F4/O1)."""
-    df = spark.sql(f"SHOW TABLES IN {database}")
+    """Sorted table listing with glob filter (S2/P1/F4/O1). Raises
+    DatabaseNotFound for a missing namespace (reference:
+    EntityNotFoundException → DatabaseNotFound, manager.py:81-82)."""
+    from pyspark.errors import AnalysisException
+
+    from iceberg_diag_spark.errors import DatabaseNotFound
+
+    try:
+        df = spark.sql(f"SHOW TABLES IN {database}")
+    except AnalysisException as ex:
+        raise DatabaseNotFound(database) from ex
     return (
         df.select(F.col("tableName").alias("table_name"))
         .filter(F.col("table_name").rlike(glob_to_regex(pattern)))

@@ -50,3 +50,13 @@ def test_cli_no_match_returns_error(spark, capsys):
         == 1
     )
     assert "no tables match" in capsys.readouterr().out
+
+
+def test_missing_database_raises_and_cli_reports(spark, capsys):
+    from iceberg_diag_spark.errors import DatabaseNotFound
+    from iceberg_diag_spark.sources import catalog as cat
+
+    with pytest.raises(DatabaseNotFound):
+        cat.list_tables(spark, "no_such_db_xyz").collect()
+    assert main(["--database", "no_such_db_xyz"], spark=spark) == 1
+    assert "error:" in capsys.readouterr().out
