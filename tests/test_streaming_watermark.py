@@ -1,0 +1,116 @@
+"""Watermark semantics under append mode with incremental input —
+the behavior `complete`-mode drains sidestep: a window is emitted
+only once the watermark (max event time − delay) passes its end, and
+late rows behind the watermark are dropped from already-finalized
+windows.
+
+Batch boundaries are forced by writing files one at a time against a
+LIVE stream and draining with processAllAvailable() between writes
+(an initial-snapshot listing does not honor file order, so a
+pre-staged directory cannot pin which rows are 'late').
+
+Also covers the file sink: writeStream → parquet with checkpoint,
+the durable-output path of the same pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_diag_spark.streaming import stream_ops as so
+
+ROWS_SCHEMA = (
+    "event_id long, ts_s string, user_id long, event_type string, "
+    "value double, props string"
+)
+
+F1 = [
+    (1, "2024-01-01 10:00:10", 1, "click", 1.0, "{}"),
+    (2, "2024-01-01 10:30:00", 1, "click", 1.0, "{}"),
+]
+F2 = [(3, "2024-01-01 14:00:00", 1, "click", 1.0, "{}")]  # advances watermark
+F3 = [(4, "2024-01-01 10:45:00", 1, "click", 1.0, "{}")]  # late!
+
+
+def _write_file(spark, base: str, name: str, rows) -> None:
+    df = spark.createDataFrame(rows, ROWS_SCHEMA).select(
+        "event_id",
+        (
+            F.unix_timestamp("ts_s", "yyyy-MM-dd HH:mm:ss").cast("long")
+            * 1_000_000_000
+        ).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(base + ".tmp")
+    part = [f for f in os.listdir(base + ".tmp") if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(base + ".tmp", part), os.path.join(base, name))
+    shutil.rmtree(base + ".tmp")
+
+
+def test_append_mode_emits_finalized_windows_and_drops_late(
+    spark, tmp_path_factory
+):
+    root = str(tmp_path_factory.mktemp("wm"))
+    base = root + "/events.parquet"
+    os.makedirs(base)
+    _write_file(spark, base, "f1.parquet", F1)  # present before start
+
+    ev = so.read_events_stream(spark, root)
+    agg = so.tumbling_counts(ev, size="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_append")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch: f1 → watermark 08:30
+        _write_file(spark, base, "f2.parquet", F2)
+        q.processAllAvailable()  # batch: f2 → watermark 12:00, W1 final
+        _write_file(spark, base, "f3.parquet", F3)
+        q.processAllAvailable()  # batch: f3 → behind watermark, dropped
+    finally:
+        q.stop()
+
+    rows = {r.window_start: r.event_count for r in spark.table("wm_append").collect()}
+    # W1=[10:00,11:00) finalized with ONLY the on-time events; the
+    # late 10:45 row neither reopened it nor appeared anywhere, and
+    # the 14:00 window is still open (append mode never emitted it)
+    assert rows == {"2024-01-01 10:00:00": 2}
+
+
+def test_stream_parquet_sink_roundtrip(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("wm_sink"))
+    base = root + "/events.parquet"
+    os.makedirs(base)
+    _write_file(spark, base, "f1.parquet", F1)
+    _write_file(spark, base, "f2.parquet", F2)
+    _write_file(spark, base, "f3.parquet", F3)
+    out = str(tmp_path_factory.mktemp("sink"))
+    ev = so.read_events_stream(spark, root)
+    q = (
+        so.tumbling_counts(ev)
+        .writeStream.format("parquet")
+        .option("path", out + "/data")
+        .option("checkpointLocation", out + "/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out + "/data")
+    assert back.columns == [
+        "window_start", "event_type", "event_count", "value_cents",
+    ]
+    # one batch over all files: watermark only advances at batch end,
+    # so all three W1 events (incl. 10:45) are on time here
+    rows = {r.window_start: r.event_count for r in back.collect()}
+    assert rows == {"2024-01-01 10:00:00": 3}
