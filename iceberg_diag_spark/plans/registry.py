@@ -1290,6 +1290,13 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def _stream_stream_join(spark, sf_dir):
+    ev = stream_ops.read_events_stream(spark, sf_dir)
+    return stream_ops.run_to_table(
+        stream_ops.stream_click_purchase_join(ev), "append", "stream_join"
+    )
+
+
 def _stream_user_stats(spark, sf_dir):
     ev = stream_ops.read_events_stream(spark, sf_dir)
     return stream_ops.run_to_table(
@@ -1473,6 +1480,12 @@ REGISTRY: dict[str, QuerySpec] = {
         _stream_dedup, _STREAM_DEDUP_SQL,
         "streaming exact dedup via dropDuplicatesWithinWatermark "
         "(key-projected → order-independent)",
+    ),
+    "stream_stream_interval_join": QuerySpec(
+        _stream_stream_join, _RANGE_SQL,
+        "stream-stream interval join (clicks within 30 min before "
+        "purchase) — watermark-bounded join state; equals the batch "
+        "range join over finite input",
     ),
     "stream_user_running_stats": QuerySpec(
         _stream_user_stats, _STREAM_USER_STATS_SQL,

@@ -202,6 +202,57 @@ def user_running_stats(events: DataFrame, watermark: str = "2 hours") -> DataFra
     )
 
 
+def stream_click_purchase_join(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joins the clicks of
+    the same user within the preceding `gap_minutes` — the streaming
+    analog of operators/joins.range_join_before.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides, so Spark can size the join state: a click is
+    held only until the watermark guarantees no future purchase can
+    reach back to it. Output equals the batch range join over the
+    same finite input (pinned by the DuckDB oracle).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (purchases.user_id == clicks.c_user_id)
+        & (clicks.click_ts <= purchases.purchase_ts)
+        & (
+            clicks.click_ts
+            >= purchases.purchase_ts - F.expr(f"INTERVAL {gap_minutes} MINUTES")
+        )
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.expr(
+            "(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"
+        ).alias("gap_seconds"),
+    )
+
+
 def run_to_table(
     stream_df: DataFrame,
     output_mode: str,

@@ -150,3 +150,25 @@ def test_stateful_incremental_batches(spark, tmp_path_factory, events_batch):
         assert len(rows) > len(final)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_stream_join_equals_batch_range_join(spark, events_batch):
+    from iceberg_diag_spark.operators import joins
+
+    got = so.run_to_table(
+        so.stream_click_purchase_join(so.read_events_stream(spark, SF_DIR)),
+        "append",
+        "t_ssjoin",
+    )
+    purchases = events_batch.filter(F.col("event_type") == "purchase")
+    clicks = events_batch.filter(F.col("event_type") == "click")
+    want = joins.range_join_before(
+        purchases, clicks, on="user_id", before_seconds=1800,
+        left_cols=("event_id",), right_cols=("event_id",),
+    ).select(
+        "user_id",
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        "gap_seconds",
+    )
+    assert rowset(got) == rowset(want)
