@@ -1,0 +1,114 @@
+"""Physical-plan invariants for the headline queries — the plan
+properties that make these operators scale are asserted, not assumed:
+filters reach the parquet scan, dimension joins broadcast, Python
+appears only where pandas semantics demand it, and exchange counts
+stay at their designed minimum.
+
+A regression that silently de-optimizes a plan (lost pushdown, a
+broadcast devolving to SMJ both-sides-shuffle, an accidental Python
+UDF) fails here long before it shows up in bench numbers.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from iceberg_diag_spark.plans.registry import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].build(spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def _op_count(plan: str, op: str) -> int:
+    # formatted explain mentions each operator in the tree AND in the
+    # numbered detail section — count the detail headers for exact
+    # operator counts
+    return len(re.findall(rf"^\(\d+\) {op}\b", plan, re.MULTILINE))
+
+
+def _exchanges(plan: str) -> int:
+    return _op_count(plan, "Exchange")
+
+
+def test_q1_pushdown_and_single_shuffle(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # partial+final hash agg around exactly one exchange
+    assert _exchanges(plan) == 1
+    assert "HashAggregate" in plan
+    assert "Python" not in plan
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert _op_count(plan, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # filter pushed to scan
+
+
+def test_q5_all_dims_broadcast(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert _op_count(plan, "BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_exact_stays_jvm_side(spark):
+    plan = _plan(spark, "dedup_exact_groups")
+    assert "Python" not in plan  # sha256+normalize are codegen exprs
+    assert "sha2" in plan
+
+
+def test_minhash_no_python_no_cartesian(spark):
+    plan = _plan(spark, "minhash_pairs")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_diag_metrics_python_only_for_binpack(spark):
+    plan = _plan(spark, "diag_metrics")
+    # exactly one pandas stage: the grouped-map bin-pack fold
+    assert _op_count(plan, "FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_asof_join_single_exchange_per_side(spark):
+    plan = _plan(spark, "asof_purchase_attribution")
+    # union + window: one exchange for the window partitioning, one
+    # per pre-aggregated input at most — never a join explosion
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert _exchanges(plan) <= 2
+
+
+def test_ann_brute_force_broadcasts_queries(spark):
+    plan = _plan(spark, "ann_cosine_topk")
+    # the bounded query set is the broadcast side; corpus streams
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan
+
+
+def test_frame_sample_is_arrow_batched(spark):
+    plan = _plan(spark, "media_frame_sample")
+    assert "MapInPandas" in plan  # Arrow-batched, not BatchEvalPython
+    assert "BatchEvalPython" not in plan
+
+
+def test_scans_prune_columns(spark):
+    # q1 reads only the 7 lineitem columns it needs, not all 11
+    plan = _plan(spark, "q1_pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in plan"
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert len(cols) <= 8, cols
+    assert "l_partkey" not in cols and "l_suppkey" not in cols
