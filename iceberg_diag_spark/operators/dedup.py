@@ -294,6 +294,10 @@ def simhash64(
         F.col(id_col),
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
+    return _simhash_from_tokens(toks, id_col)
+
+
+def _simhash_from_tokens(toks: DataFrame, id_col: str) -> DataFrame:
     # One hash-agg pass with 64 conditional sums (bit votes) — stays
     # entirely in whole-stage codegen, no per-bit explode.
     vote_cols = [
@@ -312,3 +316,60 @@ def simhash64(
         ).otherwise(F.lit(0).cast("long"))
         fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
     return votes.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_dup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: docs whose 64-bit fingerprints differ
+    in ≤ max_hamming bits, via the multi-index (pigeonhole) trick —
+    split the fingerprint into max_hamming+1 bands; any pair within
+    the Hamming budget MUST agree exactly on at least one band, so
+    candidates come from band-equality joins (uniform shuffle keys,
+    never all-pairs) and are verified with bit_count(XOR) — exact, no
+    false negatives. Output: (doc_a, doc_b, hamming).
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sh = simhash64(docs, text_col, id_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                # band b = bits [b*width, (b+1)*width) (the last band
+                # absorbs the remainder bits)
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(
+                    F.lit(
+                        (1 << (64 - b * width)) - 1
+                        if b == n_bands - 1
+                        else (1 << width) - 1
+                    ).cast("long")
+                )
+                .alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("b")
+    ).select(id_col, "simhash", "b.band", "b.band_key")
+    a = banded.select(
+        "band", "band_key",
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"),
+    )
+    b = banded.select(
+        "band", "band_key",
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"),
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

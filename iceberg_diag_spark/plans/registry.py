@@ -698,6 +698,10 @@ def _simhash(spark, sf_dir):
     return dedup.simhash64(_t(spark, sf_dir, "documents"))
 
 
+def _simhash_near_dup(spark, sf_dir):
+    return dedup.simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=10)
+
+
 def _exact_dedup_corpus(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup(docs).select(
@@ -1373,6 +1377,11 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "simhash": QuerySpec(
         _simhash, None, "64-bit SimHash fingerprints (engine-private hash → rows-only)"
+    ),
+    "simhash_near_dup": QuerySpec(
+        _simhash_near_dup, None,
+        "SimHash Hamming-banded near-dup pairs (pigeonhole multi-index; "
+        "no false negatives within budget — rows-only)",
     ),
     "exact_dedup_corpus": QuerySpec(
         _exact_dedup_corpus, _EXACT_DEDUP_CORPUS_SQL,
