@@ -845,6 +845,94 @@ FROM best WHERE rn = 1
 """
 
 
+def _corpus_curation(spark, sf_dir):
+    """The end-to-end training-data curation pipeline, composed from
+    the individual operators: exact dedup (keep min doc_id per
+    content hash) → quality gate (type-token ratio ≥ 0.4, alpha ratio
+    ≥ 0.6) → language gate (stopword-ID confidently non-'und') →
+    per-language stats of the surviving corpus. One scan feeds the
+    hash/quality/language projections; the dedup semi-join is the
+    only extra pass."""
+    docs = _t(spark, sf_dir, "documents")
+    deduped = dedup.exact_dedup(docs)
+    q = textops.quality_scores(deduped)
+    lang = textops.language_id(deduped)
+    kept = (
+        deduped.join(
+            q.filter(
+                (F.col("type_token_ratio") >= 0.4) & (F.col("alpha_ratio") >= 0.6)
+            ).select("doc_id"),
+            "doc_id",
+            "semi",
+        )
+        .join(
+            lang.filter(F.col("pred_lang") != "und").select("doc_id", "pred_lang"),
+            "doc_id",
+        )
+    )
+    return kept.groupBy("pred_lang").agg(
+        F.count("*").alias("doc_count"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+_CORPUS_CURATION_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+         sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+  FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM h GROUP BY ch),
+deduped AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+norm AS (
+  SELECT doc_id, text, n_chars,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM deduped
+),
+quality AS (
+  SELECT doc_id FROM norm
+  WHERE CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) >= 0.4
+    AND CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1) >= 0.6
+),
+scores AS (
+  SELECT doc_id, 'de' AS lang, len(list_intersect(toks, {de})) AS hits FROM norm
+  UNION ALL
+  SELECT doc_id, 'en', len(list_intersect(toks, {en})) FROM norm
+  UNION ALL
+  SELECT doc_id, 'es', len(list_intersect(toks, {es})) FROM norm
+  UNION ALL
+  SELECT doc_id, 'fr', len(list_intersect(toks, {fr})) FROM norm
+),
+best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+  FROM scores
+),
+lang AS (
+  SELECT doc_id, lang AS pred_lang FROM best WHERE rn = 1 AND hits > 0
+)
+SELECT l.pred_lang,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(sum(n.n_chars) AS BIGINT) AS total_chars,
+       CAST(min(n.doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(n.doc_id) AS BIGINT) AS max_doc_id
+FROM norm n
+JOIN quality USING (doc_id)
+JOIN lang l USING (doc_id)
+GROUP BY l.pred_lang
+"""
+
+_CORPUS_CURATION_SQL = _CORPUS_CURATION_SQL.format(
+    de=_lang_list_sql("de"),
+    en=_lang_list_sql("en"),
+    es=_lang_list_sql("es"),
+    fr=_lang_list_sql("fr"),
+)
+
+
 # --------------------------------------------------------------------
 # Similarity search (embeddings)
 # --------------------------------------------------------------------
@@ -1398,6 +1486,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "language_id": QuerySpec(
         _language_id, _LANGUAGE_ID_SQL,
         "stopword-voting language ID (argmax via greatest-of-structs)",
+    ),
+    "corpus_curation": QuerySpec(
+        _corpus_curation, _CORPUS_CURATION_SQL,
+        "end-to-end curation pipeline: exact dedup → quality gate → "
+        "language gate → per-language corpus stats",
     ),
     "embedding_near_dup": QuerySpec(
         _emb_near_dup, _EMB_NEAR_DUP_SQL,
