@@ -1073,6 +1073,69 @@ GROUP BY user_id, session_seq
 """
 
 
+def _events_funnel(spark, sf_dir):
+    """Ordered funnel: signup → first click AFTER the signup → first
+    purchase AFTER that click, per user; output is one row per funnel
+    stage with the user count that reached it. Three conditional-agg
+    passes over the same user partitioning — each stage's timestamp
+    gates the next, which a single pivot cannot express."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stages = [
+        ("1_signup", t1),
+        ("2_click_after_signup", t2),
+        ("3_purchase_after_click", t3),
+    ]
+    out = None
+    for name, df in stages:
+        row = df.agg(F.count("*").cast("long").alias("users")).select(
+            F.lit(name).alias("stage"), "users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_EVENTS_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= t2.t2
+  GROUP BY e.user_id
+)
+SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS users FROM t1
+UNION ALL
+SELECT '2_click_after_signup', CAST(count(*) AS BIGINT) FROM t2
+UNION ALL
+SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM t3
+"""
+
+
 def _events_quantiles(spark, sf_dir):
     return sketches.value_quantiles(_t(spark, sf_dir, "events"))
 
@@ -1520,6 +1583,11 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "events_json_rollup": QuerySpec(
         _events_json, _EVENTS_JSON_SQL, "JSON dot-path extraction rollup"
+    ),
+    "events_funnel": QuerySpec(
+        _events_funnel, _EVENTS_FUNNEL_SQL,
+        "ordered conversion funnel (signup → click → purchase), "
+        "stage-gated first-timestamps",
     ),
     "events_value_quantiles": QuerySpec(
         _events_quantiles, _EVENTS_QUANTILES_SQL,

@@ -92,3 +92,23 @@ def test_decode_fake_video_shape():
     assert np.all((audio >= -1) & (audio < 1))
     with pytest.raises(NotImplementedError):
         mm._decode_media("hologram", payload, {})
+
+
+def test_features_feed_similarity_search(media):
+    """Composition: multimodal decode -> feature vectors -> cosine
+    top-k — the decoded features are a valid ANN corpus as-is."""
+    from iceberg_diag_spark.operators import similarity
+
+    feats = mm.decode_features(media).withColumnRenamed("feature", "embedding")
+    queries = feats.filter(F.col("doc_id") < 3)
+    topk = similarity.cosine_topk(
+        feats, queries, k=3, id_col="doc_id", vec_col="embedding"
+    )
+    rows = topk.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cos_sim))
+    assert set(per_q) == {0, 1, 2}
+    for qid, lst in per_q.items():
+        assert [r[0] for r in sorted(lst)] == [1, 2, 3]
+        assert all(-1.0 <= r[2] <= 1.0001 for r in lst)
