@@ -24,6 +24,13 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "top_orders_per_customer",
     "orders_monthly",
+    "q4_order_priority_semi",
+    "q13_customer_distribution",
+    "orders_rollup",
+    "revenue_daily_gapfill",
+    "events_funnel",
+    "events_value_quantiles",
+    "corpus_curation",
     "dedup_exact_groups",
     "text_stats",
     "minhash_pairs",

@@ -55,40 +55,41 @@ def text_stats(
     )
 
 
-def quality_scores(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Heuristic quality signals: mean token length, type-token
-    ratio, stopword ratio (en), alpha ratio. Composable filters for
-    corpus curation; each is a plain column over one scan."""
+def quality_exprs(text_col: str = "text") -> dict[str, Column]:
+    """Quality-signal column expressions (shared by quality_scores
+    and fused pipelines like corpus_curation): mean token length,
+    type-token ratio, stopword ratio (en), alpha ratio."""
     t = tokens(F.col(text_col))
     n_tok = F.size(t)
     text = F.col(text_col)
     alpha_chars = F.length(F.regexp_replace(F.lower(text), r"[^a-z]", ""))
     sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
     stop_hits = F.size(F.array_intersect(t, sw))
+    one = F.greatest(n_tok, F.lit(1))
+    return {
+        "mean_token_len": F.length(text) / one,
+        "type_token_ratio": F.size(F.array_distinct(t)).cast("double") / one,
+        "stopword_ratio": stop_hits.cast("double") / one,
+        "alpha_ratio": alpha_chars.cast("double")
+        / F.greatest(F.length(text), F.lit(1)),
+    }
+
+
+def quality_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality signals as one projection over one scan —
+    composable filters for corpus curation."""
+    exprs = quality_exprs(text_col)
     return ensure_parallelism(docs).select(
-        F.col(id_col),
-        (F.length(text) / F.greatest(n_tok, F.lit(1))).alias("mean_token_len"),
-        (
-            F.size(F.array_distinct(t)).cast("double") / F.greatest(n_tok, F.lit(1))
-        ).alias("type_token_ratio"),
-        (stop_hits.cast("double") / F.greatest(n_tok, F.lit(1))).alias(
-            "stopword_ratio"
-        ),
-        (alpha_chars.cast("double") / F.greatest(F.length(text), F.lit(1))).alias(
-            "alpha_ratio"
-        ),
+        F.col(id_col), *[c.alias(name) for name, c in exprs.items()]
     )
 
 
-def language_id(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Stopword-voting language ID: count token hits against each
-    language's stopword list, argmax via greatest-of-structs (same
-    max(struct) trick as the diagnostics argmax — no shuffle at all,
-    it's a pure projection)."""
+def language_best(text_col: str = "text") -> Column:
+    """Argmax-of-structs language pick (shared expression): a struct
+    (hits, lang) of the winning stopword list — same max(struct)
+    trick as the diagnostics argmax, pure projection, no shuffle."""
     t = tokens(F.col(text_col))
     lang_scores = [
         F.struct(
@@ -99,7 +100,15 @@ def language_id(
         )
         for lang, words in sorted(STOPWORDS.items())
     ]
-    best = F.greatest(*lang_scores)
+    return F.greatest(*lang_scores)
+
+
+def language_id(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-voting language ID: count token hits against each
+    language's stopword list, argmax via greatest-of-structs."""
+    best = language_best(text_col)
     return ensure_parallelism(docs).select(
         F.col(id_col),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(

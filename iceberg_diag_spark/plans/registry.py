@@ -854,25 +854,29 @@ def _corpus_curation(spark, sf_dir):
     hash/quality/language projections; the dedup semi-join is the
     only extra pass."""
     docs = _t(spark, sf_dir, "documents")
-    deduped = dedup.exact_dedup(docs)
-    q = textops.quality_scores(deduped)
-    lang = textops.language_id(deduped)
-    kept = (
-        deduped.join(
-            q.filter(
-                (F.col("type_token_ratio") >= 0.4) & (F.col("alpha_ratio") >= 0.6)
-            ).select("doc_id"),
-            "doc_id",
-            "semi",
-        )
-        .join(
-            lang.filter(F.col("pred_lang") != "und").select("doc_id", "pred_lang"),
-            "doc_id",
-        )
+    q = textops.quality_exprs()
+    best = textops.language_best()
+    # ONE enriched projection feeds every gate — hash, quality, and
+    # language are per-row, so they commute with dedup (the min-id
+    # survivor keeps its own values); the only second pass is the
+    # dedup keeper aggregation + semi join.
+    enriched = dedup.ensure_parallelism(docs).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.sha2(dedup.normalized_text(F.col("text")), 256).alias("__ch"),
+        q["type_token_ratio"].alias("__ttr"),
+        q["alpha_ratio"].alias("__alpha"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise("und").alias("pred_lang"),
+    )
+    keepers = enriched.groupBy("__ch").agg(F.min("doc_id").alias("doc_id"))
+    kept = enriched.join(keepers.select("doc_id"), "doc_id", "semi").filter(
+        (F.col("__ttr") >= 0.4)
+        & (F.col("__alpha") >= 0.6)
+        & (F.col("pred_lang") != "und")
     )
     return kept.groupBy("pred_lang").agg(
         F.count("*").alias("doc_count"),
-        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
