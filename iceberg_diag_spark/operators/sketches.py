@@ -47,6 +47,25 @@ def approx_user_stats(events: DataFrame, rsd: float = 0.05) -> DataFrame:
     )
 
 
+def approx_top_users(events: DataFrame, k: int = 5) -> DataFrame:
+    """Frequent-items sketch per event type: approx_top_k(user_id)
+    flattened to (event_type, user_id, est_count, rank) rows. The
+    sketch state is fixed-size per group regardless of user
+    cardinality — the heavy-hitters shape for power-law keys."""
+    topk = events.groupBy("event_type").agg(
+        F.expr(f"approx_top_k(user_id, {k})").alias("top")
+    )
+    return (
+        topk.select("event_type", F.posexplode("top").alias("pos", "t"))
+        .select(
+            "event_type",
+            F.col("t.item").alias("user_id"),
+            F.col("t.count").cast("long").alias("est_count"),
+            (F.col("pos") + 1).cast("long").alias("rank"),
+        )
+    )
+
+
 def hourly_user_sketch_rollup(events: DataFrame) -> DataFrame:
     """Mergeable-sketch rollup: build one HLL sketch of user_id per
     (day, hour), then union the hour sketches into daily distinct

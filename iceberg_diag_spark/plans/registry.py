@@ -1163,6 +1163,35 @@ def _events_sketch_rollup(spark, sf_dir):
     return sketches.hourly_user_sketch_rollup(_t(spark, sf_dir, "events"))
 
 
+def _events_top_users(spark, sf_dir):
+    return sketches.approx_top_users(_t(spark, sf_dir, "events"))
+
+
+def _orders_decimal_totals(spark, sf_dir):
+    """Exact decimal aggregation (SURVEY §1.2 'decimals — available
+    free'): money as DECIMAL(18,2) sums without float drift; Spark
+    and DuckDB agree digit-for-digit."""
+    orders = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.groupBy("o_orderstatus").agg(
+        F.sum(price).cast("decimal(38,2)").alias("total_price"),
+        F.min(price).alias("min_price"),
+        F.max(price).alias("max_price"),
+        F.count("*").alias("order_count"),
+    )
+
+
+_ORDERS_DECIMAL_SQL = """
+SELECT o_orderstatus,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price,
+       min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
+       max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 def _events_json(spark, sf_dir):
     return events.json_props_rollup(_t(spark, sf_dir, "events"))
 
@@ -1587,6 +1616,15 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "events_json_rollup": QuerySpec(
         _events_json, _EVENTS_JSON_SQL, "JSON dot-path extraction rollup"
+    ),
+    "orders_decimal_totals": QuerySpec(
+        _orders_decimal_totals, _ORDERS_DECIMAL_SQL,
+        "exact DECIMAL(18,2) money aggregation, digit-for-digit parity",
+    ),
+    "events_top_users_approx": QuerySpec(
+        _events_top_users, None,
+        "approx_top_k heavy-hitters sketch per event type "
+        "(fixed-size state; error-bound test)",
     ),
     "events_funnel": QuerySpec(
         _events_funnel, _EVENTS_FUNNEL_SQL,

@@ -62,3 +62,22 @@ def test_sketch_rollup_matches_exact_daily(events):
         assert hours == e_hours, day
         # 15 distinct users/day — HLL at default lgK is near-exact here
         assert abs(approx_users - e_users) <= max(1, 0.05 * e_users), day
+
+
+def test_approx_top_users_matches_exact(events):
+    """15 distinct users per type — the sketch is exact here, so the
+    top-k sets and counts must match the true heavy hitters."""
+    got = {}
+    for r in sketches.approx_top_users(events, k=5).collect():
+        got.setdefault(r.event_type, {})[r.user_id] = r.est_count
+    exact = {}
+    for r in (
+        events.groupBy("event_type", "user_id").count().collect()
+    ):
+        exact.setdefault(r.event_type, {})[r.user_id] = r["count"]
+    for et, top in got.items():
+        true_sorted = sorted(exact[et].items(), key=lambda kv: (-kv[1], kv[0]))
+        top5_counts = sorted(c for _, c in true_sorted[:5])
+        assert sorted(top.values()) == top5_counts, et
+        for uid, c in top.items():
+            assert exact[et][uid] == c, (et, uid)
