@@ -232,6 +232,61 @@ def minhash_candidate_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → cluster ids
+    (cluster_id = the component's minimum doc id, so the output is
+    deterministic and oracle-checkable via a recursive CTE).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds — near-dup clusters are shallow (stars /
+    short chains), so a handful of rounds suffices. Each round is one
+    join + one aggregate; `localCheckpoint(eager)` truncates the plan
+    lineage so round N's plan doesn't embed rounds 1..N-1 (the
+    classic iterative-algorithm pattern on Spark — without it the
+    optimizer re-plans an exponentially growing tree).
+
+    Driver involvement is one `count()` per round for convergence —
+    O(1) data to the driver, never the labels themselves.
+    """
+    both = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    both = both.unionByName(
+        both.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = both.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     candidates: DataFrame,

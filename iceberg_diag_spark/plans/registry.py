@@ -777,6 +777,66 @@ JOIN grams gb ON gb.doc_id = c.doc_b
 """
 
 
+def _near_dup_clusters(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    return dedup.connected_components(docs.select("doc_id"), pairs)
+
+
+# same minhash CTE chain as _MINHASH_PAIRS_SQL, then transitive
+# closure via a recursive CTE: min reachable label == component min
+_NEAR_DUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(
+             generate_series(0, greatest(len(toks) - 3, 0)),
+             i -> array_to_string(toks[i + 1 : i + 3], ' ')))
+         ELSE [] END AS grams
+  FROM norm
+),
+eg AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
+hh AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(gram), 1, 8))::BIGINT AS g1,
+         ('0x' || substring(md5(gram), 9, 8))::BIGINT AS g2
+  FROM eg
+),
+sig AS (
+  SELECT doc_id, seed, min((g1 + seed * g2) % 4294967296) AS minhash
+  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, seed
+),
+keys AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         array_to_string(list(minhash ORDER BY seed), '|') AS band_key
+  FROM sig GROUP BY doc_id, band
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys a
+  JOIN keys b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+    SELECT doc_id, doc_id FROM documents
+  UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
 def _quality_scores(spark, sf_dir):
     return textops.quality_scores(_t(spark, sf_dir, "documents")).select(
         "doc_id",
@@ -1582,6 +1642,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "language_id": QuerySpec(
         _language_id, _LANGUAGE_ID_SQL,
         "stopword-voting language ID (argmax via greatest-of-structs)",
+    ),
+    "near_dup_clusters": QuerySpec(
+        _near_dup_clusters, _NEAR_DUP_CLUSTERS_SQL,
+        "connected components over the MinHash-LSH pair graph "
+        "(iterative min-label propagation, lineage-checkpointed; "
+        "oracle via DuckDB recursive CTE)",
     ),
     "corpus_curation": QuerySpec(
         _corpus_curation, _CORPUS_CURATION_SQL,
