@@ -1223,6 +1223,46 @@ def _events_sketch_rollup(spark, sf_dir):
     return sketches.hourly_user_sketch_rollup(_t(spark, sf_dir, "events"))
 
 
+def _events_hourly_anomalies(spark, sf_dir):
+    """Anomalous hours: hourly event counts above the type's p90 —
+    two-level aggregation (hourly rollup → per-type exact percentile)
+    joined back as the flagging threshold. Percentile is exact/
+    deterministic, so the whole query hash-matches the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+            "window_start"
+        ),
+        "event_type",
+    ).agg(F.count("*").alias("event_count"))
+    thresholds = hourly.groupBy("event_type").agg(
+        F.round(F.expr("percentile(event_count, 0.9)"), 6).alias("p90")
+    )
+    return (
+        hourly.join(F.broadcast(thresholds), "event_type")
+        .filter(F.col("event_count") > F.col("p90"))
+        .select("event_type", "window_start", "event_count", "p90")
+    )
+
+
+_EVENTS_ANOMALIES_SQL = """
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
+         event_type,
+         CAST(count(*) AS BIGINT) AS event_count
+  FROM events
+  GROUP BY window_start, event_type
+),
+thresholds AS (
+  SELECT event_type, round(quantile_cont(event_count, 0.9), 6) AS p90
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.window_start, h.event_count, t.p90
+FROM hourly h JOIN thresholds t USING (event_type)
+WHERE h.event_count > t.p90
+"""
+
+
 def _events_top_users(spark, sf_dir):
     return sketches.approx_top_users(_t(spark, sf_dir, "events"))
 
@@ -1700,6 +1740,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_value_quantiles": QuerySpec(
         _events_quantiles, _EVENTS_QUANTILES_SQL,
         "exact distributed percentiles (== DuckDB quantile_cont)",
+    ),
+    "events_hourly_anomalies": QuerySpec(
+        _events_hourly_anomalies, _EVENTS_ANOMALIES_SQL,
+        "p90-threshold anomaly flagging over the hourly rollup "
+        "(broadcast threshold join)",
     ),
     "events_approx_stats": QuerySpec(
         _events_approx, None,
