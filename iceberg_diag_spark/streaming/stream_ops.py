@@ -25,12 +25,19 @@ from __future__ import annotations
 
 import itertools
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
 SESSION_GAP = "30 minutes"
 _QUERY_SEQ = itertools.count()
+
+# Finite-drain guard: availableNow over the test parquet finishes in
+# seconds; if the engine ever wedges (state-store/sink trouble in a
+# foreign harness), fail loudly instead of hanging the caller forever.
+STREAM_DRAIN_TIMEOUT_SECS = 300
 
 
 def read_events_stream(
@@ -259,17 +266,42 @@ def run_to_table(
     name_prefix: str = "stream_result",
 ) -> DataFrame:
     """Drain a finite stream with trigger(availableNow=True) into a
-    memory sink; return the materialized table. Complete mode for
+    memory sink; return the materialized result. Complete mode for
     windowed aggs (emits final windows regardless of watermark),
-    append for dedup."""
+    append for dedup.
+
+    Hardened for harness reuse: explicit per-run checkpoint dir (no
+    dependence on any session-level checkpoint conf), bounded
+    awaitTermination (raises instead of hanging), and the result is
+    re-materialized as a plain local-relation DataFrame so nothing
+    downstream touches streaming state — the memory-sink view,
+    checkpoint dir, and query handle are all released before return.
+    Result sets here are drained test streams (≤ tens of thousands of
+    rows); a production deployment writes a parquet/Iceberg sink
+    instead of materializing (see tests/test_streaming.py's file-sink
+    coverage).
+    """
     spark = stream_df.sparkSession
-    name = f"{name_prefix}_{next(_QUERY_SEQ)}"
+    name = f"{name_prefix}_{os.getpid()}_{next(_QUERY_SEQ)}"
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    return spark.table(name)
+    try:
+        if not q.awaitTermination(STREAM_DRAIN_TIMEOUT_SECS):
+            raise TimeoutError(
+                f"streaming drain {name!r} did not finish within "
+                f"{STREAM_DRAIN_TIMEOUT_SECS}s"
+            )
+    finally:
+        q.stop()
+    sink = spark.table(name)
+    rows, schema = sink.collect(), sink.schema
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
