@@ -160,6 +160,146 @@ def _diag_binpack(spark, sf_dir):
     return binpack_groups(files)
 
 
+# DuckDB oracle for the greedy check-before-append fold
+# (reference table_metrics.py:179-197). The fold is sequential, but
+# its group BOUNDARIES admit an O(#groups) recursion over prefix
+# sums: a group starting at row srn with base = P(srn-1) ends at the
+# FIRST row where P(rn) - base > cap (that row is included — the
+# group closes before appending the next), and the next group starts
+# one past it. Recursion depth = max groups per partition (~hundreds
+# at sf0.1), not rows (~tens of thousands), so the oracle stays fast.
+# Ties between equal sizes don't affect per-group (count, total).
+_BINPACK_CTE = f"""
+data AS (
+  SELECT partition_key, file_size_in_bytes AS sz,
+         row_number() OVER (PARTITION BY partition_key
+                            ORDER BY file_size_in_bytes) AS rn
+  FROM files WHERE content = 0
+),
+pre AS (
+  SELECT partition_key, sz, rn,
+         sum(sz) OVER (PARTITION BY partition_key ORDER BY rn) AS ps
+  FROM data
+),
+bounds AS (
+  SELECT partition_key, 0 AS gid, CAST(1 AS BIGINT) AS srn,
+         CAST(0 AS HUGEINT) AS base
+  FROM (SELECT DISTINCT partition_key FROM data)
+  UNION ALL
+  SELECT q.partition_key, q.gid + 1, q.ern + 1, q.eps
+  FROM (
+    SELECT b.partition_key, b.gid, min(p.rn) AS ern, min(p.ps) AS eps
+    FROM bounds b
+    JOIN pre p ON p.partition_key = b.partition_key
+              AND p.rn >= b.srn
+              AND p.ps - b.base > 786432000
+    GROUP BY b.partition_key, b.gid
+  ) q
+),
+assigned AS (
+  SELECT p.partition_key, p.rn, p.sz, max(b.gid) AS gid
+  FROM pre p
+  JOIN bounds b ON b.partition_key = p.partition_key AND p.rn >= b.srn
+  GROUP BY p.partition_key, p.rn, p.sz
+)
+"""
+
+
+_DIAG_BINPACK_SQL = f"""
+WITH RECURSIVE files AS ({FILES_CTE}),
+{_BINPACK_CTE}
+SELECT partition_key,
+       CAST(gid AS BIGINT) AS group_id,
+       CAST(count(*) AS BIGINT) AS group_file_count,
+       CAST(sum(sz) AS BIGINT) AS group_size
+FROM assigned
+GROUP BY partition_key, gid
+"""
+
+
+_DIAG_METRICS_SQL = f"""
+WITH RECURSIVE files AS ({FILES_CTE}),
+{_BINPACK_CTE},
+grp AS (
+  SELECT partition_key, gid, count(*) AS cnt, sum(sz) AS gsz
+  FROM assigned GROUP BY 1, 2
+),
+after_p AS (
+  SELECT partition_key,
+         count(*) AS afc,
+         sum(gsz // 33554432 + 2) AS aoh
+  FROM grp GROUP BY 1
+),
+before_p AS (
+  SELECT partition_key,
+         count(*) AS fc,
+         sum(file_size_in_bytes) AS ts,
+         sum(file_size_in_bytes // 33554432 + 2) AS oh,
+         sum(CASE WHEN content = 0 THEN 1 ELSE 0 END) AS dfc,
+         coalesce(sum(CASE WHEN content = 0 THEN file_size_in_bytes END), 0) AS dsz
+  FROM files GROUP BY 1
+),
+p AS (
+  SELECT b.*, coalesce(a.afc, 0) AS afc, coalesce(a.aoh, 0) AS aoh
+  FROM before_p b LEFT JOIN after_p a USING (partition_key)
+),
+g AS (
+  SELECT CAST(sum(fc) AS DOUBLE) AS file_count,
+         CAST(sum(ts) AS DOUBLE) AS total_size,
+         CAST(sum(oh) + {PROXY_MANIFEST_COUNT} AS DOUBLE) AS full_scan_overhead,
+         CASE WHEN sum(dfc) > 0
+              THEN CAST(sum(dsz) AS DOUBLE) / CAST(sum(dfc) AS DOUBLE)
+              ELSE 0.0 END AS avg_file_size,
+         coalesce(min(CAST(ts AS DOUBLE) / fc), 0.0) AS worst_avg_file_size,
+         CAST(coalesce(max(ts), 0) AS DOUBLE) AS largest_partition_size,
+         CAST(count(*) AS DOUBLE) AS total_partitions,
+         CAST(sum(afc) AS DOUBLE) AS after_file_count,
+         CAST(sum(aoh) AS DOUBLE) AS after_full_scan_overhead,
+         max(CASE WHEN fc - afc > 0
+                  THEN struct_pack(r := fc - afc, b := fc, a := afc) END)
+           AS worst_fc,
+         max(CASE WHEN oh - aoh > 0
+                  THEN struct_pack(r := oh - aoh, b := oh, a := aoh) END)
+           AS worst_oh
+  FROM p
+),
+sel AS (
+  SELECT m.metric, m.ordinal,
+         CASE m.metric
+           WHEN 'FULL_SCAN_OVERHEAD' THEN g.full_scan_overhead
+           WHEN 'WORST_SCAN_OVERHEAD' THEN CAST(coalesce(g.worst_oh.b, 0) AS DOUBLE)
+           WHEN 'FILE_COUNT' THEN g.file_count
+           WHEN 'WORST_FILE_COUNT' THEN CAST(coalesce(g.worst_fc.b, 0) AS DOUBLE)
+           WHEN 'AVG_FILE_SIZE' THEN g.avg_file_size
+           WHEN 'WORST_AVG_FILE_SIZE' THEN g.worst_avg_file_size
+           WHEN 'TOTAL_TABLE_SIZE' THEN g.total_size
+           WHEN 'LARGEST_PARTITION_SIZE' THEN g.largest_partition_size
+           WHEN 'TOTAL_PARTITIONS' THEN g.total_partitions
+         END AS before,
+         CASE m.metric
+           WHEN 'FULL_SCAN_OVERHEAD' THEN g.after_full_scan_overhead
+           WHEN 'WORST_SCAN_OVERHEAD' THEN CAST(coalesce(g.worst_oh.a, 0) AS DOUBLE)
+           WHEN 'FILE_COUNT' THEN g.after_file_count
+           WHEN 'WORST_FILE_COUNT' THEN CAST(coalesce(g.worst_fc.a, 0) AS DOUBLE)
+         END AS after
+  FROM g CROSS JOIN (VALUES
+    ('FULL_SCAN_OVERHEAD', 0), ('WORST_SCAN_OVERHEAD', 1),
+    ('FILE_COUNT', 2), ('WORST_FILE_COUNT', 3),
+    ('AVG_FILE_SIZE', 4), ('WORST_AVG_FILE_SIZE', 5),
+    ('TOTAL_TABLE_SIZE', 6), ('LARGEST_PARTITION_SIZE', 7),
+    ('TOTAL_PARTITIONS', 8)
+  ) m(metric, ordinal)
+)
+SELECT metric, CAST(ordinal AS INTEGER) AS ordinal, before, after,
+       CASE WHEN after IS NULL THEN NULL
+            WHEN before = 0 AND after = 0 THEN 0.0
+            WHEN before = 0 THEN CAST('inf' AS DOUBLE)
+            ELSE (1.0 - after / before) * 100.0
+       END AS improvement
+FROM sel
+"""
+
+
 # --------------------------------------------------------------------
 # Relational suite (joins / aggregation / windows over the star schema)
 # --------------------------------------------------------------------
@@ -1618,13 +1758,14 @@ REGISTRY: dict[str, QuerySpec] = {
         "A2-A7 global before metrics (single row)",
     ),
     "diag_metrics": QuerySpec(
-        _diag_metrics, None,
+        _diag_metrics, _DIAG_METRICS_SQL,
         "Flagship 9-metric diagnostics incl. bin-pack after/improvement "
-        "(A8-A11; packing is a sequential fold → rows-only check)",
+        "(A8-A11; sequential fold oracle-checked via boundary-recursive CTE)",
     ),
     "diag_binpack_groups": QuerySpec(
-        _diag_binpack, None,
-        "A9 greedy bin-packing groups per partition (rows-only check)",
+        _diag_binpack, _DIAG_BINPACK_SQL,
+        "A9 greedy bin-packing groups per partition "
+        "(group-boundary recursive-CTE oracle over prefix sums)",
     ),
     "q1_pricing_summary": QuerySpec(_q1, _Q1_SQL, "TPC-H Q1 shape"),
     "q3_shipping_priority": QuerySpec(_q3, _Q3_SQL, "TPC-H Q3 shape, top-10"),
