@@ -255,6 +255,11 @@ def connected_components(
 
     Driver involvement is one `count()` per round for convergence —
     O(1) data to the driver, never the labels themselves.
+
+    Raises RuntimeError if max_iter rounds pass without convergence
+    (labels would silently be wrong for any component whose diameter
+    exceeds max_iter); near-dup graphs converge in a handful of
+    rounds, so hitting the cap signals a pathological input.
     """
     both = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     both = both.unionByName(
@@ -263,6 +268,7 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         neigh = both.join(
             labels.withColumnRenamed("node", "dst"), "dst"
@@ -281,7 +287,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels would be incomplete — raise max_iter for graphs with "
+            "diameter beyond the near-dup regime"
+        )
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
@@ -304,6 +317,11 @@ def ngram_jaccard_pairs(
     |union| = distinct grams in the pair, |inter| = grams seen in
     both docs. All shuffles are on uniform keys (doc id, pair id);
     cost is linear in candidate-pair gram volume.
+
+    Precondition: every candidate's member docs have at least one
+    n-gram (always true for LSH candidates — a signature requires
+    shingles). Pairs violating it are absent from the output rather
+    than returned with jaccard=0.0.
     """
     shingled = word_ngram_rows(docs, text_col, id_col, ngram).select(
         F.col(id_col).alias("__doc"), "gram"
@@ -335,41 +353,51 @@ def ngram_jaccard_pairs(
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash over word unigrams: per token take the 64-bit
-    xxhash, each bit votes +1/-1, sign of the vote sum forms the
-    fingerprint bit. Pure built-ins: explode → per-bit conditional
-    sums via transform over bit positions → reassemble with
-    aggregate(shiftleft|or).
+    """64-bit SimHash over word unigrams: per token take a 64-bit
+    hash, each bit votes +1/-1 (repeated tokens vote repeatedly —
+    standard term-frequency weighting), sign of the vote sum forms
+    the fingerprint bit.
 
-    Output: (doc_id, simhash long). NOTE: xxhash64 is Spark-private,
-    so this operator gets rows-only oracle coverage; cross-engine
-    reproducibility is provided by the md5 MinHash family instead.
+    The token hash is md5 split into two 32-bit halves (g1 = bits
+    63..32, g2 = bits 31..0) — the same cross-engine trick as the
+    MinHash family, so the whole operator is reproducible in DuckDB
+    and oracle-checkable (an earlier xxhash64 variant was
+    engine-private and could only be rows-checked). All bit tests
+    run on the non-negative halves (no shifts on negative longs) and
+    the signed fingerprint is assembled arithmetically as
+    -2^63·bit63 + Σ 2^b·bit_b, which stays in int64 range — safe
+    under Spark ANSI mode and identical in DuckDB.
+
+    Output: (doc_id, simhash long). One explode + one hash-agg pass
+    with 64 conditional sums — everything in whole-stage codegen.
     """
     toks = ensure_parallelism(docs).select(
         F.col(id_col),
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    return _simhash_from_tokens(toks, id_col)
-
-
-def _simhash_from_tokens(toks: DataFrame, id_col: str) -> DataFrame:
-    # One hash-agg pass with 64 conditional sums (bit votes) — stays
-    # entirely in whole-stage codegen, no per-bit explode.
-    vote_cols = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
-    votes = toks.groupBy(id_col).agg(*vote_cols)
-    fingerprint = None
+    )
+    md5 = F.md5(F.col("tok"))
+    halves = toks.select(
+        F.col(id_col),
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("g1"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("g2"),
+    )
+    vote_cols = []
     for b in range(64):
-        bit = F.when(
-            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        half, k = ("g1", b - 32) if b >= 32 else ("g2", b)
+        vote_cols.append(
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(half), k).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+        )
+    votes = halves.groupBy(id_col).agg(*vote_cols)
+    fingerprint = F.lit(0).cast("long")
+    for b in range(64):
+        val = -(1 << 63) if b == 63 else (1 << b)
+        fingerprint = fingerprint + F.when(
+            F.col(f"b{b}") > 0, F.lit(val).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-        fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
     return votes.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
@@ -389,22 +417,24 @@ def simhash_near_dup(
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
+
+    def _band_key(b: int) -> Column:
+        # band b = bits [b*width, (b+1)*width); the last band absorbs
+        # the remainder bits. When a band spans all 64 bits
+        # (max_hamming=0), the mask (1<<64)-1 would overflow LongType
+        # — the key is just the fingerprint itself.
+        mask_bits = (64 - b * width) if b == n_bands - 1 else width
+        shifted = F.shiftrightunsigned(F.col("simhash"), b * width)
+        if mask_bits >= 64:
+            return F.col("simhash")
+        return shifted.bitwiseAND(F.lit((1 << mask_bits) - 1).cast("long"))
+
     sh = simhash64(docs, text_col, id_col)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                # band b = bits [b*width, (b+1)*width) (the last band
-                # absorbs the remainder bits)
-                F.shiftrightunsigned(F.col("simhash"), b * width)
-                .bitwiseAND(
-                    F.lit(
-                        (1 << (64 - b * width)) - 1
-                        if b == n_bands - 1
-                        else (1 << width) - 1
-                    ).cast("long")
-                )
-                .alias("band_key"),
+                _band_key(b).alias("band_key"),
             )
             for b in range(n_bands)
         ]

@@ -839,7 +839,68 @@ def _simhash(spark, sf_dir):
 
 
 def _simhash_near_dup(spark, sf_dir):
-    return dedup.simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=10)
+    return dedup.simhash_near_dup(
+        _t(spark, sf_dir, "documents"), max_hamming=10
+    ).select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# SimHash oracle: same md5-halves hash family as the Spark operator
+# (g1 = bits 63..32, g2 = bits 31..0 — all bit tests on non-negative
+# halves), fingerprint assembled arithmetically so the signed int64
+# pattern matches bit-for-bit.
+_SIMHASH_VOTES = ",\n         ".join(
+    "sum(CASE WHEN ((g{half} >> {k}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}".format(
+        half=1 if b >= 32 else 2, k=b - 32 if b >= 32 else b, b=b
+    )
+    for b in range(64)
+)
+_SIMHASH_ASSEMBLE = "\n         + ".join(
+    "CASE WHEN b{b} > 0 THEN {val} ELSE 0 END".format(
+        b=b, val="(-9223372036854775807 - 1)" if b == 63 else str(1 << b)
+    )
+    for b in range(64)
+)
+
+_SIMHASH_CTE = rf"""
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+),
+hh AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(tok), 1, 8))::BIGINT AS g1,
+         ('0x' || substring(md5(tok), 9, 8))::BIGINT AS g2
+  FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         {_SIMHASH_VOTES}
+  FROM hh GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id,
+         CAST({_SIMHASH_ASSEMBLE} AS BIGINT) AS simhash
+  FROM votes
+)
+"""
+
+_SIMHASH_SQL = f"""
+WITH {_SIMHASH_CTE}
+SELECT doc_id, simhash FROM sh
+"""
+
+# The banded Spark plan is exact within the Hamming budget (pigeonhole
+# guarantees no false negatives; distinct removes multi-band dupes),
+# so the oracle can use the semantically-equal all-pairs form — fine
+# at oracle scale, while the engine side stays bucketed.
+_SIMHASH_NEAR_DUP_SQL = f"""
+WITH {_SIMHASH_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+"""
 
 
 def _exact_dedup_corpus(spark, sf_dir):
@@ -1807,12 +1868,14 @@ REGISTRY: dict[str, QuerySpec] = {
         _minhash_pairs, _MINHASH_PAIRS_SQL, "MinHash-LSH near-dup candidates"
     ),
     "simhash": QuerySpec(
-        _simhash, None, "64-bit SimHash fingerprints (engine-private hash → rows-only)"
+        _simhash, _SIMHASH_SQL,
+        "64-bit SimHash fingerprints (md5-halves hash family — "
+        "bit-identical in DuckDB)",
     ),
     "simhash_near_dup": QuerySpec(
-        _simhash_near_dup, None,
-        "SimHash Hamming-banded near-dup pairs (pigeonhole multi-index; "
-        "no false negatives within budget — rows-only)",
+        _simhash_near_dup, _SIMHASH_NEAR_DUP_SQL,
+        "SimHash Hamming-banded near-dup pairs (pigeonhole multi-index, "
+        "no false negatives within budget; oracle = all-pairs form)",
     ),
     "exact_dedup_corpus": QuerySpec(
         _exact_dedup_corpus, _EXACT_DEDUP_CORPUS_SQL,

@@ -68,3 +68,16 @@ def test_hamming_values_exact(corpus):
     for r in dedup.simhash_near_dup(corpus, max_hamming=6).collect():
         expect = bin((sh[r.doc_a] ^ sh[r.doc_b]) & ((1 << 64) - 1)).count("1")
         assert r.hamming == expect
+
+
+def test_max_hamming_zero_joins_on_full_fingerprint(spark):
+    """max_hamming=0 → one band spanning all 64 bits; the band key is
+    the fingerprint itself (a 64-bit mask literal would overflow
+    LongType). Only exact fingerprint matches pair up."""
+    rows = [(0, BASE), (1, BASE), (2, BASE.replace("golden", "amber"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_near_dup(df, max_hamming=0).collect()
+    }
+    assert got == {(0, 1): 0}
