@@ -19,12 +19,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _num_partitions(df: DataFrame) -> int:
+    """Partition count of the physical plan WITHOUT the df.rdd
+    Python-RDD conversion (which rebuilds serializers per call,
+    ~200× slower — round-1 advisory). `execute()` on a non-adaptive
+    plan is lazy (builds the RDD DAG, runs no job); for adaptive
+    plans (only possible if a caller passes an already-shuffled df)
+    it could materialize stages, so fall back to df.rdd there."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan()
+        if "AdaptiveSparkPlan" not in plan.getClass().getSimpleName():
+            return plan.execute().getNumPartitions()
+    except Exception:
+        pass
+    return df.rdd.getNumPartitions()
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition IF the plan currently has fewer
     partitions than the session's default parallelism (or an explicit
     floor). The shuffle this introduces moves the small pre-explosion
     rows, not the exploded/decoded output."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _num_partitions(df) < target:
         return df.repartition(target)
     return df

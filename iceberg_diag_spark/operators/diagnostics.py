@@ -3,10 +3,10 @@
 Re-expresses the reference aggregation engine
 (``icebergdiag/metrics/table_metrics.py:46-155``) Spark-first:
 
-  files ──groupBy(partition)──► per-partition BEFORE stats      (A1)
-  files(DATA) ──applyInPandas──► packed groups ──groupBy──► AFTER stats (A8/A9)
-  join(partition) ──single agg──► all 9 global metrics          (A2-A7, A10)
-  unpivot (stack) ──► 9-row metric table with improvement        (A11)
+  files ──one exchange──► fused applyInPandas: BEFORE stats +
+         bin-pack + AFTER stats, one row per partition   (A1, A8/A9)
+  ──single agg──► all 9 global metrics                   (A2-A7, A10)
+  unpivot ──► 9-row metric table with improvement        (A11)
 
 Scale notes (100 TB):
 - The input relation is Iceberg *metadata* (one row per data file):
@@ -29,11 +29,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from iceberg_diag_spark.functions.cost import (
     CONTENT_DATA,
+    FETCH_SIZE,
+    MAX_GROUP_BYTE_SIZE,
     MILLISECONDS_PER_SCAN,
-    read_file_cost,
     scan_overhead_ms,
 )
-from iceberg_diag_spark.operators.binpack import binpack_groups
 
 # Display order + reference display names (table_metric.py:9-18).
 METRICS = [
@@ -73,34 +73,109 @@ def partition_stats(
     )
 
 
+_PART_AFTER_SCHEMA = (
+    "partition_key string, file_count long, total_size long,"
+    " scan_overhead long, data_file_count long, data_size long,"
+    " after_file_count long, after_scan_overhead long"
+)
+
+
 def partition_stats_with_after(
     files: DataFrame,
     partition_col: str = "partition_key",
     size_col: str = "file_size_in_bytes",
     content_col: str = "content",
 ) -> DataFrame:
-    """BEFORE stats joined with simulated-compaction AFTER stats.
+    """BEFORE stats fused with simulated-compaction AFTER stats.
 
     AFTER per partition (table_metrics.py:136-141): bin-pack DATA file
     sizes; after_file_count = number of groups; after_scan_overhead =
     sum over groups of read_cost(group_total) * 1ms. Partitions whose
     files are all deletes get 0 groups (reference packs an empty list).
+
+    Plan shape: ONE scan → ONE exchange on the partition key → one
+    grouped-map pass computing both BEFORE aggregates (vectorized
+    numpy sums) and the pack simulation. Round 1 ran BEFORE and AFTER
+    as separate relational branches; Catalyst pushes filters/pruning
+    through the shared repartition, so the branches never reuse the
+    exchange and the source was scanned (and shuffled) twice — the
+    dominant cost in the round-1 bench. Fusing halves the I/O and
+    removes the before↔after join entirely. The pack fold itself is
+    O(#groups · log n) via prefix sums + searchsorted rather than a
+    per-row Python loop (semantics pinned against pack_sizes by
+    tests/test_binpack.py and the golden suite).
+
+    Output: one row per partition — (partition_key, file_count,
+    total_size, scan_overhead, data_file_count, data_size,
+    after_file_count, after_scan_overhead).
     """
-    before = partition_stats(files, partition_col, size_col, content_col)
+    import numpy as np
+    import pandas as pd
 
-    data_files = files.filter(F.col(content_col) == CONTENT_DATA).select(
-        F.col(partition_col).alias("partition_key"), F.col(size_col).alias(size_col)
-    )
-    groups = binpack_groups(data_files, "partition_key", size_col)
-    after = groups.groupBy("partition_key").agg(
-        F.count("*").alias("after_file_count"),
-        (F.sum(read_file_cost(F.col("group_size"))) * MILLISECONDS_PER_SCAN).alias(
-            "after_scan_overhead"
-        ),
-    )
+    fetch = FETCH_SIZE
+    cap = MAX_GROUP_BYTE_SIZE
+    ms = MILLISECONDS_PER_SCAN
 
-    return before.join(after, "partition_key", "left").fillna(
-        {"after_file_count": 0, "after_scan_overhead": 0}
+    def _stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        sizes = pdf[size_col].to_numpy(dtype="int64")
+        content = pdf[content_col].to_numpy()
+        file_count = int(sizes.size)
+        total_size = int(sizes.sum())
+        scan_overhead = int((sizes // fetch + 2).sum()) * ms
+        data = np.sort(sizes[content == CONTENT_DATA])
+        dfc = int(data.size)
+        dsz = int(data.sum())
+        groups = 0
+        aoh = 0
+        if dfc:
+            ps = np.cumsum(data)
+            base = 0
+            start = 0
+            while start < dfc:
+                # group = rows [start..e] where e is the FIRST index
+                # whose group-relative prefix sum exceeds the cap
+                # (check-before-append: the crossing row is included),
+                # or the last row if no crossing remains.
+                e = int(np.searchsorted(ps, base + cap, side="right"))
+                if e >= dfc:
+                    e = dfc - 1
+                total = int(ps[e]) - base
+                aoh += (total // fetch + 2) * ms
+                groups += 1
+                base = int(ps[e])
+                start = e + 1
+        return pd.DataFrame(
+            [
+                [
+                    pdf[partition_col].iloc[0],
+                    file_count,
+                    total_size,
+                    scan_overhead,
+                    dfc,
+                    dsz,
+                    groups,
+                    aoh,
+                ]
+            ],
+            columns=[
+                "partition_key",
+                "file_count",
+                "total_size",
+                "scan_overhead",
+                "data_file_count",
+                "data_size",
+                "after_file_count",
+                "after_scan_overhead",
+            ],
+        )
+
+    cols = files.select(
+        F.col(partition_col).alias(partition_col),
+        F.col(size_col),
+        F.col(content_col),
+    )
+    return cols.groupBy(partition_col).applyInPandas(
+        _stats, schema=_PART_AFTER_SCHEMA
     )
 
 

@@ -1111,16 +1111,19 @@ def _corpus_curation(spark, sf_dir):
     the individual operators: exact dedup (keep min doc_id per
     content hash) → quality gate (type-token ratio ≥ 0.4, alpha ratio
     ≥ 0.6) → language gate (stopword-ID confidently non-'und') →
-    per-language stats of the surviving corpus. One scan feeds the
-    hash/quality/language projections; the dedup semi-join is the
-    only extra pass."""
+    per-language stats of the surviving corpus. ONE scan, ONE
+    data-bearing shuffle."""
     docs = _t(spark, sf_dir, "documents")
     q = textops.quality_exprs()
     best = textops.language_best()
     # ONE enriched projection feeds every gate — hash, quality, and
     # language are per-row, so they commute with dedup (the min-id
-    # survivor keeps its own values); the only second pass is the
-    # dedup keeper aggregation + semi join.
+    # survivor keeps its own values). The dedup survivor is picked
+    # with min(doc_id) OVER (PARTITION BY hash): one window shuffle
+    # on the uniform 32-byte hash key. Round 1 used a keeper
+    # aggregate + semi join, which re-derived the enriched lineage
+    # (sha256 + quality + language exprs) on both join sides —
+    # effectively the whole 3.1 s bench cost of this query.
     enriched = dedup.ensure_parallelism(docs).select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
@@ -1129,9 +1132,10 @@ def _corpus_curation(spark, sf_dir):
         q["alpha_ratio"].alias("__alpha"),
         F.when(best["hits"] > 0, best["lang"]).otherwise("und").alias("pred_lang"),
     )
-    keepers = enriched.groupBy("__ch").agg(F.min("doc_id").alias("doc_id"))
-    kept = enriched.join(keepers.select("doc_id"), "doc_id", "semi").filter(
-        (F.col("__ttr") >= 0.4)
+    keep = F.min("doc_id").over(Window.partitionBy("__ch"))
+    kept = enriched.withColumn("__keep", keep).filter(
+        (F.col("doc_id") == F.col("__keep"))
+        & (F.col("__ttr") >= 0.4)
         & (F.col("__alpha") >= 0.6)
         & (F.col("pred_lang") != "und")
     )

@@ -77,9 +77,21 @@ def test_minhash_no_python_no_cartesian(spark):
 
 def test_diag_metrics_python_only_for_binpack(spark):
     plan = _plan(spark, "diag_metrics")
-    # exactly one pandas stage: the grouped-map bin-pack fold
+    # exactly one pandas stage: the fused before-stats + bin-pack fold
     assert _op_count(plan, "FlatMapGroupsInPandas") == 1
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    # single-pass: the files relation is scanned exactly once (round 1
+    # had separate BEFORE and AFTER branches scanning it twice)
+    assert _op_count(plan, "Scan parquet") == 1
+
+
+def test_corpus_curation_single_scan(spark):
+    plan = _plan(spark, "corpus_curation")
+    # window-based dedup survivor: one scan, no self-join re-deriving
+    # the enriched lineage
+    assert _op_count(plan, "Scan parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
 
 
 def test_asof_join_single_exchange_per_side(spark):
