@@ -77,7 +77,10 @@ def _diagnose(spark: SparkSession, files_df, manifest_count: int, title: str) ->
 
 
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
-    args = _build_parser().parse_args(argv)
+    parser = _build_parser()
+    args = parser.parse_args(argv)
+    if args.table_name and not args.database:
+        parser.error("--table-name requires --database")
     own_session = spark is None
     if spark is None:
         from iceberg_diag_spark.session import get_spark
@@ -104,8 +107,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 ).collect()
             ]
             if not tables:
-                print(f"no tables match {args.table_name!r} in {args.database}")
-                return 1
+                from iceberg_diag_spark.errors import NoMatchingTables
+
+                raise NoMatchingTables(args.database, args.table_name)
             for t in tables:
                 files = spark.table(f"{args.database}.{t}.files").select(
                     F.to_json("partition").alias("partition_key"),

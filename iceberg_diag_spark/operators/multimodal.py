@@ -154,26 +154,32 @@ def _decode_media(media_type: str, payload: bytes, meta: dict):
     import numpy as np
 
     if media_type == "image":
-        try:  # real path — PIL not available here
+        try:
+            # Real path — PIL absent in this container. except
+            # Exception, not ImportError: synthetic/corrupt payloads
+            # raise UnidentifiedImageError etc. when PIL IS installed,
+            # and those must also fall back to the deterministic fake.
             import io
 
             from PIL import Image  # noqa: F401
 
             return np.asarray(Image.open(io.BytesIO(payload)))
-        except ImportError:
+        except Exception:
             # fake: tile bytes into a (height, width) grid
             h, w = meta["height"], meta["width"]
             arr = np.frombuffer(payload, dtype=np.uint8)
+            if len(arr) == 0:
+                return np.zeros((h, w), dtype=np.uint8)
             reps = (h * w + len(arr) - 1) // len(arr)
             return np.tile(arr, reps)[: h * w].reshape(h, w)
     if media_type == "audio":
-        try:  # real path — soundfile not available here
+        try:  # real path — soundfile absent here; same broad fallback
             import io
 
             import soundfile  # noqa: F401
 
             return soundfile.read(io.BytesIO(payload))[0]
-        except ImportError:
+        except Exception:
             # fake: bytes as a centered waveform in [-1, 1)
             arr = np.frombuffer(payload, dtype=np.uint8)
             return (arr.astype(np.float64) - 128.0) / 128.0
@@ -209,10 +215,12 @@ def decode_features(media: DataFrame) -> DataFrame:
                 # scale fake-decoded outputs to a common 0..255 domain
                 if mt == "audio":
                     flat = flat * 128.0 + 128.0
+                if flat.size == 0:
+                    feats.append([0.0] * FEATURE_DIM)
+                    continue
                 hist = np.histogram(flat, bins=FEATURE_DIM - 2, range=(0, 256))[0]
-                total = max(len(flat), 1)
                 vec = np.concatenate(
-                    [hist / total, [flat.mean() / 256.0, flat.std() / 256.0]]
+                    [hist / flat.size, [flat.mean() / 256.0, flat.std() / 256.0]]
                 )
                 feats.append(vec.round(9).tolist())
             yield pd.DataFrame(

@@ -74,6 +74,21 @@ def iceberg_tables(spark: SparkSession, database: str) -> DataFrame:
 
 
 def connection_probe(spark: SparkSession, catalog: str | None = None) -> bool:
-    """S5: LIMIT-1 existence scan validating the catalog binding."""
+    """S5: LIMIT-1 existence scan validating the catalog binding.
+
+    Returns True when the catalog answers and exposes at least one
+    namespace; False for an empty-but-reachable catalog. An unbound /
+    misconfigured catalog raises CatalogBindError (the reference maps
+    probe failures to its error taxonomy, manager.py:63-72)."""
+    from pyspark.errors import AnalysisException
+
+    from iceberg_diag_spark.errors import CatalogBindError
+
     target = f" IN {catalog}" if catalog else ""
-    return len(spark.sql(f"SHOW NAMESPACES{target}").limit(1).collect()) >= 0
+    try:
+        rows = spark.sql(f"SHOW NAMESPACES{target}").limit(1).collect()
+    except AnalysisException as ex:
+        raise CatalogBindError(
+            f"catalog probe failed for {catalog or '<session>'}: {ex}"
+        ) from ex
+    return len(rows) > 0

@@ -60,3 +60,10 @@ def test_missing_database_raises_and_cli_reports(spark, capsys):
         cat.list_tables(spark, "no_such_db_xyz").collect()
     assert main(["--database", "no_such_db_xyz"], spark=spark) == 1
     assert "error:" in capsys.readouterr().out
+
+
+def test_table_name_without_database_is_rejected(spark, capsys):
+    with pytest.raises(SystemExit) as ex:
+        main(["--table-name", "anything"], spark=spark)
+    assert ex.value.code == 2
+    assert "--table-name requires --database" in capsys.readouterr().err

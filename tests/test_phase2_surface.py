@@ -254,3 +254,13 @@ def test_extract_errors_drops_blank_tables(spark):
     errs = extract_errors(spark, [json.dumps(_RESPONSE)]).collect()
     got = {(r["table"], r["error"]) for r in errs}
     assert got == {("db.broken", "boom"), ("db.mystery", "Unknown Error")}
+
+
+def test_probe_raises_on_bad_catalog(spark):
+    import pytest
+
+    from iceberg_diag_spark.errors import CatalogBindError
+    from iceberg_diag_spark.sources.catalog import connection_probe
+
+    with pytest.raises(CatalogBindError):
+        connection_probe(spark, catalog="no_such_catalog_xyz")
