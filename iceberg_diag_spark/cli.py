@@ -80,7 +80,18 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     parser = _build_parser()
     args = parser.parse_args(argv)
     if args.table_name and not args.database:
-        parser.error("--table-name requires --database")
+        # accept a qualified "db.tbl" (reference Table.from_full_name,
+        # metrics/table.py:7-13); otherwise the pattern is ambiguous
+        from iceberg_diag_spark.functions.identifiers import Table
+
+        t = Table.from_full_name(args.table_name)
+        if t.database:
+            args.database, args.table_name = t.database, t.table_name
+        else:
+            parser.error(
+                "--table-name requires --database (or a qualified "
+                "'db.table' name)"
+            )
     own_session = spark is None
     if spark is None:
         from iceberg_diag_spark.session import get_spark

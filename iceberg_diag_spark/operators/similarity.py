@@ -40,19 +40,47 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+# Above this corpus size the exact quadratic tiers refuse to run:
+# O(n²) dot products stop being a validation tool and become a
+# scale accident. The bucketed siblings (lsh_near_dup_pairs /
+# lsh_topk / ivf_topk) are the intended path beyond it.
+QUADRATIC_GUARD_ROWS = 100_000
+
+
+def _guard_quadratic(
+    embeddings: DataFrame, op: str, alternative: str, max_rows: int | None
+) -> None:
+    if max_rows is None:
+        return
+    n = embeddings.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{op}: corpus has {n} rows (> {max_rows}); this exact tier is "
+            f"O(n²) and meant for validation scale — use {alternative}, or "
+            "pass max_corpus_rows=None to force the exact computation"
+        )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame | None = None,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_corpus_rows: int | None = QUADRATIC_GUARD_ROWS,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    queries defaults to the corpus itself (all-pairs kNN — use only
-    at modest corpus sizes; for the scale path see lsh_topk).
+    queries defaults to the corpus itself (all-pairs kNN) — that form
+    is guarded by max_corpus_rows and raises beyond it, routing
+    callers to lsh_topk / ivf_topk (with an explicit bounded query
+    set the work is |queries|·|corpus| and needs no guard).
     Output: (query_id, neighbor_id, rank, cos_sim rounded to 6).
     """
+    if queries is None:
+        _guard_quadratic(
+            embeddings, "cosine_topk", "lsh_topk or ivf_topk", max_corpus_rows
+        )
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
     )
@@ -89,16 +117,21 @@ def embedding_near_dup(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_corpus_rows: int | None = QUADRATIC_GUARD_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with a < b
     and cosine >= threshold. Output: (vec_a, vec_b, cos_sim rounded 6).
 
     This exact variant is O(n²) dot products with a broadcast of one
-    side — correct and oracle-checkable at validation scale. The
-    100 TB path is the same filter applied within sign-LSH buckets
-    (see lsh_topk): swap the crossJoin for a bucket equi-join and the
-    pair count drops from quadratic to per-bucket-quadratic.
+    side — correct and oracle-checkable at validation scale, and
+    guarded by max_corpus_rows so it cannot be pointed at a full
+    corpus by accident. The 100 TB path is lsh_near_dup_pairs: the
+    same threshold filter applied within sign-LSH buckets, dropping
+    the pair count from quadratic to per-bucket-quadratic.
     """
+    _guard_quadratic(
+        embeddings, "embedding_near_dup", "lsh_near_dup_pairs", max_corpus_rows
+    )
     a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
     pairs = a.crossJoin(F.broadcast(b)).filter(F.col("vec_a") < F.col("vec_b"))

@@ -1428,6 +1428,21 @@ def _events_sketch_rollup(spark, sf_dir):
     return sketches.hourly_user_sketch_rollup(_t(spark, sf_dir, "events"))
 
 
+# The Datasketches HLL stays in exact (sparse) mode at the test
+# cardinality (≤ ~150 users/day << 2^lgConfigK), so the union-rollup
+# estimate equals the exact per-day distinct count and the oracle is
+# plain COUNT(DISTINCT) — verified exact at sf0.001/0.01/0.1. At real
+# cardinality it degrades gracefully to a bounded-error estimate and
+# the rollup keeps its mergeable-state scale property.
+_EVENTS_SKETCH_ROLLUP_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT date_part('hour', ts)) AS BIGINT) AS hours_covered,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS approx_distinct_users
+FROM events
+GROUP BY day
+"""
+
+
 def _events_hourly_anomalies(spark, sf_dir):
     """Anomalous hours: hourly event counts above the type's p90 —
     two-level aggregation (hourly rollup → per-type exact percentile)
@@ -1944,7 +1959,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_top_users_approx": QuerySpec(
         _events_top_users, None,
         "approx_top_k heavy-hitters sketch per event type "
-        "(fixed-size state; error-bound test)",
+        "(fixed-size state). Rows-only BY NECESSITY: counts are exact "
+        "at test cardinality (multiset pinned vs exact top-k in "
+        "tests), but the sketch's pick among boundary-TIED users is "
+        "engine-private, so the identity set cannot hash-match",
     ),
     "events_funnel": QuerySpec(
         _events_funnel, _EVENTS_FUNNEL_SQL,
@@ -1962,13 +1980,17 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "events_approx_stats": QuerySpec(
         _events_approx, None,
-        "HLL distinct + quantile-sketch percentiles (bounded error, "
-        "fixed memory — error-bound test in tests/test_sketches.py)",
+        "HLL++ distinct + quantile-sketch percentiles (bounded error, "
+        "fixed memory). Rows-only BY NECESSITY: the HLL++ estimate is "
+        "engine-private (151 vs 150 exact at sf0.01); the percentile "
+        "columns equal DuckDB quantile_disc and the distinct error "
+        "bound is pinned in tests/test_sketches.py",
     ),
     "events_user_sketch_rollup": QuerySpec(
-        _events_sketch_rollup, None,
+        _events_sketch_rollup, _EVENTS_SKETCH_ROLLUP_SQL,
         "mergeable HLL sketches: hourly sketch → daily union rollup "
-        "(scan raw data once, re-aggregate at any granularity)",
+        "(scan raw data once, re-aggregate at any granularity); exact "
+        "at test cardinality → COUNT(DISTINCT) oracle",
     ),
     # Streaming entries sit mid-registry deliberately: round 1's
     # driver lost every entry after position 50, and streams-at-the-

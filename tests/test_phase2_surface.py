@@ -264,3 +264,30 @@ def test_probe_raises_on_bad_catalog(spark):
 
     with pytest.raises(CatalogBindError):
         connection_probe(spark, catalog="no_such_catalog_xyz")
+
+
+# --------------------------------------------------------------------
+# table identifier parse (F5, reference metrics/table.py:1-22)
+# --------------------------------------------------------------------
+
+def test_table_from_full_name_reference_parity():
+    from iceberg_diag_spark.functions.identifiers import Table
+
+    assert Table.from_full_name("db.tbl") == Table("db", "tbl")
+    assert Table.from_full_name("  db.tbl  ") == Table("db", "tbl")
+    # first-dot split: dots stay in the table name
+    assert Table.from_full_name("a.b.c") == Table("a", "b.c")
+    # reference quirk: dotless input keeps the ORIGINAL unstripped
+    # string as the table name with an empty database
+    assert Table.from_full_name("plain") == Table("", "plain")
+    assert Table.from_full_name(" plain ") == Table("", " plain ")
+    assert str(Table("db", "tbl")) == "db.tbl"
+
+
+def test_cli_accepts_qualified_table_name(spark, capsys):
+    from iceberg_diag_spark.cli import main
+
+    # qualified name with a database that doesn't exist → clean
+    # DiagError path, proving the parse routed into the catalog branch
+    assert main(["--table-name", "no_such_db_xyz.some_tbl"], spark=spark) == 1
+    assert "error:" in capsys.readouterr().out

@@ -103,3 +103,25 @@ def test_exact_topk_is_symmetric_baseline(emb, queries, exact):
     assert set(exact) == set(range(10))
     for qid, n in exact.items():
         assert len(n) == K, qid
+
+
+def test_quadratic_tiers_guarded(spark):
+    """The exact O(n²) tiers refuse oversized corpora and route the
+    caller to their bucketed siblings; max_corpus_rows=None forces."""
+    import pytest
+
+    from iceberg_diag_spark.operators import similarity as sim
+
+    emb = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.col("id").cast("double")).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="lsh_near_dup_pairs"):
+        sim.embedding_near_dup(emb, max_corpus_rows=3)
+    with pytest.raises(ValueError, match="lsh_topk"):
+        sim.cosine_topk(emb, max_corpus_rows=3)
+    # bounded explicit query set is not quadratic -> no guard
+    q = emb.limit(1)
+    assert sim.cosine_topk(emb, queries=q, max_corpus_rows=3).count() > 0
+    # forcing works
+    assert sim.embedding_near_dup(emb, threshold=-1.0, max_corpus_rows=None).count() == 6
