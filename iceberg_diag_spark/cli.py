@@ -26,7 +26,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import SparkSession
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -121,11 +121,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 from iceberg_diag_spark.errors import NoMatchingTables
 
                 raise NoMatchingTables(args.database, args.table_name)
+            from iceberg_diag_spark.sources.iceberg_meta import (
+                data_files_from_files_table,
+            )
+
             for t in tables:
-                files = spark.table(f"{args.database}.{t}.files").select(
-                    F.to_json("partition").alias("partition_key"),
-                    "file_size_in_bytes",
-                    "content",
+                files = data_files_from_files_table(
+                    spark.table(f"{args.database}.{t}.files")
                 )
                 manifests = spark.table(f"{args.database}.{t}.manifests").count()
                 _diagnose(spark, files, manifests, f"{args.database}.{t}")

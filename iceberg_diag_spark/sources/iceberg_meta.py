@@ -1,0 +1,127 @@
+"""Iceberg metadata-table contract (SURVEY §2 S4).
+
+The production source for diagnostics is the Iceberg metadata tables:
+
+    files     = spark.table("cat.db.tbl.files")
+    manifests = spark.table("cat.db.tbl.manifests").count()
+
+(reference: ``icebergdiag/diagnostics/manager.py:154-186`` — it opens
+every manifest and consumes exactly three fields per DataFile entry:
+``partition`` (a struct), ``file_size_in_bytes``, ``content``; plus
+the manifest count.)
+
+No Iceberg runtime jar (and no pyiceberg) ships in this container, so
+that call cannot execute here. This module pins the SHAPE of the
+integration instead, so the wiring is real and contract-tested even
+though the catalog binding is not exercisable:
+
+- ``FILES_TABLE_SCHEMA`` / ``MANIFESTS_TABLE_SCHEMA`` /
+  ``SNAPSHOTS_TABLE_SCHEMA``: the metadata-table columns as the
+  public Iceberg spec defines them (content codes 0=DATA,
+  1=POSITION_DELETES, 2=EQUALITY_DELETES; partition is a struct typed
+  by the table's partition spec — modeled here with a representative
+  two-field spec, since the engine only requires *a* struct).
+- ``data_files_from_files_table``: the adapter from a real ``.files``
+  DataFrame to the engine's canonical data_files relation. The CLI's
+  catalog path goes through this adapter, so a deployment with the
+  iceberg-spark runtime on the classpath needs no code changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Representative partition-spec struct: identity(date-ish string) +
+# bucket(int). Real tables substitute their own spec-derived fields;
+# the engine contract only requires struct-typed `partition`.
+PARTITION_STRUCT = StructType(
+    [
+        StructField("dt", StringType()),
+        StructField("bucket", IntegerType()),
+    ]
+)
+
+# `.files` metadata table — consumed fields first (content,
+# partition, file_size_in_bytes), plus the spec columns a real scan
+# carries alongside them.
+FILES_TABLE_SCHEMA = StructType(
+    [
+        StructField("content", IntegerType()),
+        StructField("file_path", StringType()),
+        StructField("file_format", StringType()),
+        StructField("spec_id", IntegerType()),
+        StructField("partition", PARTITION_STRUCT),
+        StructField("record_count", LongType()),
+        StructField("file_size_in_bytes", LongType()),
+    ]
+)
+
+# `.manifests` metadata table — the engine consumes only count(*).
+MANIFESTS_TABLE_SCHEMA = StructType(
+    [
+        StructField("content", IntegerType()),
+        StructField("path", StringType()),
+        StructField("length", LongType()),
+        StructField("partition_spec_id", IntegerType()),
+        StructField("added_snapshot_id", LongType()),
+        StructField("added_data_files_count", IntegerType()),
+        StructField("existing_data_files_count", IntegerType()),
+        StructField("deleted_data_files_count", IntegerType()),
+        StructField(
+            "partition_summaries",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("contains_null", BooleanType()),
+                        StructField("contains_nan", BooleanType()),
+                        StructField("lower_bound", StringType()),
+                        StructField("upper_bound", StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+# `.snapshots` metadata table (current-snapshot resolution).
+SNAPSHOTS_TABLE_SCHEMA = StructType(
+    [
+        StructField("committed_at", TimestampType()),
+        StructField("snapshot_id", LongType()),
+        StructField("parent_id", LongType()),
+        StructField("operation", StringType()),
+        StructField("manifest_list", StringType()),
+        StructField("summary", MapType(StringType(), StringType())),
+    ]
+)
+
+
+def data_files_from_files_table(files: DataFrame) -> DataFrame:
+    """Adapter: real ``.files`` metadata DataFrame → the engine's
+    canonical data_files relation (partition_key string,
+    file_size_in_bytes long, content int).
+
+    The struct partition becomes a canonical JSON string key
+    (to_json serializes fields in schema order, which is fixed by the
+    table's partition spec — deterministic across tasks, the Spark
+    analog of the reference's deterministic_repr,
+    table_metrics.py:87-91). Aggregating on the struct directly (P4)
+    is equally valid; the string key keeps the relation
+    parquet-roundtrippable for the --files CLI path.
+    """
+    return files.select(
+        F.to_json(F.col("partition")).alias("partition_key"),
+        F.col("file_size_in_bytes").cast("long").alias("file_size_in_bytes"),
+        F.col("content").cast("int").alias("content"),
+    )
