@@ -714,6 +714,327 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
 
 # --------------------------------------------------------------------
+# Extended relational shapes: multi-join chains, CASE aggregation,
+# LIKE-category filters, scalar/correlated subqueries, NOT EXISTS,
+# window frames (TPC-H Q7/Q10/Q12/Q14/Q17/Q22 adapted to the
+# driver's column subset; nation names are NATION_<k>)
+# --------------------------------------------------------------------
+
+def _q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. Five-way join; all three dims (supplier, customer,
+    nation) broadcast; the only data-bearing shuffle is
+    lineitem↔orders on the order key, then one small agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_rev_cents()).alias("revenue_cents"))
+    )
+
+
+_Q7_SQL = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(date_part('year', l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def _q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    one quarter, top 20. Aggregate-then-rank; the limit is made
+    deterministic with a custkey tie-break."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("cust_nation"),
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        )
+        .agg(F.sum(_rev_cents()).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name AS cust_nation,
+       CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, cust_nation, acctbal_cents
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+def _q12_ship_delay(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: no l_shipmode/receiptdate in the
+    driver schema): lineitems bucketed by ship delay vs order date,
+    CASE-aggregating high- vs low-priority order counts per bucket."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    bucket = (
+        F.when(delay >= 90, "late")
+        .when(delay >= 30, "medium")
+        .otherwise("fast")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) >= 90 THEN 'late'
+            WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) >= 30 THEN 'medium'
+            ELSE 'fast' END AS delay_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_priority_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_priority_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY delay_bucket
+"""
+
+
+def _q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: share of one month's revenue from PROMO-type
+    parts. LIKE-category filter on a broadcast dim + conditional sum
+    ratio; cents keep the sums exact, the final ratio is a
+    deterministic double division."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.col("p_type").like("PROMO%")
+    agg = joined.agg(
+        F.sum(F.when(promo, _rev_cents()).otherwise(F.lit(0).cast("long"))).alias(
+            "promo_cents"
+        ),
+        F.sum(_rev_cents()).alias("total_cents"),
+    )
+    return agg.select(
+        "promo_cents",
+        "total_cents",
+        F.round(
+            F.lit(100.0) * F.col("promo_cents") / F.col("total_cents"), 6
+        ).alias("promo_pct"),
+    )
+
+
+_Q14_SQL = """
+WITH a AS (
+  SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS promo_cents,
+         CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+    AND l_shipdate < TIMESTAMP '1996-10-01'
+)
+SELECT promo_cents, total_cents,
+       round(100.0 * promo_cents / total_cents, 6) AS promo_pct
+FROM a
+"""
+
+
+def _q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from small-quantity orders of one
+    brand's parts. The correlated scalar subquery (per-part average
+    quantity) decorrelates to an aggregate + join — the same plan
+    Catalyst derives from the subquery form."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.count("*").alias("small_lineitems"),
+            (
+                F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+                / F.lit(7)
+            ).cast("long").alias("avg_yearly_cents"),
+        )
+    )
+
+
+_Q17_SQL = """
+WITH t AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS small_lineitems,
+       CAST(FLOOR(sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) / 7) AS BIGINT)
+         AS avg_yearly_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN t USING (l_partkey)
+WHERE p_brand = 'Brand#23' AND l_quantity < qty_threshold
+"""
+
+
+def _q22_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: nationkey set stands in for phone
+    prefixes): customers from a nation set with above-average positive
+    balances and NO orders. Scalar subquery via broadcast cross join
+    (stays in-plan, no driver round-trip) + anti join."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 2, 3, 4, 5, 6, 7)
+    )
+    avg_pos = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")).alias(
+                "totacctbal_cents"
+            ),
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+FROM customer
+WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY nationkey
+"""
+
+
+def _orders_window_analytics(spark, sf_dir):
+    """Window-frame surface in one query: per-customer order sequence
+    with row_number, lag-based inter-order gap, running total
+    (UNBOUNDED PRECEDING) and 3-order moving average (2 PRECEDING).
+    One shuffle on the window partition key serves all four
+    functions."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate"), F.col("o_orderkey")
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = w.rowsBetween(-2, Window.currentRow)
+    prev_date = F.lag(F.col("o_orderdate").cast("date")).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.datediff(F.col("o_orderdate").cast("date"), prev_date)
+        .cast("long")
+        .alias("gap_days"),
+        F.sum(cents).over(running).alias("running_cents"),
+        F.round(F.avg(cents).over(moving), 6).alias("moving_avg_cents"),
+    )
+
+
+_ORDERS_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS BIGINT) AS order_seq,
+       CAST(date_diff('day',
+                      lag(CAST(o_orderdate AS DATE)) OVER w,
+                      CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days,
+       CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+       round(avg(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS moving_avg_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------
 # Dedup / text analysis (documents)
 # --------------------------------------------------------------------
 
@@ -1874,6 +2195,39 @@ REGISTRY: dict[str, QuerySpec] = {
     "revenue_daily_gapfill": QuerySpec(
         _revenue_daily_gapfill, _GAPFILL_SQL,
         "date-spine gap fill (sequence+explode) + cumulative window",
+    ),
+    "q7_nation_volume": QuerySpec(
+        _q7_nation_volume, _Q7_SQL,
+        "TPC-H Q7 shape: 5-way join, all dims broadcast, bilateral "
+        "nation filter, per-year rollup",
+    ),
+    "q10_returned_items": QuerySpec(
+        _q10_returned_items, _Q10_SQL,
+        "TPC-H Q10 shape: returned-item revenue per customer, "
+        "deterministic top-20",
+    ),
+    "q12_ship_delay": QuerySpec(
+        _q12_ship_delay, _Q12_SQL,
+        "TPC-H Q12 shape: derived delay buckets + CASE aggregation",
+    ),
+    "q14_promo_revenue": QuerySpec(
+        _q14_promo_revenue, _Q14_SQL,
+        "TPC-H Q14 shape: LIKE category filter, conditional-sum ratio",
+    ),
+    "q17_small_quantity": QuerySpec(
+        _q17_small_quantity, _Q17_SQL,
+        "TPC-H Q17 shape: correlated scalar subquery decorrelated to "
+        "agg + join",
+    ),
+    "q22_sales_opportunity": QuerySpec(
+        _q22_sales_opportunity, _Q22_SQL,
+        "TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS "
+        "anti join",
+    ),
+    "orders_window_analytics": QuerySpec(
+        _orders_window_analytics, _ORDERS_WINDOW_SQL,
+        "window frames: row_number / lag gap / running sum / 3-row "
+        "moving average over one shuffle",
     ),
     "dedup_exact_groups": QuerySpec(
         _dedup_exact_groups, _DEDUP_EXACT_SQL, "exact dedup via sha256 groups"

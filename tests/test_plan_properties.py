@@ -124,3 +124,11 @@ def test_scans_prune_columns(spark):
     cols = [c.split(":")[0] for c in m.group(1).split(",")]
     assert len(cols) <= 8, cols
     assert "l_partkey" not in cols and "l_suppkey" not in cols
+
+
+def test_q7_broadcasts_all_dims(spark):
+    plan = _plan(spark, "q7_nation_volume")
+    # supplier+nation, customer+nation, and both enriched dims into
+    # the fact join — every dimension side is a broadcast
+    assert _op_count(plan, "BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
