@@ -2139,6 +2139,63 @@ def _stream_user_stats(spark, sf_dir):
     )
 
 
+def _stream_static_join(spark, sf_dir):
+    ev = stream_ops.read_events_stream(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return stream_ops.run_to_table(
+        stream_ops.stream_static_enriched_counts(ev, dim),
+        "complete",
+        "stream_static",
+    )
+
+
+_STREAM_STATIC_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(c_nationkey AS INTEGER) AS nationkey,
+       CAST(count(*) AS BIGINT) AS event_count,
+       CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY window_start, nationkey
+"""
+
+
+def _events_salted_rollup(spark, sf_dir):
+    """Two-stage salted aggregation (functions/skew.py) over the
+    power-law event_type key: results are identical to a plain
+    groupBy — the oracle proves the salt/merge decomposition exact —
+    while the shuffle fans a hot key across 16 subkeys."""
+    from iceberg_diag_spark.functions.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "event_count": ("sum", F.count("*")),
+            "value_cents": (
+                "sum",
+                F.sum(F.floor(F.col("value") * 100).cast("long")),
+            ),
+            "max_value_cents": (
+                "max",
+                F.max(F.floor(F.col("value") * 100).cast("long")),
+            ),
+            "min_user_id": ("min", F.min("user_id")),
+        },
+    )
+
+
+_EVENTS_SALTED_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS event_count,
+       CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(max(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS max_value_cents,
+       CAST(min(user_id) AS BIGINT) AS min_user_id
+FROM events
+GROUP BY event_type
+"""
+
+
 _STREAM_USER_STATS_SQL = """
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS event_count,
@@ -2379,6 +2436,16 @@ REGISTRY: dict[str, QuerySpec] = {
         _stream_user_stats, _STREAM_USER_STATS_SQL,
         "custom stateful op (applyInPandasWithState): per-user running "
         "count/cents/max-ts; final state == batch rollup",
+    ),
+    "stream_static_enrichment": QuerySpec(
+        _stream_static_join, _STREAM_STATIC_SQL,
+        "stream-static broadcast join (stateless) + windowed rollup "
+        "per nation — the slowly-changing-dimension enrichment shape",
+    ),
+    "events_salted_rollup": QuerySpec(
+        _events_salted_rollup, _EVENTS_SALTED_SQL,
+        "two-stage salted aggregation for power-law keys; oracle "
+        "proves the salt/merge decomposition exact",
     ),
     "asof_purchase_attribution": QuerySpec(
         _asof_purchase_attribution, _ASOF_SQL,

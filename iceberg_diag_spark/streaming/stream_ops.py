@@ -260,6 +260,41 @@ def stream_click_purchase_join(
     )
 
 
+def stream_static_enriched_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    size: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static join + windowed rollup: each micro-batch joins
+    the static dimension (broadcast — STATELESS, unlike stream-stream
+    joins: the static side needs no watermark or join state), then
+    aggregates per (window, nation). The canonical enrichment shape
+    for a 100 TB/day stream against slowly-changing dims.
+
+    `dim` carries (c_custkey, c_nationkey); events join on user_id.
+    """
+    enriched = events.withWatermark("ts", watermark).join(
+        F.broadcast(dim), F.col("user_id") == F.col("c_custkey")
+    )
+    return (
+        enriched.groupBy(
+            F.window("ts", size).alias("w"),
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+        )
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "nationkey",
+            "event_count",
+            "value_cents",
+        )
+    )
+
+
 def run_to_table(
     stream_df: DataFrame,
     output_mode: str,
