@@ -85,6 +85,7 @@ def partition_stats_with_after(
     partition_col: str = "partition_key",
     size_col: str = "file_size_in_bytes",
     content_col: str = "content",
+    table_col: str | None = None,
 ) -> DataFrame:
     """BEFORE stats fused with simulated-compaction AFTER stats.
 
@@ -107,7 +108,12 @@ def partition_stats_with_after(
 
     Output: one row per partition — (partition_key, file_count,
     total_size, scan_overhead, data_file_count, data_size,
-    after_file_count, after_scan_overhead).
+    after_file_count, after_scan_overhead). With table_col set, the
+    group key is (table, partition) and the table column is carried
+    through — the multi-table single-job path (SURVEY §2 X1: the
+    reference fans a thread pool across tables; here every table's
+    metadata is one unioned relation and Spark schedules all tables'
+    partitions as one job).
     """
     import numpy as np
     import pandas as pd
@@ -115,6 +121,7 @@ def partition_stats_with_after(
     fetch = FETCH_SIZE
     cap = MAX_GROUP_BYTE_SIZE
     ms = MILLISECONDS_PER_SCAN
+    group_cols = ([table_col] if table_col else []) + [partition_col]
 
     def _stats(pdf: pd.DataFrame) -> pd.DataFrame:
         sizes = pdf[size_col].to_numpy(dtype="int64")
@@ -144,10 +151,11 @@ def partition_stats_with_after(
                 groups += 1
                 base = int(ps[e])
                 start = e + 1
+        key_vals = [pdf[c].iloc[0] for c in group_cols]
         return pd.DataFrame(
             [
-                [
-                    pdf[partition_col].iloc[0],
+                key_vals
+                + [
                     file_count,
                     total_size,
                     scan_overhead,
@@ -157,54 +165,55 @@ def partition_stats_with_after(
                     aoh,
                 ]
             ],
-            columns=[
-                "partition_key",
-                "file_count",
-                "total_size",
-                "scan_overhead",
-                "data_file_count",
-                "data_size",
-                "after_file_count",
-                "after_scan_overhead",
-            ],
+            columns=(
+                ([table_col] if table_col else [])
+                + [
+                    "partition_key",
+                    "file_count",
+                    "total_size",
+                    "scan_overhead",
+                    "data_file_count",
+                    "data_size",
+                    "after_file_count",
+                    "after_scan_overhead",
+                ]
+            ),
         )
 
+    schema = _PART_AFTER_SCHEMA
+    if table_col:
+        schema = f"{table_col} string, " + schema
     cols = files.select(
-        F.col(partition_col).alias(partition_col),
+        *[F.col(c) for c in group_cols],
         F.col(size_col),
         F.col(content_col),
     )
-    return cols.groupBy(partition_col).applyInPandas(
-        _stats, schema=_PART_AFTER_SCHEMA
-    )
+    return cols.groupBy(*group_cols).applyInPandas(_stats, schema=schema)
 
 
-def table_metrics(files: DataFrame, manifest_files_count: int = 0) -> DataFrame:
-    """The flagship diagnostics query: 9 metrics with before / after /
-    improvement, exactly matching the reference's local mode.
+def _aggregate_per_part(per_part: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Second-level aggregation over per-partition rows (A2-A7 + the
+    A10 argmax), optionally grouped by table for the multi-table
+    single-job path. The manifest term of FULL_SCAN_OVERHEAD is added
+    by the caller (it is per-table external state, not derivable from
+    the files relation).
 
-    Output: (metric string, ordinal int, before double, after double
-    nullable, improvement double nullable) — 9 rows.
+    Argmax by reduction (A10, table_metrics.py:134-153): track the
+    partition with max (before - after) reduction; only reductions
+    strictly > 0 qualify (initial max is 0). max() over a struct
+    orders lexicographically — reduction first — so one aggregate
+    replaces the reference's sequential scan. Ties: the reference
+    takes first-seen (dict order); we break by larger before value,
+    deterministic under any partitioning.
     """
-    per_part = partition_stats_with_after(files)
-
-    # Argmax by reduction (A10, table_metrics.py:134-153): track the
-    # partition with max (before - after) reduction; only reductions
-    # strictly > 0 qualify (initial max is 0). max() over a struct
-    # orders lexicographically — reduction first — so one aggregate
-    # replaces the reference's sequential scan. Ties: the reference
-    # takes first-seen (dict order); we break by larger before value,
-    # deterministic under any partitioning.
     fc_red = F.col("file_count") - F.col("after_file_count")
     oh_red = F.col("scan_overhead") - F.col("after_scan_overhead")
 
-    g = per_part.agg(
+    base = per_part.groupBy(*group_cols) if group_cols else per_part
+    return base.agg(
         F.coalesce(F.sum("file_count"), F.lit(0)).alias("file_count"),
         F.coalesce(F.sum("total_size"), F.lit(0)).alias("total_size"),
-        (
-            F.coalesce(F.sum("scan_overhead"), F.lit(0))
-            + F.lit(manifest_files_count * MILLISECONDS_PER_SCAN)
-        ).alias("full_scan_overhead"),
+        F.coalesce(F.sum("scan_overhead"), F.lit(0)).alias("scan_overhead_sum"),
         F.coalesce(F.sum("data_file_count"), F.lit(0)).alias("data_file_count"),
         F.coalesce(F.sum("data_size"), F.lit(0)).alias("data_size"),
         F.count("*").alias("total_partitions"),
@@ -240,6 +249,11 @@ def table_metrics(files: DataFrame, manifest_files_count: int = 0) -> DataFrame:
         ).alias("worst_oh"),
     )
 
+def _nine_metric_rows(g: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Unpivot the aggregated stats (with full_scan_overhead already
+    including the manifest term) into the 9-row metric layout, with
+    improvement (A11). key_cols pass through (empty for single-table,
+    ["table_name"] for the multi-table job)."""
     g = g.select(
         "*",
         (F.col("data_size") / F.col("data_file_count")).alias("_avg_raw"),
@@ -290,7 +304,9 @@ def table_metrics(files: DataFrame, manifest_files_count: int = 0) -> DataFrame:
             )
         )
 
-    rows = g.select(F.explode(F.array(*pairs)).alias("m")).select("m.*")
+    rows = g.select(
+        *key_cols, F.explode(F.array(*pairs)).alias("m")
+    ).select(*key_cols, "m.*")
 
     # Improvement (A11, table_metric.py:67-70): (1 - after/before)*100;
     # 0 when both are 0; +inf when before is 0 but after isn't; NULL
@@ -301,4 +317,53 @@ def table_metrics(files: DataFrame, manifest_files_count: int = 0) -> DataFrame:
         .when(F.col("before") == 0, F.lit(float("inf")))
         .otherwise((F.lit(1.0) - F.col("after") / F.col("before")) * 100.0)
     )
-    return rows.withColumn("improvement", improvement).orderBy("ordinal")
+    return rows.withColumn("improvement", improvement).orderBy(
+        *key_cols, "ordinal"
+    )
+
+
+def table_metrics(files: DataFrame, manifest_files_count: int = 0) -> DataFrame:
+    """The flagship diagnostics query: 9 metrics with before / after /
+    improvement, exactly matching the reference's local mode.
+
+    Output: (metric string, ordinal int, before double, after double
+    nullable, improvement double nullable) — 9 rows.
+    """
+    per_part = partition_stats_with_after(files)
+    g = _aggregate_per_part(per_part, []).withColumn(
+        "full_scan_overhead",
+        F.col("scan_overhead_sum")
+        + F.lit(manifest_files_count * MILLISECONDS_PER_SCAN),
+    )
+    return _nine_metric_rows(g, [])
+
+
+def multi_table_metrics(
+    files: DataFrame,
+    manifest_counts: DataFrame,
+    table_col: str = "table_name",
+) -> DataFrame:
+    """ALL tables' diagnostics in ONE Spark job (SURVEY §2 X1 as a
+    unioned job instead of the reference's 10-thread pool): `files`
+    carries a table_name column (union of every table's `.files`
+    relation), `manifest_counts` is the small (table_name,
+    manifest_count) side — broadcast, since it is one row per table.
+
+    Output: 9 metric rows per table, keyed by table_name. Scale
+    shape: one exchange on (table, partition) feeds the fused
+    stats+pack pass, one tiny per-table aggregate follows — 1000
+    tables schedule as ordinary partitions of one job, not 1000
+    sequential jobs.
+    """
+    per_part = partition_stats_with_after(files, table_col=table_col)
+    g = (
+        _aggregate_per_part(per_part, [table_col])
+        .join(F.broadcast(manifest_counts), table_col, "left")
+        .withColumn(
+            "full_scan_overhead",
+            F.col("scan_overhead_sum")
+            + F.coalesce(F.col("manifest_count"), F.lit(0))
+            * MILLISECONDS_PER_SCAN,
+        )
+    )
+    return _nine_metric_rows(g, [table_col])

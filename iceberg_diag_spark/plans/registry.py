@@ -169,40 +169,53 @@ def _diag_binpack(spark, sf_dir):
 # one past it. Recursion depth = max groups per partition (~hundreds
 # at sf0.1), not rows (~tens of thousands), so the oracle stays fast.
 # Ties between equal sizes don't affect per-group (count, total).
-_BINPACK_CTE = f"""
+# Parametrized over the grouping keys so the same recursion serves
+# the single-table proxy (partition_key) and the multi-table unioned
+# job (table_name, partition_key).
+def _binpack_cte(keys: list[str]) -> str:
+    kl = ", ".join(keys)
+    b_kl = ", ".join(f"b.{k}" for k in keys)
+    p_eq_b = " AND ".join(f"p.{k} = b.{k}" for k in keys)
+    b_eq_p = " AND ".join(f"b.{k} = p.{k}" for k in keys)
+    q_kl = ", ".join(f"q.{k}" for k in keys)
+    p_kl = ", ".join(f"p.{k}" for k in keys)
+    return f"""
 data AS (
-  SELECT partition_key, file_size_in_bytes AS sz,
-         row_number() OVER (PARTITION BY partition_key
+  SELECT {kl}, file_size_in_bytes AS sz,
+         row_number() OVER (PARTITION BY {kl}
                             ORDER BY file_size_in_bytes) AS rn
   FROM files WHERE content = 0
 ),
 pre AS (
-  SELECT partition_key, sz, rn,
-         sum(sz) OVER (PARTITION BY partition_key ORDER BY rn) AS ps
+  SELECT {kl}, sz, rn,
+         sum(sz) OVER (PARTITION BY {kl} ORDER BY rn) AS ps
   FROM data
 ),
 bounds AS (
-  SELECT partition_key, 0 AS gid, CAST(1 AS BIGINT) AS srn,
+  SELECT {kl}, 0 AS gid, CAST(1 AS BIGINT) AS srn,
          CAST(0 AS HUGEINT) AS base
-  FROM (SELECT DISTINCT partition_key FROM data)
+  FROM (SELECT DISTINCT {kl} FROM data)
   UNION ALL
-  SELECT q.partition_key, q.gid + 1, q.ern + 1, q.eps
+  SELECT {q_kl}, q.gid + 1, q.ern + 1, q.eps
   FROM (
-    SELECT b.partition_key, b.gid, min(p.rn) AS ern, min(p.ps) AS eps
+    SELECT {b_kl}, b.gid, min(p.rn) AS ern, min(p.ps) AS eps
     FROM bounds b
-    JOIN pre p ON p.partition_key = b.partition_key
+    JOIN pre p ON {p_eq_b}
               AND p.rn >= b.srn
               AND p.ps - b.base > 786432000
-    GROUP BY b.partition_key, b.gid
+    GROUP BY {b_kl}, b.gid
   ) q
 ),
 assigned AS (
-  SELECT p.partition_key, p.rn, p.sz, max(b.gid) AS gid
+  SELECT {p_kl}, p.rn, p.sz, max(b.gid) AS gid
   FROM pre p
-  JOIN bounds b ON b.partition_key = p.partition_key AND p.rn >= b.srn
-  GROUP BY p.partition_key, p.rn, p.sz
+  JOIN bounds b ON {b_eq_p} AND p.rn >= b.srn
+  GROUP BY {p_kl}, p.rn, p.sz
 )
 """
+
+
+_BINPACK_CTE = _binpack_cte(["partition_key"])
 
 
 _DIAG_BINPACK_SQL = f"""
@@ -217,36 +230,49 @@ GROUP BY partition_key, gid
 """
 
 
-_DIAG_METRICS_SQL = f"""
-WITH RECURSIVE files AS ({FILES_CTE}),
-{_BINPACK_CTE},
+def _metrics_sql(files_cte: str, table_keys: list[str], manifest_term: str) -> str:
+    """Full 9-metric oracle SQL, parametrized: table_keys=[] for the
+    single-table proxy, ["table_name"] for the multi-table unioned
+    job. manifest_term is SQL for the per-table manifest count added
+    to FULL_SCAN_OVERHEAD."""
+    part_keys = table_keys + ["partition_key"]
+    pk = ", ".join(part_keys)
+    tk = ", ".join(table_keys)
+    tk_pre = f"{tk}, " if table_keys else ""
+    g_tk = ", ".join(f"g.{k}" for k in table_keys)
+    g_tk_pre = f"{g_tk}, " if table_keys else ""
+    group_g = f"GROUP BY {tk}" if table_keys else ""
+    return f"""
+WITH RECURSIVE files AS ({files_cte}),
+{_binpack_cte(part_keys)},
 grp AS (
-  SELECT partition_key, gid, count(*) AS cnt, sum(sz) AS gsz
-  FROM assigned GROUP BY 1, 2
+  SELECT {pk}, gid, count(*) AS cnt, sum(sz) AS gsz
+  FROM assigned GROUP BY {pk}, gid
 ),
 after_p AS (
-  SELECT partition_key,
+  SELECT {pk},
          count(*) AS afc,
          sum(gsz // 33554432 + 2) AS aoh
-  FROM grp GROUP BY 1
+  FROM grp GROUP BY {pk}
 ),
 before_p AS (
-  SELECT partition_key,
+  SELECT {pk},
          count(*) AS fc,
          sum(file_size_in_bytes) AS ts,
          sum(file_size_in_bytes // 33554432 + 2) AS oh,
          sum(CASE WHEN content = 0 THEN 1 ELSE 0 END) AS dfc,
          coalesce(sum(CASE WHEN content = 0 THEN file_size_in_bytes END), 0) AS dsz
-  FROM files GROUP BY 1
+  FROM files GROUP BY {pk}
 ),
 p AS (
   SELECT b.*, coalesce(a.afc, 0) AS afc, coalesce(a.aoh, 0) AS aoh
-  FROM before_p b LEFT JOIN after_p a USING (partition_key)
+  FROM before_p b LEFT JOIN after_p a USING ({pk})
 ),
 g AS (
-  SELECT CAST(sum(fc) AS DOUBLE) AS file_count,
+  SELECT {tk_pre}
+         CAST(sum(fc) AS DOUBLE) AS file_count,
          CAST(sum(ts) AS DOUBLE) AS total_size,
-         CAST(sum(oh) + {PROXY_MANIFEST_COUNT} AS DOUBLE) AS full_scan_overhead,
+         CAST(sum(oh) + ({manifest_term}) AS DOUBLE) AS full_scan_overhead,
          CASE WHEN sum(dfc) > 0
               THEN CAST(sum(dsz) AS DOUBLE) / CAST(sum(dfc) AS DOUBLE)
               ELSE 0.0 END AS avg_file_size,
@@ -262,9 +288,10 @@ g AS (
                   THEN struct_pack(r := oh - aoh, b := oh, a := aoh) END)
            AS worst_oh
   FROM p
+  {group_g}
 ),
 sel AS (
-  SELECT m.metric, m.ordinal,
+  SELECT {g_tk_pre}m.metric, m.ordinal,
          CASE m.metric
            WHEN 'FULL_SCAN_OVERHEAD' THEN g.full_scan_overhead
            WHEN 'WORST_SCAN_OVERHEAD' THEN CAST(coalesce(g.worst_oh.b, 0) AS DOUBLE)
@@ -290,7 +317,7 @@ sel AS (
     ('TOTAL_PARTITIONS', 8)
   ) m(metric, ordinal)
 )
-SELECT metric, CAST(ordinal AS INTEGER) AS ordinal, before, after,
+SELECT {tk_pre}metric, CAST(ordinal AS INTEGER) AS ordinal, before, after,
        CASE WHEN after IS NULL THEN NULL
             WHEN before = 0 AND after = 0 THEN 0.0
             WHEN before = 0 THEN CAST('inf' AS DOUBLE)
@@ -298,6 +325,44 @@ SELECT metric, CAST(ordinal AS INTEGER) AS ordinal, before, after,
        END AS improvement
 FROM sel
 """
+
+
+_DIAG_METRICS_SQL = _metrics_sql(FILES_CTE, [], str(PROXY_MANIFEST_COUNT))
+
+_MULTI_FILES_CTE = """
+  SELECT 'tbl_' || l_linestatus AS table_name,
+         l_returnflag AS partition_key,
+         CAST(FLOOR(l_extendedprice * 1000) AS BIGINT) AS file_size_in_bytes,
+         CAST(l_linenumber % 3 AS INTEGER) AS content
+  FROM lineitem
+"""
+
+_DIAG_METRICS_MULTI_SQL = _metrics_sql(
+    _MULTI_FILES_CTE,
+    ["table_name"],
+    "CASE table_name WHEN 'tbl_O' THEN 10 WHEN 'tbl_F' THEN 20 ELSE 0 END",
+)
+
+
+def _diag_metrics_multi(spark, sf_dir):
+    """X1 as a single unioned Spark job: every table's `.files`
+    relation unioned with a table_name column, all 9 metrics for all
+    tables computed at once (two proxy tables split from lineitem by
+    l_linestatus; per-table manifest counts broadcast)."""
+    from iceberg_diag_spark.functions.parallel import ensure_parallelism
+    from iceberg_diag_spark.operators.diagnostics import multi_table_metrics
+
+    li = ensure_parallelism(_t(spark, sf_dir, "lineitem"))
+    files = li.select(
+        F.concat(F.lit("tbl_"), F.col("l_linestatus")).alias("table_name"),
+        F.col("l_returnflag").alias("partition_key"),
+        (F.col("l_extendedprice") * 1000).cast("long").alias("file_size_in_bytes"),
+        (F.col("l_linenumber") % 3).cast("int").alias("content"),
+    )
+    mcounts = spark.createDataFrame(
+        [("tbl_O", 10), ("tbl_F", 20)], "table_name string, manifest_count int"
+    )
+    return multi_table_metrics(files, mcounts)
 
 
 # --------------------------------------------------------------------
@@ -2224,6 +2289,12 @@ REGISTRY: dict[str, QuerySpec] = {
         _diag_binpack, _DIAG_BINPACK_SQL,
         "A9 greedy bin-packing groups per partition "
         "(group-boundary recursive-CTE oracle over prefix sums)",
+    ),
+    "diag_metrics_multi_table": QuerySpec(
+        _diag_metrics_multi, _DIAG_METRICS_MULTI_SQL,
+        "X1 as one unioned Spark job: all tables' 9-metric "
+        "diagnostics at once (vs the reference's 10-thread pool); "
+        "per-table manifest counts broadcast",
     ),
     "q1_pricing_summary": QuerySpec(_q1, _Q1_SQL, "TPC-H Q1 shape"),
     "q3_shipping_priority": QuerySpec(_q3, _Q3_SQL, "TPC-H Q3 shape, top-10"),
