@@ -46,6 +46,17 @@ HEADLINE = [
     "media_frame_sample",
     "media_byte_histogram",
     "stream_tumbling_counts",
+    # round 2 additions
+    "diag_metrics_multi_table",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q12_ship_delay",
+    "q14_promo_revenue",
+    "q17_small_quantity",
+    "q22_sales_opportunity",
+    "orders_window_analytics",
+    "events_salted_rollup",
+    "simhash_near_dup",
 ]
 
 

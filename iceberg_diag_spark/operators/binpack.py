@@ -16,6 +16,14 @@ KBs per partition group), so a per-group pandas fold is cheap and the
 shuffle is keyed by partition value with map-side combine upstream.
 The output is one row per (partition, group) — already aggregated, so
 no large pandas frames are returned.
+
+Parallelism caveat (inherent to the reference's per-partition fold):
+task parallelism equals the number of distinct partition values, so
+an UNPARTITIONED table folds in one task. That task is still only
+O(n log n) over that table's file-count metadata (pack_group_stats
+makes the aggregate form O(#groups log n)); a table whose *file
+count* alone is too large for one task has bigger problems than this
+fold.
 """
 
 from __future__ import annotations
@@ -51,6 +59,38 @@ def pack_sizes(sizes, max_bytes_per_group: int = MAX_GROUP_BYTE_SIZE):
     if count:
         groups.append((count, total))
     return groups
+
+
+def pack_group_stats(sizes, max_bytes_per_group: int = MAX_GROUP_BYTE_SIZE):
+    """Vectorized aggregate form of the fold: (n_groups,
+    sum-of-group read costs) without materializing per-group rows —
+    O(#groups · log n) via prefix sums + searchsorted. Used by the
+    fused diagnostics pass; property-tested equal to pack_sizes.
+
+    A group starting at index s with base = P(s-1) ends at the FIRST
+    index e where P(e) - base > cap (check-before-append includes the
+    crossing row), or at the last row when no crossing remains.
+    """
+    from iceberg_diag_spark.functions.cost import FETCH_SIZE
+
+    data = np.sort(np.asarray(sizes, dtype="int64"))
+    n = int(data.size)
+    groups = 0
+    cost = 0
+    if n:
+        ps = np.cumsum(data)
+        base = 0
+        start = 0
+        while start < n:
+            e = int(np.searchsorted(ps, base + max_bytes_per_group, side="right"))
+            if e >= n:
+                e = n - 1
+            total = int(ps[e]) - base
+            cost += total // FETCH_SIZE + 2
+            groups += 1
+            base = int(ps[e])
+            start = e + 1
+    return groups, cost
 
 
 def binpack_groups(

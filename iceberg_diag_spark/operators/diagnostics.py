@@ -34,6 +34,7 @@ from iceberg_diag_spark.functions.cost import (
     MILLISECONDS_PER_SCAN,
     scan_overhead_ms,
 )
+from iceberg_diag_spark.operators.binpack import pack_group_stats
 
 # Display order + reference display names (table_metric.py:9-18).
 METRICS = [
@@ -129,28 +130,11 @@ def partition_stats_with_after(
         file_count = int(sizes.size)
         total_size = int(sizes.sum())
         scan_overhead = int((sizes // fetch + 2).sum()) * ms
-        data = np.sort(sizes[content == CONTENT_DATA])
+        data = sizes[content == CONTENT_DATA]
         dfc = int(data.size)
         dsz = int(data.sum())
-        groups = 0
-        aoh = 0
-        if dfc:
-            ps = np.cumsum(data)
-            base = 0
-            start = 0
-            while start < dfc:
-                # group = rows [start..e] where e is the FIRST index
-                # whose group-relative prefix sum exceeds the cap
-                # (check-before-append: the crossing row is included),
-                # or the last row if no crossing remains.
-                e = int(np.searchsorted(ps, base + cap, side="right"))
-                if e >= dfc:
-                    e = dfc - 1
-                total = int(ps[e]) - base
-                aoh += (total // fetch + 2) * ms
-                groups += 1
-                base = int(ps[e])
-                start = e + 1
+        groups, cost = pack_group_stats(data, cap)
+        aoh = cost * ms
         key_vals = [pdf[c].iloc[0] for c in group_cols]
         return pd.DataFrame(
             [

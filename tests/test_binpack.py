@@ -9,6 +9,7 @@ import random
 
 from hypothesis import given, settings, strategies as st
 
+from iceberg_diag_spark.functions.cost import MAX_GROUP_BYTE_SIZE
 from iceberg_diag_spark.operators.binpack import binpack_groups, pack_sizes
 
 MIB = 1024 * 1024
@@ -73,3 +74,36 @@ def test_spark_binpack_matches_local(spark):
     assert len(got) == sum(
         len(pack_sizes([s for k, s in rows if k == p])) for p in {f"p{i}" for i in range(5)}
     )
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=2_000 * 1024 * 1024),
+            # adversarial: exact cap multiples and off-by-one sizes
+            st.sampled_from(
+                [
+                    0,
+                    1,
+                    MAX_GROUP_BYTE_SIZE,
+                    MAX_GROUP_BYTE_SIZE - 1,
+                    MAX_GROUP_BYTE_SIZE + 1,
+                ]
+            ),
+        ),
+        max_size=200,
+    )
+)
+def test_pack_group_stats_equals_reference_fold(sizes):
+    """The O(#groups log n) searchsorted fold used by the fused
+    diagnostics pass must agree with the reference check-before-append
+    fold on group count AND total read cost for any input, including
+    zero sizes and cap-exact boundaries."""
+    from iceberg_diag_spark.functions.cost import FETCH_SIZE
+    from iceberg_diag_spark.operators.binpack import pack_group_stats
+
+    groups = pack_sizes(sizes)
+    want_cost = sum(total // FETCH_SIZE + 2 for _, total in groups)
+    got_groups, got_cost = pack_group_stats(sizes)
+    assert got_groups == len(groups)
+    assert got_cost == want_cost
