@@ -76,6 +76,20 @@ def main() -> None:
 
     spark.range(0, 64, 1, 32).mapInPandas(_noop, "id long").collect()
 
+    # Warm the streaming engine too (micro-batch machinery, state
+    # store, sink codegen) with a tiny sf0.001 drain, so the stream_*
+    # entries measure the query rather than first-stream-in-session
+    # initialization (~3 s of JVM warmup otherwise).
+    from iceberg_diag_spark.streaming import stream_ops as _so
+
+    _so.run_to_table(
+        _so.tumbling_counts(
+            _so.read_events_stream(spark, "/root/testdata/sf0.001")
+        ),
+        "complete",
+        "bench_warmup",
+    )
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

@@ -1588,6 +1588,80 @@ _CORPUS_CURATION_SQL = _CORPUS_CURATION_SQL.format(
 )
 
 
+def _curated_near_dup(spark, sf_dir):
+    """End-to-end composition: text curation (exact dedup survivor +
+    quality gates) feeding embedding near-dup — dedup the corpus
+    FIRST, then look for semantic near-duplicates among survivors
+    only (the standard ordering in a training-data pipeline: exact
+    dedup is cheap and shrinks the quadratic-risk input). The
+    survivor set semi-joins the embeddings on vec_id == doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    q = textops.quality_exprs()
+    enriched = dedup.ensure_parallelism(docs).select(
+        "doc_id",
+        F.sha2(dedup.normalized_text(F.col("text")), 256).alias("__ch"),
+        q["type_token_ratio"].alias("__ttr"),
+        q["alpha_ratio"].alias("__alpha"),
+    )
+    keep = F.min("doc_id").over(Window.partitionBy("__ch"))
+    survivors = (
+        enriched.withColumn("__keep", keep)
+        .filter(
+            (F.col("doc_id") == F.col("__keep"))
+            & (F.col("__ttr") >= 0.4)
+            & (F.col("__alpha") >= 0.6)
+        )
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    emb = _t(spark, sf_dir, "embeddings").join(survivors, "vec_id", "semi")
+    return similarity.embedding_near_dup(emb, threshold=0.45)
+
+
+_CURATED_NEAR_DUP_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, text,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+enr AS (
+  SELECT doc_id,
+         sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS ttr,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS alpha
+  FROM norm
+),
+surv AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ttr, alpha, min(doc_id) OVER (PARTITION BY ch) AS keep
+    FROM enr
+  ) WHERE doc_id = keep AND ttr >= 0.4 AND alpha >= 0.6
+),
+emb AS (
+  SELECT * FROM embeddings WHERE vec_id IN (SELECT doc_id FROM surv)
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+),
+terms AS (
+  SELECT vec_a, vec_b, unnest(va) AS x, unnest(vb) AS y FROM pairs
+),
+scored AS (
+  SELECT vec_a, vec_b,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dotp,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS aa,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS bb
+  FROM terms GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b,
+       round(dotp / (sqrt(aa) * sqrt(bb)), 6) AS cos_sim
+FROM scored
+WHERE dotp / (sqrt(aa) * sqrt(bb)) >= 0.45
+"""
+
+
 # --------------------------------------------------------------------
 # Similarity search (embeddings)
 # --------------------------------------------------------------------
@@ -2408,6 +2482,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "embedding_near_dup": QuerySpec(
         _emb_near_dup, _EMB_NEAR_DUP_SQL,
         "embedding-cosine near-dup pairs above threshold",
+    ),
+    "curated_embedding_near_dup": QuerySpec(
+        _curated_near_dup, _CURATED_NEAR_DUP_SQL,
+        "composition: exact-dedup + quality curation gating the "
+        "embedding near-dup (dedup first shrinks the quadratic input)",
     ),
     "ann_cosine_topk": QuerySpec(
         _ann_topk, _ANN_TOPK_SQL, "brute-force cosine top-5 for 10 queries"
