@@ -1055,6 +1055,89 @@ GROUP BY nationkey
 """
 
 
+def _orders_status_pivot(spark, sf_dir):
+    """PIVOT surface: order counts and money cents per priority,
+    pivoted to one column group per order status. Explicit pivot
+    values keep the plan a single pass (no distinct-values job) and
+    the output schema static."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("orders"),
+            F.sum(cents).alias("cents"),
+        )
+        .select(
+            "o_orderpriority",
+            F.coalesce("F_orders", F.lit(0)).alias("f_orders"),
+            F.coalesce("F_cents", F.lit(0)).alias("f_cents"),
+            F.coalesce("O_orders", F.lit(0)).alias("o_orders"),
+            F.coalesce("O_cents", F.lit(0)).alias("o_cents"),
+            F.coalesce("P_orders", F.lit(0)).alias("p_orders"),
+            F.coalesce("P_cents", F.lit(0)).alias("p_cents"),
+        )
+    )
+
+
+_ORDERS_PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_orders,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS f_cents,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_orders,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS o_cents,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_orders,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS p_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def _churned_buyers_except(spark, sf_dir):
+    """Set-difference surface (EXCEPT/subtract): customers who ordered
+    in 1996 but not in 1997, enriched with name and balance. EXCEPT
+    DISTINCT semantics on the key projection keep the subtract a
+    hash-based set op on a uniform key."""
+    orders = _t(spark, sf_dir, "orders")
+    in_1996 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    in_1997 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    # subtract == EXCEPT DISTINCT (exceptAll would only cancel one
+    # occurrence per match, leaving repeat 1996 buyers behind)
+    churned = in_1996.subtract(in_1997)
+    cust = _t(spark, sf_dir, "customer")
+    return churned.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+
+
+_CHURNED_EXCEPT_SQL = """
+WITH churned AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  EXCEPT
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT c_custkey, c_name,
+       CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM churned JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def _orders_window_analytics(spark, sf_dir):
     """Window-frame surface in one query: per-customer order sequence
     with row_number, lag-based inter-order gap, running total
@@ -2430,6 +2513,14 @@ REGISTRY: dict[str, QuerySpec] = {
         _orders_window_analytics, _ORDERS_WINDOW_SQL,
         "window frames: row_number / lag gap / running sum / 3-row "
         "moving average over one shuffle",
+    ),
+    "orders_status_pivot": QuerySpec(
+        _orders_status_pivot, _ORDERS_PIVOT_SQL,
+        "PIVOT with explicit values (single-pass, static schema)",
+    ),
+    "churned_buyers_except": QuerySpec(
+        _churned_buyers_except, _CHURNED_EXCEPT_SQL,
+        "set difference (EXCEPT): 1996 buyers absent in 1997",
     ),
     "dedup_exact_groups": QuerySpec(
         _dedup_exact_groups, _DEDUP_EXACT_SQL, "exact dedup via sha256 groups"
