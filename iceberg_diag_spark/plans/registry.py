@@ -2030,6 +2030,39 @@ def _events_top_users(spark, sf_dir):
     return sketches.approx_top_users(_t(spark, sf_dir, "events"))
 
 
+def _events_top_counts(spark, sf_dir):
+    """The hash-checkable projection of the heavy-hitters sketch:
+    (event_type, rank, est_count). WHICH user occupies a tied rank is
+    engine-private, but the count MULTISET of the true top-k is
+    invariant under any tie-break when the sketch is exact (test
+    cardinality << maxItemsTracked), so re-ranking by est_count makes
+    the (rank, count) pairs deterministic and oracle-equal."""
+    top = sketches.approx_top_users(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("est_count"), F.asc("user_id")
+    )
+    return top.select(
+        "event_type",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("est_count"),
+    )
+
+
+_EVENTS_TOP_COUNTS_SQL = """
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id) AS rk
+  FROM c
+)
+SELECT event_type, CAST(rk AS BIGINT) AS rank, CAST(n AS BIGINT) AS est_count
+FROM r WHERE rk <= 5
+"""
+
+
 def _orders_decimal_totals(spark, sf_dir):
     """Exact decimal aggregation (SURVEY §1.2 'decimals — available
     free'): money as DECIMAL(18,2) — the cast to 2-decimal scale
@@ -2614,7 +2647,13 @@ REGISTRY: dict[str, QuerySpec] = {
         "(fixed-size state). Rows-only BY NECESSITY: counts are exact "
         "at test cardinality (multiset pinned vs exact top-k in "
         "tests), but the sketch's pick among boundary-TIED users is "
-        "engine-private, so the identity set cannot hash-match",
+        "engine-private, so the identity set cannot hash-match — see "
+        "events_top_counts_approx for the hash-checkable projection",
+    ),
+    "events_top_counts_approx": QuerySpec(
+        _events_top_counts, _EVENTS_TOP_COUNTS_SQL,
+        "tie-invariant (rank, count) projection of the heavy-hitters "
+        "sketch — hash-checked against exact top-k",
     ),
     "events_funnel": QuerySpec(
         _events_funnel, _EVENTS_FUNNEL_SQL,
