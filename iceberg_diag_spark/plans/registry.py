@@ -1507,6 +1507,101 @@ FROM reach GROUP BY node
 """
 
 
+def _near_dup_pagerank(spark, sf_dir):
+    """PageRank over the MinHash-LSH near-dup graph (second iterative
+    algorithm beside connected components): duplicate-cluster hubs
+    rank highest — a centrality signal for choosing cluster
+    representatives."""
+    from iceberg_diag_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    return pagerank(docs.select("doc_id"), pairs, iterations=10)
+
+
+# Oracle: same minhash chain as the clusters oracle, then ten
+# UNROLLED pagerank rounds (recursive CTEs cannot aggregate in the
+# recursive term, but a fixed iteration count is just ten chained
+# plain CTEs). Summation-order float drift across engines is ~1e-15
+# relative — far inside the round(9) contract.
+_PAGERANK_PREFIX = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(
+             generate_series(0, greatest(len(toks) - 3, 0)),
+             i -> array_to_string(toks[i + 1 : i + 3], ' ')))
+         ELSE [] END AS grams
+  FROM norm
+),
+eg AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
+hh AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(gram), 1, 8))::BIGINT AS g1,
+         ('0x' || substring(md5(gram), 9, 8))::BIGINT AS g2
+  FROM eg
+),
+sig AS (
+  SELECT doc_id, seed, min((g1 + seed * g2) % 4294967296) AS minhash
+  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, seed
+),
+keys AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         array_to_string(list(minhash ORDER BY seed), '|') AS band_key
+  FROM sig GROUP BY doc_id, band
+),
+prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys a
+  JOIN keys b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION ALL
+  SELECT doc_b, doc_a FROM prs
+),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+pr0 AS (
+  SELECT doc_id AS node, 1.0 / nn.n AS rank FROM documents CROSS JOIN nn
+)
+"""
+
+
+def _pagerank_round(i: int) -> str:
+    return f"""
+pr{i + 1} AS (
+  SELECT p.node,
+         (0.15 / nn.n) + 0.85 * coalesce(c.s, 0.0) AS rank
+  FROM (SELECT node FROM pr0) p
+  CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(pp.rank / dg.d) AS s
+    FROM edges e
+    JOIN pr{i} pp ON pp.node = e.src
+    JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = p.node
+)
+"""
+
+
+_PAGERANK_SQL = (
+    _PAGERANK_PREFIX
+    + ","
+    + ",".join(_pagerank_round(i) for i in range(10))
+    + """
+SELECT node AS doc_id, round(rank, 9) AS pagerank FROM pr10
+"""
+)
+
+
 def _quality_scores(spark, sf_dir):
     return textops.quality_scores(_t(spark, sf_dir, "documents")).select(
         "doc_id",
@@ -2597,6 +2692,11 @@ REGISTRY: dict[str, QuerySpec] = {
         "connected components over the MinHash-LSH pair graph "
         "(iterative min-label propagation, lineage-checkpointed; "
         "oracle via DuckDB recursive CTE)",
+    ),
+    "near_dup_pagerank": QuerySpec(
+        _near_dup_pagerank, _PAGERANK_SQL,
+        "PageRank over the near-dup graph (10 synchronous rounds, "
+        "lineage-checkpointed; oracle = ten unrolled SQL rounds)",
     ),
     "corpus_curation": QuerySpec(
         _corpus_curation, _CORPUS_CURATION_SQL,
