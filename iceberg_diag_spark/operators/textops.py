@@ -154,3 +154,53 @@ def lang_stats(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (keyword extraction):
+    tf = term count in the doc, idf = ln(N / df), score = tf * idf.
+
+    Shape: one explode → tf aggregate on (doc, term); df aggregate on
+    term reuses the same relation; the corpus size N joins in-plan as
+    a broadcast single-row aggregate (no driver round-trip). The
+    top-k window ranks by an INTEGER key (tf * round(idf * 1e6)) with
+    a term tie-break — float ulp differences between engines' ln()
+    cannot reorder it, so the result is hash-checkable; the reported
+    score is the double rounded to 6.
+
+    Output: (doc_id, term, tf, score, rank) — k rows per doc.
+    """
+    from pyspark.sql.window import Window
+
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("score"),
+            (
+                F.col("tf")
+                * F.round(F.log(F.col("n_docs") / F.col("df")) * 1e6).cast("long")
+            ).alias("__key"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__key"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", F.round("score", 6).alias("score"), "rank")
+    )
