@@ -1115,8 +1115,11 @@ def _churned_buyers_except(spark, sf_dir):
     # occurrence per match, leaving repeat 1996 buyers behind)
     churned = in_1996.subtract(in_1997)
     cust = _t(spark, sf_dir, "customer")
+    # no broadcast hint: the churned keyset is the small side, and at
+    # scale the customer dim may not fit a broadcast — AQE picks the
+    # right strategy from runtime sizes
     return churned.join(
-        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        cust, F.col("o_custkey") == F.col("c_custkey")
     ).select(
         "c_custkey",
         "c_name",
