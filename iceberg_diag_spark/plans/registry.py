@@ -176,9 +176,8 @@ def _binpack_cte(keys: list[str]) -> str:
     kl = ", ".join(keys)
     b_kl = ", ".join(f"b.{k}" for k in keys)
     p_eq_b = " AND ".join(f"p.{k} = b.{k}" for k in keys)
-    b_eq_p = " AND ".join(f"b.{k} = p.{k}" for k in keys)
+    t_eq_b = " AND ".join(f"t.{k} = b.{k}" for k in keys)
     q_kl = ", ".join(f"q.{k}" for k in keys)
-    p_kl = ", ".join(f"p.{k}" for k in keys)
     return f"""
 data AS (
   SELECT {kl}, file_size_in_bytes AS sz,
@@ -206,11 +205,20 @@ bounds AS (
     GROUP BY {b_kl}, b.gid
   ) q
 ),
-assigned AS (
-  SELECT {p_kl}, p.rn, p.sz, max(b.gid) AS gid
-  FROM pre p
-  JOIN bounds b ON {b_eq_p} AND p.rn >= b.srn
-  GROUP BY {p_kl}, p.rn, p.sz
+tot AS (
+  SELECT {kl}, max(rn) AS mx, max(ps) AS total FROM pre GROUP BY {kl}
+),
+grp AS (
+  -- group k spans rows [srn_k, srn_(k+1)): its count and size fall
+  -- straight out of consecutive bounds rows (base_k = P(srn_k - 1)),
+  -- O(#groups) with no row-level join. A crossing on a partition's
+  -- LAST row leaves a phantom bounds row at srn = mx+1 (the fold
+  -- emits no empty trailing group) — filtered out here.
+  SELECT {b_kl}, b.gid,
+         coalesce(lead(b.srn) OVER w, t.mx + 1) - b.srn AS cnt,
+         coalesce(lead(b.base) OVER w, t.total) - b.base AS gsz
+  FROM bounds b JOIN tot t ON {t_eq_b} AND b.srn <= t.mx
+  WINDOW w AS (PARTITION BY {b_kl} ORDER BY b.gid)
 )
 """
 
@@ -223,10 +231,9 @@ WITH RECURSIVE files AS ({FILES_CTE}),
 {_BINPACK_CTE}
 SELECT partition_key,
        CAST(gid AS BIGINT) AS group_id,
-       CAST(count(*) AS BIGINT) AS group_file_count,
-       CAST(sum(sz) AS BIGINT) AS group_size
-FROM assigned
-GROUP BY partition_key, gid
+       CAST(cnt AS BIGINT) AS group_file_count,
+       CAST(gsz AS BIGINT) AS group_size
+FROM grp
 """
 
 
@@ -245,10 +252,6 @@ def _metrics_sql(files_cte: str, table_keys: list[str], manifest_term: str) -> s
     return f"""
 WITH RECURSIVE files AS ({files_cte}),
 {_binpack_cte(part_keys)},
-grp AS (
-  SELECT {pk}, gid, count(*) AS cnt, sum(sz) AS gsz
-  FROM assigned GROUP BY {pk}, gid
-),
 after_p AS (
   SELECT {pk},
          count(*) AS afc,
