@@ -2545,6 +2545,23 @@ GROUP BY window_start, nationkey
 """
 
 
+def _stream_distinct_users(spark, sf_dir):
+    ev = stream_ops.read_events_stream(spark, sf_dir)
+    return stream_ops.run_to_table(
+        stream_ops.distinct_users_per_window(ev),
+        "complete",
+        "stream_distinct",
+    )
+
+
+_STREAM_DISTINCT_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events
+GROUP BY window_start
+"""
+
+
 def _events_salted_rollup(spark, sf_dir):
     """Two-stage salted aggregation (functions/skew.py) over the
     power-law event_type key: results are identical to a plain
@@ -2862,6 +2879,11 @@ REGISTRY: dict[str, QuerySpec] = {
         _stream_static_join, _STREAM_STATIC_SQL,
         "stream-static broadcast join (stateless) + windowed rollup "
         "per nation — the slowly-changing-dimension enrichment shape",
+    ),
+    "stream_distinct_users_hourly": QuerySpec(
+        _stream_distinct_users, _STREAM_DISTINCT_SQL,
+        "windowed distinct count via chained stateful operators "
+        "(dedup -> count; COUNT DISTINCT is unsupported in streams)",
     ),
     "events_salted_rollup": QuerySpec(
         _events_salted_rollup, _EVENTS_SALTED_SQL,

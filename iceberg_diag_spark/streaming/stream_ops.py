@@ -260,6 +260,32 @@ def stream_click_purchase_join(
     )
 
 
+def distinct_users_per_window(
+    events: DataFrame, size: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Distinct users per tumbling window — streaming forbids
+    COUNT(DISTINCT), so this is the canonical two-stateful-operator
+    workaround (Spark 3.5+ chained stateful ops): watermarked dedup
+    on (window, user) feeds a windowed count. The window struct is
+    the sole event-time column after the projection (keeping the raw
+    ts too would be ambiguous — 'more than one event time column');
+    dedup state and agg state are both watermark-evicted.
+    """
+    deduped = (
+        events.withWatermark("ts", watermark)
+        .select(F.window("ts", size).alias("w"), "user_id")
+        .dropDuplicatesWithinWatermark(["w", "user_id"])
+    )
+    return (
+        deduped.groupBy("w")
+        .agg(F.count("*").alias("distinct_users"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "distinct_users",
+        )
+    )
+
+
 def stream_static_enriched_counts(
     events: DataFrame,
     dim: DataFrame,
