@@ -781,6 +781,38 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def _orders_cube(spark, sf_dir):
+    """CUBE grouping-sets: all four granularities — (status,
+    priority), (status), (priority), () — in one pass; the superset
+    of ROLLUP's hierarchy for cross-dimensional dashboards."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "order_count",
+            "total_cents",
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS order_count,
+       CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 # --------------------------------------------------------------------
 # Extended relational shapes: multi-join chains, CASE aggregation,
 # LIKE-category filters, scalar/correlated subqueries, NOT EXISTS,
@@ -2657,6 +2689,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "orders_rollup": QuerySpec(
         _orders_rollup, _ROLLUP_SQL, "ROLLUP grouping sets, one pass"
+    ),
+    "orders_cube": QuerySpec(
+        _orders_cube, _CUBE_SQL, "CUBE grouping sets (all granularities)"
     ),
     "revenue_daily_gapfill": QuerySpec(
         _revenue_daily_gapfill, _GAPFILL_SQL,
