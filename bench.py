@@ -4,6 +4,13 @@ JSON line with per-query and total wall-clock seconds.
 
 Each query is forced with a full collect() so the figure includes
 result materialization, not just plan time.
+
+Timing discipline: each query runs $SPARK_GRAFT_BENCH_RUNS times
+(default 3) and reports the MINIMUM — on a shared box, load inflates
+individual runs by up to ±50%, and the minimum is the best estimator
+of the plan's intrinsic cost. Per-query spread (max-min of the runs)
+is emitted alongside so a regression can be told apart from noise:
+a delta smaller than the spread is unfalsifiable.
 """
 
 from __future__ import annotations
@@ -60,9 +67,23 @@ HEADLINE = [
 ]
 
 
+def _warmup_sf_dir(sf_dir: str) -> str:
+    """Smallest available sibling SF dir for warmup drains — falls
+    back to sf_dir itself so bench never crashes on a layout that
+    lacks the sibling."""
+    for cand in (
+        os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001"),
+        sf_dir,
+    ):
+        if os.path.isdir(cand):
+            return cand
+    return sf_dir
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = get_spark(app_name="iceberg-diag-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -77,28 +98,39 @@ def main() -> None:
     spark.range(0, 64, 1, 32).mapInPandas(_noop, "id long").collect()
 
     # Warm the streaming engine too (micro-batch machinery, state
-    # store, sink codegen) with a tiny sf0.001 drain, so the stream_*
-    # entries measure the query rather than first-stream-in-session
+    # store, sink codegen) with a tiny drain, so the stream_* entries
+    # measure the query rather than first-stream-in-session
     # initialization (~3 s of JVM warmup otherwise).
     from iceberg_diag_spark.streaming import stream_ops as _so
 
     _so.run_to_table(
         _so.tumbling_counts(
-            _so.read_events_stream(spark, "/root/testdata/sf0.001")
+            _so.read_events_stream(spark, _warmup_sf_dir(sf_dir))
         ),
         "complete",
         "bench_warmup",
     )
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        rows = REGISTRY[name].build(spark, sf_dir).collect()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({len(rows)} rows)", file=sys.stderr)
+        runs = []
+        n_rows = 0
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            rows = REGISTRY[name].build(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+            n_rows = len(rows)
+        best = min(runs)
+        timings[name] = round(best, 3)
+        spreads[name] = round(max(runs) - best, 3)
+        total += best
+        print(
+            f"# {name}: {best:.3f}s best-of-{n_runs} "
+            f"(+{spreads[name]:.3f}s spread, {n_rows} rows)",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -107,6 +139,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "runs_per_query": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -12,9 +12,10 @@ catalog listing):
 Against an Iceberg catalog the per-table source is the `.files`
 metadata table (SURVEY §2 S4); `--files` takes any parquet with the
 same (partition_key, file_size_in_bytes, content) shape so the full
-pipeline runs without a catalog. Unlike the reference there is no
-thread-pool fan-out: each table is one lazy Spark job (SURVEY §2 X1),
-and Spark schedules the parallelism.
+pipeline runs without a catalog. Multi-table diagnosis fans out on a
+thread pool and prints each table's panel as its Spark job completes
+(as_completed streaming, SURVEY §2 X3, reference cli.py:131-138);
+Spark's scheduler interleaves the concurrent jobs (SURVEY §2 X1).
 
 The reference's --remote mode (EP3) ships AWS credentials to an
 external API — deliberately not replicated; its response-parsing
@@ -54,7 +55,7 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _print_df(df, limit: int = 1000) -> None:
+def _render_df(df, limit: int = 1000) -> str:
     rows = df.limit(limit).collect()
     cols = df.columns
     widths = [
@@ -62,18 +63,46 @@ def _print_df(df, limit: int = 1000) -> None:
         for i, c in enumerate(cols)
     ]
     line = " | ".join(c.ljust(w) for c, w in zip(cols, widths))
-    print(line)
-    print("-" * len(line))
-    for r in rows:
-        print(" | ".join(str(v).ljust(w) for v, w in zip(r, widths)))
+    out = [line, "-" * len(line)]
+    out += [
+        " | ".join(str(v).ljust(w) for v, w in zip(r, widths)) for r in rows
+    ]
+    return "\n".join(out)
 
 
-def _diagnose(spark: SparkSession, files_df, manifest_count: int, title: str) -> None:
+def _print_df(df, limit: int = 1000) -> None:
+    print(_render_df(df, limit))
+
+
+def _render_panel(files_df, manifest_count: int, title: str) -> str:
     from iceberg_diag_spark.operators.diagnostics import table_metrics
     from iceberg_diag_spark.operators.display import format_metrics
 
-    print(f"\n== {title} ==")
-    _print_df(format_metrics(table_metrics(files_df, manifest_count)))
+    return f"\n== {title} ==\n" + _render_df(
+        format_metrics(table_metrics(files_df, manifest_count))
+    )
+
+
+def _diagnose(spark: SparkSession, files_df, manifest_count: int, title: str) -> None:
+    print(_render_panel(files_df, manifest_count, title))
+
+
+def stream_panels(jobs: dict):
+    """Run one job per table on a thread pool and yield each
+    (name, rendered_panel) AS ITS JOB COMPLETES — the reference
+    renders per-table results via as_completed rather than waiting
+    for the whole batch (icebergdiag/cli.py:131-138, SURVEY §2 X3).
+    Spark's scheduler is thread-safe: each worker thread submits an
+    independent job and blocks on its own collect, so a fast table's
+    panel prints while a slow table is still scanning."""
+    from concurrent.futures import ThreadPoolExecutor, as_completed
+
+    if not jobs:
+        return
+    with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as pool:
+        futures = {pool.submit(fn): name for name, fn in jobs.items()}
+        for fut in as_completed(futures):
+            yield futures[fut], fut.result()
 
 
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
@@ -125,12 +154,22 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 data_files_from_files_table,
             )
 
-            for t in tables:
-                files = data_files_from_files_table(
-                    spark.table(f"{args.database}.{t}.files")
-                )
-                manifests = spark.table(f"{args.database}.{t}.manifests").count()
-                _diagnose(spark, files, manifests, f"{args.database}.{t}")
+            def _table_job(t: str):
+                def run() -> str:
+                    files = data_files_from_files_table(
+                        spark.table(f"{args.database}.{t}.files")
+                    )
+                    manifests = spark.table(
+                        f"{args.database}.{t}.manifests"
+                    ).count()
+                    return _render_panel(files, manifests, f"{args.database}.{t}")
+
+                return run
+
+            for _name, panel in stream_panels(
+                {t: _table_job(t) for t in tables}
+            ):
+                print(panel)
         elif args.database:
             _print_df(cat.list_tables(spark, args.database))
         else:

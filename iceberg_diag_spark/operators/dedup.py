@@ -318,10 +318,10 @@ def ngram_jaccard_pairs(
     both docs. All shuffles are on uniform keys (doc id, pair id);
     cost is linear in candidate-pair gram volume.
 
-    Precondition: every candidate's member docs have at least one
-    n-gram (always true for LSH candidates — a signature requires
-    shingles). Pairs violating it are absent from the output rather
-    than returned with jaccard=0.0.
+    Every candidate pair appears in the output: pairs whose member
+    docs have no n-grams at all (impossible for LSH candidates — a
+    signature requires shingles — but possible for caller-supplied
+    pairs) come back with jaccard=0.0 rather than silently dropping.
     """
     shingled = word_ngram_rows(docs, text_col, id_col, ngram).select(
         F.col(id_col).alias("__doc"), "gram"
@@ -339,14 +339,19 @@ def ngram_jaccard_pairs(
         F.count("*").alias("union_size"),
         F.sum(F.when(F.col("k") == 2, 1).otherwise(0)).alias("inter_size"),
     )
-    # Pairs whose members have no shingles never reach `stats`; LSH
-    # candidates always have shingles (a signature requires them), so
-    # no rows are lost — and we avoid re-evaluating the candidates
-    # lineage in a join just to reattach empty pairs.
-    return stats.select(
+    # Pairs whose members have no shingles never reach `stats` (no
+    # gram rows to group); reattach them with jaccard=0.0 via a left
+    # join from the candidate list so the output contract is
+    # one-row-per-candidate regardless of where the pairs came from.
+    return candidates.select("doc_a", "doc_b").join(
+        stats, ["doc_a", "doc_b"], "left"
+    ).select(
         "doc_a",
         "doc_b",
-        (F.col("inter_size").cast("double") / F.col("union_size")).alias("jaccard"),
+        F.coalesce(
+            F.col("inter_size").cast("double") / F.col("union_size"),
+            F.lit(0.0),
+        ).alias("jaccard"),
     )
 
 
@@ -401,6 +406,41 @@ def simhash64(
     return votes.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+# Plain pigeonhole banding (one band per allowed error + 1) shrinks
+# the join key to 64/(k+1) bits; below this width the band-equality
+# self-join degenerates toward all-pairs (a 5-bit key = 32 buckets →
+# ~n²/32 comparisons per band). Rather than let wide Hamming budgets
+# inherit that cliff, the operator switches to multi-probe banding:
+# fewer, wider bands with a per-band error allowance d, probing every
+# ≤d-bit XOR variant of the probe side's band key. Pigeonhole still
+# holds: with n_bands·(d+1) ≥ k+1, a pair within budget k must have
+# some band with ≤ d errors, so the probe set covers it — exact, no
+# false negatives.
+MIN_BAND_BITS = 12
+
+
+def _band_plan(max_hamming: int) -> tuple[int, int]:
+    """Choose (n_bands, per_band_errors) so band keys keep at least
+    MIN_BAND_BITS bits. d=0 is plain pigeonhole (k ≤ 4); wider
+    budgets raise d until 64 // n_bands clears the floor."""
+    for d in range(0, max_hamming + 1):
+        n_bands = -(-(max_hamming + 1) // (d + 1))  # ceil
+        if n_bands == 1 or 64 // n_bands >= MIN_BAND_BITS:
+            return n_bands, d
+    return 1, max_hamming
+
+
+def _probe_masks(width: int, d: int) -> list[int]:
+    """All XOR masks of ≤ d set bits within a width-bit band."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, d + 1):
+        for bits in combinations(range(width), r):
+            masks.append(sum(1 << i for i in bits))
+    return masks
+
+
 def simhash_near_dup(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -408,21 +448,24 @@ def simhash_near_dup(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """SimHash near-dup pairs: docs whose 64-bit fingerprints differ
-    in ≤ max_hamming bits, via the multi-index (pigeonhole) trick —
-    split the fingerprint into max_hamming+1 bands; any pair within
-    the Hamming budget MUST agree exactly on at least one band, so
-    candidates come from band-equality joins (uniform shuffle keys,
-    never all-pairs) and are verified with bit_count(XOR) — exact, no
-    false negatives. Output: (doc_a, doc_b, hamming).
+    in ≤ max_hamming bits, via multi-index banding — split the
+    fingerprint into bands such that any pair within the Hamming
+    budget MUST have ≤ d errors in at least one band (pigeonhole).
+    d=0 budgets join on exact band equality; wider budgets probe the
+    ≤d-bit XOR variants of each band key (Manku-style multi-probe),
+    keeping join keys ≥ 2^MIN_BAND_BITS so bucket collision volume
+    stays ~n²/2^width instead of n²/32. Candidates are verified with
+    bit_count(XOR) — exact, no false negatives.
+    Output: (doc_a, doc_b, hamming).
     """
-    n_bands = max_hamming + 1
+    n_bands, d = _band_plan(max_hamming)
     width = 64 // n_bands
 
     def _band_key(b: int) -> Column:
         # band b = bits [b*width, (b+1)*width); the last band absorbs
         # the remainder bits. When a band spans all 64 bits
-        # (max_hamming=0), the mask (1<<64)-1 would overflow LongType
-        # — the key is just the fingerprint itself.
+        # (n_bands=1), the mask (1<<64)-1 would overflow LongType —
+        # the key is just the fingerprint itself.
         mask_bits = (64 - b * width) if b == n_bands - 1 else width
         shifted = F.shiftrightunsigned(F.col("simhash"), b * width)
         if mask_bits >= 64:
@@ -442,17 +485,49 @@ def simhash_near_dup(
     banded = sh.select(
         F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("b")
     ).select(id_col, "simhash", "b.band", "b.band_key")
-    a = banded.select(
-        "band", "band_key",
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"),
-    )
-    b = banded.select(
+    build = banded.select(
         "band", "band_key",
         F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"),
     )
+    if d == 0:
+        probe = banded.select(
+            "band", "band_key",
+            F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"),
+        )
+    else:
+        # Probe side explodes each band key to its ≤d-bit-flip
+        # variants. The tail band absorbs 64 % n_bands remainder bits,
+        # so it gets its own (wider) mask set — probing only the low
+        # `width` bits there would silently drop pairs whose tail-band
+        # errors land in the extra high bits.
+        tail_width = 64 - (n_bands - 1) * width
+        mask_arr = F.array(
+            *[F.lit(m).cast("long") for m in _probe_masks(width, d)]
+        )
+        tail_mask_arr = F.array(
+            *[F.lit(m).cast("long") for m in _probe_masks(tail_width, d)]
+        )
+        per_band_masks = (
+            F.when(F.col("band") == n_bands - 1, tail_mask_arr)
+            .otherwise(mask_arr)
+            if tail_width != width
+            else mask_arr
+        )
+        probe = banded.select(
+            "band",
+            F.explode(per_band_masks).alias("__m"),
+            F.col("band_key"),
+            F.col(id_col).alias("doc_a"),
+            F.col("simhash").alias("sh_a"),
+        ).select(
+            "band",
+            F.col("band_key").bitwiseXOR(F.col("__m")).alias("band_key"),
+            "doc_a",
+            "sh_a",
+        )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.join(b, ["band", "band_key"])
+        probe.join(build, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)

@@ -52,10 +52,14 @@ def _guard_quadratic(
 ) -> None:
     if max_rows is None:
         return
-    n = embeddings.count()
+    # Bounded probe: limit(max_rows+1) lets the scan stop as soon as
+    # the threshold is crossed instead of executing the full upstream
+    # plan (which for curated inputs repeats the whole curation
+    # pipeline) just to learn the exact count we don't need.
+    n = embeddings.limit(max_rows + 1).count()
     if n > max_rows:
         raise ValueError(
-            f"{op}: corpus has {n} rows (> {max_rows}); this exact tier is "
+            f"{op}: corpus exceeds {max_rows} rows; this exact tier is "
             f"O(n²) and meant for validation scale — use {alternative}, or "
             "pass max_corpus_rows=None to force the exact computation"
         )

@@ -168,10 +168,15 @@ def tfidf_top_terms(
     Shape: one explode → tf aggregate on (doc, term); df aggregate on
     term reuses the same relation; the corpus size N joins in-plan as
     a broadcast single-row aggregate (no driver round-trip). The
-    top-k window ranks by an INTEGER key (tf * round(idf * 1e6)) with
-    a term tie-break — float ulp differences between engines' ln()
-    cannot reorder it, so the result is hash-checkable; the reported
-    score is the double rounded to 6.
+    top-k window ranks by round(score, 6) with a term tie-break: the
+    rank key IS the hashed score column, so ranking determinism
+    reduces to the same round-6 cross-engine assumption every other
+    oracled query already makes (no separate quantization grid with
+    its own boundary). Exact real-valued ties — possible, e.g.
+    3·ln(8/2) = 2·ln(8/1) — collapse to equal rounded keys and break
+    on the term string in both engines. A mathematically exact
+    integer comparator exists (N^tf1·df2^tf2 vs N^tf2·df1^tf1) but
+    needs arbitrary-precision integers neither engine's SQL offers.
 
     Output: (doc_id, term, tf, score, rank) — k rows per doc.
     """
@@ -191,16 +196,14 @@ def tfidf_top_terms(
             F.col(id_col),
             "term",
             "tf",
-            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("score"),
-            (
-                F.col("tf")
-                * F.round(F.log(F.col("n_docs") / F.col("df")) * 1e6).cast("long")
-            ).alias("__key"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__key"), F.asc("term"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select(id_col, "term", "tf", F.round("score", 6).alias("score"), "rank")
+        .select(id_col, "term", "tf", "score", "rank")
     )

@@ -67,3 +67,39 @@ def test_table_name_without_database_is_rejected(spark, capsys):
         main(["--table-name", "anything"], spark=spark)
     assert ex.value.code == 2
     assert "--table-name requires --database" in capsys.readouterr().err
+
+
+def test_stream_panels_yields_in_completion_order():
+    """X3: panels surface as their jobs complete, not in submission
+    order — a slow first table must not block a fast second one."""
+    import time
+
+    from iceberg_diag_spark.cli import stream_panels
+
+    def slow():
+        time.sleep(1.0)
+        return "panel-slow"
+
+    def fast():
+        time.sleep(0.05)
+        return "panel-fast"
+
+    def mid():
+        time.sleep(0.4)
+        return "panel-mid"
+
+    got = list(stream_panels({"slow": slow, "fast": fast, "mid": mid}))
+    assert [name for name, _ in got] == ["fast", "mid", "slow"]
+    assert dict(got)["slow"] == "panel-slow"
+
+
+def test_stream_panels_propagates_job_errors():
+    from iceberg_diag_spark.cli import stream_panels
+
+    def boom():
+        raise RuntimeError("table exploded")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="table exploded"):
+        list(stream_panels({"bad": boom}))
