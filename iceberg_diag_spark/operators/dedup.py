@@ -386,22 +386,24 @@ def simhash64(
         F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("g1"),
         F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("g2"),
     )
-    vote_cols = []
+    # Vote via plain bit sums instead of CASE ±1: cnt_b = Σ bit_b over
+    # tokens, and sign(Σ±1) > 0 ⇔ 2·cnt_b > n — same fingerprint,
+    # branch-free aggregate expressions (measurably cheaper across
+    # 64 sums × every token).
+    vote_cols = [F.count(F.lit(1)).alias("n_toks")]
     for b in range(64):
         half, k = ("g1", b - 32) if b >= 32 else ("g2", b)
         vote_cols.append(
-            F.sum(
-                F.when(
-                    F.shiftright(F.col(half), k).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"b{b}")
+            F.sum(F.shiftright(F.col(half), k).bitwiseAND(F.lit(1))).alias(
+                f"b{b}"
+            )
         )
     votes = halves.groupBy(id_col).agg(*vote_cols)
     fingerprint = F.lit(0).cast("long")
     for b in range(64):
         val = -(1 << 63) if b == 63 else (1 << b)
         fingerprint = fingerprint + F.when(
-            F.col(f"b{b}") > 0, F.lit(val).cast("long")
+            F.col(f"b{b}") * 2 > F.col("n_toks"), F.lit(val).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return votes.select(F.col(id_col), fingerprint.alias("simhash"))
 
@@ -461,6 +463,16 @@ def simhash_near_dup(
     n_bands, d = _band_plan(max_hamming)
     width = 64 // n_bands
 
+    # The banded self-join reads the fingerprint relation from both
+    # sides, and Catalyst does not share a common subtree between
+    # different projections — without materialization the whole
+    # fingerprint pass (explode + md5 + 64 vote sums, the expensive
+    # half of this operator) runs TWICE. localCheckpoint pins the
+    # tiny (id, simhash) relation (16 bytes/doc — ~2.4 GB cluster-wide
+    # at 100M docs) and truncates the lineage so each side reads the
+    # materialized partitions.
+    sh = simhash64(docs, text_col, id_col).localCheckpoint()
+
     def _band_key(b: int) -> Column:
         # band b = bits [b*width, (b+1)*width); the last band absorbs
         # the remainder bits. When a band spans all 64 bits
@@ -472,7 +484,6 @@ def simhash_near_dup(
             return F.col("simhash")
         return shifted.bitwiseAND(F.lit((1 << mask_bits) - 1).cast("long"))
 
-    sh = simhash64(docs, text_col, id_col)
     band_structs = F.array(
         *[
             F.struct(
@@ -526,8 +537,15 @@ def simhash_near_dup(
             "sh_a",
         )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # The probe side is n_probes× wider than the build side, but its
+    # size estimate comes from the pre-explode relation, so the
+    # optimizer can pick a probe-side BROADCAST — hashing millions of
+    # probe rows while 20k build rows stream past. At cluster scale
+    # neither side is broadcastable (build is n_docs·n_bands rows);
+    # the right strategy at every scale is a shuffled hash join with
+    # the BUILD side as the hashed side, pinned via hint.
     return (
-        probe.join(build, ["band", "band_key"])
+        probe.join(build.hint("shuffle_hash"), ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)

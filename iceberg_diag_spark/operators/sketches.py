@@ -47,6 +47,34 @@ def approx_user_stats(events: DataFrame, rsd: float = 0.05) -> DataFrame:
     )
 
 
+def approx_stats_checked(events: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """Hash-checkable projection of the approx-sketch stats: the HLL
+    estimate itself is engine-private (its exact value cannot match
+    an oracle), but its ERROR CONTRACT can — emit whether the
+    estimate lands within 3·rsd of the exact distinct count, computed
+    in the same aggregation. The quantile-sketch percentiles pick
+    actual data values (discrete quantiles) and are deterministic at
+    full sketch accuracy, so those columns hash directly. This is the
+    verification-tier sibling of approx_user_stats: it pays an exact
+    countDistinct to certify the sketch, so run it on samples/test
+    scale, not the full corpus."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9)), 10000
+        ).alias("qs"),
+    ).select(
+        "event_type",
+        F.round(F.element_at("qs", 1), 6).alias("p50_approx"),
+        F.round(F.element_at("qs", 2), 6).alias("p90_approx"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(3 * rsd) * F.col("exact_users")
+        ).alias("hll_within_bound"),
+    )
+
+
 def approx_top_users(events: DataFrame, k: int = 5) -> DataFrame:
     """Frequent-items sketch per event type: approx_top_k(user_id)
     flattened to (event_type, user_id, est_count, rank) rows. The

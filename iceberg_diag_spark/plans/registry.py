@@ -2128,6 +2128,25 @@ def _events_approx(spark, sf_dir):
     return sketches.approx_user_stats(_t(spark, sf_dir, "events"))
 
 
+def _events_approx_checked(spark, sf_dir):
+    return sketches.approx_stats_checked(_t(spark, sf_dir, "events"))
+
+
+# The HLL estimate value is engine-private, but its error CONTRACT is
+# checkable: the oracle asserts the bound holds (TRUE) and Spark's
+# side computes whether its own sketch met it. The discrete-quantile
+# columns hash directly (percentile_approx at full sketch accuracy ==
+# DuckDB quantile_disc — both pick the value at rank ceil(p·n)).
+_EVENTS_APPROX_CHECKED_SQL = """
+SELECT event_type,
+       round(quantile_disc(value, 0.5), 6) AS p50_approx,
+       round(quantile_disc(value, 0.9), 6) AS p90_approx,
+       TRUE AS hll_within_bound
+FROM events
+GROUP BY event_type
+"""
+
+
 def _events_sketch_rollup(spark, sf_dir):
     return sketches.hourly_user_sketch_rollup(_t(spark, sf_dir, "events"))
 
@@ -2867,6 +2886,13 @@ REGISTRY: dict[str, QuerySpec] = {
         "engine-private (151 vs 150 exact at sf0.01); the percentile "
         "columns equal DuckDB quantile_disc and the distinct error "
         "bound is pinned in tests/test_sketches.py",
+    ),
+    "events_approx_stats_checked": QuerySpec(
+        _events_approx_checked, _EVENTS_APPROX_CHECKED_SQL,
+        "hash-checkable projection of the approx sketches: discrete "
+        "quantiles (== DuckDB quantile_disc) plus the HLL estimate's "
+        "3·rsd error-bound flag — the estimate VALUE is engine-"
+        "private, its contract is not",
     ),
     "events_user_sketch_rollup": QuerySpec(
         _events_sketch_rollup, _EVENTS_SKETCH_ROLLUP_SQL,
