@@ -1090,6 +1090,312 @@ GROUP BY nationkey
 """
 
 
+def _q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: revenue increase from ending low-margin discounts —
+    a pure scan-side query: every predicate (year, discount band,
+    quantity cap) pushes to the parquet reader, then one global sum.
+    The plan should be scan → partial agg → single-row exchange."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+                "long"
+            )
+        ).alias("revenue_cents")
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(sum(CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def _q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a customer-region's
+    revenue per order year. Five-table star: lineitem fact, broadcast
+    orders→customer→nation→region chain filtered to ASIA on the
+    demand side, broadcast supplier→nation on the supply side; the
+    share is a conditional-sum ratio (no second pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    asia_nations = (
+        nation.join(
+            region.filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("cust_nationkey"))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    supp_nation = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    # lineitem↔orders is fact-to-fact (shuffles on orderkey, AQE
+    # picks the strategy); everything else is a broadcast dim.
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == F.col("cust_nationkey"),
+        )
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    target = F.col("supp_nation") == "NATION_7"
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(target, _rev_cents()).otherwise(F.lit(0).cast("long"))
+            ).alias("nation_cents"),
+            F.sum(_rev_cents()).alias("region_cents"),
+        )
+        .select(
+            "o_year",
+            "nation_cents",
+            "region_cents",
+            F.round(
+                F.col("nation_cents") / F.col("region_cents"), 6
+            ).alias("mkt_share"),
+        )
+    )
+
+
+_Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
+                THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS region_cents,
+       round(sum(CASE WHEN sn.n_name = 'NATION_7'
+                 THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                 ELSE 0 END) * 1.0 /
+             sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)), 6)
+         AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY o_year
+"""
+
+
+def _q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: no partsupp/ps_supplycost in the
+    driver schema — part.p_retailprice·quantity stands in as the
+    cost term): profit on a part-name family by supplier nation and
+    order year. LIKE filter prunes the broadcast part dim before the
+    fact join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    profit_cents = _rev_cents() - F.floor(
+        F.col("p_retailprice") * F.col("l_quantity") * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(F.sum(profit_cents).alias("profit_cents"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                - CAST(FLOOR(p_retailprice * l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS profit_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def _q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: the supplier(s) with maximum revenue over one
+    quarter. The revenue relation is aggregated once and compared to
+    its own broadcast scalar max — the reference view + subquery
+    shape without recomputing the view."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_cents()).alias("total_revenue_cents")
+    )
+    max_rev = revenue.agg(
+        F.max("total_revenue_cents").alias("max_revenue_cents")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue_cents") == F.col("max_revenue_cents"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY supplier_no
+)
+SELECT s_suppkey, s_name, total_revenue_cents
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM revenue)
+"""
+
+
+def _q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue from three disjunctive brand/size/
+    quantity bands (adapted: p_size bands stand in for the container
+    lists absent from the driver schema). One broadcast join; the
+    OR-of-ANDs predicate stays a single codegen filter — no union of
+    three scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(band).agg(
+        F.sum(_rev_cents()).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("lineitem_count"),
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(coalesce(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS lineitem_count
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def _q21_waiting_orders(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: ship-vs-order delay ≥ 90 days marks
+    a lineitem late — the driver schema has no commit/receipt dates):
+    suppliers who were the SOLE late supplier on a multi-supplier
+    finished order. Correlated EXISTS / NOT EXISTS become semi / anti
+    self-joins on the order key — three passes over lineitem, all
+    shuffling on the same uniform key."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = (
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        >= 90
+    )
+    l1 = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "anti",
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_Q21_SQL = """
+WITH l1 AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) >= 90
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l1 l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+"""
+
+
 def _orders_status_pivot(spark, sf_dir):
     """PIVOT surface: order counts and money cents per priority,
     pivoted to one column group per order status. Explicit pivot
@@ -2741,6 +3047,35 @@ REGISTRY: dict[str, QuerySpec] = {
         _q22_sales_opportunity, _Q22_SQL,
         "TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS "
         "anti join",
+    ),
+    "q6_forecast_revenue": QuerySpec(
+        _q6_forecast_revenue, _Q6_SQL,
+        "TPC-H Q6: pure pushdown scan + single global sum",
+    ),
+    "q8_market_share": QuerySpec(
+        _q8_market_share, _Q8_SQL,
+        "TPC-H Q8 shape: five-table star, conditional-sum market "
+        "share per year",
+    ),
+    "q9_product_profit": QuerySpec(
+        _q9_product_profit, _Q9_SQL,
+        "TPC-H Q9 shape (retailprice cost term): profit by supplier "
+        "nation and year over a LIKE-pruned part family",
+    ),
+    "q15_top_supplier": QuerySpec(
+        _q15_top_supplier, _Q15_SQL,
+        "TPC-H Q15: max-revenue supplier via broadcast scalar max "
+        "over a single-pass revenue aggregate",
+    ),
+    "q19_disjunctive_revenue": QuerySpec(
+        _q19_disjunctive_revenue, _Q19_SQL,
+        "TPC-H Q19 shape: OR-of-ANDs brand/size/quantity bands in "
+        "one codegen filter",
+    ),
+    "q21_waiting_orders": QuerySpec(
+        _q21_waiting_orders, _Q21_SQL,
+        "TPC-H Q21 shape: sole-late-supplier via semi + anti "
+        "self-joins on the order key",
     ),
     "orders_window_analytics": QuerySpec(
         _orders_window_analytics, _ORDERS_WINDOW_SQL,
