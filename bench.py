@@ -64,6 +64,18 @@ HEADLINE = [
     "orders_window_analytics",
     "events_salted_rollup",
     "simhash_near_dup",
+    # round 3 additions
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q21_waiting_orders",
+    "doc_hash_sample",
+    "orders_profile",
+    "doc_token_histogram",
+    "near_dup_triangles",
+    "user_interevent_stats",
+    "user_retention_cohorts",
+    "embedding_centroid_stats",
 ]
 
 

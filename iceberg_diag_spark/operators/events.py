@@ -87,3 +87,59 @@ def json_props_rollup(events: DataFrame) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+def interevent_stats(events: DataFrame) -> DataFrame:
+    """Per-user inter-event gap statistics — the cadence profile used
+    for bot filtering and session-model calibration. One window pass
+    partitioned by user (ordered by ts with event_id as the
+    deterministic tie-break) computes lag gaps; a grouped aggregate
+    reduces them. Both steps share the user_id shuffle. Output:
+    (user_id, n_events, span_us, avg_gap_seconds, max_gap_us)
+    for users with ≥ 2 events."""
+    # Integer microseconds end-to-end: epoch-seconds casts floor away
+    # sub-second components differently across engines; unix_micros
+    # is exact and matches DuckDB's epoch_us.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    gapped = events.select("user_id", "ts", "event_id").withColumn(
+        "gap_us", gap
+    )
+    return (
+        gapped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.unix_micros(F.col("ts"))) - F.min(F.unix_micros(F.col("ts")))).alias(
+                "span_us"
+            ),
+            F.round(F.avg("gap_us") / 1e6, 6).alias("avg_gap_seconds"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .filter(F.col("n_events") >= 2)
+    )
+
+
+# Monday anchor for integer week arithmetic — date_trunc('week')
+# agrees across engines today, but floor((date - anchor)/7) is
+# provably identical everywhere.
+_WEEK_ANCHOR = "1995-01-02"
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly retention cohorts: users grouped by their first-seen
+    week, counted as active in each later week. Two aggregations
+    sharing the user_id shuffle (first-seen week, then distinct users
+    per (cohort, offset)); week ids are pure integer date arithmetic.
+    Output: (cohort_week, weeks_since, active_users)."""
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit(_WEEK_ANCHOR).cast("date"))
+        / 7
+    ).cast("long")
+    ue = events.select("user_id", week.alias("week"))
+    first = ue.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ue.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

@@ -74,3 +74,25 @@ def pagerank(
     return ranks.select(
         F.col("node").alias(id_col), F.round("rank", 9).alias("pagerank")
     )
+
+
+def triangle_count(
+    edges: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Global triangle count over an oriented edge list (a < b on
+    every edge — the near-dup pair convention). Orientation makes
+    each triangle {a<b<c} countable exactly once as the join
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c): the standard two-path + closing-edge
+    formulation, two shuffles on uniform id keys, never an all-pairs
+    product. Duplicate-cluster density shows up as a triangle-to-edge
+    ratio near its clique maximum. Output: one row
+    (edge_count, triangle_count)."""
+    e = edges.select(a_col, b_col).distinct().localCheckpoint()
+    e1 = e.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    e2 = e.select(F.col(a_col).alias("b"), F.col(b_col).alias("c"))
+    e3 = e.select(F.col(a_col).alias("a"), F.col(b_col).alias("c"))
+    wedges = e1.join(e2, "b")
+    triangles = wedges.join(e3, ["a", "c"])
+    return e.agg(F.count(F.lit(1)).alias("edge_count")).crossJoin(
+        triangles.agg(F.count(F.lit(1)).alias("triangle_count"))
+    )

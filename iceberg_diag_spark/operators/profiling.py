@@ -1,0 +1,68 @@
+"""Schema/data profiling — the audit pass a pipeline runs before
+training on a new table drop: per-column null rates, cardinalities,
+and value ranges, computed in ONE scan regardless of column count.
+
+All per-column metrics are expressions inside a single aggregate
+(Spark evaluates them in the same whole-stage-codegen pass), then the
+one-row result is unpivoted driver-side into a row per column — the
+unpivot is over a 1-row relation, so the only cluster work is the
+scan + partial aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# kind → (min repr, max repr) as deterministic cross-engine strings:
+# numerics via floor-cents (double formatting differs between
+# engines), timestamps via an explicit format, strings as-is.
+_REPRS = {
+    "int": lambda c: F.min(c).cast("long").cast("string"),
+    "num": lambda c: F.floor(F.min(c) * 100).cast("long").cast("string"),
+    "str": lambda c: F.min(c),
+    "ts": lambda c: F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss"),
+}
+_REPRS_MAX = {
+    "int": lambda c: F.max(c).cast("long").cast("string"),
+    "num": lambda c: F.floor(F.max(c) * 100).cast("long").cast("string"),
+    "str": lambda c: F.max(c),
+    "ts": lambda c: F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss"),
+}
+
+
+def profile(df: DataFrame, kinds: dict[str, str]) -> DataFrame:
+    """Profile the given columns (name → kind in {int,num,str,ts}).
+    Output: (column_name, n_rows, n_nulls, n_distinct, min_repr,
+    max_repr) — one row per profiled column."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, kind in kinds.items():
+        c = F.col(name)
+        aggs += [
+            F.sum(c.isNull().cast("long")).alias(f"{name}__nulls"),
+            F.countDistinct(c).alias(f"{name}__distinct"),
+            _REPRS[kind](c).alias(f"{name}__min"),
+            _REPRS_MAX[kind](c).alias(f"{name}__max"),
+        ]
+    one = df.agg(*aggs)
+    # Unpivot via stack() so the aggregate is ONE subplan — a union
+    # of per-column selects over `one` would re-embed (and re-run)
+    # the scan+aggregate once per column.
+    stack_args = []
+    for name in kinds:
+        stack_args += [
+            f"'{name}'",
+            f"`{name}__nulls`",
+            f"`{name}__distinct`",
+            f"`{name}__min`",
+            f"`{name}__max`",
+        ]
+    return one.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(kinds)}, {', '.join(stack_args)}) AS "
+            "(column_name, n_nulls, n_distinct, min_repr, max_repr)"
+        ),
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_repr",
+        "max_repr",
+    )

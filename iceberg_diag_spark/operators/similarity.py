@@ -395,3 +395,44 @@ def lsh_topk(
             F.round("cos_sim", 6).alias("cos_sim"),
         )
     )
+
+
+def label_centroid_stats(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding geometry: vector count, mean L2 norm, and
+    the norm of the label centroid — the collapse/drift audit run on
+    embedding drops (a centroid norm near the mean norm signals a
+    degenerate, single-direction cluster).
+
+    One posexplode feeds both aggregates: per-vector norms (grouped
+    by vector, then averaged per label) and per-dimension means
+    (grouped by (label, pos), then re-normed). Everything is
+    JVM-side; state per group is one double per dimension — no
+    vectors ever collect to the driver. Output:
+    (label, n_vecs, avg_norm, centroid_norm)."""
+    exploded = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.col("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+    per_vec = exploded.groupBy("label", "vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm")
+    )
+    norms = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("norm"), 6).alias("avg_norm"),
+    )
+    centroid = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("val").alias("mean_val"))
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(F.col("mean_val") * F.col("mean_val"))), 6
+            ).alias("centroid_norm")
+        )
+    )
+    return norms.join(centroid, "label")

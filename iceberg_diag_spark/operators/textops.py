@@ -207,3 +207,27 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "score", "rank")
     )
+
+
+# Power-of-two token-count bucket edges; CASE on integer counts is
+# exactly reproducible cross-engine, unlike floor(log2(double)).
+_HIST_EDGES = [8, 16, 32, 64, 128, 256, 512]
+
+
+def token_histogram(docs: DataFrame) -> DataFrame:
+    """Token-count histogram per language — the length-distribution
+    audit run before choosing packing/truncation lengths. One scan:
+    tokenize → integer bucket → grouped count. Output:
+    (lang, bucket, doc_count, avg_tokens)."""
+    n_toks = F.size(F.split(normalized_text(F.col("text")), " "))
+    bucket: Column = F.lit(f"{_HIST_EDGES[-1] + 1}+")
+    for edge in reversed(_HIST_EDGES):
+        bucket = F.when(n_toks <= edge, F.lit(f"<={edge}")).otherwise(bucket)
+    return (
+        docs.select("lang", n_toks.alias("n_toks"), bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
+        )
+    )

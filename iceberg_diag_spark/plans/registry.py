@@ -34,6 +34,8 @@ from iceberg_diag_spark.operators import (
     events,
     joins,
     multimodal,
+    profiling,
+    sampling,
     similarity,
     sketches,
     textops,
@@ -1896,8 +1898,11 @@ def _near_dup_pagerank(spark, sf_dir):
 # recursive term, but a fixed iteration count is just ten chained
 # plain CTEs). Summation-order float drift across engines is ~1e-15
 # relative — far inside the round(9) contract.
-_PAGERANK_PREFIX = r"""
-WITH norm AS (
+# MinHash-LSH candidate-pair chain through `prs` — shared by the
+# PageRank and triangle-count oracles (both run over the near-dup
+# pair graph).
+_MINHASH_PRS_CTE = r"""
+norm AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
   FROM documents
@@ -1932,7 +1937,13 @@ prs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM keys a
   JOIN keys b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
+)
+"""
+
+_PAGERANK_PREFIX = (
+    "WITH "
+    + _MINHASH_PRS_CTE.strip()
+    + r""",
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM prs
   UNION ALL
@@ -1944,6 +1955,7 @@ pr0 AS (
   SELECT doc_id AS node, 1.0 / nn.n AS rank FROM documents CROSS JOIN nn
 )
 """
+)
 
 
 def _pagerank_round(i: int) -> str:
@@ -2964,6 +2976,216 @@ GROUP BY user_id
 """
 
 
+def _doc_hash_sample(spark, sf_dir):
+    """Deterministic stratified sample of the corpus: 10% of English
+    (the dominant language), 50% of everything else — the
+    language-rebalance shape. Membership is a pure md5-bucket filter
+    (reference-free, engine-independent, stable under corpus
+    growth)."""
+    return sampling.stratified_hash_sample(
+        _t(spark, sf_dir, "documents"),
+        key_col="doc_id",
+        rates={"en": 10},
+        strata_col="lang",
+        default_pct=50,
+    ).select("doc_id", "lang", "source")
+
+
+_DOC_HASH_SAMPLE_SQL = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+"""
+
+
+def _orders_profile(spark, sf_dir):
+    """Single-scan schema/data profile of the orders table: null
+    counts, distinct cardinalities, and deterministic min/max
+    representations for every column."""
+    return profiling.profile(
+        _t(spark, sf_dir, "orders"),
+        {
+            "o_orderkey": "int",
+            "o_custkey": "int",
+            "o_orderstatus": "str",
+            "o_totalprice": "num",
+            "o_orderdate": "ts",
+            "o_orderpriority": "str",
+        },
+    )
+
+
+_ORDERS_PROFILE_SQL = """
+WITH a AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls,
+         count(DISTINCT o_orderkey) AS k_dist,
+         CAST(min(o_orderkey) AS VARCHAR) AS k_min,
+         CAST(max(o_orderkey) AS VARCHAR) AS k_max,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls,
+         count(DISTINCT o_custkey) AS c_dist,
+         CAST(min(o_custkey) AS VARCHAR) AS c_min,
+         CAST(max(o_custkey) AS VARCHAR) AS c_max,
+         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS s_nulls,
+         count(DISTINCT o_orderstatus) AS s_dist,
+         min(o_orderstatus) AS s_min,
+         max(o_orderstatus) AS s_max,
+         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS t_nulls,
+         count(DISTINCT o_totalprice) AS t_dist,
+         CAST(CAST(FLOOR(min(o_totalprice) * 100) AS BIGINT) AS VARCHAR) AS t_min,
+         CAST(CAST(FLOOR(max(o_totalprice) * 100) AS BIGINT) AS VARCHAR) AS t_max,
+         sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS d_nulls,
+         count(DISTINCT o_orderdate) AS d_dist,
+         strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS d_min,
+         strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS d_max,
+         sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS p_nulls,
+         count(DISTINCT o_orderpriority) AS p_dist,
+         min(o_orderpriority) AS p_min,
+         max(o_orderpriority) AS p_max
+  FROM orders
+)
+SELECT 'o_orderkey' AS column_name, CAST(n AS BIGINT) AS n_rows,
+       CAST(k_nulls AS BIGINT) AS n_nulls, CAST(k_dist AS BIGINT) AS n_distinct,
+       k_min AS min_repr, k_max AS max_repr FROM a
+UNION ALL SELECT 'o_custkey', CAST(n AS BIGINT), CAST(c_nulls AS BIGINT),
+       CAST(c_dist AS BIGINT), c_min, c_max FROM a
+UNION ALL SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(s_nulls AS BIGINT),
+       CAST(s_dist AS BIGINT), s_min, s_max FROM a
+UNION ALL SELECT 'o_totalprice', CAST(n AS BIGINT), CAST(t_nulls AS BIGINT),
+       CAST(t_dist AS BIGINT), t_min, t_max FROM a
+UNION ALL SELECT 'o_orderdate', CAST(n AS BIGINT), CAST(d_nulls AS BIGINT),
+       CAST(d_dist AS BIGINT), d_min, d_max FROM a
+UNION ALL SELECT 'o_orderpriority', CAST(n AS BIGINT), CAST(p_nulls AS BIGINT),
+       CAST(p_dist AS BIGINT), p_min, p_max FROM a
+"""
+
+
+def _doc_token_histogram(spark, sf_dir):
+    return textops.token_histogram(_t(spark, sf_dir, "documents"))
+
+
+_DOC_TOKEN_HIST_SQL = r"""
+WITH toks AS (
+  SELECT lang,
+         len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_toks
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN n_toks <= 8 THEN '<=8'
+            WHEN n_toks <= 16 THEN '<=16'
+            WHEN n_toks <= 32 THEN '<=32'
+            WHEN n_toks <= 64 THEN '<=64'
+            WHEN n_toks <= 128 THEN '<=128'
+            WHEN n_toks <= 256 THEN '<=256'
+            WHEN n_toks <= 512 THEN '<=512'
+            ELSE '513+' END AS bucket,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(n_toks), 4) AS avg_tokens
+FROM toks
+GROUP BY lang, bucket
+"""
+
+
+def _near_dup_triangles(spark, sf_dir):
+    """Triangle count over the MinHash near-dup graph — the cluster-
+    density audit (triangles/edges near the clique maximum ⇒ tight
+    duplicate clusters, near zero ⇒ chains of borderline pairs)."""
+    from iceberg_diag_spark.operators.graph import triangle_count
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    return triangle_count(pairs)
+
+
+_TRIANGLES_SQL = (
+    "WITH "
+    + _MINHASH_PRS_CTE.strip()
+    + """
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM prs) AS edge_count,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM prs e1
+        JOIN prs e2 ON e1.doc_b = e2.doc_a
+        JOIN prs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+         AS triangle_count
+"""
+)
+
+
+def _user_interevent_stats(spark, sf_dir):
+    return events.interevent_stats(_t(spark, sf_dir, "events"))
+
+
+_INTEREVENT_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us,
+       round(avg(gap_us) / 1e6, 6) AS avg_gap_seconds,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM g
+GROUP BY user_id
+HAVING count(*) >= 2
+"""
+
+
+def _user_retention_cohorts(spark, sf_dir):
+    return events.retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+_RETENTION_SQL = """
+WITH ue AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1995-01-02', CAST(ts AS DATE)) // 7 AS BIGINT)
+           AS week
+  FROM events
+),
+first AS (SELECT user_id, min(week) AS cohort_week FROM ue GROUP BY user_id)
+SELECT cohort_week,
+       week - cohort_week AS weeks_since,
+       CAST(count(DISTINCT ue.user_id) AS BIGINT) AS active_users
+FROM ue JOIN first ON ue.user_id = first.user_id
+GROUP BY cohort_week, weeks_since
+"""
+
+
+def _embedding_centroid_stats(spark, sf_dir):
+    return similarity.label_centroid_stats(_t(spark, sf_dir, "embeddings"))
+
+
+_CENTROID_SQL = """
+WITH ex AS (
+  SELECT label, vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+per_vec AS (
+  SELECT label, vec_id, sqrt(sum(val * val)) AS norm
+  FROM ex GROUP BY label, vec_id
+),
+norms AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         round(avg(norm), 6) AS avg_norm
+  FROM per_vec GROUP BY label
+),
+dims AS (
+  SELECT label, pos, avg(val) AS mean_val FROM ex GROUP BY label, pos
+),
+cent AS (
+  SELECT label, round(sqrt(sum(mean_val * mean_val)), 6) AS centroid_norm
+  FROM dims GROUP BY label
+)
+SELECT norms.label, n_vecs, avg_norm, centroid_norm
+FROM norms JOIN cent ON norms.label = cent.label
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "diag_partition_stats": QuerySpec(
         _diag_partition_stats, _DIAG_PARTITION_STATS_SQL,
@@ -3221,6 +3443,40 @@ REGISTRY: dict[str, QuerySpec] = {
         "engine-private (151 vs 150 exact at sf0.01); the percentile "
         "columns equal DuckDB quantile_disc and the distinct error "
         "bound is pinned in tests/test_sketches.py",
+    ),
+    "doc_hash_sample": QuerySpec(
+        _doc_hash_sample, _DOC_HASH_SAMPLE_SQL,
+        "deterministic stratified md5-bucket sampling (language "
+        "rebalance; reproducible and growth-stable, unlike rand())",
+    ),
+    "orders_profile": QuerySpec(
+        _orders_profile, _ORDERS_PROFILE_SQL,
+        "single-scan table profile: nulls / distincts / min-max "
+        "per column, unpivoted via stack()",
+    ),
+    "doc_token_histogram": QuerySpec(
+        _doc_token_histogram, _DOC_TOKEN_HIST_SQL,
+        "token-count histogram per language (power-of-two integer "
+        "buckets — no cross-engine log2)",
+    ),
+    "near_dup_triangles": QuerySpec(
+        _near_dup_triangles, _TRIANGLES_SQL,
+        "triangle count over the MinHash near-dup graph (oriented "
+        "two-path join, cluster-density audit)",
+    ),
+    "user_interevent_stats": QuerySpec(
+        _user_interevent_stats, _INTEREVENT_SQL,
+        "per-user inter-event gap stats (lag window + grouped agg "
+        "sharing one shuffle)",
+    ),
+    "user_retention_cohorts": QuerySpec(
+        _user_retention_cohorts, _RETENTION_SQL,
+        "weekly retention cohorts via integer week arithmetic",
+    ),
+    "embedding_centroid_stats": QuerySpec(
+        _embedding_centroid_stats, _CENTROID_SQL,
+        "per-label embedding geometry: mean norm vs centroid norm "
+        "(collapse audit), one posexplode feeding both aggregates",
     ),
     "events_approx_stats_checked": QuerySpec(
         _events_approx_checked, _EVENTS_APPROX_CHECKED_SQL,

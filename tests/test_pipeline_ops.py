@@ -1,0 +1,167 @@
+"""Unit tests for the round-3 pipeline operators: deterministic
+sampling, table profiling, triangle counting, inter-event stats,
+retention cohorts, token histogram, centroid stats.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_diag_spark.operators import profiling, sampling
+from iceberg_diag_spark.operators.graph import triangle_count
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, "en" if i % 3 else "fr") for i in range(300)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_hash_sample_deterministic(docs):
+    a = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 20).collect()}
+    b = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 20).collect()}
+    assert a == b
+    # roughly 20% — generous tolerance, the point is non-degeneracy
+    assert 0.05 < len(a) / 300 < 0.45
+
+
+def test_hash_sample_stable_under_growth(spark, docs):
+    """A row's membership depends only on its own key: sampling a
+    superset never changes which of the original rows are kept."""
+    small = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 20).collect()}
+    grown = docs.unionAll(
+        spark.createDataFrame([(i, "de") for i in range(300, 600)],
+                              "doc_id long, lang string")
+    )
+    big = {r.doc_id for r in sampling.hash_sample(grown, "doc_id", 20).collect()}
+    assert {d for d in big if d < 300} == small
+
+
+def test_stratified_rates(docs):
+    got = sampling.stratified_hash_sample(
+        docs, "doc_id", {"fr": 100}, "lang", default_pct=0
+    ).collect()
+    # fr fully kept, en fully dropped
+    assert all(r.lang == "fr" for r in got)
+    assert len(got) == 100
+
+
+def test_hash_sample_rejects_bad_pct(docs):
+    with pytest.raises(ValueError, match="pct"):
+        sampling.hash_sample(docs, "doc_id", 101)
+
+
+def test_profile_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, 1.0), (2, "b", None)],
+        "k long, s string, v double",
+    )
+    rows = {
+        r.column_name: r
+        for r in profiling.profile(
+            df, {"k": "int", "s": "str", "v": "num"}
+        ).collect()
+    }
+    assert rows["k"].n_rows == 3 and rows["k"].n_nulls == 0
+    assert rows["k"].n_distinct == 2
+    assert rows["k"].min_repr == "1" and rows["k"].max_repr == "2"
+    assert rows["s"].n_nulls == 1 and rows["s"].min_repr == "a"
+    assert rows["v"].n_nulls == 1
+    assert rows["v"].min_repr == "100" and rows["v"].max_repr == "250"
+
+
+def test_triangle_count_known_graph(spark):
+    # triangle 1-2-3 plus a dangling edge 3-4 and a second triangle
+    # 2-3-4 sharing an edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)], "doc_a long, doc_b long"
+    )
+    [row] = triangle_count(edges).collect()
+    assert row.edge_count == 5
+    assert row.triangle_count == 2
+
+
+def test_triangle_count_no_triangles(spark):
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    [row] = triangle_count(edges).collect()
+    assert row.triangle_count == 0
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_interevent_stats_exact(spark):
+    from iceberg_diag_spark.operators.events import interevent_stats
+
+    t0 = datetime.datetime(2020, 1, 1)
+    rows = [
+        (1, t0, 7, "a"),
+        (2, t0 + datetime.timedelta(seconds=10), 7, "a"),
+        (3, t0 + datetime.timedelta(seconds=40), 7, "a"),
+        (4, t0, 8, "a"),  # single-event user → filtered out
+    ]
+    got = {r.user_id: r for r in interevent_stats(_ev(spark, rows)).collect()}
+    assert set(got) == {7}
+    r = got[7]
+    assert r.n_events == 3
+    assert r.span_us == 40_000_000
+    assert r.max_gap_us == 30_000_000
+    assert r.avg_gap_seconds == pytest.approx(20.0)
+
+
+def test_retention_cohorts_exact(spark):
+    from iceberg_diag_spark.operators.events import retention_cohorts
+
+    monday = datetime.datetime(1995, 1, 2)
+    wk = datetime.timedelta(days=7)
+    rows = [
+        (1, monday, 1, "a"),                 # user 1 cohort week 0
+        (2, monday + wk, 1, "a"),            # active week 1
+        (3, monday + wk, 2, "a"),            # user 2 cohort week 1
+        (4, monday + 3 * wk, 2, "a"),        # active week 3 (since=2)
+    ]
+    got = {
+        (r.cohort_week, r.weeks_since): r.active_users
+        for r in retention_cohorts(_ev(spark, rows)).collect()
+    }
+    assert got == {(0, 0): 1, (0, 1): 1, (1, 0): 1, (1, 2): 1}
+
+
+def test_token_histogram_buckets(spark):
+    from iceberg_diag_spark.operators.textops import token_histogram
+
+    rows = [
+        (1, "one two three", "en"),          # 3 tokens → <=8
+        (2, " ".join(["w"] * 9), "en"),      # 9 tokens → <=16
+        (3, " ".join(["w"] * 600), "fr"),    # 600 tokens → 513+
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r.lang, r.bucket): (r.doc_count, r.avg_tokens)
+        for r in token_histogram(df).collect()
+    }
+    assert got[("en", "<=8")] == (1, 3.0)
+    assert got[("en", "<=16")] == (1, 9.0)
+    assert got[("fr", "513+")] == (1, 600.0)
+
+
+def test_centroid_stats_known_vectors(spark):
+    from iceberg_diag_spark.operators.similarity import label_centroid_stats
+
+    rows = [
+        (1, [3.0, 0.0], 0),
+        (2, [0.0, 4.0], 0),
+        (3, [1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.label: r for r in label_centroid_stats(df).collect()}
+    assert got[0].n_vecs == 2
+    assert got[0].avg_norm == pytest.approx(3.5)       # (3+4)/2
+    assert got[0].centroid_norm == pytest.approx(2.5)  # |(1.5, 2)|
+    assert got[1].avg_norm == pytest.approx(1.0)
