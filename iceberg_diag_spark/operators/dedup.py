@@ -380,9 +380,16 @@ def simhash64(
         F.col(id_col),
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
     )
+    # Collapse repeated tokens to (doc, tok, count) first: repeated
+    # tokens vote repeatedly (tf weighting), so weighting each
+    # distinct token's vote by its count is identical — and both the
+    # md5 and the 64 vote sums then run on the distinct-token
+    # relation (~2-3× fewer rows on natural text).
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
     md5 = F.md5(F.col("tok"))
-    halves = toks.select(
+    halves = tf.select(
         F.col(id_col),
+        F.col("cnt"),
         F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("g1"),
         F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("g2"),
     )
@@ -390,13 +397,14 @@ def simhash64(
     # tokens, and sign(Σ±1) > 0 ⇔ 2·cnt_b > n — same fingerprint,
     # branch-free aggregate expressions (measurably cheaper across
     # 64 sums × every token).
-    vote_cols = [F.count(F.lit(1)).alias("n_toks")]
+    vote_cols = [F.sum(F.col("cnt")).alias("n_toks")]
     for b in range(64):
         half, k = ("g1", b - 32) if b >= 32 else ("g2", b)
         vote_cols.append(
-            F.sum(F.shiftright(F.col(half), k).bitwiseAND(F.lit(1))).alias(
-                f"b{b}"
-            )
+            F.sum(
+                F.shiftright(F.col(half), k).bitwiseAND(F.lit(1))
+                * F.col("cnt")
+            ).alias(f"b{b}")
         )
     votes = halves.groupBy(id_col).agg(*vote_cols)
     fingerprint = F.lit(0).cast("long")
@@ -536,7 +544,32 @@ def simhash_near_dup(
             "doc_a",
             "sh_a",
         )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    hamming = F.bit_count(xor)
+
+    def _band_dist(b: int) -> Column:
+        mask_bits = (64 - b * width) if b == n_bands - 1 else width
+        shifted = F.shiftrightunsigned(xor, b * width)
+        if mask_bits >= 64:
+            return F.bit_count(xor)
+        return F.bit_count(
+            shifted.bitwiseAND(F.lit((1 << mask_bits) - 1).cast("long"))
+        )
+
+    # A pair surfaces once per band within the band budget (≤ n_bands
+    # times). Deduplicate ARITHMETICALLY instead of with a distinct
+    # shuffle: both fingerprints are in the joined row, so keep a row
+    # only when its band is the FIRST band whose in-band distance is
+    # within d — every qualifying pair survives exactly once.
+    first_band = F.lit(True)
+    for b in range(1, n_bands):
+        earlier_ok = F.lit(True)
+        for j in range(b):
+            earlier_ok = earlier_ok & (_band_dist(j) > d)
+        first_band = F.when(F.col("band") == b, earlier_ok).otherwise(
+            first_band
+        )
+
     # The probe side is n_probes× wider than the build side, but its
     # size estimate comes from the pre-explode relation, so the
     # optimizer can pick a probe-side BROADCAST — hashing millions of
@@ -547,7 +580,7 @@ def simhash_near_dup(
     return (
         probe.join(build.hint("shuffle_hash"), ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(hamming <= max_hamming)
+        .filter(first_band)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
