@@ -76,6 +76,10 @@ HEADLINE = [
     "user_interevent_stats",
     "user_retention_cohorts",
     "embedding_centroid_stats",
+    "doc_chunks",
+    "cluster_representatives",
+    "doc_length_deciles",
+    "part_name_fuzzy",
 ]
 
 

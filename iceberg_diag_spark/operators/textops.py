@@ -231,3 +231,88 @@ def token_histogram(docs: DataFrame) -> DataFrame:
             F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
         )
     )
+
+
+def doc_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size token chunking — the sequence-preprocessing step
+    that splits documents into training-window pieces. One projection
+    chain: tokenize → sequence(0, n_chunks-1) explode → slice; no
+    shuffle at all (chunking is embarrassingly row-local), so it
+    pipelines inside the scan. Chunk text is emitted as an md5 so the
+    output stays narrow. Output: (doc_id, chunk_id, n_chunk_tokens,
+    chunk_hash)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(float(chunk_tokens))).cast("int")
+    chunked = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_id") * chunk_tokens + 1, chunk_tokens)
+    return chunked.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
+    )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_distance: int = 2,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Fuzzy vocabulary matching: distinct name pairs within a
+    Levenshtein budget, blocked on a shared prefix — the standard
+    recall/scale tradeoff for edit-distance joins (pairs differing in
+    the first prefix_len characters are out of contract BY DESIGN;
+    the join key space is |alphabet|^prefix_len, never all-pairs).
+    Output: (name_a, name_b, distance)."""
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    a = names.select(
+        F.substring("name", 1, prefix_len).alias("blk"),
+        F.col("name").alias("name_a"),
+    )
+    b = names.select(
+        F.substring("name", 1, prefix_len).alias("blk"),
+        F.col("name").alias("name_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )
+
+
+def length_deciles(docs: DataFrame, len_col: str = "n_chars") -> DataFrame:
+    """Decile assignment by document length via broadcast percentile
+    thresholds — the scale-friendly alternative to a global-sort
+    ntile: one exact-percentile aggregate (9 doubles) broadcast back,
+    then a row-local comparison bucket. Docs with equal lengths land
+    in the same decile by construction. Output:
+    (doc_id, n_chars, decile)."""
+    qs = docs.agg(
+        F.expr(
+            f"percentile({len_col}, array({', '.join(str(i / 10) for i in range(1, 10))}))"
+        ).alias("qs")
+    )
+    decile = F.lit(1)
+    for i in range(9):
+        decile = decile + (F.col(len_col) > F.element_at(F.col("qs"), i + 1)).cast("int")
+    return docs.crossJoin(F.broadcast(qs)).select(
+        "doc_id",
+        F.col(len_col).cast("long").alias("n_chars"),
+        decile.cast("long").alias("decile"),
+    )

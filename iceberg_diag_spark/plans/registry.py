@@ -3186,6 +3186,125 @@ FROM norms JOIN cent ON norms.label = cent.label
 """
 
 
+def _doc_chunks(spark, sf_dir):
+    return textops.doc_chunks(_t(spark, sf_dir, "documents"), chunk_tokens=64)
+
+
+_DOC_CHUNKS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, CAST(ceil(len(t) / 64.0) AS INTEGER) - 1)) AS chunk_id
+  FROM toks
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(t[chunk_id * 64 + 1 : chunk_id * 64 + 64]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(t[chunk_id * 64 + 1 : chunk_id * 64 + 64], ' ')) AS chunk_hash
+FROM c
+"""
+
+
+def _cluster_representatives(spark, sf_dir):
+    """Canonical document per near-dup cluster — the step after
+    clustering that actually deduplicates the corpus: keep the
+    longest member (ties → smallest id), emit the cluster size so
+    downstream can weight or audit. Composition: connected components
+    → broadcast-joined doc lengths → per-cluster argmax window."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    cc = dedup.connected_components(docs.select("doc_id"), pairs)
+    member = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        member.withColumn("__rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("doc_id"))).alias(
+                "rep_doc_id"
+            ),
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max(F.when(F.col("__rn") == 1, F.col("n_chars"))).cast(
+                "long"
+            ).alias("rep_n_chars"),
+        )
+    )
+
+
+# clusters chain (same as _NEAR_DUP_CLUSTERS_SQL) + representative
+# selection via the identical (n_chars DESC, doc_id ASC) window.
+_CLUSTER_REPS_SQL = _NEAR_DUP_CLUSTERS_SQL.replace(
+    "SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id\nFROM reach GROUP BY node",
+    """, cc AS (
+  SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY node
+),
+member AS (
+  SELECT cc.cluster_id, cc.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY d.n_chars DESC, cc.doc_id ASC) AS rn
+  FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+)
+SELECT cluster_id,
+       CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS rep_doc_id,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS rep_n_chars
+FROM member GROUP BY cluster_id""",
+)
+
+
+def _part_name_fuzzy(spark, sf_dir):
+    return textops.fuzzy_name_pairs(
+        _t(spark, sf_dir, "part"), "p_name", max_distance=3, prefix_len=2
+    )
+
+
+_PART_FUZZY_SQL = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
+FROM names a
+JOIN names b ON substring(a.name, 1, 2) = substring(b.name, 1, 2)
+            AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 3
+"""
+
+
+def _doc_length_deciles(spark, sf_dir):
+    return textops.length_deciles(_t(spark, sf_dir, "documents"))
+
+
+_DOC_DECILES_SQL = """
+WITH qs AS (
+  SELECT [quantile_cont(n_chars, 0.1), quantile_cont(n_chars, 0.2),
+          quantile_cont(n_chars, 0.3), quantile_cont(n_chars, 0.4),
+          quantile_cont(n_chars, 0.5), quantile_cont(n_chars, 0.6),
+          quantile_cont(n_chars, 0.7), quantile_cont(n_chars, 0.8),
+          quantile_cont(n_chars, 0.9)] AS q
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(1 + (CASE WHEN n_chars > q[1] THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > q[2] THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > q[3] THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > q[4] THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > q[5] THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > q[6] THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > q[7] THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > q[8] THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > q[9] THEN 1 ELSE 0 END) AS BIGINT)
+         AS decile
+FROM documents CROSS JOIN qs
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "diag_partition_stats": QuerySpec(
         _diag_partition_stats, _DIAG_PARTITION_STATS_SQL,
@@ -3443,6 +3562,26 @@ REGISTRY: dict[str, QuerySpec] = {
         "engine-private (151 vs 150 exact at sf0.01); the percentile "
         "columns equal DuckDB quantile_disc and the distinct error "
         "bound is pinned in tests/test_sketches.py",
+    ),
+    "doc_chunks": QuerySpec(
+        _doc_chunks, _DOC_CHUNKS_SQL,
+        "fixed-size token chunking into training windows (row-local, "
+        "zero-shuffle; chunk text emitted as md5)",
+    ),
+    "cluster_representatives": QuerySpec(
+        _cluster_representatives, _CLUSTER_REPS_SQL,
+        "canonical doc per near-dup cluster (longest member) + "
+        "cluster size — CC composition, recursive-CTE oracle",
+    ),
+    "part_name_fuzzy": QuerySpec(
+        _part_name_fuzzy, _PART_FUZZY_SQL,
+        "prefix-blocked Levenshtein vocabulary matching (edit "
+        "distance ≤ 3 within 2-char blocks)",
+    ),
+    "doc_length_deciles": QuerySpec(
+        _doc_length_deciles, _DOC_DECILES_SQL,
+        "decile assignment via broadcast percentile thresholds — "
+        "no global-sort ntile",
     ),
     "doc_hash_sample": QuerySpec(
         _doc_hash_sample, _DOC_HASH_SAMPLE_SQL,

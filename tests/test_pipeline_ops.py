@@ -165,3 +165,49 @@ def test_centroid_stats_known_vectors(spark):
     assert got[0].avg_norm == pytest.approx(3.5)       # (3+4)/2
     assert got[0].centroid_norm == pytest.approx(2.5)  # |(1.5, 2)|
     assert got[1].avg_norm == pytest.approx(1.0)
+
+
+def test_doc_chunks_exact(spark):
+    from iceberg_diag_spark.operators.textops import doc_chunks
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(130))),  # 130 → 3 chunks
+        (2, "single"),                               # 1 token → 1 chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_id): r.n_chunk_tokens
+        for r in doc_chunks(df, chunk_tokens=64).collect()
+    }
+    assert got == {(1, 0): 64, (1, 1): 64, (1, 2): 2, (2, 0): 1}
+
+
+def test_fuzzy_name_pairs_contract(spark):
+    from iceberg_diag_spark.operators.textops import fuzzy_name_pairs
+
+    rows = [(i, n) for i, n in enumerate(
+        ["red bolt", "red bolts", "red gear", "blue bolt", "ted bolt"]
+    )]
+    df = spark.createDataFrame(rows, "k long, name string")
+    got = {(r.name_a, r.name_b): r.distance
+           for r in fuzzy_name_pairs(df, "name").collect()}
+    # within the 're' block: bolt/bolts dist 1; bolt/gear dist 4 (out)
+    assert got == {("red bolt", "red bolts"): 1}
+    # 'ted bolt' (block 'te') and 'blue bolt' (block 'bl') are out of
+    # contract by prefix blocking even though edit distance is small
+    assert not any("ted bolt" in p or "blue bolt" in p for p in got)
+
+
+def test_length_deciles_monotone(spark):
+    from iceberg_diag_spark.operators.textops import length_deciles
+
+    rows = [(i, i * 10) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = sorted((r.n_chars, r.decile) for r in length_deciles(df).collect())
+    deciles = [d for _, d in got]
+    assert deciles == sorted(deciles)          # monotone in length
+    assert deciles[0] == 1 and deciles[-1] == 10
+    # equal lengths → same decile by construction
+    df2 = spark.createDataFrame([(i, 5) for i in range(20)],
+                                "doc_id long, n_chars long")
+    assert {r.decile for r in length_deciles(df2).collect()} == {1}
