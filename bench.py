@@ -69,6 +69,10 @@ HEADLINE = [
     "q8_market_share",
     "q9_product_profit",
     "q21_waiting_orders",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_supplier_part_counts",
+    "q20_potential_promotion",
     "doc_hash_sample",
     "orders_profile",
     "doc_token_histogram",

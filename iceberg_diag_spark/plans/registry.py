@@ -3305,6 +3305,263 @@ FROM documents CROSS JOIN qs
 """
 
 
+def _q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: no partsupp in the driver schema —
+    a supplier's cost for a part is its minimum observed
+    l_extendedprice): for each small LARGE-type part, the EUROPE
+    supplier(s) offering it cheapest. The spec's correlated
+    min-subquery is expressed as a window min over the part key —
+    one shuffle, no self-rejoin. Dims are broadcast; the min is
+    taken over per-row integer cents (floor is monotone, so
+    min∘floor ≡ floor∘min)."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    costs = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.min(
+                F.floor(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("cost_cents")
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        costs.withColumn("__min", F.min("cost_cents").over(w))
+        .filter(F.col("cost_cents") == F.col("__min"))
+        .select(
+            F.floor(F.col("s_acctbal") * 100).cast("long").alias("s_acctbal_cents"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "cost_cents",
+        )
+    )
+
+
+_Q2_SQL = """
+WITH europe_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+costs AS (
+  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+         min(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_size <= 15 AND p_type = 'LARGE'
+  JOIN europe_supp ON l_suppkey = s_suppkey
+  GROUP BY p_partkey, s_suppkey, s_name, s_acctbal, n_name
+),
+ranked AS (
+  SELECT *, min(cost_cents) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM costs
+)
+SELECT CAST(FLOOR(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+       s_name, n_name, p_partkey, cost_cents
+FROM ranked WHERE cost_cents = min_cost
+"""
+
+
+def _q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: lineitem revenue through EUROPE
+    suppliers stands in for partsupp stock value): parts whose
+    supplied value exceeds 1.5× the mean per-part value. The spec's
+    scale-dependent HAVING fraction is replaced by a self-normalizing
+    integer cross-multiply (value · 2 · n_parts > 3 · total), exact
+    in both engines at bench scales; at extreme corpus sizes the
+    compare would move to double/decimal to stay in range."""
+    supp_eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vals = (
+        li.join(F.broadcast(supp_eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev_cents()).alias("value_cents"))
+    )
+    tot = vals.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        vals.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value_cents") * 2 * F.col("n_parts")
+            > 3 * F.col("total_cents")
+        )
+        .select("l_partkey", "value_cents")
+    )
+
+
+_Q11_SQL = """
+WITH vals AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey
+),
+tot AS (SELECT sum(value_cents) AS total_cents, count(*) AS n_parts FROM vals)
+SELECT l_partkey, value_cents
+FROM vals, tot
+WHERE value_cents * 2 * n_parts > 3 * total_cents
+"""
+
+
+def _q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: distinct suppliers observed in
+    lineitem stand in for partsupp; negative-balance suppliers stand
+    in for the spec's complaint-comment exclusion): distinct-supplier
+    count per (brand, type, size) for selected part families,
+    excluding flagged suppliers by anti-join."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def _q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: no ps_availqty — a supplier
+    qualifies when it shipped the majority of a gear part's 1997
+    volume): AMERICA suppliers dominating at least one part. The
+    spec's nested quantity subquery is a window sum over the part
+    key; quantities sum as integers so the majority compare is
+    exact cross-engine."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = shipped.withColumn(
+        "qty_total", F.sum("qty").over(w)
+    ).filter(F.col("qty") * 2 > F.col("qty_total"))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        dominant.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+_Q20_SQL = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (SELECT l_partkey, sum(qty) AS qty_total FROM shipped GROUP BY l_partkey)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM shipped sh
+JOIN tot t ON sh.l_partkey = t.l_partkey
+JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'AMERICA' AND sh.qty * 2 > t.qty_total
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "diag_partition_stats": QuerySpec(
         _diag_partition_stats, _DIAG_PARTITION_STATS_SQL,
@@ -3417,6 +3674,26 @@ REGISTRY: dict[str, QuerySpec] = {
         _q21_waiting_orders, _Q21_SQL,
         "TPC-H Q21 shape: sole-late-supplier via semi + anti "
         "self-joins on the order key",
+    ),
+    "q2_min_cost_supplier": QuerySpec(
+        _q2_min_cost_supplier, _Q2_SQL,
+        "TPC-H Q2 shape (lineitem-as-partsupp): cheapest EUROPE "
+        "supplier per part via window min, no correlated rejoin",
+    ),
+    "q11_important_parts": QuerySpec(
+        _q11_important_parts, _Q11_SQL,
+        "TPC-H Q11 shape: per-part supplied value vs broadcast "
+        "scalar threshold (self-normalizing integer compare)",
+    ),
+    "q16_supplier_part_counts": QuerySpec(
+        _q16_supplier_part_counts, _Q16_SQL,
+        "TPC-H Q16 shape: distinct-supplier count per part family "
+        "with anti-joined supplier exclusion",
+    ),
+    "q20_potential_promotion": QuerySpec(
+        _q20_potential_promotion, _Q20_SQL,
+        "TPC-H Q20 shape: majority-volume supplier per part via "
+        "window sum + region semi-join",
     ),
     "orders_window_analytics": QuerySpec(
         _orders_window_analytics, _ORDERS_WINDOW_SQL,
