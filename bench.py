@@ -81,6 +81,8 @@ HEADLINE = [
     "user_retention_cohorts",
     "embedding_centroid_stats",
     "doc_chunks",
+    "doc_decontamination",
+    "epoch_shuffle",
     "cluster_representatives",
     "doc_length_deciles",
     "part_name_fuzzy",

@@ -1,0 +1,58 @@
+"""Deterministic epoch shuffling for training-data pipelines.
+
+The global shuffle before each training epoch must be (a) a true
+permutation, (b) reproducible from a seed, and (c) executable without
+ever funneling the corpus through one node. A single global
+`row_number() OVER (ORDER BY rand())` fails all three at scale — one
+unpartitioned window means one task holds the world.
+
+The scalable formulation: order rows by a seeded hash key, split that
+total order into shards by the key's first hex digit (shard order ==
+key order, so shard boundaries are range boundaries of the total
+order), number rows within each shard with a partitioned window, and
+add broadcast cumulative shard offsets. Every stage is
+embarrassingly parallel except one tiny (n_shards-row) aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def epoch_shuffle(
+    docs: DataFrame, seed: str = "epoch-0", id_col: str = "doc_id"
+) -> DataFrame:
+    """Assign each row a deterministic global shuffle position for
+    the given seed. The total order is (shuffle_key, id): md5 keys
+    are effectively unique, the id breaks theoretical collisions.
+    Sharding by the key's first character preserves that order
+    (ascii('0'..'9','a'..'f') is monotone), so
+    global_pos = shard_offset + within-shard rank needs only a
+    16-row broadcast of cumulative shard sizes — no global window,
+    no single-task sort. Output: (id, shuffle_key, shuffle_pos)."""
+    key = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    base = docs.select(F.col(id_col), key.alias("shuffle_key")).withColumn(
+        "__shard", F.ascii(F.substring("shuffle_key", 1, 1))
+    )
+    w = Window.partitionBy("__shard").orderBy("shuffle_key", id_col)
+    sizes = base.groupBy("__shard").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "__shard",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    return (
+        base.withColumn("__rank", F.row_number().over(w))
+        .join(F.broadcast(offsets), "__shard")
+        .select(
+            F.col(id_col),
+            "shuffle_key",
+            (F.col("__offset") + F.col("__rank")).cast("long").alias(
+                "shuffle_pos"
+            ),
+        )
+    )

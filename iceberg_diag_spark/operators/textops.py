@@ -79,10 +79,27 @@ def quality_scores(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Heuristic quality signals as one projection over one scan —
-    composable filters for corpus curation."""
+    composable filters for corpus curation. Includes the repetition
+    signal (duplicate-trigram count, the Gopher-style repetition
+    filter) as exact integers: trigrams are built row-local with a
+    transform over the token array, so the whole operator stays a
+    zero-shuffle projection."""
     exprs = quality_exprs(text_col)
+    t = tokens(F.col(text_col))
+    trigrams = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.array_join(F.slice(t, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return ensure_parallelism(docs).select(
-        F.col(id_col), *[c.alias(name) for name, c in exprs.items()]
+        F.col(id_col),
+        *[c.alias(name) for name, c in exprs.items()],
+        F.size(trigrams).cast("long").alias("trigram_count"),
+        (F.size(trigrams) - F.size(F.array_distinct(trigrams)))
+        .cast("long")
+        .alias("dup_trigram_count"),
     )
 
 
@@ -260,6 +277,47 @@ def doc_chunks(
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
+    )
+
+
+def ngram_hashes(t: Column, n: int) -> Column:
+    """Distinct md5 hashes of all word n-grams of a token array —
+    row-local (transform over a guarded sequence; Spark's sequence()
+    infers a NEGATIVE step when start > stop, so short docs must map
+    to an explicit empty array, not sequence(1, 0))."""
+    starts = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.md5(F.array_join(F.slice(t, i, n), " ")))
+    )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: training documents that share any
+    word n-gram with the eval/benchmark set, with the count of
+    distinct shared n-grams. The standard contamination check (13-gram
+    overlap in GPT-3/PaLM reports; n is a parameter here) expressed
+    as a hash join on gram md5s: the eval side is DISTINCT gram
+    hashes — benchmark suites are tiny relative to a training corpus,
+    so it broadcasts and the corpus streams through map-side, never
+    shuffling the training grams. Output: (doc_id, shared_ngrams),
+    contaminated docs only."""
+    grams = ngram_hashes(tokens(F.col(text_col)), n)
+    train_g = train.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    )
+    eval_g = eval_docs.select(F.explode(grams).alias("g")).distinct()
+    return (
+        train_g.join(F.broadcast(eval_g), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
     )
 
 

@@ -36,6 +36,7 @@ from iceberg_diag_spark.operators import (
     multimodal,
     profiling,
     sampling,
+    shuffling,
     similarity,
     sketches,
     textops,
@@ -1993,6 +1994,8 @@ def _quality_scores(spark, sf_dir):
         F.round("type_token_ratio", 6).alias("type_token_ratio"),
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
         F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        "trigram_count",
+        "dup_trigram_count",
     )
 
 
@@ -2001,6 +2004,12 @@ WITH norm AS (
   SELECT doc_id, text,
          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
   FROM documents
+),
+tri AS (
+  SELECT doc_id, text, toks,
+         [array_to_string(toks[i : i + 2], ' ')
+          FOR i IN generate_series(1, len(toks) - 2)] AS trigrams
+  FROM norm
 )
 SELECT doc_id,
        round(CAST(length(text) AS DOUBLE) / greatest(len(toks), 1), 6) AS mean_token_len,
@@ -2009,8 +2018,10 @@ SELECT doc_id,
              ['the','and','of','to','a','in','is','that','it','for'])) AS DOUBLE)
              / greatest(len(toks), 1), 6) AS stopword_ratio,
        round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-             / greatest(length(text), 1), 6) AS alpha_ratio
-FROM norm
+             / greatest(length(text), 1), 6) AS alpha_ratio,
+       CAST(len(trigrams) AS BIGINT) AS trigram_count,
+       CAST(len(trigrams) - len(list_distinct(trigrams)) AS BIGINT) AS dup_trigram_count
+FROM tri
 """
 
 
@@ -3305,6 +3316,55 @@ FROM documents CROSS JOIN qs
 """
 
 
+def _doc_decontamination(spark, sf_dir):
+    """Eval set = the deterministic doc_id % 10 == 0 slice; training
+    side is the rest. Contamination = any shared 8-gram."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    return textops.ngram_decontaminate(train, ev, n=8)
+
+
+_DOC_DECONTAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i : i + 7], ' ')) AS g
+  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+),
+eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+FROM grams gr JOIN eval_grams e ON gr.g = e.g
+WHERE gr.doc_id % 10 <> 0
+GROUP BY gr.doc_id
+"""
+
+
+def _epoch_shuffle(spark, sf_dir):
+    return shuffling.epoch_shuffle(
+        _t(spark, sf_dir, "documents"), seed="epoch-0"
+    )
+
+
+# The operator's (shard, key, id) total order equals plain (key, id)
+# order — the shard is the key's first character, so the oracle is a
+# single window. The Spark side still executes it as 16 parallel
+# shards + broadcast offsets; only the *contract* collapses.
+_EPOCH_SHUFFLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, md5('epoch-0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+         AS shuffle_pos
+FROM keyed
+"""
+
+
 def _q2_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 shape (adapted: no partsupp in the driver schema —
     a supplier's cost for a part is its minimum observed
@@ -3859,6 +3919,16 @@ REGISTRY: dict[str, QuerySpec] = {
         _doc_length_deciles, _DOC_DECILES_SQL,
         "decile assignment via broadcast percentile thresholds — "
         "no global-sort ntile",
+    ),
+    "doc_decontamination": QuerySpec(
+        _doc_decontamination, _DOC_DECONTAM_SQL,
+        "benchmark decontamination: shared-8-gram hash join against "
+        "a broadcast eval-set gram set",
+    ),
+    "epoch_shuffle": QuerySpec(
+        _epoch_shuffle, _EPOCH_SHUFFLE_SQL,
+        "seeded deterministic epoch shuffle — sharded rank + "
+        "broadcast offsets, no global window",
     ),
     "doc_hash_sample": QuerySpec(
         _doc_hash_sample, _DOC_HASH_SAMPLE_SQL,

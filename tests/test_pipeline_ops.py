@@ -211,3 +211,56 @@ def test_length_deciles_monotone(spark):
     df2 = spark.createDataFrame([(i, 5) for i in range(20)],
                                 "doc_id long, n_chars long")
     assert {r.decile for r in length_deciles(df2).collect()} == {1}
+
+
+def test_ngram_decontaminate_exact(spark):
+    from iceberg_diag_spark.operators.textops import ngram_decontaminate
+
+    shared = "a b c d e f g h"          # exactly one 8-gram
+    train = spark.createDataFrame(
+        [(1, shared + " tail words here"),   # contains the eval 8-gram
+         (2, "totally different text with no overlap at all"),
+         (3, "short")],                      # < 8 tokens → no grams
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, shared)], "doc_id long, text string")
+    got = {r.doc_id: r.shared_ngrams
+           for r in ngram_decontaminate(train, ev, n=8).collect()}
+    assert got == {1: 1}                      # doc 2 clean, doc 3 gram-less
+
+
+def test_quality_scores_repetition_counts(spark):
+    from iceberg_diag_spark.operators.textops import quality_scores
+
+    df = spark.createDataFrame(
+        [(1, "x y z x y z x y z"),   # 7 trigrams, 3 distinct → 4 dups
+         (2, "a b"),                 # < 3 tokens → 0 trigrams
+         (3, "p q r s")],            # 2 trigrams, both unique
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.trigram_count, r.dup_trigram_count)
+           for r in quality_scores(df).collect()}
+    assert got == {1: (7, 4), 2: (0, 0), 3: (2, 0)}
+
+
+def test_epoch_shuffle_permutation(spark):
+    from iceberg_diag_spark.operators.shuffling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    rows = epoch_shuffle(df, seed="s1").collect()
+    # bijection onto 1..N
+    assert sorted(r.shuffle_pos for r in rows) == list(range(1, 201))
+    # position order must equal (shuffle_key, doc_id) order
+    by_pos = sorted(rows, key=lambda r: r.shuffle_pos)
+    assert [r.doc_id for r in by_pos] == [
+        r.doc_id for r in sorted(rows, key=lambda r: (r.shuffle_key, r.doc_id))
+    ]
+    # deterministic per seed, different across seeds
+    again = epoch_shuffle(df, seed="s1").collect()
+    assert {(r.doc_id, r.shuffle_pos) for r in again} == {
+        (r.doc_id, r.shuffle_pos) for r in rows
+    }
+    other = epoch_shuffle(df, seed="s2").collect()
+    assert {(r.doc_id, r.shuffle_pos) for r in other} != {
+        (r.doc_id, r.shuffle_pos) for r in rows
+    }
