@@ -86,6 +86,8 @@ HEADLINE = [
     "cluster_representatives",
     "doc_length_deciles",
     "part_name_fuzzy",
+    "doc_pack_sequences",
+    "pii_redaction",
 ]
 
 

@@ -374,3 +374,53 @@ def length_deciles(docs: DataFrame, len_col: str = "n_chars") -> DataFrame:
         F.col(len_col).cast("long").alias("n_chars"),
         decile.cast("long").alias("decile"),
     )
+
+
+# PII patterns, applied in order. Portable regex subset (character
+# classes, bounded repeats, \b) that Java regex (Spark) and RE2
+# (DuckDB, our oracle engine) interpret identically — no lookaround,
+# no backreferences. SSN before phone so the 3-2-4 shape is claimed
+# before the looser phone pattern sees the text.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b555-[0-9]{4}\b", "<PHONE>"),
+]
+
+
+def pii_redaction(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing — detect and mask emails / SSNs / phone numbers,
+    the standard pre-training privacy pass.
+
+    Counts are taken on the original text, then the patterns are
+    applied as chained regexp_replace (replace-all) in PII_PATTERNS
+    order. The redacted text itself never leaves the executor: the
+    output carries its md5 and length, which pins the transformation
+    char-for-char against the oracle while keeping the result narrow.
+    All expressions are JVM built-ins inside one projection — no
+    shuffle, no Python — so the pass runs at scan speed at any scale.
+    Output: (doc_id, n_emails, n_ssns, n_phones, pii_total,
+    redacted_md5, redacted_len).
+    """
+    text = F.col(text_col)
+    counts = {
+        f"n_{name}s": F.size(
+            F.regexp_extract_all(text, F.lit(pat), F.lit(0))
+        ).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+    red = text
+    for _, pat, tag in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tag)
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return docs.select(
+        F.col(id_col),
+        *[c.alias(n) for n, c in counts.items()],
+        total.alias("pii_total"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )

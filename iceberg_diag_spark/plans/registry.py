@@ -37,6 +37,7 @@ from iceberg_diag_spark.operators import (
     profiling,
     sampling,
     shuffling,
+    packing,
     similarity,
     sketches,
     textops,
@@ -3622,6 +3623,128 @@ WHERE r.r_name = 'AMERICA' AND sh.qty * 2 > t.qty_total
 """
 
 
+def _doc_pack_sequences(spark, sf_dir):
+    return packing.pack_sequences(
+        _t(spark, sf_dir, "documents"), capacity_tokens=256, n_shards=4
+    )
+
+
+# Fit-before-append packing as a boundary recursion (same family as
+# the binpack oracle): a sequence starting at row srn with
+# base = P(srn-1) ends just BEFORE the first row e where
+# P(e) - base > 256 (that doc starts the next sequence), except when
+# e == srn — a doc alone over capacity keeps its own sequence.
+# Recursion depth = max sequences per (source, shard), not rows.
+_DOC_PACK_SQL = r"""
+WITH RECURSIVE data AS (
+  SELECT source, doc_id % 4 AS shard, doc_id,
+         len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS sz
+  FROM documents
+),
+pre AS (
+  SELECT source, shard, sz,
+         row_number() OVER (PARTITION BY source, shard ORDER BY doc_id) AS rn,
+         sum(sz) OVER (PARTITION BY source, shard ORDER BY doc_id) AS ps
+  FROM data
+),
+bounds AS (
+  SELECT source, shard, 0 AS gid, CAST(1 AS BIGINT) AS srn,
+         CAST(0 AS HUGEINT) AS base
+  FROM (SELECT DISTINCT source, shard FROM data)
+  UNION ALL
+  SELECT q.source, q.shard, q.gid + 1,
+         CASE WHEN q.ern = q.srn THEN q.ern + 1 ELSE q.ern END,
+         CASE WHEN q.ern = q.srn THEN q.eps ELSE q.pps END
+  FROM (
+    SELECT b.source, b.shard, b.gid, b.srn,
+           min(p.rn) AS ern, min(p.ps) AS eps,
+           arg_min(p.ps - p.sz, p.rn) AS pps
+    FROM bounds b
+    JOIN pre p ON p.source = b.source AND p.shard = b.shard
+              AND p.rn >= b.srn
+              AND p.ps - b.base > 256
+    GROUP BY b.source, b.shard, b.gid, b.srn
+  ) q
+),
+tot AS (
+  SELECT source, shard, max(rn) AS mx, max(ps) AS total
+  FROM pre GROUP BY source, shard
+),
+grp AS (
+  SELECT b.source, b.shard, b.gid,
+         coalesce(lead(b.srn) OVER w, t.mx + 1) - b.srn AS cnt,
+         coalesce(lead(b.base) OVER w, t.total) - b.base AS toks
+  FROM bounds b
+  JOIN tot t ON t.source = b.source AND t.shard = b.shard
+            AND b.srn <= t.mx
+  WINDOW w AS (PARTITION BY b.source, b.shard ORDER BY b.gid)
+)
+SELECT source, CAST(shard AS BIGINT) AS shard, CAST(gid AS BIGINT) AS seq_id,
+       CAST(cnt AS BIGINT) AS doc_count, CAST(toks AS BIGINT) AS seq_tokens,
+       toks > 256 AS truncated
+FROM grp
+"""
+
+
+def _pii_redaction(spark, sf_dir):
+    """PII pass over documents carrying a deterministic contact
+    footer derived from doc_id — the corpus's own text has no PII by
+    construction, so the footer gives the patterns real positives
+    while staying exactly reproducible in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    footer = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ssn "),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(1000)).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(100)).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" ph 555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    return textops.pii_redaction(
+        docs.withColumn("text", footer)
+    )
+
+
+_PII_REDACTION_SQL = r"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com ssn '
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ph 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, t,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssns,
+         len(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS n_phones,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+           '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS red
+  FROM pii
+)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_ssns AS BIGINT) AS n_ssns,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       CAST(n_emails + n_ssns + n_phones AS BIGINT) AS pii_total,
+       md5(red) AS redacted_md5,
+       CAST(length(red) AS BIGINT) AS redacted_len
+FROM counted
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "diag_partition_stats": QuerySpec(
         _diag_partition_stats, _DIAG_PARTITION_STATS_SQL,
@@ -3904,6 +4027,17 @@ REGISTRY: dict[str, QuerySpec] = {
         _doc_chunks, _DOC_CHUNKS_SQL,
         "fixed-size token chunking into training windows (row-local, "
         "zero-shuffle; chunk text emitted as md5)",
+    ),
+    "doc_pack_sequences": QuerySpec(
+        _doc_pack_sequences, _DOC_PACK_SQL,
+        "greedy fit-before-append sequence packing into 256-token "
+        "training windows, sharded applyInPandas fold; "
+        "boundary-recursive CTE oracle",
+    ),
+    "pii_redaction": QuerySpec(
+        _pii_redaction, _PII_REDACTION_SQL,
+        "email/SSN/phone detect + mask; redacted text pinned by md5; "
+        "pure codegen regex chain, zero shuffle",
     ),
     "cluster_representatives": QuerySpec(
         _cluster_representatives, _CLUSTER_REPS_SQL,

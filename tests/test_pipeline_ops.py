@@ -264,3 +264,86 @@ def test_epoch_shuffle_permutation(spark):
     assert {(r.doc_id, r.shuffle_pos) for r in other} != {
         (r.doc_id, r.shuffle_pos) for r in rows
     }
+
+
+def test_pack_fold_semantics():
+    from iceberg_diag_spark.operators.packing import pack_fold
+
+    # fit-before-append: 100+100 fits 256, +100 would not
+    assert pack_fold([100, 100, 100], 256) == [(2, 200), (1, 100)]
+    # oversized doc gets its own (truncated) sequence, neighbors pack on
+    assert pack_fold([50, 300, 50, 50], 256) == [(1, 50), (1, 300), (2, 100)]
+    # oversized first
+    assert pack_fold([300, 10], 256) == [(1, 300), (1, 10)]
+    assert pack_fold([], 256) == []
+    assert pack_fold([256], 256) == [(1, 256)]  # exact fit stays open
+
+
+def test_pack_fold_invariants():
+    from hypothesis import given, strategies as st
+
+    from iceberg_diag_spark.operators.packing import pack_fold
+
+    @given(
+        st.lists(st.integers(min_value=1, max_value=500), max_size=60),
+        st.integers(min_value=1, max_value=400),
+    )
+    def check(sizes, cap):
+        seqs = pack_fold(sizes, cap)
+        assert sum(c for c, _ in seqs) == len(sizes)
+        assert sum(t for _, t in seqs) == sum(sizes)
+        for cnt, total in seqs:
+            # only a lone oversized doc may exceed the capacity
+            assert total <= cap or cnt == 1
+
+    check()
+
+
+def test_pack_sequences_spark_matches_fold(spark):
+    from iceberg_diag_spark.operators.packing import pack_fold, pack_sequences
+
+    rows = [
+        (i, "s%d" % (i % 2), " ".join("w" for _ in range(10 + 7 * (i % 9))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = sorted(
+        (r.source, r.shard, r.seq_id, r.doc_count, r.seq_tokens, r.truncated)
+        for r in pack_sequences(df, capacity_tokens=64, n_shards=3).collect()
+    )
+    expect = []
+    for src in ("s0", "s1"):
+        for shard in range(3):
+            toks = [
+                10 + 7 * (i % 9)
+                for i in range(40)
+                if "s%d" % (i % 2) == src and i % 3 == shard
+            ]
+            for sid, (cnt, total) in enumerate(pack_fold(toks, 64)):
+                expect.append((src, shard, sid, cnt, total, total > 64))
+    assert got == sorted(expect)
+
+
+def test_pii_redaction_exact(spark):
+    from iceberg_diag_spark.operators.textops import pii_redaction
+
+    rows = [
+        (1, "mail bob.smith@corp.example.org now ssn 123-45-6789 call 555-0199 end"),
+        (2, "no pii here at all"),
+        (3, "two mails a@b.io and c.d@e-f.co plus 555-1234"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_redaction(df).collect()}
+
+    assert (got[1].n_emails, got[1].n_ssns, got[1].n_phones) == (1, 1, 1)
+    assert got[1].pii_total == 3
+    assert got[2].pii_total == 0
+    assert (got[3].n_emails, got[3].n_phones) == (2, 1)
+
+    import hashlib
+
+    expected1 = "mail <EMAIL> now ssn <SSN> call <PHONE> end"
+    assert got[1].redacted_md5 == hashlib.md5(expected1.encode()).hexdigest()
+    assert got[1].redacted_len == len(expected1)
+    # no-PII text passes through untouched
+    assert got[2].redacted_md5 == hashlib.md5(b"no pii here at all").hexdigest()
