@@ -88,6 +88,7 @@ HEADLINE = [
     "part_name_fuzzy",
     "doc_pack_sequences",
     "pii_redaction",
+    "boilerplate_removal",
 ]
 
 

@@ -424,3 +424,53 @@ def pii_redaction(
         F.md5(red).alias("redacted_md5"),
         F.length(red).cast("long").alias("redacted_len"),
     )
+
+
+def boilerplate_removal(
+    docs: DataFrame,
+    min_docs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style corpus-wide boilerplate removal: a sentence (split on
+    '. ') whose normalized form appears in >= min_docs distinct
+    documents is boilerplate; every doc is rebuilt from its kept
+    sentences in original order.
+
+    Two shuffles total: one narrow (sentence-hash, doc_id) aggregate
+    to find the boilerplate set, one per-doc rebuild. The boilerplate
+    set is by construction small (only forms that repeat across many
+    docs) so it broadcasts, and the rebuild groupBy collects kept
+    sentences as (pos, sent) structs — array_sort restores order
+    without a per-doc window. Cleaned text leaves the executor only
+    as md5 + counts. Output: (doc_id, n_sentences, n_kept, n_dropped,
+    cleaned_md5).
+    """
+    sents = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\. ")).alias("pos", "sent"),
+    ).withColumn("h", F.md5(F.lower(F.trim(F.col("sent")))))
+    boiler = (
+        sents.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h", F.lit(True).alias("is_b"))
+    )
+    marked = sents.join(F.broadcast(boiler), "h", "left")
+    kept_struct = F.when(
+        F.col("is_b").isNull(), F.struct(F.col("pos"), F.col("sent"))
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        (F.count(F.lit(1)) - F.count("is_b")).alias("n_kept"),
+        F.count("is_b").alias("n_dropped"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x.getField("sent"),
+                ),
+                ". ",
+            )
+        ).alias("cleaned_md5"),
+    )

@@ -3686,6 +3686,60 @@ FROM grp
 """
 
 
+def _boilerplate_removal(spark, sf_dir):
+    """Boilerplate pass over documents carrying a per-source footer
+    sentence — the synthetic corpus has no natural repeated
+    sentences, so the footer (shared by every doc of a source) gives
+    the threshold real positives while the body sentence stays
+    unique per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    with_footer = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(". subscribe to "),
+            F.col("source"),
+            F.lit(" newsletter today"),
+        ),
+    )
+    return textops.boilerplate_removal(with_footer, min_docs=5)
+
+
+_BOILERPLATE_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         text || '. subscribe to ' || source || ' newsletter today' AS t
+  FROM documents
+),
+arrs AS (
+  SELECT doc_id, regexp_split_to_array(t, '\. ') AS arr FROM base
+),
+s AS (
+  SELECT doc_id, unnest(generate_series(1, len(arr))) AS pos, arr FROM arrs
+),
+h AS (
+  SELECT doc_id, pos, arr[pos] AS sent,
+         md5(lower(trim(arr[pos]))) AS hh
+  FROM s
+),
+boiler AS (
+  SELECT hh FROM h GROUP BY hh HAVING count(DISTINCT doc_id) >= 5
+),
+marked AS (
+  SELECT x.doc_id, x.pos, x.sent, b.hh IS NOT NULL AS is_b
+  FROM h x LEFT JOIN boiler b ON x.hh = b.hh
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(count(*) - sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       md5(coalesce(
+         string_agg(CASE WHEN NOT is_b THEN sent END, '. ' ORDER BY pos),
+         '')) AS cleaned_md5
+FROM marked GROUP BY doc_id
+"""
+
+
 def _pii_redaction(spark, sf_dir):
     """PII pass over documents carrying a deterministic contact
     footer derived from doc_id — the corpus's own text has no PII by
@@ -4038,6 +4092,13 @@ REGISTRY: dict[str, QuerySpec] = {
         _pii_redaction, _PII_REDACTION_SQL,
         "email/SSN/phone detect + mask; redacted text pinned by md5; "
         "pure codegen regex chain, zero shuffle",
+    ),
+    "boilerplate_removal": QuerySpec(
+        _boilerplate_removal, _BOILERPLATE_SQL,
+        "C4-style corpus-wide repeated-sentence removal: hash-agg "
+        "boilerplate set broadcast back, docs rebuilt in order "
+        "(struct array_sort, no per-doc window); cleaned text pinned "
+        "by md5",
     ),
     "cluster_representatives": QuerySpec(
         _cluster_representatives, _CLUSTER_REPS_SQL,

@@ -347,3 +347,35 @@ def test_pii_redaction_exact(spark):
     assert got[1].redacted_len == len(expected1)
     # no-PII text passes through untouched
     assert got[2].redacted_md5 == hashlib.md5(b"no pii here at all").hexdigest()
+
+
+def test_boilerplate_removal_exact(spark):
+    import hashlib
+
+    from iceberg_diag_spark.operators.textops import boilerplate_removal
+
+    # "promo" appears in 3 docs -> boilerplate at min_docs=3;
+    # unique bodies survive; doc 4 is ALL boilerplate.
+    rows = [
+        (1, "alpha body one. promo line"),
+        (2, "beta body two. promo line"),
+        (3, "gamma body three. promo line. extra tail"),
+        (4, "promo line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in boilerplate_removal(df, min_docs=3).collect()}
+
+    assert (got[1].n_sentences, got[1].n_kept, got[1].n_dropped) == (2, 1, 1)
+    assert got[1].cleaned_md5 == hashlib.md5(b"alpha body one").hexdigest()
+    # order preserved across a dropped middle sentence
+    assert got[3].cleaned_md5 == hashlib.md5(
+        b"gamma body three. extra tail"
+    ).hexdigest()
+    # fully-boilerplate doc still emitted, cleaned to empty
+    assert (got[4].n_kept, got[4].n_dropped) == (0, 1)
+    assert got[4].cleaned_md5 == hashlib.md5(b"").hexdigest()
+    # normalization: trailing-case variants count as the same form
+    rows2 = rows + [(5, "PROMO LINE")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got2 = {r.doc_id: r for r in boilerplate_removal(df2, min_docs=4).collect()}
+    assert got2[5].n_dropped == 1

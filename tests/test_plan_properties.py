@@ -132,3 +132,28 @@ def test_q7_broadcasts_all_dims(spark):
     # the fact join — every dimension side is a broadcast
     assert _op_count(plan, "BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_pii_redaction_zero_shuffle_codegen(spark):
+    """The PII pass must stay a fused scan-side projection: no
+    exchange, no Python, text column pruned into the scan."""
+    plan = _plan(spark, "pii_redaction")
+    assert _exchanges(plan) == 0
+    assert "Python" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_pack_sequences_narrow_shuffle(spark):
+    """Packing shuffles token COUNTS, not text: exactly one exchange,
+    and the projection to (source, shard, doc_id, n_tokens) happens
+    below it so no string column crosses the wire."""
+    plan = _plan(spark, "doc_pack_sequences")
+    assert _exchanges(plan) == 1
+    assert _op_count(plan, "FlatMapGroupsInPandas") == 1
+    ex = re.search(
+        r"^\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan, re.MULTILINE
+    )
+    assert ex is not None
+    shuffled_cols = ex.group(1)
+    assert "n_tokens" in shuffled_cols
+    assert "text" not in shuffled_cols
