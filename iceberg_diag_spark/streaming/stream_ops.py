@@ -31,6 +31,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
+from iceberg_diag_spark.sources.tpch import normalize_event_ts
+
 SESSION_GAP = "30 minutes"
 _QUERY_SEQ = itertools.count()
 
@@ -49,9 +51,11 @@ def read_events_stream(
     taken from a batch probe (streams require an explicit schema); a
     production deployment would pass the Kafka/Iceberg source instead.
 
-    events.ts is parquet TIMESTAMP(NANOS) — read as long via the
-    legacy conf and converted ns → µs exactly, mirroring
-    sources/tpch.py's batch loader.
+    events.ts is normalized to TimestampType the same way as the
+    batch loader (sources/tpch.py:normalize_event_ts) — the physical
+    type has varied across testdata generations (TIMESTAMP(NANOS) →
+    long via legacy conf, TIMESTAMP(MICROS) → timestamp_ntz, or
+    already timestamp).
     """
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -66,9 +70,7 @@ def read_events_stream(
     reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(stream_dir).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return normalize_event_ts(reader.parquet(stream_dir))
 
 
 def tumbling_counts(
