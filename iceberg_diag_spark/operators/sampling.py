@@ -41,6 +41,94 @@ def hash_sample(
     return df.filter(hash_bucket(F.col(key_col), buckets) < pct)
 
 
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic train/val/test assignment from the key's hash
+    bucket: [0, test) → test, [test, test+val) → val, rest → train.
+    Same stability contract as hash_sample — a document's split never
+    changes as the corpus grows, so eval sets stay frozen across
+    snapshots. Pure projection: no shuffle, prunes/pushes freely."""
+    if val_pct + test_pct >= buckets:
+        raise ValueError("val_pct + test_pct must leave room for train")
+    b = hash_bucket(F.col(key_col), buckets)
+    return df.withColumn(
+        "split",
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def per_stratum_cap(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    cap: int,
+) -> DataFrame:
+    """Cap each stratum (source/domain) at `cap` rows, chosen by
+    md5-hash order of the key (deterministic, unbiased, stable under
+    append). The canonical over-represented-domain guard in corpus
+    assembly.
+
+    Scale: expressed as row_number() <= cap so Spark's
+    InferWindowGroupLimit rewrites it to a map-side WindowGroupLimit
+    (partial top-k per input partition, then one k-row-per-group
+    shuffle) — each executor forwards at most `cap` rows per stratum,
+    never the full stratum. Adds a `rk` column (1-based hash rank)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.md5(F.col(key_col).cast("string")), F.col(key_col))
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+    )
+
+
+def source_mixture_weights(
+    df: DataFrame,
+    strata_col: str = "source",
+    weight_col: str = "n_chars",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted domain mixture (the multilingual-training
+    sampling rule, weight_s ∝ mass_s^alpha): per stratum, the raw
+    token mass, its share, and the alpha-flattened sampling share.
+    alpha < 1 up-samples small domains, alpha = 1 is proportional.
+
+    Shares are emitted as parts-per-million BIGINTs (floor) — exact
+    cross-engine comparison; doubles at the ulp level are not.
+    One groupBy (#strata rows) + an all-rows window over that tiny
+    aggregate — post-agg cardinality is #domains, so the single-
+    partition window is free at any input scale."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(weight_col)).alias("mass"),
+    )
+    everything = Window.partitionBy()
+    w_raw = F.pow(F.col("mass").cast("double"), F.lit(alpha))
+    return counts.select(
+        F.col(strata_col),
+        F.col("n_docs"),
+        F.col("mass"),
+        F.floor(
+            F.lit(1_000_000.0) * F.col("mass") / F.sum("mass").over(everything)
+        ).cast("long").alias("share_ppm"),
+        F.floor(
+            F.lit(1_000_000.0) * w_raw / F.sum(w_raw).over(everything)
+        ).cast("long").alias("sample_share_ppm"),
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

@@ -436,3 +436,50 @@ def label_centroid_stats(
         )
     )
     return norms.join(centroid, "label")
+
+
+def nearest_centroid_confusion(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid classification audit: compute each label's
+    centroid, assign every vector to its nearest centroid (squared
+    euclidean; ties broken by smaller predicted label), and emit the
+    confusion counts (label, predicted, n_vecs). The standard
+    label-noise / cluster-separability check run before training on a
+    labeled embedding drop.
+
+    Execution: one posexplode feeds a per-(label, pos) centroid
+    aggregate (#labels × dim rows — tiny), which joins back on `pos`
+    alone, so each vector row meets every centroid's coordinate for
+    that dimension; summing (val - c)^2 per (vec, candidate) yields
+    all #labels distances in a single shuffle-free-after-join pass.
+    Catalyst broadcasts the centroid side (#labels × dim rows). The
+    argmin is row_number() == 1, which InferWindowGroupLimit turns
+    into a map-side group limit. Everything stays JVM-side; nothing
+    but the final #labels² confusion rows leaves the executors."""
+    from pyspark.sql import Window
+
+    ex = embeddings.select(
+        F.col("vec_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+    centroids = ex.groupBy(
+        F.col("label").alias("cand"), F.col("pos")
+    ).agg(F.avg("val").alias("c"))
+    dists = (
+        ex.join(F.broadcast(centroids), "pos")
+        .groupBy("vec_id", "label", "cand")
+        .agg(F.sum((F.col("val") - F.col("c")) ** 2).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cand"))
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        assigned.groupBy("label", F.col("cand").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )

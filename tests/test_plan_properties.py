@@ -157,3 +157,26 @@ def test_pack_sequences_narrow_shuffle(spark):
     shuffled_cols = ex.group(1)
     assert "n_tokens" in shuffled_cols
     assert "text" not in shuffled_cols
+
+
+def test_per_source_cap_window_group_limit(spark):
+    # row_number() <= k must compile to a map-side WindowGroupLimit —
+    # the property that keeps a full stratum from ever being shuffled
+    plan = _plan(spark, "per_source_cap")
+    assert _op_count(plan, "WindowGroupLimit") >= 1
+    assert "Python" not in plan
+
+
+def test_centroid_confusion_broadcasts_centroids(spark):
+    # the #labels×dim centroid relation must broadcast; the big
+    # exploded side streams through without a join shuffle
+    plan = _plan(spark, "nearest_centroid_confusion")
+    assert _op_count(plan, "BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_split_and_mixture_stay_jvm_side(spark):
+    for name in ("stratified_split", "source_mixture_weights"):
+        plan = _plan(spark, name)
+        assert "Python" not in plan, name
