@@ -55,3 +55,32 @@ def write_bucketed(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
+
+
+def compact_write(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file remediation: rewrite `df` as parquet in files near
+    `target_file_bytes`. Executes the rewrite whose benefit
+    diag_metrics quantifies (the reference only *reports* the
+    before/after improvement ratio, icebergdiag/diagnostics/
+    manager.py; an engine should also be able to perform it).
+
+    File count comes from Catalyst's optimized-plan size estimate
+    (compressed-source bytes; no extra scan, no driver collect), then
+    one round-robin repartition — a single full-width exchange, the
+    unavoidable minimum for re-packing — writes evenly-sized files.
+    `maxRecordsPerFile` is deliberately not used: it caps rows per
+    file but still emits one file per task, so skewed tasks still
+    write small files. Returns the file count written."""
+    if target_file_bytes <= 0:
+        raise ValueError("target_file_bytes must be positive")
+    est_bytes = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    n_files = max(1, -(-est_bytes // target_file_bytes))
+    df.repartition(n_files).write.mode(mode).parquet(path)
+    return n_files

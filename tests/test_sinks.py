@@ -87,3 +87,28 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compact_write_hits_target_file_count(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("compact")) + "/lineitem_compacted"
+    li = load_table(spark, SF_DIR, "lineitem")
+    # pick a target that forces multiple files at sf0.001
+    est = int(li._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    target = max(1, est // 4)
+    n = sinks.compact_write(li, out, target_file_bytes=target)
+    assert n >= 4
+    import glob, os
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == n
+    # round-robin repartition → sizes within 2x of each other
+    sizes = sorted(os.path.getsize(f) for f in files)
+    assert sizes[0] * 2 >= sizes[-1] or sizes[-1] < 1 << 20
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+
+
+def test_compact_write_single_file_when_small(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("compact1")) + "/region"
+    region = load_table(spark, SF_DIR, "region")
+    n = sinks.compact_write(region, out, target_file_bytes=1 << 30)
+    assert n == 1
