@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from iceberg_diag_spark.functions.parallel import ensure_parallelism
+
 # kind → (min repr, max repr) as deterministic cross-engine strings:
 # numerics via floor-cents (double formatting differs between
 # engines), timestamps via an explicit format, strings as-is.
@@ -34,6 +36,10 @@ def profile(df: DataFrame, kinds: dict[str, str]) -> DataFrame:
     """Profile the given columns (name → kind in {int,num,str,ts}).
     Output: (column_name, n_rows, n_nulls, n_distinct, min_repr,
     max_repr) — one row per profiled column."""
+    # The multi-countDistinct aggregate plans through an Expand
+    # (input ×(k+1) rows before the partial agg) — heavy map-side
+    # work that must not run on a single unsplittable-scan task.
+    df = ensure_parallelism(df)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, kind in kinds.items():
         c = F.col(name)

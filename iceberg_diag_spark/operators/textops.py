@@ -310,7 +310,9 @@ def ngram_decontaminate(
     shuffling the training grams. Output: (doc_id, shared_ngrams),
     contaminated docs only."""
     grams = ngram_hashes(tokens(F.col(text_col)), n)
-    train_g = train.select(
+    # gram construction (tokenize + n md5s per position) is the heavy
+    # map work — spread the pre-explosion rows if the scan can't split
+    train_g = ensure_parallelism(train).select(
         F.col(id_col), F.explode(grams).alias("g")
     )
     eval_g = eval_docs.select(F.explode(grams).alias("g")).distinct()
