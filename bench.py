@@ -89,6 +89,11 @@ HEADLINE = [
     "doc_pack_sequences",
     "pii_redaction",
     "boilerplate_removal",
+    # round 4 additions
+    "stratified_split",
+    "per_source_cap",
+    "source_mixture_weights",
+    "nearest_centroid_confusion",
 ]
 
 
