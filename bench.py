@@ -94,6 +94,8 @@ HEADLINE = [
     "per_source_cap",
     "source_mixture_weights",
     "nearest_centroid_confusion",
+    "token_entropy",
+    "embedding_quantize_int8",
 ]
 
 

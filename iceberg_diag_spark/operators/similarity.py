@@ -483,3 +483,38 @@ def nearest_centroid_confusion(
         assigned.groupBy("label", F.col("cand").alias("predicted"))
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
+
+
+def quantize_embeddings_int8(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the memory-bandwidth
+    lever for serving ANN over billions of vectors (4× smaller than
+    float32, SIMD-friendly dot products). q_i = floor(v_i · 127 /
+    max|v|), scale emitted as floor-ppm of max|v| so reconstruction
+    is auditable.
+
+    Pure array expressions (transform/aggregate) over the vector
+    column — zero shuffle, zero Python; the quantized payload is
+    checksummed (md5 of the comma-joined ints) so an oracle can
+    verify exact cell-level equality without hauling arrays around.
+    Output: (vec_id, dim, scale_ppm, q_checksum)."""
+    v = F.col(vec_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    # all-zero vectors quantize to zeros (the x/0 branch would be
+    # engine-divergent: NULL here, inf in DuckDB)
+    q = F.transform(
+        v,
+        lambda x: F.when(max_abs == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(x.cast("double") * F.lit(127.0) / max_abs).cast("long")
+        ),
+    )
+    return embeddings.select(
+        F.col("vec_id"),
+        F.size(v).cast("long").alias("dim"),
+        F.floor(max_abs * F.lit(1_000_000.0)).cast("long").alias("scale_ppm"),
+        F.md5(
+            F.concat_ws(",", F.transform(q, lambda x: x.cast("string")))
+        ).alias("q_checksum"),
+    )

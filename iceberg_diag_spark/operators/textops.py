@@ -476,3 +476,36 @@ def boilerplate_removal(
             )
         ).alias("cleaned_md5"),
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token-distribution entropy in bits — the cheap
+    perplexity proxy used as a quality/repetition signal (low entropy
+    = repetitive or templated text). H = -Σ (c/n)·log2(c/n) over the
+    document's token counts.
+
+    One explode → (doc, token) counts → per-doc entropy aggregate;
+    two shuffles of (doc_id, token-hash)-sized rows. Emitted as
+    floor-milli-bits BIGINT: log2 is correctly-rounded on both
+    engines only per-call, and the cross-token sum order differs, so
+    exact doubles would hash-mismatch at the ulp; integers survive.
+    Output: (doc_id, n_tokens, entropy_millibits)."""
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    return tf.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.floor(
+            F.lit(1000.0)
+            * (
+                F.log2(F.sum("c"))
+                - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+            )
+        ).cast("long").alias("entropy_millibits"),
+    )

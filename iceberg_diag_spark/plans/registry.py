@@ -4403,6 +4403,69 @@ REGISTRY.update({
 })
 
 
+
+def _token_entropy(spark, sf_dir):
+    return textops.token_entropy(_t(spark, sf_dir, "documents"))
+
+
+_TOKEN_ENTROPY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(FLOOR(1000.0 * (log2(sum(c)) - sum(c * log2(c)) / sum(c))) AS BIGINT)
+         AS entropy_millibits
+FROM tf GROUP BY doc_id
+"""
+
+
+def _quantize_embeddings(spark, sf_dir):
+    return similarity.quantize_embeddings_int8(
+        _t(spark, sf_dir, "embeddings")
+    )
+
+
+_QUANTIZE_SQL = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS max_abs
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       CAST(FLOOR(max_abs * 1000000.0) AS BIGINT) AS scale_ppm,
+       md5(array_to_string(
+         list_transform(
+           embedding,
+           x -> CASE WHEN max_abs = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / max_abs) AS BIGINT)
+                END
+         ), ',')) AS q_checksum
+FROM m
+"""
+
+
+REGISTRY.update({
+    "token_entropy": QuerySpec(
+        _token_entropy, _TOKEN_ENTROPY_SQL,
+        "per-doc token-distribution entropy (perplexity-proxy quality "
+        "signal, floor-millibit integers)",
+    ),
+    "embedding_quantize_int8": QuerySpec(
+        _quantize_embeddings, _QUANTIZE_SQL,
+        "symmetric per-vector int8 quantization with checksum-audited "
+        "cells and floor-ppm scales",
+    ),
+})
+
+
 # Evaluation-order hedge: the correctness harness records rows for
 # exactly the first 50 registry entries (confirmed across rounds 1-3).
 # With 101 entries, ordering decides which queries get a FRESH

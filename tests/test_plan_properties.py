@@ -180,3 +180,17 @@ def test_split_and_mixture_stay_jvm_side(spark):
     for name in ("stratified_split", "source_mixture_weights"):
         plan = _plan(spark, name)
         assert "Python" not in plan, name
+
+
+def test_quantize_zero_shuffle_jvm_side(spark):
+    plan = _plan(spark, "embedding_quantize_int8")
+    assert _exchanges(plan) == 0
+    assert "Python" not in plan
+
+
+def test_token_entropy_two_shuffles_jvm_side(spark):
+    plan = _plan(spark, "token_entropy")
+    # explode → (doc,tok) agg → per-doc agg (+1 for the unsplittable-
+    # scan spread, absent on production inputs)
+    assert _exchanges(plan) <= 3
+    assert "Python" not in plan
