@@ -379,3 +379,62 @@ def test_boilerplate_removal_exact(spark):
     df2 = spark.createDataFrame(rows2, "doc_id long, text string")
     got2 = {r.doc_id: r for r in boilerplate_removal(df2, min_docs=4).collect()}
     assert got2[5].n_dropped == 1
+
+
+def test_split_assign_partitions_every_row(docs):
+    out = sampling.split_assign(docs, "doc_id").collect()
+    assert len(out) == 300
+    splits = {r.split for r in out}
+    assert splits <= {"train", "val", "test"}
+    # every row gets exactly one split; proportions are hash-driven
+    n_train = sum(1 for r in out if r.split == "train")
+    assert 200 < n_train < 300
+
+
+def test_split_assign_stable_under_growth(spark, docs):
+    """A doc's split never changes as the corpus grows — the frozen-
+    eval-set property."""
+    before = {r.doc_id: r.split
+              for r in sampling.split_assign(docs, "doc_id").collect()}
+    grown = docs.unionAll(
+        spark.createDataFrame([(i, "de") for i in range(300, 600)],
+                              "doc_id long, lang string")
+    )
+    after = {r.doc_id: r.split
+             for r in sampling.split_assign(grown, "doc_id").collect()}
+    assert all(after[d] == s for d, s in before.items())
+
+
+def test_split_assign_rejects_no_train_room(docs):
+    with pytest.raises(ValueError):
+        sampling.split_assign(docs, "doc_id", val_pct=50, test_pct=50)
+
+
+def test_per_stratum_cap_respects_cap_and_stability(spark, docs):
+    capped = sampling.per_stratum_cap(docs, "doc_id", "lang", cap=10)
+    rows = capped.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert all(len(v) == 10 for v in by_lang.values())
+    # cap larger than the stratum keeps everything
+    all_kept = sampling.per_stratum_cap(docs, "doc_id", "lang", cap=10_000)
+    assert all_kept.count() == 300
+    # chosen members are hash-stable: re-running picks the same docs
+    again = {r.doc_id for r in
+             sampling.per_stratum_cap(docs, "doc_id", "lang", cap=10).collect()}
+    assert again == {d for v in by_lang.values() for d in v}
+
+
+def test_mixture_weights_alpha_one_is_proportional(spark):
+    rows = [(i, "a" if i < 90 else "b", 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r.source: r for r in sampling.source_mixture_weights(
+        df, alpha=1.0).collect()}
+    assert out["a"].share_ppm == out["a"].sample_share_ppm == 900_000
+    assert out["b"].share_ppm == out["b"].sample_share_ppm in (99_999, 100_000)
+    # alpha=0.5 flattens: minority share rises, majority falls
+    flat = {r.source: r for r in sampling.source_mixture_weights(
+        df, alpha=0.5).collect()}
+    assert flat["b"].sample_share_ppm > flat["b"].share_ppm
+    assert flat["a"].sample_share_ppm < flat["a"].share_ppm
