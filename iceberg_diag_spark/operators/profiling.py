@@ -40,16 +40,26 @@ def profile(df: DataFrame, kinds: dict[str, str]) -> DataFrame:
     # (input ×(k+1) rows before the partial agg) — heavy map-side
     # work that must not run on a single unsplittable-scan task.
     df = ensure_parallelism(df)
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    # Two single-row aggregates instead of one: mixing min/max (whose
+    # string buffers force SortAggregate) into the Expand branch would
+    # sort the ×(k+1) expanded relation — the dominant cost. Split
+    # so the expanded branch keeps fixed-width buffers only
+    # (HashAggregate, no sort) and the string min/max run over the
+    # UN-expanded input (global agg, no required ordering → no sort).
+    # The 1×1 cross join that reunites them is free.
+    count_aggs = [F.count(F.lit(1)).alias("__n")]
+    mm_aggs = []
     for name, kind in kinds.items():
         c = F.col(name)
-        aggs += [
+        count_aggs += [
             F.sum(c.isNull().cast("long")).alias(f"{name}__nulls"),
             F.countDistinct(c).alias(f"{name}__distinct"),
+        ]
+        mm_aggs += [
             _REPRS[kind](c).alias(f"{name}__min"),
             _REPRS_MAX[kind](c).alias(f"{name}__max"),
         ]
-    one = df.agg(*aggs)
+    one = df.agg(*count_aggs).crossJoin(df.agg(*mm_aggs))
     # Unpivot via stack() so the aggregate is ONE subplan — a union
     # of per-column selects over `one` would re-embed (and re-run)
     # the scan+aggregate once per column.
