@@ -173,6 +173,7 @@ def main() -> None:
                 "queries": timings,
                 "spread": spreads,
                 "runs_per_query": n_runs,
+                "loadavg_1m": round(os.getloadavg()[0], 2),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

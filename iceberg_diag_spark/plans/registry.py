@@ -4532,6 +4532,8 @@ _MODIFIED_R4 = {
     "stream_static_enrichment", "stream_distinct_users_hourly",
     "events_salted_rollup", "events_top_counts_approx",
     "events_user_sketch_rollup",
+    # builders optimized this round — re-verify under the new plans
+    "orders_profile", "doc_decontamination",
 }
 
 
