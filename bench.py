@@ -96,6 +96,8 @@ HEADLINE = [
     "nearest_centroid_confusion",
     "token_entropy",
     "embedding_quantize_int8",
+    "source_overlap",
+    "user_event_paths",
 ]
 
 

@@ -584,3 +584,68 @@ def simhash_near_dup(
         .filter(first_band)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    key: str = "fingerprint",
+    window: int = 8,
+) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how
+    many distinct contents appear in both — the mirror-site /
+    re-crawl detector that decides which domains to drop wholesale
+    before pairwise dedup even runs. `key` picks the content notion:
+    "exact" = sha256 of normalized text, "fingerprint" = winnowing
+    min-hash over word `window`-grams (robust to small edits, the
+    same fingerprint family as textops.rolling_fingerprint).
+
+    Shape: text leaves the scan as a fixed-width key (≤32 B/row
+    shuffle); per content key the distinct source set is collected
+    (bounded by #sources, not corpus size), pairs are exploded
+    row-local, and one count per (src_a, src_b) comes out — never a
+    self-join of the corpus. Output: (src_a, src_b,
+    shared_contents), src_a < src_b.
+    """
+    if key == "exact":
+        keyed = ensure_parallelism(docs).select(
+            F.sha2(normalized_text(F.col(text_col)), 256).alias(
+                "content_hash"
+            ),
+            F.col(source_col).alias("src"),
+        )
+    elif key == "fingerprint":
+        grams = word_ngram_rows(docs, text_col, id_col, window)
+        fp = grams.groupBy(id_col).agg(
+            F.min(F.substring(F.md5("gram"), 1, 16)).alias("content_hash")
+        )
+        keyed = docs.select(F.col(id_col), F.col(source_col).alias("src")).join(
+            fp, id_col
+        ).select("content_hash", "src")
+    else:
+        raise ValueError(f"unknown key kind: {key!r}")
+    srcs = (
+        keyed.groupBy("content_hash")
+        .agg(F.array_sort(F.collect_set("src")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    pairs = srcs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("srcs"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("srcs"), i + 2, F.size("srcs")),
+                        lambda b: F.struct(
+                            a.alias("src_a"), b.alias("src_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy("p.src_a", "p.src_b").agg(
+        F.count(F.lit(1)).alias("shared_contents")
+    )

@@ -143,3 +143,39 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+def user_event_paths(events: DataFrame, prefix_len: int = 5) -> DataFrame:
+    """Behavioral path mining: each user's first `prefix_len` event
+    types in time order, rolled up to (path, n_users, min_user_id) —
+    the funnel-discovery table (which entry sequences actually occur,
+    and how common each is).
+
+    The per-user prefix is a row_number ≤ k filter (map-side
+    WindowGroupLimit — no user's full history is shuffled), then one
+    aggregate builds the ordered path string row-locally via
+    sort_array over (rank, type) structs. Ties are impossible by
+    construction: rank is unique per user. Two shuffles total, both
+    on user_id, then one on path."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prefix = (
+        events.select(
+            "user_id", "event_type", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= prefix_len)
+    )
+    paths = prefix.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("rk"), F.col("event_type")))
+                ),
+                lambda s: s["event_type"],
+            ),
+            "->",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("user_id").alias("min_user_id"),
+    )

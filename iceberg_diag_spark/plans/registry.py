@@ -4466,6 +4466,75 @@ REGISTRY.update({
 })
 
 
+
+def _source_overlap(spark, sf_dir):
+    return dedup.source_overlap(_t(spark, sf_dir, "documents"))
+
+
+_SOURCE_OVERLAP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+fp AS (
+  SELECT doc_id, source,
+         min(substring(md5(array_to_string(t[i:i+7], ' ')), 1, 16)) AS content_hash
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+  GROUP BY doc_id, source
+),
+srcs AS (
+  SELECT content_hash, list_sort(list(DISTINCT source)) AS s
+  FROM fp GROUP BY content_hash HAVING count(DISTINCT source) >= 2
+),
+ex AS (
+  SELECT content_hash, unnest(s) AS src, generate_subscripts(s, 1) AS i
+  FROM srcs
+),
+pairs AS (
+  SELECT a.src AS src_a, b.src AS src_b
+  FROM ex a JOIN ex b
+    ON a.content_hash = b.content_hash AND a.i < b.i
+)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS shared_contents
+FROM pairs GROUP BY src_a, src_b
+"""
+
+
+def _user_event_paths(spark, sf_dir):
+    return events.user_event_paths(_t(spark, sf_dir, "events"))
+
+
+_USER_PATHS_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+  FROM events
+),
+paths AS (
+  SELECT user_id, string_agg(event_type, '->' ORDER BY rk) AS path
+  FROM ranked WHERE rk <= 5 GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users,
+       min(user_id) AS min_user_id
+FROM paths GROUP BY path
+"""
+
+
+REGISTRY.update({
+    "source_overlap": QuerySpec(
+        _source_overlap, _SOURCE_OVERLAP_SQL,
+        "cross-source duplicate-content matrix on winnowing "
+        "fingerprints (mirror-domain detector)",
+    ),
+    "user_event_paths": QuerySpec(
+        _user_event_paths, _USER_PATHS_SQL,
+        "first-k event-type path mining per user with occurrence "
+        "counts (funnel discovery)",
+    ),
+})
+
+
 # Evaluation-order hedge: the correctness harness records rows for
 # exactly the first 50 registry entries (confirmed across rounds 1-3).
 # With 101 entries, ordering decides which queries get a FRESH
