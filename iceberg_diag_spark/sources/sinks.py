@@ -84,3 +84,36 @@ def compact_write(
     n_files = max(1, -(-est_bytes // target_file_bytes))
     df.repartition(n_files).write.mode(mode).parquet(path)
     return n_files
+
+
+def compact_write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> None:
+    """Partition-aware compaction: Hive-partitioned parquet whose
+    files inside each partition directory are near
+    `target_file_bytes` — the OPTIMIZE pattern for partitioned
+    tables. Uses AQE's REBALANCE hint (runtime-statistics-driven:
+    splits oversized shuffle partitions AND coalesces undersized
+    ones per partition value) instead of a static repartition count,
+    so skewed partition values get more files rather than one huge
+    one. The advisory size is scoped to this write and restored."""
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(target_file_bytes))
+    try:
+        (
+            df.hint("rebalance", *partition_cols)
+            .write.mode(mode)
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -112,3 +112,23 @@ def test_compact_write_single_file_when_small(spark, tmp_path_factory):
     region = load_table(spark, SF_DIR, "region")
     n = sinks.compact_write(region, out, target_file_bytes=1 << 30)
     assert n == 1
+
+
+def test_compact_write_partitioned_rebalances(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("copt")) + "/events_opt"
+    events = load_table(spark, SF_DIR, "events")
+    # tiny advisory size → several files per partition dir, none huge
+    sinks.compact_write_partitioned(
+        events, out, ("event_type",), target_file_bytes=64 * 1024
+    )
+    import glob, os
+    dirs = glob.glob(out + "/event_type=*")
+    assert len(dirs) >= 3
+    for d in dirs:
+        files = glob.glob(d + "/part-*.parquet")
+        assert files
+        # rebalance honors the advisory target within 4x slack
+        # (parquet encoding vs in-shuffle size estimates differ)
+        assert all(os.path.getsize(f) < 4 * 64 * 1024 for f in files)
+    back = sinks.read_partitioned(spark, out)
+    assert back.count() == events.count()
