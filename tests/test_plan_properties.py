@@ -194,3 +194,42 @@ def test_token_entropy_two_shuffles_jvm_side(spark):
     # scan spread, absent on production inputs)
     assert _exchanges(plan) <= 3
     assert "Python" not in plan
+
+
+# Queries whose plan legitimately contains a cartesian/broadcast
+# nested-loop product: broadcast-scalar crossJoins (a 1-row side) or
+# guarded exact tiers documented as oracle-only.
+_SCALAR_CROSS_OK = {
+    "q22_sales_opportunity",     # broadcast 1-row avg-balance scalar
+    "q11_important_parts",       # broadcast 1-row threshold scalar
+    "ann_cosine_topk",           # broadcast query side (guarded tier)
+    "embedding_near_dup",        # guarded exact tier (raises >100k)
+    "curated_embedding_near_dup",
+    "tfidf_top_terms",           # broadcast 1-row corpus-size N
+    "doc_length_deciles",        # broadcast 1-row percentile array
+    "orders_profile",            # 1-row × 1-row agg reunion
+    "events_approx_stats_checked",
+    "doc_decontamination",       # broadcast distinct eval grams
+    "doc_hash_sample",
+}
+
+
+def test_every_registry_plan_free_of_scale_killers(spark):
+    """Global invariant over ALL registry entries: no unguarded
+    cartesian product and no row-at-a-time Python evaluation anywhere
+    — any future operator that de-optimizes into either shape fails
+    here by name, not in a bench regression three rounds later."""
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if name.startswith("stream_"):
+            continue  # streaming plans only materialize at runtime
+        plan = _plan(spark, name)
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+        has_product = (
+            _op_count(plan, "CartesianProduct") > 0
+            or "BroadcastNestedLoopJoin Inner" in plan
+        )
+        if has_product and name not in _SCALAR_CROSS_OK:
+            offenders.append((name, "cartesian"))
+    assert not offenders, offenders
