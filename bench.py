@@ -98,6 +98,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "source_overlap",
     "user_event_paths",
+    "events_skew_audit",
 ]
 
 

@@ -48,3 +48,51 @@ def salted_agg(
             for name, (fn, _) in aggs.items()
         ]
     )
+
+
+def skew_audit(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
+    """Join/agg-key skew diagnostic — the measurement that decides
+    whether a key needs salting or AQE skew handling BEFORE the job
+    runs at scale: distinct-key count, total rows, and the row share
+    of the hottest key(s) in exact parts-per-million.
+
+    A top1_share_ppm near 1e6/n_tasks is healthy; a single key at 30%
+    of 100 TB shows up here as 300000 ppm and will funnel through one
+    reduce task unless mitigated (see salted_agg). Shape: one count
+    aggregate on the key (map-side combine); the global top-k is
+    orderBy().limit() — TakeOrderedAndProject, a per-partition
+    partial top-k then a k·p-row merge — NOT a partition-less
+    row_number window, which would move every (key, count) row to
+    one task (a billion-key audit would die there). The rank column
+    comes from a window over the k surviving rows only. Output:
+    (rank, key_repr, key_rows, total_rows, n_keys, share_ppm) —
+    `top_k` rows."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key_repr")).agg(
+        F.count(F.lit(1)).alias("key_rows")
+    )
+    totals = counts.agg(
+        F.sum("key_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = (
+        counts.orderBy(F.desc("key_rows"), F.asc("key_repr"))
+        .limit(top_k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("key_rows"), F.asc("key_repr"))
+            ),
+        )
+    )
+    return top.crossJoin(F.broadcast(totals)).select(
+        F.col("rank").cast("long").alias("rank"),
+        "key_repr",
+        "key_rows",
+        "total_rows",
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.floor(F.lit(1_000_000.0) * F.col("key_rows") / F.col("total_rows"))
+        .cast("long")
+        .alias("share_ppm"),
+    )

@@ -4535,6 +4535,43 @@ REGISTRY.update({
 })
 
 
+
+def _skew_audit(spark, sf_dir):
+    from iceberg_diag_spark.functions.skew import skew_audit
+    return skew_audit(_t(spark, sf_dir, "events"), "event_type")
+
+
+_SKEW_AUDIT_SQL = """
+WITH counts AS (
+  SELECT CAST(event_type AS VARCHAR) AS key_repr,
+         CAST(count(*) AS BIGINT) AS key_rows
+  FROM events GROUP BY event_type
+),
+totals AS (
+  SELECT CAST(sum(key_rows) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM counts
+),
+ranked AS (
+  SELECT key_repr, key_rows,
+         row_number() OVER (ORDER BY key_rows DESC, key_repr ASC) AS rank
+  FROM counts
+)
+SELECT rank, key_repr, key_rows, total_rows, n_keys,
+       CAST(FLOOR(1000000.0 * key_rows / total_rows) AS BIGINT) AS share_ppm
+FROM ranked, totals WHERE rank <= 5
+"""
+
+
+REGISTRY.update({
+    "events_skew_audit": QuerySpec(
+        _skew_audit, _SKEW_AUDIT_SQL,
+        "join/agg-key skew diagnostic: top-key row shares in exact "
+        "ppm (the pre-salting measurement)",
+    ),
+})
+
+
 # Evaluation-order hedge: the correctness harness records rows for
 # exactly the first 50 registry entries (confirmed across rounds 1-3).
 # With 101 entries, ordering decides which queries get a FRESH

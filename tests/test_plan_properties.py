@@ -233,3 +233,11 @@ def test_every_registry_plan_free_of_scale_killers(spark):
         if has_product and name not in _SCALAR_CROSS_OK:
             offenders.append((name, "cartesian"))
     assert not offenders, offenders
+
+
+def test_skew_audit_distributed_topk(spark):
+    # global top-k must be TakeOrderedAndProject (partial per-partition
+    # top-k), never a partition-less window over the full key relation
+    plan = _plan(spark, "events_skew_audit")
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
