@@ -99,6 +99,7 @@ HEADLINE = [
     "source_overlap",
     "user_event_paths",
     "events_skew_audit",
+    "dataset_card",
 ]
 
 

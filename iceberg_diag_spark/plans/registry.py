@@ -4572,6 +4572,69 @@ REGISTRY.update({
 })
 
 
+
+def _dataset_card(spark, sf_dir):
+    """The dataset card: per (source, split) — document count, exact
+    whitespace-token budget, and the source's alpha=0.5 sampling
+    share — the one table a training run is configured from.
+    Composition of split_assign + source_mixture_weights + token
+    counting in two shuffles (per-group agg + tiny broadcast join of
+    the #sources mixture relation)."""
+    docs = _t(spark, sf_dir, "documents")
+    assigned = sampling.split_assign(docs, key_col="doc_id")
+    per_cell = assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(textops.tokens(F.col("text")))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    mix = sampling.source_mixture_weights(
+        docs, strata_col="source", weight_col="n_chars", alpha=0.5
+    ).select("source", "sample_share_ppm")
+    return per_cell.join(F.broadcast(mix), "source")
+
+
+_DATASET_CARD_SQL = r"""
+WITH assigned AS (
+  SELECT source, doc_id,
+         len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_toks,
+         CASE
+           WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 5 THEN 'test'
+           WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10 THEN 'val'
+           ELSE 'train'
+         END AS split
+  FROM documents
+),
+per_cell AS (
+  SELECT source, split,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens
+  FROM assigned GROUP BY source, split
+),
+m AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass FROM documents GROUP BY source
+),
+mix AS (
+  SELECT source,
+         CAST(FLOOR(1000000.0 * pow(CAST(mass AS DOUBLE), 0.5)
+                    / sum(pow(CAST(mass AS DOUBLE), 0.5)) OVER ()) AS BIGINT)
+           AS sample_share_ppm
+  FROM m
+)
+SELECT per_cell.source, split, n_docs, n_tokens, sample_share_ppm
+FROM per_cell JOIN mix ON per_cell.source = mix.source
+"""
+
+
+REGISTRY.update({
+    "dataset_card": QuerySpec(
+        _dataset_card, _DATASET_CARD_SQL,
+        "per (source, split) dataset card: docs, exact token budget, "
+        "alpha-mixture share (split x mixture composition)",
+    ),
+})
+
+
 # Evaluation-order hedge: the correctness harness records rows for
 # exactly the first 50 registry entries (confirmed across rounds 1-3).
 # With 101 entries, ordering decides which queries get a FRESH
