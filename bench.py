@@ -100,6 +100,7 @@ HEADLINE = [
     "user_event_paths",
     "events_skew_audit",
     "dataset_card",
+    "join_cardinality_audit",
 ]
 
 

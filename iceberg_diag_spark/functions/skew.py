@@ -96,3 +96,46 @@ def skew_audit(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
         .cast("long")
         .alias("share_ppm"),
     )
+
+
+def join_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Join-explosion detector: the EXACT output cardinality an
+    equi-join on `key_col` would produce, plus the single worst key's
+    contribution — computed from two key-count aggregates joined on
+    distinct keys, WITHOUT running the join. The pre-flight check
+    before a 100 TB ⋈ 100 TB: est rows = Σ_k cnt_l(k)·cnt_r(k) is
+    exact for inner equi-joins, and a worst_key_rows near the total
+    says one hot key produces the bulk of the output (salt or filter
+    it first). Shuffles only (key, count) rows — #distinct-keys sized,
+    not input sized. Output: one row (n_left, n_right, n_join_keys,
+    join_rows, worst_key_repr, worst_key_rows)."""
+    lc = left.groupBy(F.col(key_col).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("cl")
+    )
+    rc = right.groupBy(F.col(key_col).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    per_key = lc.join(rc, "k").select(
+        "k", (F.col("cl") * F.col("cr")).alias("contrib")
+    )
+    totals_l = left.agg(F.count(F.lit(1)).alias("n_left"))
+    totals_r = right.agg(F.count(F.lit(1)).alias("n_right"))
+    worst = F.max(F.struct(F.col("contrib"), F.col("k")))
+    agg = per_key.agg(
+        F.count(F.lit(1)).alias("n_join_keys"),
+        F.sum("contrib").cast("long").alias("join_rows"),
+        worst["k"].alias("worst_key_repr"),
+        worst["contrib"].cast("long").alias("worst_key_rows"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(totals_l))
+        .crossJoin(F.broadcast(totals_r))
+        .select(
+            "n_left", "n_right", "n_join_keys", "join_rows",
+            "worst_key_repr", "worst_key_rows",
+        )
+    )

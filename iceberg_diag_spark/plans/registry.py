@@ -4635,6 +4635,51 @@ REGISTRY.update({
 })
 
 
+
+def _join_cardinality(spark, sf_dir):
+    from iceberg_diag_spark.functions.skew import join_cardinality
+    return join_cardinality(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        ),
+        "o_orderkey",
+    )
+
+
+_JOIN_CARD_SQL = """
+WITH lc AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS k, count(*) AS cl
+  FROM orders GROUP BY o_orderkey
+),
+rc AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS k, count(*) AS cr
+  FROM lineitem GROUP BY l_orderkey
+),
+per_key AS (
+  SELECT lc.k, cl * cr AS contrib FROM lc JOIN rc ON lc.k = rc.k
+),
+w AS (
+  SELECT k, contrib FROM per_key ORDER BY contrib DESC, k DESC LIMIT 1
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders)   AS n_left,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_right,
+       (SELECT CAST(count(*) AS BIGINT) FROM per_key)  AS n_join_keys,
+       (SELECT CAST(sum(contrib) AS BIGINT) FROM per_key) AS join_rows,
+       (SELECT k FROM w)                               AS worst_key_repr,
+       (SELECT CAST(contrib AS BIGINT) FROM w)         AS worst_key_rows
+"""
+
+
+REGISTRY.update({
+    "join_cardinality_audit": QuerySpec(
+        _join_cardinality, _JOIN_CARD_SQL,
+        "pre-flight join-explosion detector: exact equi-join output "
+        "cardinality + worst-key contribution from key-count sketches",
+    ),
+})
+
+
 # Evaluation-order hedge: the correctness harness records rows for
 # exactly the first 50 registry entries (confirmed across rounds 1-3).
 # With 101 entries, ordering decides which queries get a FRESH
