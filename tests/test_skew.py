@@ -43,3 +43,31 @@ def test_salted_stage1_fans_out(spark):
     salted = df.withColumn("__salt", (F.rand(seed=42) * 16).cast("int"))
     n_groups = salted.select("key", "__salt").distinct().count()
     assert n_groups > 8  # the single hot key splits across salts
+
+
+def test_skew_audit_known_distribution(spark):
+    from iceberg_diag_spark.functions.skew import skew_audit
+
+    rows = [("hot",)] * 70 + [("warm",)] * 20 + [("cold",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.rank: r for r in skew_audit(df, "k", top_k=2).collect()}
+    assert len(out) == 2
+    assert out[1].key_repr == "hot" and out[1].share_ppm == 700_000
+    assert out[2].key_repr == "warm" and out[2].share_ppm == 200_000
+    assert out[1].n_keys == 3 and out[1].total_rows == 100
+
+
+def test_join_cardinality_exact_vs_real_join(spark):
+    from iceberg_diag_spark.functions.skew import join_cardinality
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (1,), (3,), (4,)], "k long"
+    )
+    row = join_cardinality(left, right, "k").collect()[0]
+    real = left.join(right, "k").count()
+    assert row.join_rows == real == 7  # 2*3 + 1*1
+    assert row.worst_key_repr == "1" and row.worst_key_rows == 6
+    assert row.n_left == 4 and row.n_right == 5 and row.n_join_keys == 2
