@@ -66,10 +66,18 @@ def skew_audit(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
     one task (a billion-key audit would die there). The rank column
     comes from a window over the k surviving rows only. Output:
     (rank, key_repr, key_rows, total_rows, n_keys, share_ppm) —
-    `top_k` rows."""
+    `top_k` rows.
+
+    NULL keys (often the hottest "key" in real data) are folded to
+    the '(null)' sentinel BEFORE grouping — both so they show up in
+    the audit at all and because engines disagree on NULL placement
+    in ORDER BY (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST):
+    a NULL tying on key_rows at the top-k boundary would rank or
+    truncate differently without the fold."""
     from pyspark.sql.window import Window
 
-    counts = df.groupBy(F.col(key_col).cast("string").alias("key_repr")).agg(
+    key_repr = F.coalesce(F.col(key_col).cast("string"), F.lit("(null)"))
+    counts = df.groupBy(key_repr.alias("key_repr")).agg(
         F.count(F.lit(1)).alias("key_rows")
     )
     totals = counts.agg(

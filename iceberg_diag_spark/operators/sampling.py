@@ -27,6 +27,37 @@ def hash_bucket(key: Column, buckets: int = 100) -> Column:
     )
 
 
+def member_hash60(key: Column, salt: str = "") -> Column:
+    """60-bit stable hash of the key's string form: the first 15 md5
+    hex digits parsed as an integer. 15 digits keep the value strictly
+    below 2^60, so it is a non-negative signed BIGINT in every engine
+    (16 digits would overflow into the sign bit differently per
+    engine). `salt` derives independent hash functions from the same
+    key — two salted hashes XOR-folded per group give a ~120-bit
+    membership checksum with O(1) aggregation state (see
+    membership_checksums), the scale-safe replacement for
+    sort+concat+md5 membership digests whose per-group state grows
+    with group size."""
+    s = F.concat(F.lit(salt), key.cast("string")) if salt else key.cast("string")
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def membership_checksums(key: Column) -> list[Column]:
+    """Order-insensitive exact-membership checksum aggregates for a
+    group of distinct keys: bit_xor of two independently-salted 60-bit
+    key hashes. Commutative and associative, so Spark computes them
+    with map-side partial aggregation and O(1) per-group state — no
+    collect_list, no per-group array, no concat of the whole
+    membership. Identically expressible in DuckDB (bit_xor over the
+    same '0x'||substr(md5) parse), so split/membership audits stay
+    hash-checked cross-engine at any group size. Returns unaliased
+    columns [xor1, xor2]; callers alias."""
+    return [
+        F.bit_xor(member_hash60(key)),
+        F.bit_xor(member_hash60(key, salt="m2|")),
+    ]
+
+
 def hash_sample(
     df: DataFrame,
     key_col: str,

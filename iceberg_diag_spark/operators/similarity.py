@@ -473,8 +473,15 @@ def nearest_centroid_confusion(
         ex.join(F.broadcast(centroids), "pos")
         .groupBy("vec_id", "label", "cand")
         .agg(F.sum((F.col("val") - F.col("c")) ** 2).alias("d2"))
+        # rank on micro-unit-quantized distance, not raw doubles:
+        # centroid averages and d2 sums differ at the ulp level across
+        # engines (summation order, libm), so a near-equidistant
+        # vector could flip `predicted` under a raw-double ordering;
+        # after floor-to-micro the `cand` tie-break resolves quantized
+        # ties identically everywhere
+        .withColumn("d2q", F.floor(F.col("d2") * F.lit(1_000_000.0)).cast("long"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cand"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2q"), F.col("cand"))
     assigned = (
         dists.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -458,7 +458,12 @@ def boilerplate_removal(
         .filter(F.col("n_docs") >= min_docs)
         .select("h", F.lit(True).alias("is_b"))
     )
-    marked = sents.join(F.broadcast(boiler), "h", "left")
+    # no broadcast hint: the boilerplate relation's size is data-
+    # dependent (every sentence form repeated across >= min_docs docs
+    # — millions of rows on a web corpus), so forcing a broadcast
+    # gambles executor memory on corpus shape. AQE sizes the join at
+    # runtime: small boiler sets still broadcast, huge ones shuffle.
+    marked = sents.join(boiler, "h", "left")
     kept_struct = F.when(
         F.col("is_b").isNull(), F.struct(F.col("pos"), F.col("sent"))
     )

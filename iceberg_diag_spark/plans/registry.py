@@ -4261,23 +4261,23 @@ REGISTRY: dict[str, QuerySpec] = {
 def _stratified_split(spark, sf_dir):
     """Deterministic 90/5/5 train-val-test assignment (md5-bucket of
     doc_id), audited per source: the count proves every stratum keeps
-    its proportions and the md5 of the member ids proves the exact
-    membership, not just the sizes."""
+    its proportions and two independently-salted bit_xor membership
+    checksums prove the exact membership, not just the sizes.
+
+    The checksums are commutative/order-insensitive, so the audit
+    aggregates with O(1) per-group state and map-side partials — the
+    train cell of a 100 TB corpus never materializes its doc_id list
+    anywhere (the previous sort_array(collect_list) digest held ~90%
+    of a source's ids in ONE aggregation buffer)."""
     df = sampling.split_assign(
         _t(spark, sf_dir, "documents"), key_col="doc_id",
         val_pct=5, test_pct=5,
     )
+    xor1, xor2 = sampling.membership_checksums(F.col("doc_id"))
     return df.groupBy("source", "split").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_list("doc_id")),
-                    lambda x: x.cast("string"),
-                ),
-            )
-        ).alias("members_md5"),
+        xor1.alias("members_xor"),
+        xor2.alias("members_xor2"),
     )
 
 
@@ -4293,7 +4293,8 @@ WITH assigned AS (
 )
 SELECT source, split,
        CAST(count(*) AS BIGINT) AS n_docs,
-       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS members_md5
+       bit_xor(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS members_xor,
+       bit_xor(('0x' || substring(md5('m2|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS members_xor2
 FROM assigned GROUP BY source, split
 """
 
@@ -4365,13 +4366,13 @@ cent AS (
 ),
 dists AS (
   SELECT ex.vec_id, ex.label, cent.cand,
-         sum((ex.val - cent.c) * (ex.val - cent.c)) AS d2
+         CAST(FLOOR(sum((ex.val - cent.c) * (ex.val - cent.c)) * 1000000.0) AS BIGINT) AS d2q
   FROM ex JOIN cent ON ex.pos = cent.pos
   GROUP BY ex.vec_id, ex.label, cent.cand
 ),
 assigned AS (
   SELECT vec_id, label, cand,
-         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2q, cand) AS rn
   FROM dists
 )
 SELECT label, cand AS predicted, CAST(count(*) AS BIGINT) AS n_vecs
@@ -4543,9 +4544,9 @@ def _skew_audit(spark, sf_dir):
 
 _SKEW_AUDIT_SQL = """
 WITH counts AS (
-  SELECT CAST(event_type AS VARCHAR) AS key_repr,
+  SELECT coalesce(CAST(event_type AS VARCHAR), '(null)') AS key_repr,
          CAST(count(*) AS BIGINT) AS key_rows
-  FROM events GROUP BY event_type
+  FROM events GROUP BY 1
 ),
 totals AS (
   SELECT CAST(sum(key_rows) AS BIGINT) AS total_rows,

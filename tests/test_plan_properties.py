@@ -211,6 +211,9 @@ _SCALAR_CROSS_OK = {
     "events_approx_stats_checked",
     "doc_decontamination",       # broadcast distinct eval grams
     "doc_hash_sample",
+    "events_skew_audit",         # broadcast 1-row totals scalar
+    "join_cardinality_audit",    # broadcast 1-row per-side totals
+    "near_dup_triangles",        # broadcast 1-row edge_count scalar
 }
 
 
@@ -226,12 +229,42 @@ def test_every_registry_plan_free_of_scale_killers(spark):
         plan = _plan(spark, name)
         if "BatchEvalPython" in plan:
             offenders.append((name, "BatchEvalPython"))
+        # ANY nested-loop product counts: crossJoin plans print join
+        # type 'Cross' (not 'Inner'), so matching only 'Inner' would
+        # let an unguarded broadcast cross product over a non-scalar
+        # side slide through at test scale
         has_product = (
             _op_count(plan, "CartesianProduct") > 0
-            or "BroadcastNestedLoopJoin Inner" in plan
+            or _op_count(plan, "BroadcastNestedLoopJoin") > 0
         )
         if has_product and name not in _SCALAR_CROSS_OK:
             offenders.append((name, "cartesian"))
+    assert not offenders, offenders
+
+
+# Entries whose plans may contain a collect_list/collect_set
+# aggregate because the per-group cardinality is bounded by
+# construction — every other registry plan must be collect-free, so
+# an unbounded membership digest (the stratified_split r4 pattern:
+# md5(concat(sort_array(collect_list(id)))) holding ~90% of a corpus
+# in one aggregation buffer) fails here by name.
+_BOUNDED_COLLECT_OK = {
+    "source_overlap",       # collect_set(src) bounded by #sources
+    "user_event_paths",     # per-user path, truncated to first k events
+    "minhash_pairs",        # LSH bucket ids: exact dups pre-collapsed,
+    "ngram_jaccard",        #   bucket = near-identical docs only
+    "boilerplate_removal",  # per-doc sentence rebuild, bounded by doc len
+}
+
+
+def test_no_unbounded_collect_aggregates(spark):
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if name.startswith("stream_") or name in _BOUNDED_COLLECT_OK:
+            continue
+        plan = _plan(spark, name)
+        if "collect_list" in plan or "collect_set" in plan:
+            offenders.append(name)
     assert not offenders, offenders
 
 

@@ -57,6 +57,20 @@ def test_skew_audit_known_distribution(spark):
     assert out[1].n_keys == 3 and out[1].total_rows == 100
 
 
+def test_skew_audit_null_key_sentinel(spark):
+    # a NULL-heavy key is the classic real-world hot key; it must
+    # appear in the audit as the '(null)' sentinel (not vanish, and
+    # not depend on engine NULL-ordering at the top-k boundary)
+    from iceberg_diag_spark.functions.skew import skew_audit
+
+    rows = [(None,)] * 60 + [("a",)] * 25 + [("b",)] * 15
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.rank: r for r in skew_audit(df, "k", top_k=2).collect()}
+    assert out[1].key_repr == "(null)" and out[1].share_ppm == 600_000
+    assert out[2].key_repr == "a"
+    assert out[1].n_keys == 3
+
+
 def test_join_cardinality_exact_vs_real_join(spark):
     from iceberg_diag_spark.functions.skew import join_cardinality
 
