@@ -65,6 +65,49 @@ def exact_dedup(
     return docs.join(keep, id_col, "semi")
 
 
+def collapse_exact_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate pre-collapse for the fuzzy-dedup family:
+    returns (representatives, star_edges) where representatives is
+    one surviving row per distinct normalized text (minimum id — the
+    exact_dedup contract) and star_edges is one (doc_a=rep,
+    doc_b=member) row per collapsed duplicate.
+
+    WHY this exists: LSH bucketing distributes near-identical docs
+    into small buckets, but byte-identical docs land in the SAME
+    bucket in EVERY band — a corpus with millions of exact copies of
+    one page (boilerplate 404s, mirrored licenses) turns that bucket
+    into an n² pair expansion no banding scheme can save. Collapsing
+    exact dups first bounds every bucket to genuinely-near-identical
+    representatives, and the star edges (k-1 rows per k-dup group,
+    not k(k-1)/2) keep the collapsed members reachable: downstream
+    connected components place members in their representative's
+    cluster transitively.
+
+    Cost: one window shuffle on the uniform 32-byte content hash —
+    the same project-then-shuffle shape as exact_dedup (text never
+    shuffles, only its hash)."""
+    from pyspark.sql import Window
+
+    hashed = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.sha2(normalized_text(F.col(text_col)), 256).alias("__ch"),
+    )
+    marked = hashed.withColumn(
+        "__keep", F.min(id_col).over(Window.partitionBy("__ch"))
+    )
+    reps = docs.join(
+        marked.filter(F.col(id_col) == F.col("__keep")).select(id_col),
+        id_col,
+        "semi",
+    )
+    star = marked.filter(F.col(id_col) != F.col("__keep")).select(
+        F.col("__keep").alias("doc_a"), F.col(id_col).alias("doc_b")
+    )
+    return reps, star
+
+
 def word_ngrams(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles of the normalized text as an array of
     strings (distinct). Built-ins only: split → transform over a
@@ -179,6 +222,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     ngram: int = 3,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """LSH banding: split the signature into `bands` bands of
     num_hashes/bands consecutive seeds, concatenate each band into a
@@ -192,10 +236,24 @@ def minhash_candidate_pairs(
     once per join side, and the only shuffles after it are on the
     uniformly-distributed bucket key and the pair key. Bucket
     contents are near-identical documents only, so the pair expansion
-    is linear in true near-dups; a degenerate bucket (millions of
-    byte-identical docs) should be removed by exact dedup upstream —
-    the same pathology would break any LSH formulation.
+    is linear in true near-dups.
+
+    With collapse_exact (default), byte-identical documents are
+    collapsed to their min-id representative BEFORE signature
+    generation (see collapse_exact_duplicates) — the pathology where
+    millions of exact copies share one bucket in every band can't
+    occur, signatures are computed once per distinct content, and
+    each exact-dup group surfaces as (rep, member) star pairs with
+    n_shared_bands = `bands` (an exact copy trivially shares every
+    band). Pairs between a collapsed member and its rep's near-dups
+    are reachable transitively through the rep — the contract
+    connected-components consumers rely on. Set collapse_exact=False
+    only when the input is already exact-deduped (corpus_curation
+    does its own collapse upstream).
     """
+    star = None
+    if collapse_exact:
+        docs, star = collapse_exact_duplicates(docs, text_col, id_col)
     rows_per_band = num_hashes // bands
     wide = minhash_signatures_wide(docs, text_col, id_col, num_hashes, ngram)
     band_structs = F.array(
@@ -227,9 +285,18 @@ def minhash_candidate_pairs(
             )
         ).alias("p")
     ).select("p.doc_a", "p.doc_b")
-    return pairs.groupBy("doc_a", "doc_b").agg(
+    out = pairs.groupBy("doc_a", "doc_b").agg(
         F.count("*").alias("n_shared_bands")
     )
+    if star is not None:
+        out = out.unionByName(
+            star.select(
+                "doc_a",
+                "doc_b",
+                F.lit(bands).cast("long").alias("n_shared_bands"),
+            )
+        )
+    return out
 
 
 def connected_components(
@@ -456,6 +523,7 @@ def simhash_near_dup(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: docs whose 64-bit fingerprints differ
     in ≤ max_hamming bits, via multi-index banding — split the
@@ -467,7 +535,18 @@ def simhash_near_dup(
     stays ~n²/2^width instead of n²/32. Candidates are verified with
     bit_count(XOR) — exact, no false negatives.
     Output: (doc_a, doc_b, hamming).
-    """
+
+    With collapse_exact (default), exact duplicates are collapsed to
+    their min-id representative before fingerprinting — identical
+    docs have identical fingerprints, so an exact-dup-heavy corpus
+    would otherwise pile every copy onto the same band key in every
+    band (the n²-bucket pathology banding cannot mitigate). Each
+    collapsed group instead surfaces as (rep, member) star pairs with
+    hamming = 0; member↔near-dup relations are transitive via the
+    rep (see collapse_exact_duplicates)."""
+    star = None
+    if collapse_exact:
+        docs, star = collapse_exact_duplicates(docs, text_col, id_col)
     n_bands, d = _band_plan(max_hamming)
     width = 64 // n_bands
 
@@ -577,13 +656,20 @@ def simhash_near_dup(
     # neither side is broadcastable (build is n_docs·n_bands rows);
     # the right strategy at every scale is a shuffled hash join with
     # the BUILD side as the hashed side, pinned via hint.
-    return (
+    out = (
         probe.join(build.hint("shuffle_hash"), ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(hamming <= max_hamming)
         .filter(first_band)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
     )
+    if star is not None:
+        out = out.unionByName(
+            star.select(
+                "doc_a", "doc_b", F.lit(0).cast("integer").alias("hamming")
+            )
+        )
+    return out
 
 
 def source_overlap(

@@ -1611,11 +1611,33 @@ def _minhash_pairs(spark, sf_dir):
     )
 
 
+# Exact-duplicate pre-collapse — mirrors dedup.collapse_exact_
+# duplicates: representatives (min doc_id per distinct normalized
+# text) carry the fuzzy pipeline; collapsed members surface as
+# (rep, member) star edges. Grouping by md5 here vs sha256 engine-
+# side is equivalent: both group by identical normalized text.
+_EXACT_COLLAPSE_CTE = r"""
+chash AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+  FROM documents
+),
+cgrp AS (SELECT ch, min(doc_id) AS keep FROM chash GROUP BY ch),
+rdocs AS (SELECT d.* FROM documents d JOIN cgrp ON d.doc_id = cgrp.keep),
+star AS (
+  SELECT cgrp.keep AS doc_a, chash.doc_id AS doc_b
+  FROM chash JOIN cgrp USING (ch)
+  WHERE chash.doc_id <> cgrp.keep
+)
+"""
+
 _MINHASH_PAIRS_SQL = r"""
-WITH norm AS (
+WITH
+""" + _EXACT_COLLAPSE_CTE.strip() + r""",
+norm AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-  FROM documents
+  FROM rdocs
 ),
 grams AS (
   SELECT doc_id,
@@ -1648,6 +1670,8 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM keys a
 JOIN keys b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 GROUP BY doc_a, doc_b
+UNION ALL
+SELECT doc_a, doc_b, CAST(4 AS BIGINT) AS n_shared_bands FROM star
 """
 
 
@@ -1710,13 +1734,18 @@ SELECT doc_id, simhash FROM sh
 # The banded Spark plan is exact within the Hamming budget (pigeonhole
 # guarantees no false negatives; distinct removes multi-band dupes),
 # so the oracle can use the semantically-equal all-pairs form — fine
-# at oracle scale, while the engine side stays bucketed.
+# at oracle scale, while the engine side stays bucketed. Fingerprints
+# run over exact-collapse representatives; collapsed members surface
+# as hamming-0 star pairs (mirrors simhash_near_dup collapse_exact).
 _SIMHASH_NEAR_DUP_SQL = f"""
-WITH {_SIMHASH_CTE}
+WITH {_EXACT_COLLAPSE_CTE.strip()},
+{_SIMHASH_CTE.replace("FROM documents", "FROM rdocs")}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+UNION ALL
+SELECT doc_a, doc_b, CAST(0 AS INTEGER) AS hamming FROM star
 """
 
 
@@ -1747,8 +1776,14 @@ def _ngram_jaccard(spark, sf_dir):
     )
 
 
+# grams are computed over ALL documents (star members need their
+# gram sets for the jaccard join) but LSH keys only over exact-
+# collapse representatives — mirroring the engine, whose candidate
+# relation is LSH(reps) ∪ star.
 _NGRAM_JACCARD_SQL = r"""
-WITH norm AS (
+WITH
+""" + _EXACT_COLLAPSE_CTE.strip() + r""",
+norm AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
   FROM documents
@@ -1762,7 +1797,10 @@ grams AS (
          ELSE [] END AS grams
   FROM norm
 ),
-eg AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
+eg AS (
+  SELECT g.doc_id, unnest(g.grams) AS gram
+  FROM grams g JOIN cgrp ON g.doc_id = cgrp.keep
+),
 hh AS (
   SELECT doc_id,
          ('0x' || substring(md5(gram), 1, 8))::BIGINT AS g1,
@@ -1783,6 +1821,8 @@ cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM keys a
   JOIN keys b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  UNION
+  SELECT doc_a, doc_b FROM star
 )
 SELECT c.doc_a, c.doc_b,
        round(CASE WHEN len(list_distinct(list_concat(ga.grams, gb.grams))) > 0
@@ -1804,10 +1844,12 @@ def _near_dup_clusters(spark, sf_dir):
 # same minhash CTE chain as _MINHASH_PAIRS_SQL, then transitive
 # closure via a recursive CTE: min reachable label == component min
 _NEAR_DUP_CLUSTERS_SQL = r"""
-WITH RECURSIVE norm AS (
+WITH RECURSIVE
+""" + _EXACT_COLLAPSE_CTE.strip() + r""",
+norm AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-  FROM documents
+  FROM rdocs
 ),
 grams AS (
   SELECT doc_id,
@@ -1839,6 +1881,8 @@ pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM keys a
   JOIN keys b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  UNION
+  SELECT doc_a, doc_b FROM star
 ),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -1903,11 +1947,11 @@ def _near_dup_pagerank(spark, sf_dir):
 # MinHash-LSH candidate-pair chain through `prs` — shared by the
 # PageRank and triangle-count oracles (both run over the near-dup
 # pair graph).
-_MINHASH_PRS_CTE = r"""
+_MINHASH_PRS_CTE = _EXACT_COLLAPSE_CTE.strip() + r""",
 norm AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-  FROM documents
+  FROM rdocs
 ),
 grams AS (
   SELECT doc_id,
@@ -1939,6 +1983,8 @@ prs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM keys a
   JOIN keys b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  UNION
+  SELECT doc_a, doc_b FROM star
 )
 """
 
