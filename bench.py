@@ -169,20 +169,33 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "runs_per_query": n_runs,
-                "loadavg_1m": round(os.getloadavg()[0], 2),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = {
+        "metric": "headline_suite_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "spread": spreads,
+        "runs_per_query": n_runs,
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(payload))
+    # The driver records only a truncated tail of stdout, so also
+    # persist the full parsed JSON to a stable in-repo path —
+    # round-over-round per-query deltas stay computable without
+    # tail-string archaeology. Override with SPARK_GRAFT_BENCH_OUT;
+    # set it empty to skip (e.g. read-only checkouts).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out", "latest.json"),
     )
+    if out_path:
+        try:
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            with open(out_path, "w") as f:
+                json.dump(payload, f, indent=1, sort_keys=True)
+        except OSError as exc:  # never let artifact IO fail the bench
+            print(f"# bench_out write failed: {exc}", file=sys.stderr)
     spark.stop()
 
 
