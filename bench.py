@@ -101,6 +101,11 @@ HEADLINE = [
     "events_skew_audit",
     "dataset_card",
     "join_cardinality_audit",
+    # round 5 additions
+    "doc_dup_ngram_spans",
+    "doc_winnow_fingerprints",
+    "token_budget_waterfill",
+    "join_selectivity_audit",
 ]
 
 

@@ -106,6 +106,60 @@ def skew_audit(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
     )
 
 
+def join_selectivity(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Pre-flight join-selectivity audit: how much of each side
+    actually participates in an equi-join on `key_col` — matched row
+    counts and ppm shares per side, plus key-overlap counts —
+    WITHOUT running the join. The companion to join_cardinality: that
+    one predicts output size (explosion risk), this one predicts
+    INPUT waste (a 3% match rate on a 100 TB side says to semi-join
+    or runtime-filter that scan first; Spark's own bloom-filter
+    pushdown decides from exactly this shape).
+
+    Same scale posture as join_cardinality: per-side key-count
+    aggregates (map-side combinable, #distinct-keys-sized shuffles)
+    full-outer-joined on the key, folded to one row. NULL keys never
+    match in an equi-join, and a full-outer join on the key keeps
+    them unmatched here too — the accounting agrees with the real
+    join by construction. Output: one row (n_left, n_right,
+    n_keys_left, n_keys_right, n_keys_both, matched_left,
+    matched_right, match_left_ppm, match_right_ppm)."""
+    lc = left.groupBy(F.col(key_col).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("cl")
+    )
+    rc = right.groupBy(F.col(key_col).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    j = lc.join(rc, "k", "full")
+    agg = j.agg(
+        F.sum("cl").cast("long").alias("n_left"),
+        F.sum("cr").cast("long").alias("n_right"),
+        F.count("cl").alias("n_keys_left"),
+        F.count("cr").alias("n_keys_right"),
+        F.count(F.when(F.col("cl").isNotNull() & F.col("cr").isNotNull(), 1))
+        .alias("n_keys_both"),
+        F.sum(F.when(F.col("cr").isNotNull(), F.col("cl")).otherwise(0))
+        .cast("long")
+        .alias("matched_left"),
+        F.sum(F.when(F.col("cl").isNotNull(), F.col("cr")).otherwise(0))
+        .cast("long")
+        .alias("matched_right"),
+    )
+    return agg.select(
+        "*",
+        F.floor(F.lit(1_000_000.0) * F.col("matched_left") / F.col("n_left"))
+        .cast("long")
+        .alias("match_left_ppm"),
+        F.floor(F.lit(1_000_000.0) * F.col("matched_right") / F.col("n_right"))
+        .cast("long")
+        .alias("match_right_ppm"),
+    )
+
+
 def join_cardinality(
     left: DataFrame,
     right: DataFrame,

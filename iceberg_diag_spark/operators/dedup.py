@@ -299,6 +299,135 @@ def minhash_candidate_pairs(
     return out
 
 
+def dup_ngram_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-substring signal: the fraction of a
+    doc's n-gram positions whose n-gram also appears in at least
+    `min_docs` distinct documents. The cross-document substring-
+    duplication measurement behind suffix-array training-data dedup
+    (memorization risk scales with verbatim span repetition, so docs
+    with a high duplicated-span share are dropped or trimmed before
+    training) — this is the detection/audit half, computed with plain
+    relational ops instead of a suffix array: position-multiplicity
+    n-gram rows, a distinct-doc count per gram, and a join back.
+
+    Scale shape: the gram relation is one row per token position
+    (linear in corpus tokens) keyed by a uniform 32-hex md5 — two
+    shuffles on that key (distinct-doc agg, then the flag join; both
+    map-side combinable) plus the per-doc rollup. The duplicated-gram
+    relation's size is data-dependent, so no broadcast hint — AQE
+    decides. Docs with fewer than n tokens have no n-gram positions
+    and do not appear (mirrored by the oracle).
+
+    Output: (doc_id, n_grams, n_dup_grams, dup_ppm) — dup_ppm the
+    floor parts-per-million of positions covered by cross-doc
+    repeated grams (exact integer, cross-engine comparable).
+    """
+    grams = word_ngram_rows(docs, text_col, id_col, n).select(
+        F.col(id_col), F.md5(F.col("gram")).alias("gh")
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh", F.lit(True).alias("is_dup"))
+    )
+    return (
+        grams.join(dup, "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("is_dup").alias("n_dup_grams"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "n_dup_grams",
+            F.floor(
+                F.lit(1_000_000.0) * F.col("n_dup_grams") / F.col("n_grams")
+            )
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    word n-gram, slide a window of `window` consecutive gram hashes,
+    and keep the minimum hash of each full window. Winnowing's
+    guarantee: any shared substring of at least n + window - 1 tokens
+    between two documents yields at least one shared fingerprint,
+    while storing ~2/(window+1) of the gram hashes — the standard
+    position-robust alternative to full n-gram inverted indexes for
+    plagiarism/overlap detection.
+
+    The fingerprint SET is order-insensitive, so the per-doc digest
+    uses the same O(1)-state commutative checksum idiom as the
+    split audit (count + bit_xor of the 60-bit hashes) — nothing
+    per-doc ever materializes an array. Hash = first 15 md5 hex
+    digits of the gram (non-negative 60-bit BIGINT in every engine).
+
+    Execution: posexplode + lead() builds positioned gram hashes in
+    whole-stage codegen (one shuffle+sort per doc key); the window
+    min is a bounded ROWS frame over that same sort (no second
+    shuffle); distinct + rollup ride the doc key too. Docs with
+    fewer than n + window - 1 tokens have no full window and drop
+    out (mirrored by the oracle).
+
+    Output: (doc_id, n_fingerprints, fp_xor).
+    """
+    from pyspark.sql import Window
+
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    last = F.lead("tok", n - 1).over(w)
+    gram_hash = F.conv(
+        F.substring(F.md5(F.concat_ws(" ", *parts)), 1, 15), 16, 10
+    ).cast("long")
+    grams = (
+        toks.select(F.col(id_col), F.col("pos"), gram_hash.alias("gh"), last.alias("__l"))
+        .filter(F.col("__l").isNotNull())
+        .drop("__l")
+    )
+    fw = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    selected = (
+        grams.select(
+            F.col(id_col),
+            F.min("gh").over(fw).alias("fp"),
+            F.count(F.lit(1)).over(fw).alias("__n"),
+        )
+        .filter(F.col("__n") == window)  # full windows only
+        .select(id_col, "fp")
+        .distinct()
+    )
+    return selected.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.bit_xor("fp").alias("fp_xor"),
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,

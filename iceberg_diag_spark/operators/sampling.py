@@ -178,3 +178,70 @@ def stratified_hash_sample(
             raise ValueError(f"rate for {value!r} must be in [0, {buckets}]")
         pct_col = F.when(F.col(strata_col) == value, pct).otherwise(pct_col)
     return df.filter(hash_bucket(F.col(key_col), buckets) < pct_col)
+
+
+def token_budget_waterfill(
+    df: DataFrame,
+    budget: int,
+    strata_col: str = "source",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Water-filling allocation of a fixed token budget across
+    strata: every source contributes min(its mass, θ) where the water
+    level θ is chosen so the allocations sum to `budget` — the
+    standard "cap the huge domains, take the small ones whole" rule
+    for assembling a training mix under a token target (a uniform
+    share would starve big sources; proportional sampling lets one
+    crawl dominate).
+
+    θ has a closed form over the masses sorted ascending: with
+    prefix sums P_k, the level is θ = (budget - P_{k-1}) / (n - k + 1)
+    at the first rank k where that value is at most mass_k; if no
+    rank qualifies the budget exceeds the corpus and every source is
+    taken whole. No iteration — one aggregate to #strata rows, then
+    windows over that tiny relation (single-partition by design:
+    #domains rows, not #docs) and a broadcast of the 1-row θ scalar.
+
+    Output: (source, mass, alloc_tokens, exhausted) — alloc_tokens
+    floored to integers, exhausted = TRUE for sources taken whole.
+    """
+    from pyspark.sql import Window
+
+    m = df.groupBy(strata_col).agg(
+        F.sum(weight_col).cast("double").alias("mass")
+    )
+    order = Window.orderBy("mass", strata_col)
+    everything = Window.partitionBy()
+    d = (
+        m.withColumn("rn", F.row_number().over(order))
+        .withColumn(
+            "prefix_before",
+            F.coalesce(
+                F.sum("mass").over(
+                    order.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(everything))
+        .withColumn(
+            "theta_i",
+            (F.lit(float(budget)) - F.col("prefix_before"))
+            / (F.col("n") - F.col("rn") + 1),
+        )
+    )
+    theta = (
+        d.filter(F.col("theta_i") <= F.col("mass"))
+        .agg(F.min(F.struct("rn", "theta_i")).alias("s"))
+        .select(F.col("s.theta_i").alias("theta"))
+    )
+    return d.crossJoin(F.broadcast(theta)).select(
+        F.col(strata_col),
+        F.col("mass").cast("long").alias("mass"),
+        F.floor(F.least(F.col("mass"), F.coalesce(F.col("theta"), F.col("mass"))))
+        .cast("long")
+        .alias("alloc_tokens"),
+        (F.col("theta").isNull() | (F.col("mass") <= F.col("theta"))).alias(
+            "exhausted"
+        ),
+    )

@@ -4727,6 +4727,178 @@ REGISTRY.update({
 })
 
 
+# --------------------------------------------------------------------
+# Round-5 additions: substring-duplication audit, winnowing
+# fingerprints, token-budget water-filling, join-selectivity audit
+# --------------------------------------------------------------------
+
+
+def _dup_ngram_spans(spark, sf_dir):
+    return dedup.dup_ngram_span_stats(_t(spark, sf_dir, "documents"))
+
+
+_DUP_NGRAM_SPANS_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+eg AS (
+  SELECT doc_id, md5(array_to_string(toks[i + 1 : i + 8], ' ')) AS gh
+  FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 8)) AS i
+        FROM norm WHERE len(toks) >= 8)
+),
+dup AS (
+  SELECT gh FROM (
+    SELECT gh, count(DISTINCT doc_id) AS nd FROM eg GROUP BY gh
+  ) WHERE nd >= 2
+)
+SELECT eg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(dup.gh) AS BIGINT) AS n_dup_grams,
+       CAST(FLOOR(1000000.0 * count(dup.gh) / count(*)) AS BIGINT) AS dup_ppm
+FROM eg LEFT JOIN dup ON eg.gh = dup.gh
+GROUP BY eg.doc_id
+"""
+
+
+def _winnow_fingerprints(spark, sf_dir):
+    return dedup.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+_WINNOW_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substring(md5(array_to_string(toks[i + 1 : i + 3], ' ')), 1, 15))::BIGINT AS gh
+  FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 3)) AS i
+        FROM norm WHERE len(toks) >= 3)
+),
+win AS (
+  SELECT doc_id,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+  FROM pos
+),
+sel AS (SELECT DISTINCT doc_id, fp FROM win WHERE wn = 4)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_fingerprints,
+       bit_xor(fp) AS fp_xor
+FROM sel GROUP BY doc_id
+"""
+
+
+def _token_budget_waterfill(spark, sf_dir):
+    out = sampling.token_budget_waterfill(
+        _t(spark, sf_dir, "documents"), budget=100_000,
+        strata_col="source", weight_col="n_chars",
+    )
+    return out.select(
+        "source", "mass", "alloc_tokens",
+        F.col("exhausted").cast("long").alias("exhausted"),
+    )
+
+
+_WATERFILL_SQL = """
+WITH m AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass
+  FROM documents GROUP BY source
+),
+d AS (
+  SELECT source, mass,
+         row_number() OVER (ORDER BY mass, source) AS rn,
+         coalesce(sum(mass) OVER (ORDER BY mass, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+           AS prefix_before,
+         count(*) OVER () AS n
+  FROM m
+),
+t AS (
+  SELECT rn, (100000.0 - prefix_before) / (n - rn + 1) AS theta_i
+  FROM d
+  WHERE (100000.0 - prefix_before) / (n - rn + 1) <= mass
+),
+theta AS (SELECT theta_i FROM t ORDER BY rn LIMIT 1)
+SELECT source,
+       CAST(FLOOR(mass) AS BIGINT) AS mass,
+       CAST(FLOOR(LEAST(mass, coalesce((SELECT theta_i FROM theta), mass)))
+            AS BIGINT) AS alloc_tokens,
+       CAST(((SELECT theta_i FROM theta) IS NULL
+             OR mass <= (SELECT theta_i FROM theta)) AS BIGINT) AS exhausted
+FROM d
+"""
+
+
+def _join_selectivity(spark, sf_dir):
+    from iceberg_diag_spark.functions.skew import join_selectivity
+    return join_selectivity(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        ),
+        "o_orderkey",
+    )
+
+
+_JOIN_SELECTIVITY_SQL = """
+WITH lc AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS k, count(*) AS cl
+  FROM orders GROUP BY o_orderkey
+),
+rc AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS k, count(*) AS cr
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (SELECT lc.cl, rc.cr FROM lc FULL JOIN rc ON lc.k = rc.k)
+SELECT CAST(sum(cl) AS BIGINT) AS n_left,
+       CAST(sum(cr) AS BIGINT) AS n_right,
+       CAST(count(cl) AS BIGINT) AS n_keys_left,
+       CAST(count(cr) AS BIGINT) AS n_keys_right,
+       CAST(count(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL THEN 1 END)
+            AS BIGINT) AS n_keys_both,
+       CAST(sum(CASE WHEN cr IS NOT NULL THEN cl ELSE 0 END) AS BIGINT)
+         AS matched_left,
+       CAST(sum(CASE WHEN cl IS NOT NULL THEN cr ELSE 0 END) AS BIGINT)
+         AS matched_right,
+       CAST(FLOOR(1000000.0 * sum(CASE WHEN cr IS NOT NULL THEN cl ELSE 0 END)
+                  / sum(cl)) AS BIGINT) AS match_left_ppm,
+       CAST(FLOOR(1000000.0 * sum(CASE WHEN cl IS NOT NULL THEN cr ELSE 0 END)
+                  / sum(cr)) AS BIGINT) AS match_right_ppm
+FROM j
+"""
+
+
+REGISTRY.update({
+    "doc_dup_ngram_spans": QuerySpec(
+        _dup_ngram_spans, _DUP_NGRAM_SPANS_SQL,
+        "per-doc duplicated-substring audit: share of 8-gram "
+        "positions repeated across >= 2 docs (suffix-array-dedup "
+        "signal via relational ops)",
+    ),
+    "doc_winnow_fingerprints": QuerySpec(
+        _winnow_fingerprints, _WINNOW_SQL,
+        "MOSS winnowing fingerprints (min-hash per sliding gram "
+        "window), per-doc count + commutative xor digest",
+    ),
+    "token_budget_waterfill": QuerySpec(
+        _token_budget_waterfill, _WATERFILL_SQL,
+        "closed-form water-filling allocation of a fixed token "
+        "budget across sources (cap huge domains, take small whole)",
+    ),
+    "join_selectivity_audit": QuerySpec(
+        _join_selectivity, _JOIN_SELECTIVITY_SQL,
+        "pre-flight join input-participation audit: matched rows/keys "
+        "per side in exact ppm (the semi-join/runtime-filter signal)",
+    ),
+})
+
+
 # Evaluation-order hedge: the correctness harness records rows for
 # exactly the first 50 registry entries (confirmed across rounds 1-3).
 # With 101 entries, ordering decides which queries get a FRESH

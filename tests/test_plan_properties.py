@@ -214,6 +214,7 @@ _SCALAR_CROSS_OK = {
     "events_skew_audit",         # broadcast 1-row totals scalar
     "join_cardinality_audit",    # broadcast 1-row per-side totals
     "near_dup_triangles",        # broadcast 1-row edge_count scalar
+    "token_budget_waterfill",    # broadcast 1-row water-level theta
 }
 
 

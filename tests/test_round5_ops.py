@@ -1,0 +1,109 @@
+"""Known-answer tests for the round-5 operators: duplicated-n-gram
+span audit, winnowing fingerprints, token-budget water-filling, and
+the join-selectivity audit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_diag_spark.operators import dedup, sampling
+
+
+def test_dup_ngram_spans_known_overlap(spark):
+    shared = "one two three four five six seven eight"  # exactly 8 toks
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail-a unique-a"),
+            (2, shared + " tail-b unique-b"),
+            (3, "totally different words with no overlap at all here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.dup_ngram_span_stats(docs).collect()}
+    # docs 1/2: 10 tokens → 3 gram positions; only the first (the
+    # shared 8-token run) repeats across docs
+    assert out[1].n_grams == 3 and out[1].n_dup_grams == 1
+    assert out[1].dup_ppm == 333_333
+    assert out[2].n_dup_grams == 1
+    assert out[3].n_dup_grams == 0 and out[3].dup_ppm == 0
+
+
+def test_dup_ngram_spans_short_docs_absent(spark):
+    docs = spark.createDataFrame(
+        [(1, "only seven tokens live in this doc"),
+         (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    ids = {r.doc_id for r in dedup.dup_ngram_span_stats(docs).collect()}
+    assert ids == {2}  # 7-token doc has no 8-gram positions
+
+
+def test_winnow_identical_docs_identical_digest(spark):
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t), (3, "different text entirely with many words here")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup.winnow_fingerprints(docs).collect()}
+    assert (rows[1].n_fingerprints, rows[1].fp_xor) == (
+        rows[2].n_fingerprints, rows[2].fp_xor,
+    )
+    assert (rows[3].n_fingerprints, rows[3].fp_xor) != (
+        rows[1].n_fingerprints, rows[1].fp_xor,
+    )
+    # winnowing stores ~2/(w+1) of gram hashes — strictly fewer than
+    # all 8 gram positions
+    assert 1 <= rows[1].n_fingerprints < 8
+
+
+def test_winnow_short_docs_absent(spark):
+    docs = spark.createDataFrame(
+        [(1, "five tokens not enough here"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    ids = {r.doc_id for r in dedup.winnow_fingerprints(docs).collect()}
+    # doc 1: 5 tokens → 3 gram hashes < window 4 → no full window
+    assert ids == {2}
+
+
+def test_waterfill_caps_large_sources(spark):
+    docs = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 100)],
+        "source string, n_chars long",
+    )
+    out = {
+        r.source: r
+        for r in sampling.token_budget_waterfill(docs, budget=60).collect()
+    }
+    # theta = 30: a,b taken whole, c capped; allocations sum to budget
+    assert out["a"].alloc_tokens == 10 and out["a"].exhausted
+    assert out["b"].alloc_tokens == 20 and out["b"].exhausted
+    assert out["c"].alloc_tokens == 30 and not out["c"].exhausted
+    assert sum(r.alloc_tokens for r in out.values()) == 60
+
+
+def test_waterfill_budget_exceeds_corpus(spark):
+    docs = spark.createDataFrame(
+        [("a", 10), ("b", 20)], "source string, n_chars long"
+    )
+    out = {
+        r.source: r
+        for r in sampling.token_budget_waterfill(docs, budget=500).collect()
+    }
+    assert all(r.exhausted for r in out.values())
+    assert out["a"].alloc_tokens == 10 and out["b"].alloc_tokens == 20
+
+
+def test_join_selectivity_matches_real_join(spark):
+    from iceberg_diag_spark.functions.skew import join_selectivity
+
+    left = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+    right = spark.createDataFrame([(1,), (3,), (3,), (4,)], "k long")
+    row = join_selectivity(left, right, "k").collect()[0]
+    assert row.n_left == 4 and row.n_right == 4
+    assert row.n_keys_left == 3 and row.n_keys_right == 3
+    assert row.n_keys_both == 2  # keys 1, 3
+    # accounting must agree with the real semi joins
+    assert row.matched_left == left.join(right, "k", "semi").count() == 3
+    assert row.matched_right == right.join(left, "k", "semi").count() == 3
+    assert row.match_left_ppm == 750_000
