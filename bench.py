@@ -106,6 +106,9 @@ HEADLINE = [
     "doc_winnow_fingerprints",
     "token_budget_waterfill",
     "join_selectivity_audit",
+    "near_dup_rate_by_source",
+    "doc_weighted_sample",
+    "dedup_incremental",
 ]
 
 

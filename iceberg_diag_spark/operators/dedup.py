@@ -215,6 +215,39 @@ def minhash_signatures(
     )
 
 
+def minhash_band_keys(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """LSH band keys per document: the wide signature split into
+    `bands` bands of consecutive seeds, each concatenated into one
+    bucket key. The shared building block of candidate-pair banding
+    (self-bucketing) and incremental dedup (semi-join of a new
+    batch's keys against a corpus's keys). Output: (id_col, band,
+    band_key) — `bands` rows per doc."""
+    rows_per_band = num_hashes // bands
+    wide = minhash_signatures_wide(docs, text_col, id_col, num_hashes, ngram)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return wide.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        id_col, "b.band", "b.band_key"
+    )
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -254,22 +287,8 @@ def minhash_candidate_pairs(
     star = None
     if collapse_exact:
         docs, star = collapse_exact_duplicates(docs, text_col, id_col)
-    rows_per_band = num_hashes // bands
-    wide = minhash_signatures_wide(docs, text_col, id_col, num_hashes, ngram)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)],
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    band_keys = wide.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
-        id_col, "b.band", "b.band_key"
+    band_keys = minhash_band_keys(
+        docs, text_col, id_col, num_hashes, bands, ngram
     )
     buckets = (
         band_keys.groupBy("band", "band_key")
@@ -297,6 +316,65 @@ def minhash_candidate_pairs(
             )
         )
     return out
+
+
+def incremental_dedup_status(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingestion dedup: classify every document of an
+    incoming `batch` against an existing `corpus` as 'exact' (its
+    normalized content hash already exists in the corpus), 'near_dup'
+    (it shares at least one MinHash-LSH band bucket with a corpus
+    doc), or 'novel'. The daily-crawl-drop gate: a pipeline that
+    re-deduplicates the full corpus on every ingest does O(corpus)
+    work per batch; this does O(batch) + a hash/band lookup against
+    relations a real deployment keeps precomputed.
+
+    Scale shape: both checks are SEMI joins — existence tests, never
+    pair expansions, so a batch doc matching a million corpus docs
+    still costs one probe row. Exact: batch hashes semi-join distinct
+    corpus hashes (32 B/row, uniform). Near: batch band keys
+    semi-join corpus band keys (`bands` rows/doc each side, uniform
+    band-key shuffle); no exact pre-collapse is needed because semi
+    joins are bounded by construction. Exact takes precedence over
+    near (an exact copy trivially shares all bands).
+
+    Output: (id_col, status) — one row per batch doc.
+    """
+    chx = F.sha2(normalized_text(F.col(text_col)), 256)
+    bh = ensure_parallelism(batch).select(F.col(id_col), chx.alias("__ch"))
+    corpus_hashes = (
+        ensure_parallelism(corpus).select(chx.alias("__ch")).distinct()
+    )
+    exact_ids = (
+        bh.join(corpus_hashes, "__ch", "semi")
+        .select(id_col, F.lit(True).alias("is_exact"))
+    )
+    bkeys = minhash_band_keys(batch, text_col, id_col)
+    ckeys = minhash_band_keys(corpus, text_col, id_col).select(
+        "band", "band_key"
+    )
+    near_ids = (
+        bkeys.join(ckeys, ["band", "band_key"], "semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return (
+        batch.select(id_col)
+        .join(exact_ids, id_col, "left")
+        .join(near_ids, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("is_exact"), F.lit("exact"))
+            .when(F.col("is_near"), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+        )
+    )
 
 
 def dup_ngram_span_stats(

@@ -245,3 +245,39 @@ def token_budget_waterfill(
             "exhausted"
         ),
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    target_rate_ppm: int = 200_000,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sample: row i is kept iff
+    hash_bucket(key, 1e6) < min(1e6, floor(target_rate_ppm · w_i /
+    mean_w)) — inclusion probability proportional to weight (longer /
+    higher-quality docs proportionally likelier), expected kept mass
+    ≈ target_rate_ppm of rows, and membership still a pure function
+    of the key (reproducible on any engine, stable under partitioning,
+    same row set every run — rand()-weighted sampling is none of
+    those).
+
+    Execution: one 1-row mean aggregate broadcast into a filter —
+    no data-bearing shuffle; the predicate stays integer-exact
+    cross-engine (integer-valued double sums below 2^53, floored
+    threshold, integer hash compare)."""
+    mean_w = df.agg(
+        F.avg(F.col(weight_col).cast("double")).alias("__mw")
+    )
+    thresh = F.least(
+        F.lit(float(buckets)),
+        F.floor(
+            F.lit(float(target_rate_ppm)) * F.col(weight_col) / F.col("__mw")
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(mean_w))
+        .filter(hash_bucket(F.col(key_col), buckets) < thresh)
+        .drop("__mw")
+    )

@@ -4874,6 +4874,162 @@ FROM j
 """
 
 
+def _near_dup_by_source(spark, sf_dir):
+    """Which domains fuzzily duplicate each other: MinHash near-dup
+    candidate pairs labeled with both members' sources, counted per
+    unordered source pair — the fuzzy complement of source_overlap's
+    exact-hash matrix (a mirror site shows up there; a template-
+    rewritten scrape only shows up here)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    return j.groupBy(
+        F.least("src_a", "src_b").alias("source_a"),
+        F.greatest("src_a", "src_b").alias("source_b"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+_NEAR_DUP_BY_SOURCE_SQL = (
+    "WITH "
+    + _MINHASH_PRS_CTE.strip()
+    + """
+, lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM prs
+  JOIN documents da ON prs.doc_a = da.doc_id
+  JOIN documents db ON prs.doc_b = db.doc_id
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM lab GROUP BY source_a, source_b
+"""
+)
+
+
+def _weighted_sample(spark, sf_dir):
+    """Audit of the deterministic weighted sampler: per source, how
+    many docs the weight-proportional hash filter keeps plus the
+    O(1)-state xor membership digests proving the exact kept set."""
+    kept = sampling.weighted_hash_sample(
+        _t(spark, sf_dir, "documents"), key_col="doc_id",
+        weight_col="n_chars",
+    )
+    xor1, xor2 = sampling.membership_checksums(F.col("doc_id"))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        xor1.alias("members_xor"),
+        xor2.alias("members_xor2"),
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH mw AS (SELECT avg(CAST(n_chars AS DOUBLE)) AS mw FROM documents),
+kept AS (
+  SELECT source, doc_id
+  FROM documents CROSS JOIN mw
+  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+        < LEAST(1000000.0, FLOOR(200000.0 * n_chars / mw))
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       bit_xor(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS members_xor,
+       bit_xor(('0x' || substring(md5('m2|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS members_xor2
+FROM kept GROUP BY source
+"""
+
+
+def _dedup_incremental(spark, sf_dir):
+    """Incremental ingestion gate exercised on a deterministic split
+    of the fixture: even doc_ids play the standing corpus, odd ones
+    the incoming batch."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.incremental_dedup_status(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
+_DEDUP_INCREMENTAL_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(
+             generate_series(0, greatest(len(toks) - 3, 0)),
+             i -> array_to_string(toks[i + 1 : i + 3], ' ')))
+         ELSE [] END AS grams
+  FROM norm
+),
+eg AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
+hh AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(gram), 1, 8))::BIGINT AS g1,
+         ('0x' || substring(md5(gram), 9, 8))::BIGINT AS g2
+  FROM eg
+),
+sig AS (
+  SELECT doc_id, seed, min((g1 + seed * g2) % 4294967296) AS minhash
+  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, seed
+),
+keys AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         array_to_string(list(minhash ORDER BY seed), '|') AS band_key
+  FROM sig GROUP BY doc_id, band
+),
+ckeys AS (SELECT band, band_key FROM keys WHERE doc_id % 2 = 0),
+near AS (
+  SELECT DISTINCT k.doc_id
+  FROM keys k
+  WHERE k.doc_id % 2 = 1
+    AND EXISTS (SELECT 1 FROM ckeys c
+                WHERE c.band = k.band AND c.band_key = k.band_key)
+),
+ch AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+  FROM documents
+),
+exact AS (
+  SELECT doc_id FROM ch
+  WHERE doc_id % 2 = 1
+    AND ch IN (SELECT ch FROM ch WHERE doc_id % 2 = 0)
+)
+SELECT d.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'novel' END AS status
+FROM documents d
+LEFT JOIN exact e ON d.doc_id = e.doc_id
+LEFT JOIN near n ON d.doc_id = n.doc_id
+WHERE d.doc_id % 2 = 1
+"""
+
+
+REGISTRY.update({
+    "near_dup_rate_by_source": QuerySpec(
+        _near_dup_by_source, _NEAR_DUP_BY_SOURCE_SQL,
+        "near-dup candidate-pair counts per unordered source pair "
+        "(fuzzy complement of the exact-hash source_overlap matrix)",
+    ),
+    "doc_weighted_sample": QuerySpec(
+        _weighted_sample, _WEIGHTED_SAMPLE_SQL,
+        "deterministic weight-proportional hash sample, audited per "
+        "source with O(1)-state xor membership digests",
+    ),
+    "dedup_incremental": QuerySpec(
+        _dedup_incremental, _DEDUP_INCREMENTAL_SQL,
+        "incremental batch-vs-corpus dedup gate: exact / near_dup / "
+        "novel per new doc via semi-join hash and LSH-band probes",
+    ),
+})
+
+
 REGISTRY.update({
     "doc_dup_ngram_spans": QuerySpec(
         _dup_ngram_spans, _DUP_NGRAM_SPANS_SQL,

@@ -11,9 +11,11 @@ every manifest and consumes exactly three fields per DataFile entry:
 the manifest count.)
 
 No Iceberg runtime jar (and no pyiceberg) ships in this container, so
-that call cannot execute here. This module pins the SHAPE of the
-integration instead, so the wiring is real and contract-tested even
-though the catalog binding is not exercisable:
+that call cannot execute here (re-verified rounds 2, 4, and 5: no
+iceberg jar/wheel on disk, no pyiceberg import, no network to fetch
+either). This module pins the SHAPE of the integration instead, so
+the wiring is real and contract-tested even though the catalog
+binding is not exercisable:
 
 - ``FILES_TABLE_SCHEMA`` / ``MANIFESTS_TABLE_SCHEMA`` /
   ``SNAPSHOTS_TABLE_SCHEMA``: the metadata-table columns as the

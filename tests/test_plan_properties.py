@@ -215,6 +215,7 @@ _SCALAR_CROSS_OK = {
     "join_cardinality_audit",    # broadcast 1-row per-side totals
     "near_dup_triangles",        # broadcast 1-row edge_count scalar
     "token_budget_waterfill",    # broadcast 1-row water-level theta
+    "doc_weighted_sample",       # broadcast 1-row mean-weight scalar
 }
 
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from iceberg_diag_spark.operators import dedup, sampling
+from iceberg_diag_spark.plans.registry import REGISTRY
 
 
 def test_dup_ngram_spans_known_overlap(spark):
@@ -107,3 +108,66 @@ def test_join_selectivity_matches_real_join(spark):
     assert row.matched_left == left.join(right, "k", "semi").count() == 3
     assert row.matched_right == right.join(left, "k", "semi").count() == 3
     assert row.match_left_ppm == 750_000
+
+
+def test_incremental_dedup_statuses(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # exact
+            (3, "one two three four five six seven eight nine best"),  # near
+            (5, "utterly unrelated vocabulary appears in this document"),
+        ],
+        "doc_id long, text string",
+    )
+    from iceberg_diag_spark.operators.dedup import incremental_dedup_status
+
+    out = {
+        r.doc_id: r.status
+        for r in incremental_dedup_status(batch, corpus).collect()
+    }
+    assert out == {1: "exact", 3: "near_dup", 5: "novel"}
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    rows = [(i, 100 if i % 2 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = {r.doc_id for r in sampling.weighted_hash_sample(df, "doc_id", "w").collect()}
+    b = {r.doc_id for r in sampling.weighted_hash_sample(df, "doc_id", "w").collect()}
+    assert a == b  # same membership every run
+    heavy = sum(1 for i in a if i % 2)
+    light = len(a) - heavy
+    assert heavy > 10 * max(light, 1)  # 100× weight ⇒ far likelier
+
+
+def test_weighted_sample_zero_weight_never_kept(spark):
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(100)] + [(1000, 50)],
+        "doc_id long, w long",
+    )
+    kept = {r.doc_id for r in sampling.weighted_hash_sample(df, "doc_id", "w").collect()}
+    assert all(k == 1000 for k in kept)
+
+
+def test_near_dup_by_source_counts_star_pairs(spark):
+    import pandas as pd
+    import tempfile, os
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        {"doc_id": 1, "text": t, "lang": "en", "source": "a", "n_chars": len(t)},
+        {"doc_id": 2, "text": t, "lang": "en", "source": "b", "n_chars": len(t)},
+        {"doc_id": 3, "text": "unrelated words entirely different here now", "lang": "en", "source": "a", "n_chars": 40},
+    ]
+    d = tempfile.mkdtemp()
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    out = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in REGISTRY["near_dup_rate_by_source"].build(spark, d).collect()
+    }
+    assert out == {("a", "b"): 1}  # the exact-dup star pair, labeled across sources
