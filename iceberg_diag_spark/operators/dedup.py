@@ -87,15 +87,24 @@ def collapse_exact_duplicates(
 
     Cost: one window shuffle on the uniform 32-byte content hash —
     the same project-then-shuffle shape as exact_dedup (text never
-    shuffles, only its hash)."""
+    shuffles, only its hash). The (id, keeper) relation is
+    localCheckpointed (16 B/doc — the simhash fingerprint idiom):
+    both consumers (the representative semi-join and the star-edge
+    projection) read the materialized partitions, so the text scan +
+    sha256 + window pass runs ONCE even though Catalyst shares no
+    subtree between them."""
     from pyspark.sql import Window
 
     hashed = ensure_parallelism(docs).select(
         F.col(id_col),
         F.sha2(normalized_text(F.col(text_col)), 256).alias("__ch"),
     )
-    marked = hashed.withColumn(
-        "__keep", F.min(id_col).over(Window.partitionBy("__ch"))
+    marked = (
+        hashed.withColumn(
+            "__keep", F.min(id_col).over(Window.partitionBy("__ch"))
+        )
+        .select(id_col, "__keep")
+        .localCheckpoint()
     )
     reps = docs.join(
         marked.filter(F.col(id_col) == F.col("__keep")).select(id_col),
