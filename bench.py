@@ -109,6 +109,8 @@ HEADLINE = [
     "near_dup_rate_by_source",
     "doc_weighted_sample",
     "dedup_incremental",
+    "lang_confusion",
+    "corpus_top_ngrams",
 ]
 
 

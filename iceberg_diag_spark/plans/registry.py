@@ -5030,6 +5030,150 @@ REGISTRY.update({
 })
 
 
+def _lang_confusion(spark, sf_dir):
+    """Language-label audit: stopword-voting predicted language vs
+    the corpus's labeled lang column as a confusion matrix — the
+    label-noise check run before trusting per-language mixture
+    weights. Single pass: the voting exprs ride the scan projection
+    (no join), one #langs² aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    best = textops.language_best()
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return (
+        docs.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_LANG_CONFUSION_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+scores AS (
+  SELECT doc_id, lang, 'de' AS cand, len(list_intersect(toks, {_lang_list_sql('de')})) AS hits FROM norm
+  UNION ALL
+  SELECT doc_id, lang, 'en', len(list_intersect(toks, {_lang_list_sql('en')})) FROM norm
+  UNION ALL
+  SELECT doc_id, lang, 'es', len(list_intersect(toks, {_lang_list_sql('es')})) FROM norm
+  UNION ALL
+  SELECT doc_id, lang, 'fr', len(list_intersect(toks, {_lang_list_sql('fr')})) FROM norm
+),
+best AS (
+  SELECT doc_id, lang, cand, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand DESC) AS rn
+  FROM scores
+)
+SELECT lang,
+       CASE WHEN hits > 0 THEN cand ELSE 'und' END AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM best WHERE rn = 1
+GROUP BY lang, pred_lang
+"""
+
+
+def _corpus_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-25 bigrams with occurrence and document
+    frequencies — the vocabulary-induction / boilerplate-phrase
+    scout. Global top-k via orderBy().limit() compiles to
+    TakeOrderedAndProject (per-partition partial top-k, then a k·p
+    merge) — never a partition-less window over the full gram
+    relation (a trillion-gram corpus would die there); the rank
+    window runs over the 25 survivors only."""
+    from pyspark.sql import Window
+
+    grams = dedup.word_ngram_rows(
+        _t(spark, sf_dir, "documents"), n=2
+    )
+    counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+    )
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("gram")).limit(25)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("gram"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("rank", "gram", "n_occurrences", "n_docs")
+
+
+_CORPUS_TOP_NGRAMS_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+eg AS (
+  SELECT doc_id, array_to_string(toks[i + 1 : i + 2], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 2)) AS i
+        FROM norm WHERE len(toks) >= 2)
+),
+counts AS (
+  SELECT gram,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM eg GROUP BY gram
+),
+ranked AS (
+  SELECT gram, n_occurrences, n_docs,
+         row_number() OVER (ORDER BY n_occurrences DESC, gram ASC) AS rank
+  FROM counts
+)
+SELECT CAST(rank AS BIGINT) AS rank, gram, n_occurrences, n_docs
+FROM ranked WHERE rank <= 25
+"""
+
+
+def _stream_incremental_dedup(spark, sf_dir):
+    """Streaming form of the incremental dedup gate: odd doc_ids
+    arrive as the stream, even ids are the standing corpus."""
+    from iceberg_diag_spark.streaming import stream_ops
+
+    docs_stream = stream_ops.read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    corpus = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    return stream_ops.run_to_table(
+        stream_ops.incremental_exact_dedup_stream(docs_stream, corpus),
+        "append",
+        "stream_inc_dedup",
+    )
+
+
+_STREAM_INC_DEDUP_SQL = r"""
+WITH ch AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+  FROM documents
+)
+SELECT d.doc_id,
+       CASE WHEN d.ch IN (SELECT ch FROM ch WHERE doc_id % 2 = 0)
+            THEN 'exact' ELSE 'novel' END AS status
+FROM ch d WHERE d.doc_id % 2 = 1
+"""
+
+
+REGISTRY.update({
+    "lang_confusion": QuerySpec(
+        _lang_confusion, _LANG_CONFUSION_SQL,
+        "predicted-vs-labeled language confusion matrix (label-noise "
+        "audit for mixture weighting)",
+    ),
+    "corpus_top_ngrams": QuerySpec(
+        _corpus_top_ngrams, _CORPUS_TOP_NGRAMS_SQL,
+        "corpus-wide top-25 bigrams with occurrence + doc frequency "
+        "(distributed top-k via TakeOrderedAndProject)",
+    ),
+    "stream_incremental_dedup": QuerySpec(
+        _stream_incremental_dedup, _STREAM_INC_DEDUP_SQL,
+        "streaming ingestion exact-dedup gate: stream-static hash "
+        "semi-probe tags arrivals exact/novel with stateless stream "
+        "side",
+    ),
+})
+
+
 REGISTRY.update({
     "doc_dup_ngram_spans": QuerySpec(
         _dup_ngram_spans, _DUP_NGRAM_SPANS_SQL,

@@ -141,6 +141,63 @@ def session_windows(
     )
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet — the
+    ingestion-side view of the corpus (a production deployment points
+    this at the crawl landing directory / Kafka topic). Schema from a
+    batch probe, single-file layout handled with the same exact-glob
+    trick as the events stream."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema: StructType = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream_dir, glob = path, "*.parquet"
+    else:
+        stream_dir, glob = sf_dir, "documents.parquet"
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(stream_dir)
+    )
+
+
+def incremental_exact_dedup_stream(
+    batch_stream: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming ingestion exact-dedup gate: every arriving document
+    is tagged 'exact' if its normalized content hash already exists
+    in the static corpus relation, else 'novel' — the streaming form
+    of incremental_dedup_status's hash tier (the LSH tier needs
+    partition windows, which streams don't support; near-dup stays a
+    micro-batch job downstream).
+
+    Shape: stream-static LEFT OUTER join against the distinct corpus
+    hash relation — stateless on the stream side (no watermark
+    needed), so state never grows with stream length; the corpus side
+    is a static relation Spark re-plans per micro-batch (broadcast
+    when small, shuffled hash join when not)."""
+    from iceberg_diag_spark.operators.dedup import normalized_text
+
+    ch = F.sha2(normalized_text(F.col(text_col)), 256)
+    corpus_hashes = (
+        corpus.select(ch.alias("__ch"))
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        batch_stream.select(F.col(id_col), ch.alias("__ch"))
+        .join(corpus_hashes, "__ch", "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__hit"), F.lit("exact"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+        )
+    )
+
+
 def dedup_keys_stream(
     events: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type"),

@@ -255,6 +255,7 @@ _BOUNDED_COLLECT_OK = {
     "user_event_paths",     # per-user path, truncated to first k events
     "minhash_pairs",        # LSH bucket ids: exact dups pre-collapsed,
     "ngram_jaccard",        #   bucket = near-identical docs only
+    "near_dup_rate_by_source",  # same LSH bucket relation as above
     "boilerplate_removal",  # per-doc sentence rebuild, bounded by doc len
 }
 
@@ -275,4 +276,19 @@ def test_skew_audit_distributed_topk(spark):
     # top-k), never a partition-less window over the full key relation
     plan = _plan(spark, "events_skew_audit")
     assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_corpus_top_ngrams_distributed_topk(spark):
+    # same invariant for the corpus-wide gram top-k: the full gram
+    # relation must never funnel through a partition-less window
+    plan = _plan(spark, "corpus_top_ngrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_lang_confusion_single_scan_no_join(spark):
+    # the voting exprs ride the scan projection: no join anywhere
+    plan = _plan(spark, "lang_confusion")
+    assert "Join" not in plan
     assert "Python" not in plan
