@@ -111,6 +111,8 @@ HEADLINE = [
     "dedup_incremental",
     "lang_confusion",
     "corpus_top_ngrams",
+    "quality_gate_ablation",
+    "label_silhouette",
 ]
 
 

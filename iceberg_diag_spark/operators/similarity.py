@@ -492,6 +492,59 @@ def nearest_centroid_confusion(
     )
 
 
+def label_silhouette(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid-silhouette separability audit: per label, the mean
+    squared distance of its vectors to their OWN centroid vs to the
+    NEAREST OTHER centroid, and the ratio — the one-table answer to
+    "are these labels separable enough to train on" (ratio near 1e6
+    ⇒ clusters overlap; small ⇒ tight and separated). The
+    centroid-based simplification of the silhouette coefficient:
+    O(n·k) distances instead of O(n²) pairwise.
+
+    Same execution skeleton as nearest_centroid_confusion (posexplode
+    → tiny centroid aggregate → broadcast join on pos → one
+    per-(vec, cand) sum), distances quantized to micro-units before
+    any comparison or mean so ulp-level drift can't flip the nearest-
+    other pick or the floor of the means across engines. Output:
+    (label, n_vecs, mean_own_d2q, mean_other_d2q, sep_ratio_ppm).
+    """
+    ex = embeddings.select(
+        F.col("vec_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+    centroids = ex.groupBy(
+        F.col("label").alias("cand"), F.col("pos")
+    ).agg(F.avg("val").alias("c"))
+    dists = (
+        ex.join(F.broadcast(centroids), "pos")
+        .groupBy("vec_id", "label", "cand")
+        .agg(F.sum((F.col("val") - F.col("c")) ** 2).alias("d2"))
+        .withColumn("d2q", F.floor(F.col("d2") * F.lit(1_000_000.0)).cast("long"))
+    )
+    own = dists.filter(F.col("cand") == F.col("label")).select(
+        "vec_id", "label", F.col("d2q").alias("own_d2q")
+    )
+    other = (
+        dists.filter(F.col("cand") != F.col("label"))
+        .groupBy("vec_id", "label")
+        .agg(F.min("d2q").alias("other_d2q"))
+    )
+    j = own.join(other, ["vec_id", "label"])
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.floor(F.avg("own_d2q")).cast("long").alias("mean_own_d2q"),
+        F.floor(F.avg("other_d2q")).cast("long").alias("mean_other_d2q"),
+        F.floor(
+            F.lit(1_000_000.0) * F.avg("own_d2q") / F.avg("other_d2q")
+        ).cast("long").alias("sep_ratio_ppm"),
+    )
+
+
 def quantize_embeddings_int8(
     embeddings: DataFrame,
     vec_col: str = "embedding",

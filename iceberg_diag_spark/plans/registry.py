@@ -5154,6 +5154,139 @@ FROM ch d WHERE d.doc_id % 2 = 1
 """
 
 
+def _quality_gate_ablation(spark, sf_dir):
+    """Filter-ablation audit for the curation gates (TTR ≥ 0.4,
+    alpha ≥ 0.6, language identified): per gate, how many docs fail
+    it at all, how many ONLY it kills (the gate's marginal
+    contribution), how many fall to multiple gates, and the survivor
+    count — the table that says which filter is doing the work and
+    which is redundant before anyone tightens thresholds on a 100 TB
+    corpus. Single scan, conditional sums, one 1-row aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    q = textops.quality_exprs()
+    best = textops.language_best()
+    pred_ok = best["hits"] > 0
+    e = docs.select(
+        (q["type_token_ratio"] >= 0.4).alias("p_ttr"),
+        (q["alpha_ratio"] >= 0.6).alias("p_alpha"),
+        pred_ok.alias("p_lang"),
+    )
+
+    def c(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    p_ttr, p_alpha, p_lang = F.col("p_ttr"), F.col("p_alpha"), F.col("p_lang")
+    n_fails = (
+        F.when(p_ttr, 0).otherwise(1)
+        + F.when(p_alpha, 0).otherwise(1)
+        + F.when(p_lang, 0).otherwise(1)
+    )
+    return e.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        c(p_ttr & p_alpha & p_lang).alias("n_pass_all"),
+        c(~p_ttr).alias("fail_ttr"),
+        c(~p_alpha).alias("fail_alpha"),
+        c(~p_lang).alias("fail_lang"),
+        c(~p_ttr & p_alpha & p_lang).alias("only_ttr"),
+        c(p_ttr & ~p_alpha & p_lang).alias("only_alpha"),
+        c(p_ttr & p_alpha & ~p_lang).alias("only_lang"),
+        c(n_fails >= 2).alias("fail_multi"),
+    )
+
+
+_QUALITY_ABLATION_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, text,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+scores AS (
+  SELECT doc_id, 'de' AS cand, len(list_intersect(toks, {_lang_list_sql('de')})) AS hits FROM norm
+  UNION ALL
+  SELECT doc_id, 'en', len(list_intersect(toks, {_lang_list_sql('en')})) FROM norm
+  UNION ALL
+  SELECT doc_id, 'es', len(list_intersect(toks, {_lang_list_sql('es')})) FROM norm
+  UNION ALL
+  SELECT doc_id, 'fr', len(list_intersect(toks, {_lang_list_sql('fr')})) FROM norm
+),
+lang_ok AS (
+  SELECT doc_id, max(hits) > 0 AS p_lang FROM scores GROUP BY doc_id
+),
+gates AS (
+  SELECT n.doc_id,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) >= 0.4 AS p_ttr,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) >= 0.6 AS p_alpha,
+         l.p_lang
+  FROM norm n JOIN lang_ok l ON n.doc_id = l.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN p_ttr AND p_alpha AND p_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+       CAST(sum(CASE WHEN NOT p_ttr THEN 1 ELSE 0 END) AS BIGINT) AS fail_ttr,
+       CAST(sum(CASE WHEN NOT p_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+       CAST(sum(CASE WHEN NOT p_lang THEN 1 ELSE 0 END) AS BIGINT) AS fail_lang,
+       CAST(sum(CASE WHEN NOT p_ttr AND p_alpha AND p_lang THEN 1 ELSE 0 END) AS BIGINT) AS only_ttr,
+       CAST(sum(CASE WHEN p_ttr AND NOT p_alpha AND p_lang THEN 1 ELSE 0 END) AS BIGINT) AS only_alpha,
+       CAST(sum(CASE WHEN p_ttr AND p_alpha AND NOT p_lang THEN 1 ELSE 0 END) AS BIGINT) AS only_lang,
+       CAST(sum(CASE WHEN (CASE WHEN p_ttr THEN 0 ELSE 1 END)
+                        + (CASE WHEN p_alpha THEN 0 ELSE 1 END)
+                        + (CASE WHEN p_lang THEN 0 ELSE 1 END) >= 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fail_multi
+FROM gates
+"""
+
+
+def _label_silhouette(spark, sf_dir):
+    return similarity.label_silhouette(_t(spark, sf_dir, "embeddings"))
+
+
+_LABEL_SILHOUETTE_SQL = """
+WITH ex AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS cand, pos, avg(val) AS c FROM ex GROUP BY label, pos
+),
+dists AS (
+  SELECT ex.vec_id, ex.label, cent.cand,
+         CAST(FLOOR(sum((ex.val - cent.c) * (ex.val - cent.c)) * 1000000.0) AS BIGINT) AS d2q
+  FROM ex JOIN cent ON ex.pos = cent.pos
+  GROUP BY ex.vec_id, ex.label, cent.cand
+),
+own AS (
+  SELECT vec_id, label, d2q AS own_d2q FROM dists WHERE cand = label
+),
+other AS (
+  SELECT vec_id, label, min(d2q) AS other_d2q
+  FROM dists WHERE cand <> label GROUP BY vec_id, label
+)
+SELECT o.label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(FLOOR(avg(own_d2q)) AS BIGINT) AS mean_own_d2q,
+       CAST(FLOOR(avg(other_d2q)) AS BIGINT) AS mean_other_d2q,
+       CAST(FLOOR(1000000.0 * avg(own_d2q) / avg(other_d2q)) AS BIGINT) AS sep_ratio_ppm
+FROM own o JOIN other t ON o.vec_id = t.vec_id AND o.label = t.label
+GROUP BY o.label
+"""
+
+
+REGISTRY.update({
+    "quality_gate_ablation": QuerySpec(
+        _quality_gate_ablation, _QUALITY_ABLATION_SQL,
+        "curation-filter ablation: per gate total/exclusive kill "
+        "counts + survivors (which filter does the work)",
+    ),
+    "label_silhouette": QuerySpec(
+        _label_silhouette, _LABEL_SILHOUETTE_SQL,
+        "centroid-silhouette label-separability audit over "
+        "embeddings (own vs nearest-other centroid distance ratio)",
+    ),
+})
+
+
 REGISTRY.update({
     "lang_confusion": QuerySpec(
         _lang_confusion, _LANG_CONFUSION_SQL,

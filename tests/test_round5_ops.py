@@ -171,3 +171,37 @@ def test_near_dup_by_source_counts_star_pairs(spark):
         for r in REGISTRY["near_dup_rate_by_source"].build(spark, d).collect()
     }
     assert out == {("a", "b"): 1}  # the exact-dup star pair, labeled across sources
+
+
+def test_quality_ablation_partition_identity(spark):
+    # exclusive-kill counts + multi-gate kills + survivors must
+    # partition the corpus exactly
+    row = REGISTRY["quality_gate_ablation"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row.n_total == 500
+    assert (
+        row.n_pass_all + row.only_ttr + row.only_alpha + row.only_lang
+        + row.fail_multi
+    ) == row.n_total
+    assert row.only_ttr <= row.fail_ttr
+    assert row.only_alpha <= row.fail_alpha
+    assert row.only_lang <= row.fail_lang
+
+
+def test_label_silhouette_separable_clusters(spark):
+    from iceberg_diag_spark.operators.similarity import label_silhouette
+
+    rows = []
+    for i in range(20):
+        rows.append((i, [0.1 * (i % 5), 0.1], 0))       # tight at origin
+        rows.append((100 + i, [10.0 + 0.1 * (i % 5), 10.0], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.label: r for r in label_silhouette(df).collect()}
+    assert out[0].n_vecs == out[1].n_vecs == 20
+    for lbl in (0, 1):
+        # own-cluster spread is tiny vs distance to the other centroid
+        assert out[lbl].mean_own_d2q < out[lbl].mean_other_d2q / 100
+        assert out[lbl].sep_ratio_ppm < 10_000
