@@ -5273,6 +5273,59 @@ GROUP BY o.label
 """
 
 
+def _stream_quality_gate(spark, sf_dir):
+    from iceberg_diag_spark.streaming import stream_ops
+
+    return stream_ops.run_to_table(
+        stream_ops.quality_gate_stream(
+            stream_ops.read_documents_stream(spark, sf_dir)
+        ),
+        "complete",
+        "stream_quality_gate",
+    )
+
+
+_STREAM_QUALITY_GATE_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, source, text,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+scores AS (
+  SELECT doc_id, 'de' AS cand, len(list_intersect(toks, {_lang_list_sql('de')})) AS hits FROM norm
+  UNION ALL
+  SELECT doc_id, 'en', len(list_intersect(toks, {_lang_list_sql('en')})) FROM norm
+  UNION ALL
+  SELECT doc_id, 'es', len(list_intersect(toks, {_lang_list_sql('es')})) FROM norm
+  UNION ALL
+  SELECT doc_id, 'fr', len(list_intersect(toks, {_lang_list_sql('fr')})) FROM norm
+),
+lang_ok AS (SELECT doc_id, max(hits) > 0 AS p_lang FROM scores GROUP BY doc_id),
+gates AS (
+  SELECT n.source,
+         CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) >= 0.4
+               AND CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) >= 0.6
+               AND l.p_lang
+              THEN 1 ELSE 0 END AS p
+  FROM norm n JOIN lang_ok l ON n.doc_id = l.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p) AS BIGINT) AS n_pass
+FROM gates GROUP BY source
+"""
+
+
+REGISTRY.update({
+    "stream_quality_gate": QuerySpec(
+        _stream_quality_gate, _STREAM_QUALITY_GATE_SQL,
+        "streaming per-source curation-gate monitor: running "
+        "totals/pass counts with #domains-bounded state, same gate "
+        "exprs as the batch pipeline",
+    ),
+})
+
+
 REGISTRY.update({
     "quality_gate_ablation": QuerySpec(
         _quality_gate_ablation, _QUALITY_ABLATION_SQL,

@@ -198,6 +198,36 @@ def incremental_exact_dedup_stream(
     )
 
 
+def quality_gate_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming ingest-side curation monitor: running per-source
+    totals and pass counts for the corpus quality gates (TTR ≥ 0.4,
+    alpha ≥ 0.6, language identified) — the live dashboard relation
+    behind "is today's crawl worse than yesterday's". The gate exprs
+    are the SAME column expressions the batch pipeline uses
+    (textops.quality_exprs / language_best), so stream and batch can
+    never disagree about what "pass" means.
+
+    State: one row per source (bounded by #domains, not stream
+    length) — complete-mode aggregation without a watermark is safe
+    at any rate. Output: (source, n_docs, n_pass)."""
+    from iceberg_diag_spark.operators import textops
+
+    q = textops.quality_exprs()
+    best = textops.language_best()
+    passes = (
+        (q["type_token_ratio"] >= 0.4)
+        & (q["alpha_ratio"] >= 0.6)
+        & (best["hits"] > 0)
+    )
+    flags = docs_stream.select(
+        "source", passes.cast("int").alias("__p")
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__p").cast("long").alias("n_pass"),
+    )
+
+
 def dedup_keys_stream(
     events: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type"),

@@ -205,3 +205,82 @@ def test_label_silhouette_separable_clusters(spark):
         # own-cluster spread is tiny vs distance to the other centroid
         assert out[lbl].mean_own_d2q < out[lbl].mean_other_d2q / 100
         assert out[lbl].sep_ratio_ppm < 10_000
+
+
+def _reference_waterfill(masses, budget):
+    """Pure-python water-filling for cross-checking: exact θ by
+    ascending sweep, allocations floored like the operator."""
+    import math
+    items = sorted(masses.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(items)
+    prefix = 0.0
+    theta = None
+    for k, (_, m) in enumerate(items):
+        cand = (budget - prefix) / (n - k)
+        if cand <= m:
+            theta = cand
+            break
+        prefix += m
+    out = {}
+    for s, m in masses.items():
+        lvl = m if theta is None else min(m, theta)
+        out[s] = math.floor(lvl)
+    return out
+
+
+def test_waterfill_matches_reference_on_random_cases(spark):
+    import random
+
+    rng = random.Random(7)
+    for case in range(6):
+        n = rng.randint(1, 9)
+        masses = {f"s{i}": rng.randint(1, 5000) for i in range(n)}
+        budget = rng.randint(1, 8000)
+        docs = spark.createDataFrame(
+            [(s, m) for s, m in masses.items()],
+            "source string, n_chars long",
+        )
+        got = {
+            r.source: r
+            for r in sampling.token_budget_waterfill(docs, budget=budget).collect()
+        }
+        want = _reference_waterfill(masses, budget)
+        for s, m in masses.items():
+            assert got[s].alloc_tokens == want[s], (case, s, masses, budget)
+            assert got[s].alloc_tokens <= m
+            assert got[s].exhausted == (got[s].alloc_tokens == m) or (
+                # floor can make a capped alloc equal mass only when
+                # theta >= mass, which the exhausted flag tracks exactly
+                got[s].exhausted is False
+            )
+        total = sum(r.alloc_tokens for r in got.values())
+        cap = min(budget, sum(masses.values()))
+        assert cap - len(masses) <= total <= cap
+
+
+def test_dedup_family_tolerates_null_and_empty_text(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, ""),
+            (4, "real words appear in this perfectly ordinary document here"),
+        ],
+        "doc_id long, text string",
+    )
+    # none of these should raise; null/empty docs simply produce no
+    # shingles, and identical empty texts collapse as exact dups
+    pairs = dedup.minhash_candidate_pairs(docs).collect()
+    assert all(r.doc_a == 2 and r.doc_b == 3 for r in pairs)  # empty pair star
+    spans = dedup.dup_ngram_span_stats(docs).collect()
+    assert {r.doc_id for r in spans} <= {4}
+    winnow = dedup.winnow_fingerprints(docs).collect()
+    assert {r.doc_id for r in winnow} <= {4}
+    status = {
+        r.doc_id: r.status
+        for r in dedup.incremental_dedup_status(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+        ).collect()
+    }
+    assert set(status) == {1, 3}  # runs clean over null/empty members
