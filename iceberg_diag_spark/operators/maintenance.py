@@ -1,0 +1,217 @@
+"""Table-maintenance diagnostics beyond the reference's compaction
+model: delete-file burden, orphan-file detection, snapshot-retention
+simulation, and z-order clustering layout.
+
+The reference (``icebergdiag/metrics/table_metrics.py``) models one
+remediation — bin-pack compaction. These operators cover the other
+standard Iceberg maintenance actions a diagnostics tool recommends
+(rewrite position/equality deletes, remove orphan files, expire
+snapshots, rewrite with a sort/z-order), each as a pure DataFrame
+aggregation over the same ``data_files``-shaped relation so a real
+deployment runs them off ``spark.table("cat.db.tbl.files")``
+unchanged.
+
+Scale posture: every operator is scan → (optional equi-join) →
+hash-aggregate on the partition (or z-bucket) key. No windows over
+unbounded groups, no collects, no Python. The orphan join shuffles
+on ``file_path`` — unique, uniformly-distributed keys, the best case
+for a shuffle join at 100 TB of metadata.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from iceberg_diag_spark.functions.cost import (
+    CONTENT_DATA,
+    CONTENT_EQUALITY_DELETES,
+    CONTENT_POSITION_DELETES,
+    read_file_cost,
+)
+
+
+def delete_impact(files: DataFrame) -> DataFrame:
+    """Per-partition delete-file burden (the "rewrite deletes"
+    remediation signal).
+
+    For each partition: data/position-delete/equality-delete file
+    counts and bytes, deletes-per-data-file ratio (ppm, floor-
+    quantized; -1 when the partition has no data files so the ratio
+    is undefined), and the read cost of a merge rewrite (a compaction
+    that applies deletes must read every file, data and deletes
+    alike).
+    """
+    is_data = F.col("content") == CONTENT_DATA
+    is_pos = F.col("content") == CONTENT_POSITION_DELETES
+    is_eq = F.col("content") == CONTENT_EQUALITY_DELETES
+    size = F.col("file_size_in_bytes")
+
+    def _cnt(cond: Column) -> Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    def _bytes(cond: Column) -> Column:
+        return F.coalesce(F.sum(F.when(cond, size)), F.lit(0)).cast("long")
+
+    g = files.groupBy("partition_key").agg(
+        _cnt(is_data).alias("data_files"),
+        _bytes(is_data).alias("data_bytes"),
+        _cnt(is_pos).alias("pos_delete_files"),
+        _bytes(is_pos).alias("pos_delete_bytes"),
+        _cnt(is_eq).alias("eq_delete_files"),
+        _bytes(is_eq).alias("eq_delete_bytes"),
+        F.sum(read_file_cost(size)).cast("long").alias("rewrite_read_cost"),
+    )
+    delete_files = F.col("pos_delete_files") + F.col("eq_delete_files")
+    return g.withColumn(
+        "delete_per_data_ppm",
+        F.when(F.col("data_files") == 0, F.lit(-1))
+        .otherwise(
+            F.floor(delete_files * F.lit(1_000_000.0) / F.col("data_files"))
+        )
+        .cast("long"),
+    )
+
+
+def orphan_files(listed: DataFrame, referenced: DataFrame) -> DataFrame:
+    """Orphan-file detection: files present in the storage listing but
+    referenced by no manifest entry (the "remove orphan files"
+    remediation).
+
+    ``listed``    — (file_path, partition_key, file_size_in_bytes),
+                    i.e. a filesystem listing.
+    ``referenced`` — (file_path) from the metadata ``.files`` scan.
+
+    One left join on ``file_path`` (unique keys — uniform shuffle)
+    with a null-flag aggregation, so listing totals and orphan totals
+    come out of a single pass instead of a second scan + join.
+    """
+    refs = referenced.select(
+        F.col("file_path").alias("ref_path"), F.lit(1).alias("is_ref")
+    )
+    j = listed.join(refs, listed["file_path"] == refs["ref_path"], "left")
+    orphan = F.col("is_ref").isNull()
+    size = F.col("file_size_in_bytes")
+    g = j.groupBy("partition_key").agg(
+        F.count("*").cast("long").alias("listed_files"),
+        F.sum(size).cast("long").alias("listed_bytes"),
+        F.sum(F.when(orphan, 1).otherwise(0)).cast("long").alias("orphan_files"),
+        F.coalesce(F.sum(F.when(orphan, size)), F.lit(0))
+        .cast("long")
+        .alias("orphan_bytes"),
+    )
+    return g.withColumn(
+        "orphan_ppm",
+        F.floor(
+            F.col("orphan_files") * F.lit(1_000_000.0) / F.col("listed_files")
+        ).cast("long"),
+    )
+
+
+def snapshot_retention(
+    files: DataFrame, retention_days: int = 180
+) -> DataFrame:
+    """Snapshot-expiry simulation (the "expire snapshots" remediation).
+
+    ``files`` — (partition_key, file_size_in_bytes, content,
+    added_at timestamp). The retention cutoff is ``max(added_at) -
+    retention_days`` computed from the relation itself (deterministic
+    — no wall clock), carried back as a broadcast single-row scalar.
+
+    Expiring snapshots older than the cutoff lets delete files whose
+    snapshots all expired be reclaimed; data files stay live (they
+    remain referenced by the current snapshot). Per partition:
+    expired-file counts/bytes, reclaimable (expired delete-file)
+    bytes, retained bytes, and the number of distinct expired
+    snapshot months.
+    """
+    cutoff = files.agg(
+        (
+            F.max("added_at") - F.expr(f"INTERVAL {retention_days} DAYS")
+        ).alias("cutoff")
+    )
+    withc = files.crossJoin(F.broadcast(cutoff))
+    expired = F.col("added_at") < F.col("cutoff")
+    reclaimable = expired & (F.col("content") != CONTENT_DATA)
+    size = F.col("file_size_in_bytes")
+    month = F.date_trunc("month", F.col("added_at"))
+    return withc.groupBy("partition_key").agg(
+        F.sum(F.when(expired, 1).otherwise(0)).cast("long").alias("expired_files"),
+        F.coalesce(F.sum(F.when(expired, size)), F.lit(0))
+        .cast("long")
+        .alias("expired_bytes"),
+        F.sum(F.when(reclaimable, 1).otherwise(0))
+        .cast("long")
+        .alias("reclaimable_files"),
+        F.coalesce(F.sum(F.when(reclaimable, size)), F.lit(0))
+        .cast("long")
+        .alias("reclaimable_bytes"),
+        (F.sum(size) - F.coalesce(F.sum(F.when(reclaimable, size)), F.lit(0)))
+        .cast("long")
+        .alias("retained_bytes"),
+        F.countDistinct(F.when(expired, month))
+        .cast("long")
+        .alias("expired_months"),
+    )
+
+
+ZORDER_BITS = 8
+
+
+def morton_z(x: Column, y: Column, bits: int = ZORDER_BITS) -> Column:
+    """Morton (z-order) interleave of two ``bits``-bit non-negative
+    ints: bit i of x lands at position 2i, bit i of y at 2i+1. Pure
+    shift/mask arithmetic — folds into whole-stage codegen, and the
+    identical expression runs in any SQL engine with shift operators
+    (see ``morton_sql``)."""
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    # disjoint bit positions → plain sum assembles the code
+    return reduce(lambda a, b: a + b, terms)
+
+
+def morton_sql(x: str, y: str, bits: int = ZORDER_BITS) -> str:
+    """The same Morton interleave as ``morton_z`` rendered as ANSI SQL
+    (DuckDB oracle side)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_layout(
+    files: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    bucket_shift: int = 10,
+) -> DataFrame:
+    """Z-order clustering layout plan (the "rewrite with sort order"
+    remediation): assign each file a Morton code over two clustering
+    dimensions, bucket by the code's high bits, and report per-bucket
+    file counts / bytes / dimension spans.
+
+    A bucket whose x/y spans are tight shows the rewrite achieves
+    locality (range queries on either dimension touch few buckets).
+    Zero-shuffle projection + one hash-aggregate on the bucket key.
+    """
+    z = morton_z(F.col(x_col).cast("int"), F.col(y_col).cast("int"))
+    return (
+        files.withColumn("z", z.cast("long"))
+        .groupBy((F.col("z") / F.lit(2**bucket_shift)).cast("long").alias("zbucket"))
+        .agg(
+            F.count("*").cast("long").alias("file_count"),
+            F.sum("file_size_in_bytes").cast("long").alias("total_bytes"),
+            F.min("z").cast("long").alias("min_z"),
+            F.max("z").cast("long").alias("max_z"),
+            F.min(x_col).cast("long").alias("min_x"),
+            F.max(x_col).cast("long").alias("max_x"),
+            F.min(y_col).cast("long").alias("min_y"),
+            F.max(y_col).cast("long").alias("max_y"),
+        )
+    )

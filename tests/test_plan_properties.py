@@ -216,6 +216,7 @@ _SCALAR_CROSS_OK = {
     "near_dup_triangles",        # broadcast 1-row edge_count scalar
     "token_budget_waterfill",    # broadcast 1-row water-level theta
     "doc_weighted_sample",       # broadcast 1-row mean-weight scalar
+    "diag_snapshot_retention",   # broadcast 1-row retention cutoff
 }
 
 
