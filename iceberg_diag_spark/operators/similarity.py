@@ -578,3 +578,90 @@ def quantize_embeddings_int8(
             F.concat_ws(",", F.transform(q, lambda x: x.cast("string")))
         ).alias("q_checksum"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold_micro: int = 400_000,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication summary: assign every
+    vector to its nearest centroid cluster, then within each cluster
+    drop any vector that has a smaller-id neighbor with cosine
+    similarity at or above the threshold (micro-units — quantized
+    before the comparison so ulp-level float drift can't flip a
+    boundary pair across engines).
+
+    This is the scale answer to quadratic embedding dedup: pairs only
+    form WITHIN a cluster (equi-join on the cluster id, never a cross
+    product), so the work is sum over clusters of |c|² instead of n².
+    At 100 TB you raise the centroid count until clusters fit; the
+    per-cluster pair join shuffles on the cluster key only. Centroids
+    here are the label-averaged means (deterministic, no seeded
+    kmeans), the same construction nearest_centroid_confusion uses.
+
+    Output: (cluster, n_vecs, n_dropped, n_kept) per cluster.
+    """
+    from pyspark.sql.window import Window
+
+    ex = embeddings.select(
+        F.col("vec_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+    centroids = ex.groupBy(
+        F.col("label").alias("cand"), F.col("pos")
+    ).agg(F.avg("val").alias("c"))
+    dists = (
+        ex.join(F.broadcast(centroids), "pos")
+        .groupBy("vec_id", "cand")
+        .agg(F.sum((F.col("val") - F.col("c")) ** 2).alias("d2"))
+        .withColumn("d2q", F.floor(F.col("d2") * F.lit(1_000_000.0)).cast("long"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2q"), F.col("cand"))
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cand").alias("cluster"))
+    )
+    vecs = embeddings.select("vec_id", F.col(vec_col).alias("v")).join(
+        assigned, "vec_id"
+    )
+    a = vecs.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("va_id"),
+        F.col("v").alias("va"),
+    )
+    b = vecs.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vb_id"),
+        F.col("v").alias("vb"),
+    )
+    pairs = a.join(b, "cluster").filter(F.col("va_id") < F.col("vb_id"))
+    cos_micro = F.floor(
+        cosine(F.col("va"), F.col("vb")) * F.lit(1_000_000.0)
+    ).cast("long")
+    dropped = (
+        pairs.select("cluster", "vb_id", cos_micro.alias("cos_micro"))
+        .filter(F.col("cos_micro") >= F.lit(threshold_micro))
+        .select("cluster", "vb_id")
+        .distinct()
+    )
+    nv = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    nd = dropped.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped")
+    )
+    return (
+        nv.join(nd, "cluster", "left")
+        .select(
+            "cluster",
+            "n_vecs",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce(F.col("n_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

@@ -514,3 +514,87 @@ def token_entropy(
             )
         ).cast("long").alias("entropy_millibits"),
     )
+
+
+def line_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repeated-sentence removal: keep the FIRST
+    occurrence of each distinct sentence in a document, drop the
+    repeats, and emit the rebuilt text as an md5 pin. The per-document
+    complement of boilerplate_removal (which drops sentences repeated
+    ACROSS documents) — the standard repetition filter applied before
+    training on scraped text.
+
+    Per-doc state only: min(pos) per (doc, sentence), then an ordered
+    rebuild whose collect is bounded by the document's own sentence
+    count — no corpus-wide relation, no broadcast, scales with the
+    scan. Output: (doc_id, kept_sentences, removed_sentences,
+    cleaned_md5).
+    """
+    sents = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), r"\. ")).alias("n_total"),
+        F.posexplode(F.split(F.col(text_col), r"\. ")).alias("pos", "sent"),
+    )
+    first = sents.groupBy(id_col, "sent").agg(
+        F.min("pos").alias("pos"), F.max("n_total").alias("n_total")
+    )
+    return first.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("kept_sentences"),
+        (F.max("n_total") - F.count(F.lit(1)))
+        .cast("long")
+        .alias("removed_sentences"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                    lambda s: s["sent"],
+                ),
+                ". ",
+            )
+        ).alias("cleaned_md5"),
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model negative log-likelihood per document —
+    the classic cheap perplexity proxy for quality filtering: docs
+    whose tokens are globally rare (high avg NLL) are gibberish/noise
+    candidates; docs of only stop-words (low avg NLL) are boilerplate
+    candidates.
+
+    Two aggregation passes: corpus unigram counts (vocabulary-sized
+    relation), the corpus total carried back as a broadcast single-row
+    scalar, then tokens re-join the scored vocabulary (AQE broadcasts
+    the vocab side when it fits) and sum per document. Per-token NLL
+    is floor-quantized to micro-nats BEFORE summation so the per-doc
+    sums are exact integer arithmetic — immune to float summation
+    order on both engines. Output: (doc_id, n_tokens, sum_nll_micro,
+    avg_nll_micro).
+    """
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("n_total"))
+    scored = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.floor(-F.log(F.col("cnt") / F.col("n_total")) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    return (
+        toks.join(scored, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("nll_micro").cast("long").alias("sum_nll_micro"),
+        )
+        .withColumn(
+            "avg_nll_micro",
+            (F.col("sum_nll_micro") / F.col("n_tokens")).cast("long"),
+        )
+    )

@@ -5555,6 +5555,147 @@ REGISTRY.update({
 })
 
 
+# --------------------------------------------------------------------
+# Round-5 LLM-pipeline additions: within-doc repetition removal,
+# unigram-LM perplexity proxy, and SemDeDup-style cluster-bucketed
+# semantic dedup.
+# --------------------------------------------------------------------
+
+def _doc_line_dedup(spark, sf_dir):
+    return textops.line_dedup(_t(spark, sf_dir, "documents"))
+
+
+_DOC_LINE_DEDUP_SQL = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\. ') AS arr FROM documents
+),
+s AS (
+  SELECT doc_id, len(arr) AS n_total,
+         unnest(generate_series(1, len(arr))) AS pos, arr
+  FROM arrs
+),
+sent AS (
+  SELECT doc_id, n_total, pos, arr[pos] AS sent FROM s
+),
+first AS (
+  SELECT doc_id, sent, min(pos) AS pos, max(n_total) AS n_total
+  FROM sent GROUP BY doc_id, sent
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS kept_sentences,
+       CAST(max(n_total) - count(*) AS BIGINT) AS removed_sentences,
+       md5(string_agg(sent, '. ' ORDER BY pos)) AS cleaned_md5
+FROM first GROUP BY doc_id
+"""
+
+
+def _doc_unigram_logprob(spark, sf_dir):
+    return textops.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+_DOC_UNIGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM vocab),
+scored AS (
+  SELECT term,
+         CAST(FLOOR(-ln(cnt / n_total) * 1000000.0) AS BIGINT) AS nll_micro
+  FROM vocab CROSS JOIN tot
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(nll_micro) AS BIGINT) AS sum_nll_micro,
+       CAST(FLOOR(CAST(sum(nll_micro) AS DOUBLE) / count(*)) AS BIGINT) AS avg_nll_micro
+FROM toks t JOIN scored USING (term)
+GROUP BY t.doc_id
+"""
+
+
+def _semantic_dedup(spark, sf_dir):
+    return similarity.semantic_dedup(_t(spark, sf_dir, "embeddings"))
+
+
+_SEMANTIC_DEDUP_SQL = """
+WITH ex AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS cand, pos, avg(val) AS c FROM ex GROUP BY label, pos
+),
+dists AS (
+  SELECT ex.vec_id, cent.cand,
+         CAST(FLOOR(sum((ex.val - cent.c) * (ex.val - cent.c)) * 1000000.0) AS BIGINT) AS d2q
+  FROM ex JOIN cent ON ex.pos = cent.pos
+  GROUP BY ex.vec_id, cent.cand
+),
+assigned AS (
+  SELECT vec_id, cand AS cluster
+  FROM (SELECT vec_id, cand,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2q, cand) AS rn
+        FROM dists)
+  WHERE rn = 1
+),
+pairs AS (
+  SELECT a.cluster, a.vec_id AS va_id, b.vec_id AS vb_id,
+         ea.embedding AS va, eb.embedding AS vb
+  FROM assigned a
+  JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+),
+terms AS (
+  SELECT cluster, va_id, vb_id, unnest(va) AS x, unnest(vb) AS y FROM pairs
+),
+scored AS (
+  SELECT cluster, va_id, vb_id,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dotp,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS aa,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS bb
+  FROM terms GROUP BY cluster, va_id, vb_id
+),
+dropped AS (
+  SELECT DISTINCT cluster, vb_id FROM scored
+  WHERE CAST(FLOOR(dotp / (sqrt(aa) * sqrt(bb)) * 1000000.0) AS BIGINT) >= 400000
+),
+nv AS (SELECT cluster, count(*) AS n_vecs FROM assigned GROUP BY cluster),
+nd AS (SELECT cluster, count(*) AS n_dropped FROM dropped GROUP BY cluster)
+SELECT nv.cluster,
+       CAST(nv.n_vecs AS BIGINT) AS n_vecs,
+       CAST(coalesce(nd.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(nv.n_vecs - coalesce(nd.n_dropped, 0) AS BIGINT) AS n_kept
+FROM nv LEFT JOIN nd ON nv.cluster = nd.cluster
+"""
+
+
+REGISTRY.update({
+    "doc_line_dedup": QuerySpec(
+        _doc_line_dedup, _DOC_LINE_DEDUP_SQL,
+        "within-document repeated-sentence removal (keep first "
+        "occurrence), rebuilt text md5-pinned — per-doc state only, "
+        "scales with the scan",
+    ),
+    "doc_unigram_logprob": QuerySpec(
+        _doc_unigram_logprob, _DOC_UNIGRAM_SQL,
+        "unigram-LM negative log-likelihood per doc (cheap perplexity "
+        "proxy for quality filtering), micro-nat integer sums immune "
+        "to float summation order",
+    ),
+    "semantic_dedup": QuerySpec(
+        _semantic_dedup, _SEMANTIC_DEDUP_SQL,
+        "SemDeDup-style semantic dedup: nearest-centroid clustering "
+        "bounds the pairwise cosine pass to within-cluster equi-joins "
+        "(never a cross product); per-cluster kept/dropped counts",
+    ),
+})
+
+
 # Evaluation-order hedge: the correctness harness records rows for
 # exactly the first 50 registry entries (confirmed across rounds 1-3).
 # With 101 entries, ordering decides which queries get a FRESH

@@ -217,6 +217,7 @@ _SCALAR_CROSS_OK = {
     "token_budget_waterfill",    # broadcast 1-row water-level theta
     "doc_weighted_sample",       # broadcast 1-row mean-weight scalar
     "diag_snapshot_retention",   # broadcast 1-row retention cutoff
+    "doc_unigram_logprob",       # broadcast 1-row corpus token total
 }
 
 
@@ -258,6 +259,7 @@ _BOUNDED_COLLECT_OK = {
     "ngram_jaccard",        #   bucket = near-identical docs only
     "near_dup_rate_by_source",  # same LSH bucket relation as above
     "boilerplate_removal",  # per-doc sentence rebuild, bounded by doc len
+    "doc_line_dedup",       # per-doc sentence rebuild, bounded by doc len
 }
 
 
