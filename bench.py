@@ -113,6 +113,14 @@ HEADLINE = [
     "corpus_top_ngrams",
     "quality_gate_ablation",
     "label_silhouette",
+    # round 5b additions: maintenance diagnostics + LLM-pipeline ops
+    "diag_delete_impact",
+    "diag_orphan_files",
+    "diag_snapshot_retention",
+    "diag_zorder_layout",
+    "doc_line_dedup",
+    "doc_unigram_logprob",
+    "semantic_dedup",
 ]
 
 
