@@ -121,6 +121,9 @@ HEADLINE = [
     "doc_line_dedup",
     "doc_unigram_logprob",
     "semantic_dedup",
+    "ngram_containment",
+    "doc_bigram_logprob",
+    "corpus_snapshot_diff",
 ]
 
 

@@ -951,3 +951,139 @@ def source_overlap(
     return pairs.groupBy("p.src_a", "p.src_b").agg(
         F.count(F.lit(1)).alias("shared_contents")
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> DataFrame:
+    """Asymmetric n-gram containment for candidate pairs:
+    |grams(A) ∩ grams(B)| / |grams(A)| (and the B-direction) — the
+    sub-document duplication signal Jaccard misses: a short doc fully
+    quoted inside a long one has low Jaccard but containment ≈ 1 on
+    the short side. Standard in quote/inclusion detection ahead of
+    training-data dedup.
+
+    Same single-join skeleton as ngram_jaccard_pairs (shingling
+    lineage evaluated once; shuffles on uniform doc/pair keys). All
+    outputs are INTEGER gram counts and floor-ppm ratios of integers
+    — exact on any engine, no float drift surface at all. Output:
+    (doc_a, doc_b, inter_size, n_grams_a, n_grams_b, cont_a_ppm,
+    cont_b_ppm); gramless sides report 0 ppm.
+    """
+    shingled = word_ngram_rows(docs, text_col, id_col, ngram).select(
+        F.col(id_col).alias("__doc"), "gram"
+    )
+    sizes = shingled.groupBy("__doc").agg(
+        F.countDistinct("gram").alias("n_grams")
+    )
+    members = candidates.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("__doc")
+    )
+    per_gram = members.join(shingled, "__doc").groupBy(
+        "doc_a", "doc_b", "gram"
+    ).agg(F.countDistinct("__doc").alias("k"))
+    inter = per_gram.groupBy("doc_a", "doc_b").agg(
+        F.sum(F.when(F.col("k") == 2, 1).otherwise(0)).alias("inter_size")
+    )
+    sa = sizes.select(
+        F.col("__doc").alias("doc_a"), F.col("n_grams").alias("n_grams_a")
+    )
+    sb = sizes.select(
+        F.col("__doc").alias("doc_b"), F.col("n_grams").alias("n_grams_b")
+    )
+
+    def _ppm(inter_col: Column, size_col: Column) -> Column:
+        return (
+            F.when(
+                F.coalesce(size_col, F.lit(0)) > 0,
+                F.floor(
+                    F.coalesce(inter_col, F.lit(0))
+                    * F.lit(1_000_000)
+                    / size_col
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    return (
+        candidates.select("doc_a", "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a", "left")
+        .join(sb, "doc_b", "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(F.col("inter_size"), F.lit(0))
+            .cast("long")
+            .alias("inter_size"),
+            F.coalesce(F.col("n_grams_a"), F.lit(0))
+            .cast("long")
+            .alias("n_grams_a"),
+            F.coalesce(F.col("n_grams_b"), F.lit(0))
+            .cast("long")
+            .alias("n_grams_b"),
+            _ppm(F.col("inter_size"), F.col("n_grams_a")).alias("cont_a_ppm"),
+            _ppm(F.col("inter_size"), F.col("n_grams_b")).alias("cont_b_ppm"),
+        )
+    )
+
+
+def snapshot_diff(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Corpus snapshot diff by exact content hash: which content was
+    added / removed / retained between two dataset versions, per
+    source — the release-to-release audit a training-data pipeline
+    runs before re-crawling or re-mixing.
+
+    Each side collapses to one row per content hash (sha-of-normalized
+    -text, 32 B keys) carrying a deterministic representative source
+    (min) and its duplicate count; a full outer join on the hash
+    classifies every distinct content as added (new only), removed
+    (old only), or retained. Shuffle volume is hashes, never text.
+    Output: (status, source, n_hashes, docs_old, docs_new).
+    """
+    def _collapse(side: DataFrame, tag: str) -> DataFrame:
+        return (
+            side.select(
+                F.sha2(normalized_text(F.col(text_col)), 256).alias("h"),
+                F.col(source_col).alias("src"),
+            )
+            .groupBy("h")
+            .agg(
+                F.min("src").alias(f"src_{tag}"),
+                F.count(F.lit(1)).alias(f"docs_{tag}"),
+            )
+        )
+
+    a = _collapse(old_docs, "old")
+    b = _collapse(new_docs, "new")
+    j = a.join(b, "h", "full_outer")
+    status = (
+        F.when(F.col("docs_old").isNull(), F.lit("added"))
+        .when(F.col("docs_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("retained"))
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce(F.col("src_old"), F.col("src_new")).alias("source"),
+            F.coalesce(F.col("docs_old"), F.lit(0)).alias("docs_old"),
+            F.coalesce(F.col("docs_new"), F.lit(0)).alias("docs_new"),
+        )
+        .groupBy("status", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hashes"),
+            F.sum("docs_old").cast("long").alias("docs_old"),
+            F.sum("docs_new").cast("long").alias("docs_new"),
+        )
+    )

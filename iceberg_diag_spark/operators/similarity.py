@@ -620,27 +620,44 @@ def semantic_dedup(
         .withColumn("d2q", F.floor(F.col("d2") * F.lit(1_000_000.0)).cast("long"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("d2q"), F.col("cand"))
+    # the assignment subtree (posexplode -> centroid agg -> join ->
+    # window) would otherwise be recomputed on BOTH sides of the
+    # within-cluster self-join; the relation is 16 B/vector, so pin it
+    # (the simhash fingerprint idiom)
     assigned = (
         dists.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("cand").alias("cluster"))
+        .localCheckpoint()
     )
-    vecs = embeddings.select("vec_id", F.col(vec_col).alias("v")).join(
-        assigned, "vec_id"
+    # pre-normalize ONCE per vector (n transforms) so the quadratic
+    # inner loop pays a single dot product per pair instead of three
+    # interpreted folds (dot + two norms) — ~3x on the hot path
+    norm = l2_norm(F.col("v"))
+    vecs = (
+        embeddings.select("vec_id", F.col(vec_col).alias("v"))
+        .join(assigned, "vec_id")
+        .select(
+            "vec_id",
+            "cluster",
+            F.transform(
+                F.col("v"), lambda x: x.cast("double") / norm
+            ).alias("nv"),
+        )
     )
     a = vecs.select(
         F.col("cluster"),
         F.col("vec_id").alias("va_id"),
-        F.col("v").alias("va"),
+        F.col("nv").alias("va"),
     )
     b = vecs.select(
         F.col("cluster"),
         F.col("vec_id").alias("vb_id"),
-        F.col("v").alias("vb"),
+        F.col("nv").alias("vb"),
     )
     pairs = a.join(b, "cluster").filter(F.col("va_id") < F.col("vb_id"))
     cos_micro = F.floor(
-        cosine(F.col("va"), F.col("vb")) * F.lit(1_000_000.0)
+        dot(F.col("va"), F.col("vb")) * F.lit(1_000_000.0)
     ).cast("long")
     dropped = (
         pairs.select("cluster", "vb_id", cos_micro.alias("cos_micro"))

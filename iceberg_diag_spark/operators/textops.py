@@ -598,3 +598,56 @@ def unigram_logprob(
             (F.col("sum_nll_micro") / F.col("n_tokens")).cast("long"),
         )
     )
+
+
+def bigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram-LM negative log-likelihood per document — the
+    conditional upgrade of unigram_logprob: per adjacent token pair,
+    -ln p(w2 | w1) with p MLE-estimated from the corpus itself
+    (c(w1 w2) / c(w1 ·)). Catches locally-incoherent text (word-salad
+    with plausible unigram stats) that the unigram proxy misses.
+
+    Bigram positions come from the codegen shingle path
+    (dedup.word_ngram_rows, n=2); corpus bigram and left-context
+    counts are two hash aggregates on uniform keys; per-position NLL
+    is floor-quantized to micro-nats before the exact integer per-doc
+    sums. Docs with fewer than two tokens emit no bigrams and are
+    absent from the output (same contract as the shingle source).
+    Output: (doc_id, n_bigrams, sum_nll_micro, avg_nll_micro).
+    """
+    from iceberg_diag_spark.operators.dedup import word_ngram_rows
+
+    bg = word_ngram_rows(docs, text_col, id_col, n=2)
+    c2 = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        bg.select(F.split(F.col("gram"), " ")[0].alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    scored = (
+        c2.withColumn("w1", F.split(F.col("gram"), " ")[0])
+        .join(c1, "w1")
+        .select(
+            "gram",
+            F.floor(
+                -F.log(F.col("c2").cast("double") / F.col("c1"))
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    return (
+        bg.join(scored, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("nll_micro").cast("long").alias("sum_nll_micro"),
+        )
+        .withColumn(
+            "avg_nll_micro",
+            (F.col("sum_nll_micro") / F.col("n_bigrams")).cast("long"),
+        )
+    )

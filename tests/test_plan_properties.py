@@ -257,6 +257,7 @@ _BOUNDED_COLLECT_OK = {
     "user_event_paths",     # per-user path, truncated to first k events
     "minhash_pairs",        # LSH bucket ids: exact dups pre-collapsed,
     "ngram_jaccard",        #   bucket = near-identical docs only
+    "ngram_containment",    #   same LSH candidate chain as jaccard
     "near_dup_rate_by_source",  # same LSH bucket relation as above
     "boilerplate_removal",  # per-doc sentence rebuild, bounded by doc len
     "doc_line_dedup",       # per-doc sentence rebuild, bounded by doc len

@@ -80,3 +80,57 @@ def test_semantic_dedup_drops_near_identical_in_cluster(spark):
     assert out[0].n_kept == 1
     # cluster 1: orthogonal pair, nothing dropped
     assert out[1].n_vecs == 2 and out[1].n_dropped == 0
+
+
+def test_ngram_containment_quote_inclusion(spark):
+    from iceberg_diag_spark.operators import dedup
+
+    quote = "alpha beta gamma delta epsilon"  # 5 toks -> 3 trigram positions
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, quote + " and a much longer tail of extra words here"),
+        ],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    (r,) = dedup.ngram_containment_pairs(docs, cands).collect()
+    # doc 1's grams are fully contained in doc 2
+    assert r.n_grams_a == 3
+    assert r.inter_size == 3
+    assert r.cont_a_ppm == 1_000_000
+    assert r.cont_b_ppm < 1_000_000  # asymmetry: doc 2 has extra grams
+
+
+def test_bigram_logprob_conditional_not_unigram(spark):
+    # "a b" occurs 3x, "a c" 1x: p(b|a)=3/4, p(c|a)=1/4 — doc with the
+    # rare continuation scores higher NLL despite identical unigrams
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.bigram_logprob(docs).collect()}
+    import math
+
+    assert out[1].avg_nll_micro == math.floor(-math.log(3 / 4) * 1_000_000)
+    assert out[4].avg_nll_micro == math.floor(-math.log(1 / 4) * 1_000_000)
+    assert out[4].avg_nll_micro > out[1].avg_nll_micro
+
+
+def test_snapshot_diff_statuses(spark):
+    from iceberg_diag_spark.operators import dedup
+
+    old = spark.createDataFrame(
+        [(1, "kept doc", "s1"), (2, "dropped doc", "s1")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(3, "kept doc", "s1"), (4, "brand new doc", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.status, r.source): r for r in dedup.snapshot_diff(old, new).collect()}
+    assert out[("retained", "s1")].n_hashes == 1
+    assert out[("retained", "s1")].docs_old == 1
+    assert out[("retained", "s1")].docs_new == 1
+    assert out[("removed", "s1")].n_hashes == 1
+    assert out[("added", "s2")].n_hashes == 1
