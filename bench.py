@@ -124,6 +124,10 @@ HEADLINE = [
     "ngram_containment",
     "doc_bigram_logprob",
     "corpus_snapshot_diff",
+    "quality_classifier_score",
+    "tokenizer_fertility",
+    "langid_margin",
+    "contamination_report",
 ]
 
 

@@ -651,3 +651,187 @@ def bigram_logprob(
             (F.col("sum_nll_micro") / F.col("n_bigrams")).cast("long"),
         )
     )
+
+
+# Fixed quality-classifier weights (the fasttext-style keep/drop
+# filter shape used by DCLM/FineWeb-class pipelines, with literal
+# weights instead of a trained model — the Spark-side plumbing,
+# scoring math, and decision boundary are the real artifact here).
+# Features are the quality_exprs ratios; z is a plain fixed-order
+# linear combination so the decision (z >= 0) is EXACT across
+# engines — no transcendental on the decision path.
+CLASSIFIER_WEIGHTS = {
+    "bias": -2.3,
+    "mean_token_len": -0.05,   # very long "tokens" = markup/noise
+    "type_token_ratio": 1.2,   # vocabulary diversity
+    "stopword_ratio": 4.0,     # natural-language prose signal
+    "alpha_ratio": 2.5,        # penalize symbol soup
+    "dup_trigram_frac": -3.0,  # repetition penalty
+}
+
+
+def quality_classifier_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Linear quality-classifier scoring over the heuristic feature
+    vector: z = w·x + b, keep = (z >= 0). One zero-shuffle projection
+    per doc; z is emitted floor-quantized to micro-units (pure
+    fixed-order double arithmetic over exact ratio features — no ln/
+    exp on either the score or the decision, so the output is exact
+    on any IEEE engine). Output: (doc_id, z_micro, keep)."""
+    exprs = quality_exprs(text_col)
+    t = tokens(F.col(text_col))
+    trigrams = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.array_join(F.slice(t, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_frac = (
+        F.size(trigrams) - F.size(F.array_distinct(trigrams))
+    ).cast("double") / F.greatest(F.size(trigrams), F.lit(1))
+    w = CLASSIFIER_WEIGHTS
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["mean_token_len"]) * exprs["mean_token_len"]
+        + F.lit(w["type_token_ratio"]) * exprs["type_token_ratio"]
+        + F.lit(w["stopword_ratio"]) * exprs["stopword_ratio"]
+        + F.lit(w["alpha_ratio"]) * exprs["alpha_ratio"]
+        + F.lit(w["dup_trigram_frac"]) * dup_frac
+    )
+    return ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.floor(z * F.lit(1_000_000.0)).cast("long").alias("z_micro"),
+        (z >= 0).alias("keep"),
+    )
+
+
+def tokenizer_fertility(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Tokenizer-fertility audit per source: subwords per whitespace
+    word (fertility — the standard tokenizer-fit metric; high
+    fertility on a domain means the vocabulary splits its words into
+    fragments) and characters per subword. Exact integer sums with
+    floor-ppm ratios — single scan, one #sources-bounded aggregate.
+    Output: (source, n_docs, words, subwords, fertility_ppm,
+    chars_per_subword_ppm)."""
+    t = tokens(F.col(text_col))
+    per_doc = ensure_parallelism(docs).select(
+        F.col("source"),
+        F.size(t).alias("words"),
+        F.size(bpe_ish_tokens(F.col(text_col))).alias("subwords"),
+        F.length(F.col(text_col)).alias("chars"),
+    )
+    g = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("words"),
+        F.sum("subwords").cast("long").alias("subwords"),
+        F.sum("chars").cast("long").alias("chars"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "words",
+        "subwords",
+        F.floor(
+            F.col("subwords") * F.lit(1_000_000) / F.greatest("words", F.lit(1))
+        )
+        .cast("long")
+        .alias("fertility_ppm"),
+        F.floor(
+            F.col("chars") * F.lit(1_000_000) / F.greatest("subwords", F.lit(1))
+        )
+        .cast("long")
+        .alias("chars_per_subword_ppm"),
+    )
+
+
+def langid_margin(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Language-ID confidence audit: per doc, the winning language,
+    its stopword-hit count, and the margin over the runner-up — the
+    0-margin slice is exactly the undecidable set a pipeline routes
+    to a heavier model. Argmax and runner-up come from one sorted
+    struct array built row-local (4 langs — constant width), so the
+    whole operator is a zero-shuffle projection.
+    Output: (doc_id, lang, hits, margin)."""
+    t = tokens(F.col(text_col))
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(t, F.array([F.lit(w) for w in words]))
+                ).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(STOPWORDS.items())
+        ]
+    )
+    # descending by (hits, lang): array_sort is ascending -> reverse
+    ordered = F.reverse(F.array_sort(scores))
+    return ensure_parallelism(docs).select(
+        F.col(id_col),
+        ordered[0]["lang"].alias("lang"),
+        ordered[0]["hits"].cast("long").alias("hits"),
+        (ordered[0]["hits"] - ordered[1]["hits"]).cast("long").alias("margin"),
+    )
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_sets: dict[str, DataFrame],
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Benchmark-contamination matrix: for every (eval_set, training
+    source), how many training docs share an n-gram with that
+    benchmark — the per-benchmark breakdown release notes report,
+    where doc_decontamination gives only the flat doc list.
+
+    Each eval set contributes a tiny DISTINCT gram-hash relation
+    tagged with its name (benchmarks are small by construction), all
+    unioned and broadcast; the training corpus streams through ONE
+    map-side join regardless of how many benchmarks are checked.
+    Output: (eval_set, source, contaminated_docs, total_docs,
+    contaminated_ppm)."""
+    grams = ngram_hashes(tokens(F.col(text_col)), n)
+    ev_all = None
+    for name, ev in sorted(eval_sets.items()):
+        g = ev.select(F.explode(grams).alias("g")).distinct().select(
+            F.lit(name).alias("eval_set"), "g"
+        )
+        ev_all = g if ev_all is None else ev_all.unionByName(g)
+    train_g = ensure_parallelism(train).select(
+        F.col(id_col), F.col(source_col).alias("source"),
+        F.explode(grams).alias("g"),
+    )
+    hits = (
+        train_g.join(F.broadcast(ev_all), "g")
+        .select("eval_set", "source", id_col)
+        .distinct()
+        .groupBy("eval_set", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("contaminated_docs"))
+    )
+    totals = train.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("total_docs")
+    )
+    return (
+        hits.join(totals, "source")
+        .select(
+            "eval_set",
+            "source",
+            "contaminated_docs",
+            "total_docs",
+            F.floor(
+                F.col("contaminated_docs") * F.lit(1_000_000)
+                / F.col("total_docs")
+            )
+            .cast("long")
+            .alias("contaminated_ppm"),
+        )
+    )

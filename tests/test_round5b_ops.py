@@ -134,3 +134,73 @@ def test_snapshot_diff_statuses(spark):
     assert out[("retained", "s1")].docs_new == 1
     assert out[("removed", "s1")].n_hashes == 1
     assert out[("added", "s2")].n_hashes == 1
+
+
+def test_quality_classifier_separates_junk(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was a good day for everyone"),
+            (2, "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) @@@@ ####"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.quality_classifier_score(docs).collect()}
+    assert out[1].keep is True
+    assert out[2].keep is False
+    assert out[1].z_micro > out[2].z_micro
+
+
+def test_tokenizer_fertility_punctuation_raises_fertility(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "plain words only here", "clean"),
+            (2, "hy-phen'd, punct.uated! text?", "messy"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in textops.tokenizer_fertility(docs).collect()}
+    assert out["clean"].fertility_ppm == 1_000_000  # 1 subword per word
+    assert out["messy"].fertility_ppm > 1_000_000
+
+
+def test_langid_margin_zero_when_ambiguous(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in the house"),  # clearly en
+            (2, "zzz qqq www xxx"),                   # no stopwords anywhere
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.langid_margin(docs).collect()}
+    assert out[1].margin > 0 and out[1].lang == "en"
+    assert out[2].hits == 0 and out[2].margin == 0
+
+
+def test_contamination_report_matrix(spark):
+    shared = "one two three four five six seven eight"
+    train = spark.createDataFrame(
+        [
+            (1, shared + " tail tail tail", "srcA"),
+            (2, "totally clean text with no benchmark overlap at all ok", "srcA"),
+            (3, shared + " other words", "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    evs = {
+        "bench1": spark.createDataFrame(
+            [(100, shared)], "doc_id long, text string"
+        ),
+        "bench2": spark.createDataFrame(
+            [(200, "nine ten eleven twelve thirteen fourteen fifteen sixteen")],
+            "doc_id long, text string",
+        ),
+    }
+    out = {
+        (r.eval_set, r.source): r
+        for r in textops.contamination_report(train, evs).collect()
+    }
+    assert out[("bench1", "srcA")].contaminated_docs == 1
+    assert out[("bench1", "srcA")].total_docs == 2
+    assert out[("bench1", "srcA")].contaminated_ppm == 500_000
+    assert out[("bench1", "srcB")].contaminated_docs == 1
+    assert ("bench2", "srcA") not in out  # no shared 8-grams
