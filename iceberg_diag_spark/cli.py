@@ -52,6 +52,14 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--catalog", help="Spark catalog name (defaults to the session catalog)"
     )
+    p.add_argument(
+        "--maintenance",
+        action="store_true",
+        help="also print maintenance panels: per-partition delete-file "
+        "burden (rewrite-deletes signal), and — when the files "
+        "relation carries an added_at timestamp — the expire-"
+        "snapshots retention simulation",
+    )
     return p
 
 
@@ -83,8 +91,39 @@ def _render_panel(files_df, manifest_count: int, title: str) -> str:
     )
 
 
-def _diagnose(spark: SparkSession, files_df, manifest_count: int, title: str) -> None:
+def _render_maintenance(files_df, title: str) -> str:
+    """Maintenance panels over a data_files-shaped relation: the
+    delete-burden table always; the retention simulation only when
+    the relation carries an added_at timestamp (the `.files` contract
+    has no timestamps — callers join `.entries`/`.snapshots` to get
+    them, or load an augmented parquet via --files)."""
+    from iceberg_diag_spark.operators.maintenance import (
+        delete_impact,
+        snapshot_retention,
+    )
+
+    out = [
+        f"\n-- {title}: delete-file burden --",
+        _render_df(delete_impact(files_df)),
+    ]
+    if "added_at" in files_df.columns:
+        out += [
+            f"\n-- {title}: snapshot retention (180d) --",
+            _render_df(snapshot_retention(files_df)),
+        ]
+    return "\n".join(out)
+
+
+def _diagnose(
+    spark: SparkSession,
+    files_df,
+    manifest_count: int,
+    title: str,
+    maintenance: bool = False,
+) -> None:
     print(_render_panel(files_df, manifest_count, title))
+    if maintenance:
+        print(_render_maintenance(files_df, title))
 
 
 def stream_panels(jobs: dict):
@@ -138,6 +177,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 spark.read.parquet(args.files),
                 args.manifest_count,
                 args.files,
+                maintenance=args.maintenance,
             )
         elif args.database and args.table_name:
             tables = [
@@ -162,7 +202,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                     manifests = spark.table(
                         f"{args.database}.{t}.manifests"
                     ).count()
-                    return _render_panel(files, manifests, f"{args.database}.{t}")
+                    panel = _render_panel(
+                        files, manifests, f"{args.database}.{t}"
+                    )
+                    if args.maintenance:
+                        panel += "\n" + _render_maintenance(
+                            files, f"{args.database}.{t}"
+                        )
+                    return panel
 
                 return run
 

@@ -103,3 +103,38 @@ def test_stream_panels_propagates_job_errors():
 
     with _pytest.raises(RuntimeError, match="table exploded"):
         list(stream_panels({"bad": boom}))
+
+
+def test_cli_maintenance_panels(spark, capsys, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("cli_maint")) + "/files.parquet"
+    li = load_table(spark, SF_DIR, "lineitem")
+    li.select(
+        F.col("l_returnflag").alias("partition_key"),
+        (F.col("l_extendedprice") * 1000).cast("long").alias("file_size_in_bytes"),
+        (F.col("l_linenumber") % 3).cast("int").alias("content"),
+        F.col("l_shipdate").alias("added_at"),
+    ).write.mode("overwrite").parquet(out_dir)
+    assert main(
+        ["--files", out_dir, "--manifest-count", "10", "--maintenance"],
+        spark=spark,
+    ) == 0
+    out = capsys.readouterr().out
+    assert "delete-file burden" in out
+    assert "delete_per_data_ppm" in out
+    # added_at present -> retention panel rendered too
+    assert "snapshot retention" in out
+    assert "reclaimable_bytes" in out
+
+
+def test_cli_maintenance_skips_retention_without_timestamps(
+    spark, capsys, tmp_path_factory
+):
+    out_dir = str(tmp_path_factory.mktemp("cli_maint2")) + "/files.parquet"
+    files = files_from_lineitem(load_table(spark, SF_DIR, "lineitem"))
+    files.write.mode("overwrite").parquet(out_dir)
+    assert main(
+        ["--files", out_dir, "--maintenance"], spark=spark
+    ) == 0
+    out = capsys.readouterr().out
+    assert "delete-file burden" in out
+    assert "snapshot retention" not in out
