@@ -204,3 +204,43 @@ def test_contamination_report_matrix(spark):
     assert out[("bench1", "srcA")].contaminated_ppm == 500_000
     assert out[("bench1", "srcB")].contaminated_docs == 1
     assert ("bench2", "srcA") not in out  # no shared 8-grams
+
+
+def test_line_dedup_matches_python_fold(spark):
+    """Cross-check the distributed keep-first rebuild against a plain
+    Python fold over a deterministic doc set (the pack_sequences
+    cross-check pattern)."""
+    import hashlib
+
+    rows = [
+        (i, ". ".join("sent%d" % ((j * (i + 3)) % 5) for j in range(8)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.kept_sentences, r.removed_sentences, r.cleaned_md5)
+        for r in textops.line_dedup(docs).collect()
+    }
+    for i, text in rows:
+        seen, kept = set(), []
+        for s in text.split(". "):
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        expect_md5 = hashlib.md5(". ".join(kept).encode()).hexdigest()
+        n_total = len(text.split(". "))
+        assert got[i] == (len(kept), n_total - len(kept), expect_md5), i
+
+
+def test_snapshot_diff_conserves_doc_counts(spark):
+    from iceberg_diag_spark.operators import dedup
+    from iceberg_diag_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 != 1)
+    out = dedup.snapshot_diff(old, new).collect()
+    assert sum(r.docs_old for r in out) == old.count()
+    assert sum(r.docs_new for r in out) == new.count()
+    statuses = {r.status for r in out}
+    assert statuses == {"added", "removed", "retained"}
