@@ -128,6 +128,7 @@ HEADLINE = [
     "tokenizer_fertility",
     "langid_margin",
     "contamination_report",
+    "stream_centroid_confusion",
 ]
 
 

@@ -6020,6 +6020,31 @@ FROM h2 JOIN tot ON h2.source = tot.source
 """
 
 
+def _stream_centroid_confusion(spark, sf_dir):
+    from iceberg_diag_spark.streaming import stream_ops
+
+    return stream_ops.run_to_table(
+        stream_ops.centroid_confusion_stream(
+            stream_ops.read_embeddings_stream(spark, sf_dir),
+            _t(spark, sf_dir, "embeddings"),
+        ),
+        "complete",
+        "stream_centroid_confusion",
+    )
+
+
+REGISTRY.update({
+    "stream_centroid_confusion": QuerySpec(
+        # draining the full parquet makes the streaming result equal
+        # the batch confusion — the batch oracle applies verbatim
+        _stream_centroid_confusion, _CENTROID_CONFUSION_SQL,
+        "streaming nearest-centroid drift monitor: one-row static "
+        "centroid-array cross join + row-local argmin fold — "
+        "stateless per vector, #labels²-bounded count state",
+    ),
+})
+
+
 REGISTRY.update({
     "quality_classifier_score": QuerySpec(
         _quality_classifier, _QUALITY_CLASSIFIER_SQL,
@@ -6157,6 +6182,7 @@ _DEFER_TO_R6: set[str] = {
     "tokenizer_fertility",
     "langid_margin",
     "contamination_report",
+    "stream_centroid_confusion",
 }
 
 

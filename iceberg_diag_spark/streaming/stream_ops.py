@@ -455,3 +455,98 @@ def run_to_table(
     spark.catalog.dropTempView(name)
     shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings parquet — the
+    ingestion-side view of an embedding drop (production points this
+    at the encoder's output topic). Same schema-probe + exact-glob
+    handling as the documents stream."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema: StructType = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream_dir, glob = path, "*.parquet"
+    else:
+        stream_dir, glob = sf_dir, "embeddings.parquet"
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(stream_dir)
+    )
+
+
+def centroid_confusion_stream(
+    emb_stream: DataFrame,
+    static_emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming nearest-centroid confusion monitor: every arriving
+    vector is assigned to its nearest centroid (centroids from the
+    STATIC reference table — label means, the same construction as
+    the batch nearest_centroid_confusion), and the (label, predicted)
+    confusion counts update live — the drift dashboard behind "does
+    today's embedding drop still land in yesterday's clusters".
+
+    Statelessness is the design point: the static side collapses to a
+    ONE-ROW relation holding the full sorted centroid array, the
+    stream cross-joins that single row (stream-static, re-planned per
+    micro-batch), and the argmin runs ROW-LOCAL as an array fold over
+    the #labels candidates — no per-vector aggregation state at all.
+    The only streaming state is the final (label, predicted) count
+    table, bounded by #labels² regardless of stream length. Distances
+    are floor-quantized to micro-units before comparison (the batch
+    d2q convention) so the assignment is reproducible.
+    """
+    ex = static_emb.select(
+        F.col(label_col).alias("cand"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = ex.groupBy("cand", "pos").agg(F.avg("val").alias("c"))
+    carr = cent.groupBy("cand").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cvec")
+    )
+    one = carr.agg(
+        F.sort_array(F.collect_list(F.struct("cand", "cvec"))).alias("cents")
+    )
+
+    def _d2q(cvec):
+        return F.floor(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    cvec,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            * F.lit(1_000_000.0)
+        ).cast("long")
+
+    # row-local argmin: cents is sorted by cand, so strict < keeps the
+    # smallest cand on d2q ties — identical to the batch
+    # (d2q, cand)-ascending row_number pick
+    init = F.struct(
+        F.lit(None).cast("long").alias("d2q"),
+        F.lit(None).cast("int").alias("cand"),
+    )
+    best = F.aggregate(
+        F.col("cents"),
+        init,
+        lambda acc, c: F.when(
+            acc["d2q"].isNull() | (_d2q(c["cvec"]) < acc["d2q"]),
+            F.struct(
+                _d2q(c["cvec"]).alias("d2q"), c["cand"].alias("cand")
+            ),
+        ).otherwise(acc),
+    )
+    assigned = emb_stream.crossJoin(one).select(
+        F.col(label_col).alias("label"), best["cand"].alias("predicted")
+    )
+    return assigned.groupBy("label", "predicted").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )

@@ -244,3 +244,30 @@ def test_snapshot_diff_conserves_doc_counts(spark):
     assert sum(r.docs_new for r in out) == new.count()
     statuses = {r.status for r in out}
     assert statuses == {"added", "removed", "retained"}
+
+
+def test_stream_centroid_confusion_equals_batch(spark):
+    from iceberg_diag_spark.operators.similarity import (
+        nearest_centroid_confusion,
+    )
+    from iceberg_diag_spark.streaming import stream_ops
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = {
+        (r.label, r.predicted): r.n_vecs
+        for r in nearest_centroid_confusion(
+            spark.read.parquet(sf_dir + "/embeddings.parquet")
+        ).collect()
+    }
+    streamed = {
+        (r.label, r.predicted): r.n_vecs
+        for r in stream_ops.run_to_table(
+            stream_ops.centroid_confusion_stream(
+                stream_ops.read_embeddings_stream(spark, sf_dir),
+                spark.read.parquet(sf_dir + "/embeddings.parquet"),
+            ),
+            "complete",
+            "test_stream_centroid_confusion",
+        ).collect()
+    }
+    assert streamed == batch
