@@ -129,6 +129,8 @@ HEADLINE = [
     "langid_margin",
     "contamination_report",
     "stream_centroid_confusion",
+    "diag_manifest_stats",
+    "events_cdc_dedup",
 ]
 
 

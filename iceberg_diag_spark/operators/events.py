@@ -179,3 +179,38 @@ def user_event_paths(events: DataFrame, prefix_len: int = 5) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.min("user_id").alias("min_user_id"),
     )
+
+
+def cdc_latest_rows(
+    events: DataFrame,
+    key_cols: tuple[str, str] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CDC latest-row-wins compaction: for every key, keep the newest
+    version (by timestamp, id as the deterministic tie-break) and
+    report how many superseded versions it shadows — the
+    merge-on-read upsert semantics an Iceberg v2 table applies at
+    read time, expressed as one window pass (Catalyst turns the
+    rn = 1 filter into a map-side WindowGroupLimit; the version count
+    rides the same window, so one shuffle total).
+
+    Output: (*key_cols, last_event_id, last_value_cents, n_versions).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(ts_col), F.desc(id_col)
+    )
+    wcnt = Window.partitionBy(*key_cols)
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wcnt))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *key_cols,
+            F.col(id_col).cast("long").alias("last_event_id"),
+            F.floor(F.col("value") * 100).cast("long").alias("last_value_cents"),
+            F.col("__n").cast("long").alias("n_versions"),
+        )
+    )

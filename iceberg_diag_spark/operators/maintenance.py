@@ -215,3 +215,42 @@ def zorder_layout(
             F.max(y_col).cast("long").alias("max_y"),
         )
     )
+
+
+MANIFEST_SMALL_BYTES = 200_000
+
+
+def manifest_stats(
+    manifests: DataFrame, small_bytes: int = MANIFEST_SMALL_BYTES
+) -> DataFrame:
+    """Manifest-layer diagnostics (the ``rewrite_manifests``
+    remediation signal): per (partition_spec_id, content) — data vs
+    delete manifests — the manifest count, total metadata bytes,
+    total tracked entries (added + existing), entries-per-manifest
+    density, and how many manifests are "small" (below
+    ``small_bytes``). Many small, sparse manifests mean every query
+    plan pays a long metadata scan: the fix is one manifest rewrite,
+    and this table says where.
+
+    Input columns follow the Iceberg ``.manifests`` metadata table
+    (MANIFESTS_TABLE_SCHEMA): content, partition_spec_id, length,
+    added_data_files_count, existing_data_files_count,
+    deleted_data_files_count. One conditional hash-aggregate on a
+    two-int key — metadata-scale input, trivially distributed.
+    """
+    entries = (
+        F.col("added_data_files_count") + F.col("existing_data_files_count")
+    )
+    g = manifests.groupBy("partition_spec_id", "content").agg(
+        F.count(F.lit(1)).cast("long").alias("n_manifests"),
+        F.sum("length").cast("long").alias("total_manifest_bytes"),
+        F.sum(entries).cast("long").alias("total_entries"),
+        F.sum("deleted_data_files_count").cast("long").alias("deleted_entries"),
+        F.sum(F.when(F.col("length") < small_bytes, 1).otherwise(0))
+        .cast("long")
+        .alias("small_manifests"),
+    )
+    return g.withColumn(
+        "entries_per_manifest",
+        F.floor(F.col("total_entries") / F.col("n_manifests")).cast("long"),
+    )

@@ -6020,6 +6020,80 @@ FROM h2 JOIN tot ON h2.source = tot.source
 """
 
 
+def _diag_manifest_stats(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    manifests = o.select(
+        (F.col("o_orderkey") % 3).cast("int").alias("partition_spec_id"),
+        (F.col("o_orderkey") % 2).cast("int").alias("content"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("length"),
+        (F.col("o_custkey") % 50).cast("int").alias("added_data_files_count"),
+        (F.col("o_custkey") % 30).cast("int").alias("existing_data_files_count"),
+        (F.col("o_custkey") % 7).cast("int").alias("deleted_data_files_count"),
+    )
+    return maintenance.manifest_stats(manifests)
+
+
+_DIAG_MANIFEST_STATS_SQL = """
+WITH manifests AS (
+  SELECT CAST(o_orderkey % 3 AS INTEGER) AS partition_spec_id,
+         CAST(o_orderkey % 2 AS INTEGER) AS content,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS length,
+         CAST(o_custkey % 50 AS INTEGER) AS added_data_files_count,
+         CAST(o_custkey % 30 AS INTEGER) AS existing_data_files_count,
+         CAST(o_custkey % 7 AS INTEGER) AS deleted_data_files_count
+  FROM orders
+)
+SELECT partition_spec_id, content,
+       CAST(count(*) AS BIGINT) AS n_manifests,
+       CAST(sum(length) AS BIGINT) AS total_manifest_bytes,
+       CAST(sum(added_data_files_count + existing_data_files_count) AS BIGINT) AS total_entries,
+       CAST(sum(deleted_data_files_count) AS BIGINT) AS deleted_entries,
+       CAST(sum(CASE WHEN length < 200000 THEN 1 ELSE 0 END) AS BIGINT) AS small_manifests,
+       CAST(FLOOR(CAST(sum(added_data_files_count + existing_data_files_count) AS DOUBLE)
+                  / count(*)) AS BIGINT) AS entries_per_manifest
+FROM manifests
+GROUP BY partition_spec_id, content
+"""
+
+
+def _events_cdc_dedup(spark, sf_dir):
+    from iceberg_diag_spark.operators.events import cdc_latest_rows
+
+    return cdc_latest_rows(_t(spark, sf_dir, "events"))
+
+
+_EVENTS_CDC_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+)
+SELECT user_id, event_type,
+       CAST(event_id AS BIGINT) AS last_event_id,
+       CAST(FLOOR(value * 100) AS BIGINT) AS last_value_cents,
+       CAST(n AS BIGINT) AS n_versions
+FROM ranked WHERE rn = 1
+"""
+
+
+REGISTRY.update({
+    "diag_manifest_stats": QuerySpec(
+        _diag_manifest_stats, _DIAG_MANIFEST_STATS_SQL,
+        "manifest-layer diagnostics (rewrite_manifests signal): per "
+        "(spec, content) manifest count/bytes/entry density + small-"
+        "manifest count over the .manifests schema",
+    ),
+    "events_cdc_dedup": QuerySpec(
+        _events_cdc_dedup, _EVENTS_CDC_SQL,
+        "CDC latest-row-wins compaction (merge-on-read upsert "
+        "semantics): newest version per key with superseded-version "
+        "count, one WindowGroupLimit pass",
+    ),
+})
+
+
 def _stream_centroid_confusion(spark, sf_dir):
     from iceberg_diag_spark.streaming import stream_ops
 
@@ -6183,6 +6257,8 @@ _DEFER_TO_R6: set[str] = {
     "langid_margin",
     "contamination_report",
     "stream_centroid_confusion",
+    "diag_manifest_stats",
+    "events_cdc_dedup",
 }
 
 

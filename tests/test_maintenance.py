@@ -114,3 +114,61 @@ def test_snapshot_retention_fixture(spark):
     assert r["reclaimable_bytes"] == 100
     assert r["retained_bytes"] == 500
     assert r["expired_months"] == 2
+
+
+def test_manifest_stats_fixture(spark):
+    rows = [
+        # spec 0, data manifests: one small, one large
+        (0, 0, 100_000, 10, 5, 1),
+        (0, 0, 900_000, 40, 20, 0),
+        # spec 0, delete manifest
+        (0, 1, 50_000, 3, 0, 2),
+    ]
+    m = spark.createDataFrame(
+        rows,
+        "partition_spec_id int, content int, length long, "
+        "added_data_files_count int, existing_data_files_count int, "
+        "deleted_data_files_count int",
+    )
+    from iceberg_diag_spark.operators import maintenance
+
+    out = {
+        (r.partition_spec_id, r.content): r.asDict()
+        for r in maintenance.manifest_stats(m).collect()
+    }
+    d = out[(0, 0)]
+    assert d["n_manifests"] == 2
+    assert d["total_manifest_bytes"] == 1_000_000
+    assert d["total_entries"] == 75
+    assert d["small_manifests"] == 1
+    assert d["entries_per_manifest"] == 37  # floor(75/2)
+    assert out[(0, 1)]["deleted_entries"] == 2
+
+
+def test_cdc_latest_rows_picks_newest(spark):
+    import datetime
+
+    t = datetime.datetime
+    rows = [
+        (1, t(2024, 1, 1), 7, "click", 1.0, ""),
+        (2, t(2024, 1, 2), 7, "click", 2.0, ""),   # newest for (7, click)
+        (3, t(2024, 1, 2), 7, "view", 5.0, ""),
+        (5, t(2024, 1, 3), 8, "click", 9.0, ""),
+        (4, t(2024, 1, 3), 8, "click", 8.0, ""),   # same ts: id 5 wins
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from iceberg_diag_spark.operators.events import cdc_latest_rows
+
+    out = {
+        (r.user_id, r.event_type): r
+        for r in cdc_latest_rows(ev).collect()
+    }
+    assert out[(7, "click")].last_event_id == 2
+    assert out[(7, "click")].n_versions == 2
+    assert out[(7, "view")].n_versions == 1
+    assert out[(8, "click")].last_event_id == 5  # id tie-break
+    assert out[(8, "click")].last_value_cents == 900
