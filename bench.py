@@ -131,6 +131,7 @@ HEADLINE = [
     "stream_centroid_confusion",
     "diag_manifest_stats",
     "events_cdc_dedup",
+    "media_dedup_exact",
 ]
 
 

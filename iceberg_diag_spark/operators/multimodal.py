@@ -234,3 +234,31 @@ def decode_features(media: DataFrame) -> DataFrame:
     return ensure_parallelism(media).mapInPandas(
         extract, "doc_id long, media_type string, feature array<double>"
     )
+
+
+def media_dedup_stats(media: DataFrame) -> DataFrame:
+    """Exact media deduplication audit by payload content hash: per
+    media type, the asset count, distinct-payload count, duplicate
+    count, and the bytes a dedup pass would reclaim (each duplicate
+    copy's payload size). The image/audio analog of text exact dedup
+    — byte-identical assets (re-crawled images, mirrored files)
+    collapse on sha256 of the raw binary, shuffling 32-byte hashes
+    and never the payloads themselves.
+
+    Output: (media_type, n_assets, distinct_assets, dup_assets,
+    reclaimable_bytes)."""
+    per_hash = media.groupBy(
+        "media_type", F.sha2(F.col("payload"), 256).alias("__h")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        # identical payloads have identical lengths; min is exact
+        F.min(F.col("meta.byte_len")).alias("bl"),
+    )
+    return per_hash.groupBy("media_type").agg(
+        F.sum("cnt").cast("long").alias("n_assets"),
+        F.count(F.lit(1)).cast("long").alias("distinct_assets"),
+        (F.sum("cnt") - F.count(F.lit(1))).cast("long").alias("dup_assets"),
+        F.sum((F.col("cnt") - 1) * F.col("bl"))
+        .cast("long")
+        .alias("reclaimable_bytes"),
+    )

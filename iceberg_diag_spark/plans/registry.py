@@ -6020,6 +6020,45 @@ FROM h2 JOIN tot ON h2.source = tot.source
 """
 
 
+def _media_dedup_exact(spark, sf_dir):
+    return multimodal.media_dedup_stats(_media(spark, sf_dir))
+
+
+# payload = UTF-8 bytes of text (the ASCII-corpus convention all
+# media oracles rely on), so sha256(text) in DuckDB hashes the exact
+# same bytes as Spark's sha2(payload).
+_MEDIA_DEDUP_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+         text
+  FROM documents
+),
+per_hash AS (
+  SELECT media_type, sha256(text) AS h,
+         count(*) AS cnt, min(length(text)) AS bl
+  FROM m GROUP BY media_type, sha256(text)
+)
+SELECT media_type,
+       CAST(sum(cnt) AS BIGINT) AS n_assets,
+       CAST(count(*) AS BIGINT) AS distinct_assets,
+       CAST(sum(cnt) - count(*) AS BIGINT) AS dup_assets,
+       CAST(sum((cnt - 1) * bl) AS BIGINT) AS reclaimable_bytes
+FROM per_hash
+GROUP BY media_type
+"""
+
+
+REGISTRY.update({
+    "media_dedup_exact": QuerySpec(
+        _media_dedup_exact, _MEDIA_DEDUP_SQL,
+        "exact media dedup audit by payload sha256 (32-byte hash "
+        "shuffle, payloads never move): per-type duplicate counts + "
+        "reclaimable bytes",
+    ),
+})
+
+
 def _diag_manifest_stats(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     manifests = o.select(
@@ -6259,6 +6298,7 @@ _DEFER_TO_R6: set[str] = {
     "stream_centroid_confusion",
     "diag_manifest_stats",
     "events_cdc_dedup",
+    "media_dedup_exact",
 }
 
 

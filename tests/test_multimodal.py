@@ -112,3 +112,27 @@ def test_features_feed_similarity_search(media):
     for qid, lst in per_q.items():
         assert [r[0] for r in sorted(lst)] == [1, 2, 3]
         assert all(-1.0 <= r[2] <= 1.0001 for r in lst)
+
+
+def test_media_dedup_stats_counts_byte_identical(spark):
+    from iceberg_diag_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [
+            (0, "same payload bytes"),   # image (0 % 3)
+            (3, "same payload bytes"),   # image — byte-identical dup
+            (6, "different payload"),    # image
+            (1, "audio payload"),        # audio
+        ],
+        "doc_id long, text string",
+    )
+    media = multimodal.with_media(docs)
+    out = {
+        r.media_type: r for r in multimodal.media_dedup_stats(media).collect()
+    }
+    img = out["image"]
+    assert img.n_assets == 3
+    assert img.distinct_assets == 2
+    assert img.dup_assets == 1
+    assert img.reclaimable_bytes == len("same payload bytes")
+    assert out["audio"].dup_assets == 0
