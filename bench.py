@@ -132,6 +132,7 @@ HEADLINE = [
     "diag_manifest_stats",
     "events_cdc_dedup",
     "media_dedup_exact",
+    "embedding_norm_outliers",
 ]
 
 

@@ -682,3 +682,53 @@ def semantic_dedup(
             .alias("n_kept"),
         )
     )
+
+
+def norm_outliers(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    sigmas: int = 3,
+) -> DataFrame:
+    """Per-label vector-norm outlier audit — the cheap data-poisoning
+    / corrupt-encoder check: a vector whose L2 norm sits more than
+    ``sigmas`` standard deviations from its label's mean norm is
+    flagged. Poisoned or truncated embedding batches show up here
+    before any clustering does.
+
+    Exactness trick: norms are floor-quantized to micro-units ONCE,
+    and the outlier test runs on integers via cross-multiplication —
+    (n·x − S)² > sigmas²·(n·S2 − S²) with S = Σx, S2 = Σx² — so no
+    mean, variance, or sqrt ever materializes as a float and the
+    flag is bit-identical on any engine. Two passes over a
+    16 B/vector relation (label aggregate broadcast back).
+    Output: (label, n_vecs, outliers, min_norm_milli, max_norm_milli).
+    """
+    # milli-units (not micro) keep every downstream product —
+    # (n·x)², S², n·S2 — inside int64 up to ~10^5 vectors per label;
+    # beyond that re-scale (the audit's resolution, 0.001 of a norm
+    # unit, is far finer than any real outlier threshold anyway)
+    nm = F.floor(l2_norm(F.col(vec_col)) * F.lit(1_000.0)).cast("long")
+    normed = embeddings.select(
+        F.col(label_col).alias("label"), nm.alias("x")
+    )
+    stats = normed.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.min("x").alias("min_norm_milli"),
+        F.max("x").alias("max_norm_milli"),
+    )
+    j = normed.join(stats, "label")
+    dev = F.col("n") * F.col("x") - F.col("s")
+    bound = F.lit(sigmas * sigmas) * (
+        F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    )
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.when(dev * dev > bound, 1).otherwise(0))
+        .cast("long")
+        .alias("outliers"),
+        F.min("min_norm_milli").cast("long").alias("min_norm_milli"),
+        F.max("max_norm_milli").cast("long").alias("max_norm_milli"),
+    )

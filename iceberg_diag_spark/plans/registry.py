@@ -6049,6 +6049,50 @@ GROUP BY media_type
 """
 
 
+def _norm_outliers(spark, sf_dir):
+    return similarity.norm_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+_NORM_OUTLIERS_SQL = """
+WITH ex AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, label,
+         CAST(FLOOR(sqrt(sum(val * val)) * 1000.0) AS BIGINT) AS x
+  FROM ex GROUP BY vec_id, label
+),
+stats AS (
+  SELECT label,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS s2,
+         CAST(min(x) AS BIGINT) AS mn,
+         CAST(max(x) AS BIGINT) AS mx
+  FROM norms GROUP BY label
+)
+SELECT norms.label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN (n * x - s) * (n * x - s) > 9 * (n * s2 - s * s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+       CAST(min(mn) AS BIGINT) AS min_norm_milli,
+       CAST(max(mx) AS BIGINT) AS max_norm_milli
+FROM norms JOIN stats ON norms.label = stats.label
+GROUP BY norms.label
+"""
+
+
+REGISTRY.update({
+    "embedding_norm_outliers": QuerySpec(
+        _norm_outliers, _NORM_OUTLIERS_SQL,
+        "per-label vector-norm outlier audit (poisoned/truncated "
+        "batch check): 3-sigma test run entirely in cross-multiplied "
+        "integers — no float mean/variance, bit-exact on any engine",
+    ),
+})
+
+
 REGISTRY.update({
     "media_dedup_exact": QuerySpec(
         _media_dedup_exact, _MEDIA_DEDUP_SQL,
@@ -6299,6 +6343,7 @@ _DEFER_TO_R6: set[str] = {
     "diag_manifest_stats",
     "events_cdc_dedup",
     "media_dedup_exact",
+    "embedding_norm_outliers",
 }
 
 

@@ -271,3 +271,33 @@ def test_stream_centroid_confusion_equals_batch(spark):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_norm_outliers_flags_poisoned_vector(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # 40 well-behaved unit-ish vectors
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(8)]
+        n = sum(x * x for x in v) ** 0.5
+        rows.append((i, [x / n for x in v], 0))
+    # one truncated (near-zero) vector — the poisoned batch member
+    rows.append((99, [0.001] * 8, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    (r,) = similarity.norm_outliers(emb).collect()
+    assert r.n_vecs == 41
+    assert r.outliers == 1
+    assert r.min_norm_milli < 100  # the poisoned vector's tiny norm
+
+
+def test_norm_outliers_uniform_corpus_flags_nothing(spark):
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0], 0) for i in range(10)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    (r,) = similarity.norm_outliers(emb).collect()
+    assert r.outliers == 0  # zero variance -> strict inequality never fires
