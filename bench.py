@@ -133,6 +133,7 @@ HEADLINE = [
     "events_cdc_dedup",
     "media_dedup_exact",
     "embedding_norm_outliers",
+    "doc_curriculum_shards",
 ]
 
 

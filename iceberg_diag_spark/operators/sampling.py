@@ -281,3 +281,77 @@ def weighted_hash_sample(
         .filter(hash_bucket(F.col(key_col), buckets) < thresh)
         .drop("__mw")
     )
+
+
+CURRICULUM_BANDS = (
+    ("high", 600_000),
+    ("mid", 300_000),
+)
+
+
+def curriculum_shards(
+    docs: DataFrame,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum training-shard manifest: band every document by its
+    quality-classifier score (high / mid / low — train easy-and-clean
+    first, noisy last, the standard data-curriculum recipe), assign
+    it a deterministic hash shard within the band, and emit the
+    per-(band, shard) manifest a training loader consumes: doc and
+    token counts plus each shard's share of its band in exact ppm.
+
+    Composition of existing exact pieces — the classifier's integer
+    z_micro (fixed-order arithmetic) for banding, md5-bucket hashing
+    for shard assignment — so the whole manifest is hash-stable
+    across engines and runs. No global sort: ordering is implied by
+    (band_rank, shard), aggregation is one #bands×#shards-bounded
+    hash-agg. Output: (band, band_rank, shard, n_docs, total_tokens,
+    band_share_ppm).
+    """
+    from iceberg_diag_spark.operators.textops import (
+        quality_classifier_score,
+        tokens,
+    )
+    from pyspark.sql.window import Window
+
+    scored = quality_classifier_score(docs, text_col, id_col).select(
+        id_col, "z_micro"
+    )
+    toks = docs.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("n_tokens")
+    )
+    band = F.when(
+        F.col("z_micro") >= CURRICULUM_BANDS[0][1],
+        F.lit(CURRICULUM_BANDS[0][0]),
+    ).when(
+        F.col("z_micro") >= CURRICULUM_BANDS[1][1],
+        F.lit(CURRICULUM_BANDS[1][0]),
+    ).otherwise(F.lit("low"))
+    band_rank = F.when(F.col("band") == "high", 0).when(
+        F.col("band") == "mid", 1
+    ).otherwise(2)
+    assigned = (
+        scored.join(toks, id_col)
+        .withColumn("band", band)
+        .withColumn("band_rank", band_rank.cast("int"))
+        .withColumn("shard", hash_bucket(F.col(id_col), n_shards))
+    )
+    g = assigned.groupBy("band", "band_rank", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    w = Window.partitionBy("band")
+    return g.select(
+        "band",
+        "band_rank",
+        F.col("shard").cast("long").alias("shard"),
+        "n_docs",
+        "total_tokens",
+        F.floor(
+            F.col("n_docs") * F.lit(1_000_000) / F.sum("n_docs").over(w)
+        )
+        .cast("long")
+        .alias("band_share_ppm"),
+    )

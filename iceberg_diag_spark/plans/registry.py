@@ -6049,6 +6049,75 @@ GROUP BY media_type
 """
 
 
+def _curriculum_shards(spark, sf_dir):
+    return sampling.curriculum_shards(_t(spark, sf_dir, "documents"))
+
+
+_CURRICULUM_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+         text
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) AS mtl,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS ttr,
+         CAST(len(list_intersect(toks,
+           ['the','and','of','to','a','in','is','that','it','for'])) AS DOUBLE)
+           / greatest(len(toks), 1) AS sw,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS alpha,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> array_to_string(toks[i : i + 2], ' '))
+         ELSE [] END AS tri,
+         len(toks) AS n_tokens
+  FROM f
+),
+z AS (
+  SELECT doc_id, n_tokens,
+         CAST(FLOOR((-2.3 + (-0.05) * mtl + 1.2 * ttr + 4.0 * sw + 2.5 * alpha
+         + (-3.0) * (CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
+                     / greatest(len(tri), 1))) * 1000000.0) AS BIGINT) AS z_micro
+  FROM feats
+),
+banded AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN z_micro >= 600000 THEN 'high'
+              WHEN z_micro >= 300000 THEN 'mid'
+              ELSE 'low' END AS band,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+  FROM z
+),
+g AS (
+  SELECT band,
+         CASE band WHEN 'high' THEN 0 WHEN 'mid' THEN 1 ELSE 2 END AS band_rank,
+         shard, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+  FROM banded GROUP BY band, shard
+)
+SELECT band,
+       CAST(band_rank AS INTEGER) AS band_rank,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(FLOOR(n_docs * 1000000.0 / sum(n_docs) OVER (PARTITION BY band))
+            AS BIGINT) AS band_share_ppm
+FROM g
+"""
+
+
+REGISTRY.update({
+    "doc_curriculum_shards": QuerySpec(
+        _curriculum_shards, _CURRICULUM_SQL,
+        "curriculum training-shard manifest: classifier quality bands "
+        "x deterministic hash shards with doc/token counts and exact "
+        "band shares — the training-loader input",
+    ),
+})
+
+
 def _norm_outliers(spark, sf_dir):
     return similarity.norm_outliers(_t(spark, sf_dir, "embeddings"))
 
@@ -6344,6 +6413,7 @@ _DEFER_TO_R6: set[str] = {
     "events_cdc_dedup",
     "media_dedup_exact",
     "embedding_norm_outliers",
+    "doc_curriculum_shards",
 }
 
 

@@ -301,3 +301,29 @@ def test_norm_outliers_uniform_corpus_flags_nothing(spark):
     )
     (r,) = similarity.norm_outliers(emb).collect()
     assert r.outliers == 0  # zero variance -> strict inequality never fires
+
+
+def test_curriculum_shards_manifest(spark):
+    from iceberg_diag_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [
+            (i, "the cat sat on the mat and it was a good day number %d" % i)
+            for i in range(20)
+        ]
+        + [(100 + i, "@@@ ### $$$ %%% ^^^ &&& *** ((( )))") for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = sampling.curriculum_shards(docs, n_shards=4).collect()
+    assert sum(r.n_docs for r in out) == 25
+    bands = {r.band for r in out}
+    assert "low" in bands  # the junk docs land in a lower band
+    # shares within each band sum to ~1e6 (floor loss < n_shards)
+    from collections import defaultdict
+
+    share = defaultdict(int)
+    for r in out:
+        share[r.band] += r.band_share_ppm
+        assert 0 <= r.shard < 4
+    for band, s in share.items():
+        assert 1_000_000 - 4 <= s <= 1_000_000, band
