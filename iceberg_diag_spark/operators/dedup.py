@@ -1087,3 +1087,92 @@ def snapshot_diff(
             F.sum("docs_new").cast("long").alias("docs_new"),
         )
     )
+
+
+def dedup_survivorship(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Per-source exact-dedup survivorship audit — the "what does
+    dedup buy us" report a curation run publishes: for each source,
+    how many documents survive global exact dedup (min-id keeper per
+    normalized content hash) and how many bytes the dropped copies
+    represent. Sources dominated by duplicated content show up as a
+    low keep rate; that drives crawl-frequency and storage decisions.
+
+    Scale shape: the text never shuffles — only its 32-byte content
+    hash does (one window shuffle on the uniform hash key, the
+    exact_dedup idiom), then a tiny per-source aggregate.
+    Output: (source, docs_total, docs_kept, bytes_total,
+    bytes_dropped, keep_ppm).
+    """
+    from pyspark.sql import Window
+
+    hashed = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.col(size_col).cast("long").alias("sz"),
+        F.sha2(normalized_text(F.col(text_col)), 256).alias("__ch"),
+    )
+    marked = hashed.withColumn(
+        "__keep", F.min(id_col).over(Window.partitionBy("__ch"))
+    )
+    kept = F.when(F.col(id_col) == F.col("__keep"), 1).otherwise(0)
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_total"),
+            F.sum(kept).cast("long").alias("docs_kept"),
+            F.sum("sz").cast("long").alias("bytes_total"),
+            F.sum(F.when(kept == 0, F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("bytes_dropped"),
+        )
+        .withColumn(
+            "keep_ppm",
+            F.floor(
+                F.lit(1_000_000.0) * F.col("docs_kept") / F.col("docs_total")
+            ).cast("long"),
+        )
+    )
+
+
+def jaccard_threshold_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup threshold calibration curve: bucket every LSH
+    candidate pair's exact n-gram Jaccard into deciles and report
+    pair counts per bucket. This is how the dedup threshold is
+    actually chosen in practice — run once, read the histogram, pick
+    the knee — and it reuses the full candidate chain (exact-collapse
+    → MinHash bands → exact verification) so the curve reflects the
+    production pipeline, not a sample.
+
+    Output is ≤11 tiny rows; every stage upstream is the existing
+    bounded-bucket LSH machinery.
+    Output: (bucket_ppm, n_pairs) where bucket_ppm is the decile
+    floor (0, 100000, ..., 1000000 for exact-dup star edges).
+    """
+    cands = minhash_candidate_pairs(docs, text_col=text_col, id_col=id_col)
+    pairs = ngram_jaccard_pairs(
+        docs, cands.select("doc_a", "doc_b"), text_col, id_col
+    )
+    # round to 6 places FIRST (the cross-engine-proven contract of the
+    # ngram_jaccard entry), then to integer micro — the +0.5 absorbs
+    # the representation error of the rounded double.
+    ppm = F.floor(
+        F.round(F.col("jaccard"), 6) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    bucket = (F.least(ppm, F.lit(999_999)) - F.least(ppm, F.lit(999_999)) % 100_000)
+    # exact-dup pairs (jaccard == 1.0) get their own terminal bucket
+    bucket = F.when(ppm >= 1_000_000, F.lit(1_000_000)).otherwise(bucket)
+    return (
+        pairs.select(bucket.alias("bucket_ppm"))
+        .groupBy("bucket_ppm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -82,3 +82,72 @@ def profile(df: DataFrame, kinds: dict[str, str]) -> DataFrame:
         "column_name", "n_rows", "n_nulls", "n_distinct", "min_repr",
         "max_repr",
     )
+
+
+def rfm_segments(orders: DataFrame, n_bins: int = 5) -> DataFrame:
+    """Customer RFM (recency / frequency / monetary) segmentation —
+    the standard customer-value grid, computed with EXACT equal-count
+    bins at any scale. Each customer is ranked on each dimension by
+    the distributed exact-rank primitive (`shuffling.global_rank` —
+    range-sharded windows + broadcast offsets, never a single-task
+    global sort), then binned with seg = 1 + floor(bins·(rank−1)/n).
+    Ties break on custkey, so the grid is bit-deterministic.
+
+    Segment semantics: r_seg 1 = most recent purchasers (ascending
+    recency_days), f_seg/m_seg `n_bins` = most frequent / highest
+    spend. Output is the ≤ bins³ grid: (r_seg, f_seg, m_seg,
+    n_customers, monetary_cents_total).
+
+    Money is floor-cents per order line before summing (the repo-wide
+    exact-integer money rule); recency is whole days against the
+    corpus max order date (a 1-row broadcast scalar).
+    """
+    from iceberg_diag_spark.operators.shuffling import global_rank
+
+    per = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("__maxd"))
+    n_row = per.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    base = (
+        per.crossJoin(F.broadcast(maxd))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("__maxd"), F.col("last_order")).cast("long"),
+        )
+        .drop("__maxd")
+    )
+    for dim, col in (
+        ("r", "recency_days"),
+        ("f", "frequency"),
+        ("m", "monetary_cents"),
+    ):
+        base = global_rank(base, col, "o_custkey", out_col=f"__{dim}_rank")
+    base = base.crossJoin(F.broadcast(n_row))
+    segs = [
+        (
+            F.lit(1)
+            + F.floor(
+                F.lit(float(n_bins))
+                * (F.col(f"__{d}_rank") - F.lit(1))
+                / F.col("__n")
+            )
+        )
+        .cast("long")
+        .alias(f"{d}_seg")
+        for d in ("r", "f", "m")
+    ]
+    return (
+        base.select(*segs, "monetary_cents")
+        .groupBy("r_seg", "f_seg", "m_seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary_cents").cast("long").alias(
+                "monetary_cents_total"
+            ),
+        )
+    )

@@ -56,3 +56,60 @@ def epoch_shuffle(
             ),
         )
     )
+
+
+def global_rank(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    out_col: str = "rank",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Exact global dense row rank by (value, id) WITHOUT a global
+    window — the distributed-ntile primitive. A bare
+    `row_number() OVER (ORDER BY v)` funnels the whole relation into
+    one task; instead:
+
+    1. estimate ~n_shards order-preserving range boundaries with an
+       approx-percentile sketch (a 1-row broadcast — accuracy only
+       affects load balance, never correctness),
+    2. assign each row its shard by counting boundaries below its
+       value (monotone in value ⇒ shard order == value order; value
+       ties land in the same shard, so the within-shard (value, id)
+       window completes the exact total order),
+    3. rank within shards with a partitioned window and add exact
+       broadcast cumulative shard-size offsets — the epoch_shuffle
+       idiom.
+
+    Output: input columns + `out_col` (1-based exact global rank).
+    """
+    probs = [i / n_shards for i in range(1, n_shards)]
+    edges = df.agg(
+        F.percentile_approx(value_col, probs, 10_000).alias("__edges")
+    )
+    base = df.crossJoin(F.broadcast(edges)).withColumn(
+        "__shard",
+        F.aggregate(
+            "__edges",
+            F.lit(0),
+            lambda acc, e: acc
+            + F.when(F.col(value_col) > e, 1).otherwise(0),
+        ),
+    ).drop("__edges")
+    w = Window.partitionBy("__shard").orderBy(value_col, id_col)
+    sizes = base.groupBy("__shard").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.select(
+        "__shard",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    return (
+        base.withColumn("__rank", F.row_number().over(w))
+        .join(F.broadcast(offsets), "__shard")
+        .withColumn(
+            out_col, (F.col("__offset") + F.col("__rank")).cast("long")
+        )
+        .drop("__shard", "__rank", "__offset")
+    )

@@ -835,3 +835,136 @@ def contamination_report(
             .alias("contaminated_ppm"),
         )
     )
+
+
+def vocab_oov_rate(
+    docs: DataFrame,
+    vocab_size: int = 1024,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary coverage audit: build the corpus top-`vocab_size`
+    token vocabulary (by total frequency, ties broken
+    lexicographically — fully deterministic), then measure each
+    source's out-of-vocabulary token rate. The signal a tokenizer /
+    vocab refresh decision needs: a source whose OOV rate is high is
+    poorly served by the current vocabulary.
+
+    Scale shape: token counts aggregate map-side (partial combine on
+    the token key), the vocab is a distributed top-k
+    (TakeOrderedAndProject — never a global sort of the token
+    relation), and the per-source pass streams through ONE broadcast
+    join against the ≤vocab_size-row vocab. Two token-keyed shuffles
+    total; text never shuffles.
+
+    Output: (source, n_tokens, oov_tokens, oov_ppm).
+    """
+    toks = ensure_parallelism(docs).select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    marked = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (F.count(F.lit(1)) - F.count("in_vocab"))
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+        .withColumn(
+            "oov_ppm",
+            F.floor(
+                F.lit(1_000_000.0) * F.col("oov_tokens") / F.col("n_tokens")
+            ).cast("long"),
+        )
+    )
+
+
+def readability_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document readability counting stats with a Flesch-style
+    score. Sentences = non-empty '[.!?]+' segments (minimum 1 so
+    punctuation-free text is one sentence); syllables = vowel-group
+    runs, the standard dictionary-free proxy. Score =
+    206.835 − 1.015·(words/sentence) − 84.6·(syllables/word),
+    emitted as floor-milli integer: every term is a ratio of exact
+    integer counts and IEEE multiply/divide/subtract are
+    bit-deterministic across engines (no libm), so the floor is
+    cross-engine exact.
+
+    Pure zero-shuffle projection — regexp counting inside
+    whole-stage codegen, linear in the scan.
+    Output: (doc_id, n_sents, n_words, n_syllables, flesch_milli).
+    """
+    text = F.lower(F.col(text_col))
+    sents = F.size(
+        F.filter(
+            F.split(text, r"[.!?]+"),
+            lambda s: F.trim(s) != F.lit(""),
+        )
+    )
+    n_sents = F.greatest(sents, F.lit(1))
+    words = F.size(tokens(F.col(text_col)))
+    n_words = F.greatest(words, F.lit(1))
+    syll = F.size(F.regexp_extract_all(text, F.lit("[aeiou]+"), 0))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6) * (syll.cast("double") / n_words.cast("double"))
+    )
+    return ensure_parallelism(docs).select(
+        F.col(id_col),
+        n_sents.cast("long").alias("n_sents"),
+        n_words.cast("long").alias("n_words"),
+        syll.cast("long").alias("n_syllables"),
+        F.floor(F.lit(1000.0) * score).cast("long").alias("flesch_milli"),
+    )
+
+
+def char_ngram_novelty(
+    docs: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character-n-gram novelty ratio — the cheap
+    compressibility proxy (a gzip-able, templated, or repetitive doc
+    has few distinct char n-grams relative to its length; natural
+    prose is near 1.0). Used as a quality filter alongside the
+    token-level repetition signals.
+
+    Row-local: the n-gram array is built with a codegen transform
+    over a sequence — no explode, no shuffle; output is 4 narrow
+    columns per doc.
+    Output: (doc_id, n_grams, distinct_grams, novelty_ppm).
+    """
+    text = F.lower(F.col(text_col))
+    n_grams = F.greatest(F.length(text) - F.lit(n - 1), F.lit(0))
+    grams = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.substring(text, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return ensure_parallelism(docs).select(
+        F.col(id_col),
+        n_grams.cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("distinct_grams"),
+        F.when(n_grams > 0,
+               F.floor(F.lit(1_000_000.0) * F.size(F.array_distinct(grams))
+                       / n_grams))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("novelty_ppm"),
+    )

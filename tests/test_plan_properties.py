@@ -218,6 +218,8 @@ _SCALAR_CROSS_OK = {
     "doc_weighted_sample",       # broadcast 1-row mean-weight scalar
     "diag_snapshot_retention",   # broadcast 1-row retention cutoff
     "doc_unigram_logprob",       # broadcast 1-row corpus token total
+    "customer_rfm_segments",     # broadcast 1-row max-date / count /
+                                 #   percentile-edge scalars (global_rank)
 }
 
 
@@ -261,6 +263,7 @@ _BOUNDED_COLLECT_OK = {
     "near_dup_rate_by_source",  # same LSH bucket relation as above
     "boilerplate_removal",  # per-doc sentence rebuild, bounded by doc len
     "doc_line_dedup",       # per-doc sentence rebuild, bounded by doc len
+    "jaccard_threshold_hist",  # same LSH candidate chain as jaccard
 }
 
 
