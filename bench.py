@@ -134,6 +134,10 @@ HEADLINE = [
     "media_dedup_exact",
     "embedding_norm_outliers",
     "doc_curriculum_shards",
+    # round 5d additions
+    "diag_clustering_advisor",
+    "embedding_dim_variance",
+    "event_transitions",
 ]
 
 

@@ -214,3 +214,42 @@ def cdc_latest_rows(
             F.col("__n").cast("long").alias("n_versions"),
         )
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each ordered (src → dst) event-type pair, how
+    often it occurs, how many distinct users make it, and its
+    conditional probability given src — the behavioral-model
+    companion to user_event_paths (which mines entry *prefixes*;
+    this captures the whole chain's local structure, e.g. "after
+    `click`, 62% of next events are `view`").
+
+    One lag window per user (shuffle on user_id, the uniform key),
+    one hash-aggregate on the (src, dst) pair, then the per-src
+    row totals ride a tiny window over the aggregated matrix —
+    |event_types|² rows, trivially one task. prob_ppm is an exact
+    integer: floor(1e6 · n_trans / src_total).
+
+    Output: (src, dst, n_trans, n_users, prob_ppm).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+    )
+    counts = trans.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    wsrc = Window.partitionBy("src")
+    return counts.withColumn(
+        "prob_ppm",
+        F.floor(
+            F.lit(1_000_000.0) * F.col("n_trans") / F.sum("n_trans").over(wsrc)
+        ).cast("long"),
+    )

@@ -254,3 +254,75 @@ def manifest_stats(
         "entries_per_manifest",
         F.floor(F.col("total_entries") / F.col("n_manifests")).cast("long"),
     )
+
+
+def clustering_advisor(file_stats: DataFrame) -> DataFrame:
+    """Sort/partition-column advisor: given per-file column bounds —
+    (col_name string, file_id long, lo long, hi long), the shape of
+    the Iceberg ``.files`` table's lower_bounds/upper_bounds maps —
+    score each candidate column by how well file min/max ranges
+    separate, i.e. how much data-skipping a query filtering on that
+    column would get TODAY. The column with the fewest overlapping
+    file pairs is the one a sort-order rewrite should target (the
+    complement of zorder_layout, which plans the rewrite itself;
+    this ranks which column needs it).
+
+    Per column, exact interval statistics via a single endpoint
+    sweep (no pairwise join — O(n log n), not O(n^2)):
+      overlap_pairs  = #{(i, j) : [lo_i, hi_i] ∩ [lo_j, hi_j] ≠ ∅}
+      max_depth      = max #files any single point value can hit
+    computed from one window pass: emit (lo, start) and (hi, end)
+    events, order by (value, start-before-end, file_id); at each
+    start, depth = starts_before − ends_strictly_before, each such
+    in-flight interval is one overlapping pair. Closed-interval
+    semantics: a file ending AT v still overlaps one starting at v,
+    so starts sort before ends at equal value.
+
+    Scale: the window partitions by col_name — each candidate
+    column's 2·n_files endpoint rows sort in one task. This is
+    metadata-scale input (millions of files ⇒ tens of MB per
+    column), the same contract as manifest_stats; the row data
+    itself is never touched.
+
+    Output: one row per candidate column —
+    (col_name, n_files, overlap_pairs, max_depth, avg_depth_ppm),
+    where avg_depth_ppm is the mean point-query file count over file
+    start points, in parts-per-million of n_files (a scale-free
+    skip-ratio score: 1_000_000 means every file overlaps every
+    point — no skipping; ~0 means perfect separation).
+    """
+    from pyspark.sql.window import Window
+
+    starts = file_stats.select(
+        "col_name", F.col("lo").alias("value"), F.lit(0).alias("typ"), "file_id"
+    )
+    ends = file_stats.select(
+        "col_name", F.col("hi").alias("value"), F.lit(1).alias("typ"), "file_id"
+    )
+    w = (
+        Window.partitionBy("col_name")
+        .orderBy("value", "typ", "file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = (
+        starts.unionByName(ends)
+        .withColumn("ends_lt", F.coalesce(F.sum("typ").over(w), F.lit(0)))
+        .withColumn(
+            "prev_starts",
+            F.coalesce(F.sum(F.lit(1) - F.col("typ")).over(w), F.lit(0)),
+        )
+        .filter(F.col("typ") == 0)
+        .withColumn("depth", F.col("prev_starts") - F.col("ends_lt"))
+    )
+    return swept.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("depth").cast("long").alias("overlap_pairs"),
+        (F.max("depth") + F.lit(1)).cast("long").alias("max_depth"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.sum(F.col("depth") + F.lit(1))
+            / (F.count(F.lit(1)) * F.count(F.lit(1)))
+        )
+        .cast("long")
+        .alias("avg_depth_ppm"),
+    )

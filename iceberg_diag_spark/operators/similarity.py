@@ -732,3 +732,56 @@ def norm_outliers(
         F.min("min_norm_milli").cast("long").alias("min_norm_milli"),
         F.max("max_norm_milli").cast("long").alias("max_norm_milli"),
     )
+
+
+def dim_variance_audit(emb: DataFrame, scale_bits: int = 10) -> DataFrame:
+    """Per-dimension embedding statistics — the anisotropy / dead-
+    dimension audit. A trained embedding whose variance concentrates
+    in a few coordinates (or whose tail coordinates are constant) is
+    collapsing; quantizers (embedding_quantize_int8) and ANN
+    bucketing both degrade on such geometry, so this table is the
+    go/no-go check before either.
+
+    Integer-exact across engines: each value is first floored to a
+    fixed grid q = floor(val · 2^scale_bits) (float→double widening
+    is exact, floor is deterministic), then only integer sums leave
+    the per-dimension aggregate: n, Σq, Σq². Variance numerator
+    n·Σq² − (Σq)² is an exact BIGINT (no cancellation, no summation-
+    order ulp — the nearest_centroid_confusion lesson applied one
+    step earlier), and the published columns divide it back down with
+    a single correctly-rounded double division, identical on any
+    IEEE-754 engine.
+
+    One posexplode + one hash-aggregate on the dimension index —
+    D output rows, embarrassingly parallel, no window, no Python.
+
+    Output: (pos, n_vecs, mean_q_ppm, var_q) where q-units are
+    1/2^scale_bits of the raw value; mean_q_ppm = floor(1e6·Σq/n),
+    var_q = floor((n·Σq² − (Σq)²)/n²) — 0 ⇒ dead dimension.
+    """
+    ex = emb.select(
+        F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "pos",
+        F.floor(F.col("val").cast("double") * F.lit(float(2 ** scale_bits)))
+        .cast("long")
+        .alias("q"),
+    )
+    g = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("ss"),
+    )
+    return g.select(
+        F.col("pos").cast("int").alias("pos"),
+        "n_vecs",
+        F.floor(F.lit(1_000_000.0) * F.col("s") / F.col("n_vecs"))
+        .cast("long")
+        .alias("mean_q_ppm"),
+        F.floor(
+            (F.col("n_vecs") * F.col("ss") - F.col("s") * F.col("s"))
+            / (F.col("n_vecs") * F.col("n_vecs"))
+        )
+        .cast("long")
+        .alias("var_q"),
+    )

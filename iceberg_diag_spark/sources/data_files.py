@@ -87,3 +87,52 @@ def files_from_lineitem(lineitem: DataFrame) -> DataFrame:
         (F.col("l_extendedprice") * 1000).cast("long").alias("file_size_in_bytes"),
         (F.col("l_linenumber") % 3).cast("int").alias("content"),
     )
+
+
+def file_column_stats_from_lineitem(
+    lineitem: DataFrame, rows_per_file: int = 32
+) -> DataFrame:
+    """Deterministic lineitem → per-file column-bounds projection
+    (oracle proxy for the Iceberg ``.files`` table's readable_metrics
+    / lower_bounds / upper_bounds maps): rows are grouped into
+    synthetic files in l_orderkey arrival order (how an append-only
+    writer actually lays them down), and each file reports [min, max]
+    for four candidate clustering columns.
+
+    Output: (col_name string, file_id long, lo long, hi long) — the
+    clustering_advisor input shape. On a real deployment this
+    relation is one projection of ``spark.table("cat.db.tbl.files")``
+    per tracked column.
+
+    One hash-aggregate on file_id, then a zero-shuffle stack()
+    unpivot — 4 rows per file, metadata scale.
+    """
+    li = ensure_parallelism(lineitem)
+    per_file = li.select(
+        F.floor(F.col("l_orderkey") / F.lit(rows_per_file))
+        .cast("long")
+        .alias("file_id"),
+        F.col("l_partkey").cast("long").alias("pk"),
+        F.col("l_suppkey").cast("long").alias("sk"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("sd"),
+    ).groupBy("file_id").agg(
+        F.min("pk").alias("pk_lo"), F.max("pk").alias("pk_hi"),
+        F.min("sk").alias("sk_lo"), F.max("sk").alias("sk_hi"),
+        F.min("pc").alias("pc_lo"), F.max("pc").alias("pc_hi"),
+        F.min("sd").alias("sd_lo"), F.max("sd").alias("sd_hi"),
+    )
+    return per_file.select(
+        "file_id",
+        F.expr(
+            "stack(4, "
+            "'l_partkey', pk_lo, pk_hi, "
+            "'l_suppkey', sk_lo, sk_hi, "
+            "'price_cents', pc_lo, pc_hi, "
+            "'ship_day', sd_lo, sd_hi) AS (col_name, lo, hi)"
+        ),
+    ).select("col_name", "file_id", "lo", "hi")
