@@ -253,3 +253,91 @@ def event_transitions(events: DataFrame) -> DataFrame:
             F.lit(1_000_000.0) * F.col("n_trans") / F.sum("n_trans").over(wsrc)
         ).cast("long"),
     )
+
+
+def disorder_audit(
+    events: DataFrame,
+    late_threshold_us: int = 60_000_000,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Watermark calibration audit: how out-of-order does the stream
+    actually arrive? For each event (in arrival order = event_id),
+    lateness is how far its event-time sits behind the maximum
+    event-time already seen — exactly the quantity a streaming
+    watermark must cover; withWatermark(X) drops every event whose
+    lateness exceeds X, so this table (max and threshold-exceeding
+    lateness per event type) IS the evidence for choosing X.
+
+    A running max over global arrival order is inherently sequential,
+    but distributes with the range-shard + broadcast-prefix idiom
+    (the epoch_shuffle/global_rank primitive): shard by event_id
+    ranges (approx-percentile boundaries — accuracy only affects
+    balance), compute the within-shard running max with a partitioned
+    window, then lift each row by the broadcast prefix-max of all
+    PRIOR shards (n_shards scalars). No global window, no single-task
+    sort.
+
+    Output: (event_type, n_events, n_late, max_lateness_us,
+    total_lateness_us) where n_late counts events arriving more than
+    `late_threshold_us` behind the running event-time frontier.
+    """
+    ts_us = F.unix_micros(F.col("ts"))
+    base = events.select(
+        F.col("event_id"), F.col("event_type"), ts_us.alias("ts_us")
+    )
+    probs = [i / n_shards for i in range(1, n_shards)]
+    edges = base.agg(
+        F.percentile_approx("event_id", probs, 10_000).alias("__edges")
+    )
+    sharded = (
+        base.crossJoin(F.broadcast(edges))
+        .withColumn(
+            "__shard",
+            F.aggregate(
+                "__edges",
+                F.lit(0),
+                lambda acc, e: acc
+                + F.when(F.col("event_id") > e, 1).otherwise(0),
+            ),
+        )
+        .drop("__edges")
+    )
+    w_run = (
+        Window.partitionBy("__shard")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_max = sharded.groupBy("__shard").agg(F.max("ts_us").alias("__mx"))
+    w_prefix = Window.orderBy("__shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = shard_max.select(
+        "__shard", F.max("__mx").over(w_prefix).alias("__prior_max")
+    )
+    late = (
+        sharded.withColumn("__in_shard_max", F.max("ts_us").over(w_run))
+        .join(F.broadcast(prefix), "__shard")
+        # greatest() skips NULLs: first-in-shard rows fall back to the
+        # prior-shard max, shard 0's first row stays NULL (lateness 0).
+        .withColumn(
+            "__frontier",
+            F.greatest(F.col("__in_shard_max"), F.col("__prior_max")),
+        )
+        .withColumn(
+            "lateness_us",
+            F.greatest(
+                F.coalesce(F.col("__frontier") - F.col("ts_us"), F.lit(0)),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("lateness_us") > late_threshold_us, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_late"),
+        F.max("lateness_us").cast("long").alias("max_lateness_us"),
+        F.sum("lateness_us").cast("long").alias("total_lateness_us"),
+    )

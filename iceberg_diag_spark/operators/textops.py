@@ -968,3 +968,123 @@ def char_ngram_novelty(
         .cast("long")
         .alias("novelty_ppm"),
     )
+
+
+# A "token" that real tokenization can never produce (tokens are
+# whitespace-split, so none contains a space): the residual bucket
+# symbol for out-of-top-K mass in source_tv_distance.
+TV_RESIDUAL_TOKEN = " __other__ "
+
+
+def source_tv_distance(
+    docs: DataFrame,
+    vocab_size: int = 1024,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise total-variation distance between per-source unigram
+    distributions — the domain-shift audit behind mixture decisions:
+    two sources at tv_ppm ≈ 0 are interchangeable for sampling
+    weights, while a source far from every other one is the
+    distribution the mixture must explicitly budget for. TV is used
+    instead of KL precisely because it needs NO logarithm: with
+    distributions reduced to integer counts it is exactly computable
+    on any engine (KL's libm log1p would break oracle parity).
+
+    The distribution support is the corpus top-`vocab_size` token
+    vocabulary (distributed top-k, TakeOrderedAndProject) plus ONE
+    residual bucket holding each source's out-of-vocab mass, so the
+    per-source vectors are true probability distributions (mass sums
+    to 1) of bounded dimension K+1 — the same truncation a tokenizer
+    vocab applies, and what bounds the pair matrix at scale.
+
+    Exactness: TV(p,q) = Σ|p_i − q_i|/2 is evaluated over common
+    denominators — Σ|c_a·tot_b − c_b·tot_a| is an exact BIGINT (no
+    per-term float division), and a single correctly-rounded double
+    division at the end produces tv_ppm identically on both engines.
+    (The common-denominator products stay inside BIGINT up to ~3e9
+    tokens per source; past that, pre-scale counts to a coarser
+    integer grid — the structure is unchanged.)
+
+    Scale shape: token counts aggregate map-side; the (vocab ×
+    sources) alignment spine is K·S rows (both factors bounded by
+    construction — K by the limit, S by the source taxonomy), so the
+    crossJoin is metadata-scale, never data-scale; the pair join is
+    on the token key over the K·S grid. Text never shuffles.
+
+    Output: (source_a, source_b, n_tokens_a, n_tokens_b, tv_ppm),
+    one row per unordered source pair (a < b).
+    """
+    toks = ensure_parallelism(docs).select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    vocab = (
+        counts.groupBy("tok")
+        .agg(F.sum("c").alias("gc"))
+        .orderBy(F.desc("gc"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok")
+    )
+    counts_k = counts.join(F.broadcast(vocab), "tok")
+    k_mass = counts_k.groupBy("source").agg(F.sum("c").alias("k_mass"))
+    resid = (
+        totals.join(k_mass, "source", "left")
+        .select(
+            "source",
+            F.lit(TV_RESIDUAL_TOKEN).alias("tok"),
+            (F.col("tot") - F.coalesce(F.col("k_mass"), F.lit(0)))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    spine = vocab.crossJoin(totals.select("source"))
+    grid = (
+        spine.join(counts_k, ["tok", "source"], "left")
+        .select("tok", "source", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .unionByName(resid)
+    )
+    a = grid.select(
+        "tok", F.col("source").alias("source_a"), F.col("c").alias("c_a")
+    )
+    b = grid.select(
+        "tok", F.col("source").alias("source_b"), F.col("c").alias("c_b")
+    )
+    paired = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(
+            F.broadcast(totals.select(F.col("source").alias("source_a"), F.col("tot").alias("tot_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("source").alias("source_b"), F.col("tot").alias("tot_b"))),
+            "source_b",
+        )
+    )
+    return (
+        paired.groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.abs(F.col("c_a") * F.col("tot_b") - F.col("c_b") * F.col("tot_a"))
+            ).alias("num"),
+            F.max("tot_a").alias("tot_a"),
+            F.max("tot_b").alias("tot_b"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("tot_a").cast("long").alias("n_tokens_a"),
+            F.col("tot_b").cast("long").alias("n_tokens_b"),
+            F.floor(
+                F.lit(1_000_000.0)
+                * (F.col("num") / (F.lit(2) * F.col("tot_a") * F.col("tot_b")))
+            )
+            .cast("long")
+            .alias("tv_ppm"),
+        )
+    )

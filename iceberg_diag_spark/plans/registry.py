@@ -6622,7 +6622,103 @@ FROM counts
 """
 
 
+def _source_vocab_tv(spark, sf_dir):
+    return textops.source_tv_distance(_t(spark, sf_dir, "documents"))
+
+
+_SOURCE_TV_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+),
+totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM counts GROUP BY source),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, sum(c) AS gc FROM counts GROUP BY tok
+    ORDER BY gc DESC, tok ASC LIMIT 1024
+  )
+),
+counts_k AS (SELECT counts.* FROM counts JOIN vocab USING (tok)),
+k_mass AS (SELECT source, sum(c) AS k_mass FROM counts_k GROUP BY source),
+resid AS (
+  SELECT totals.source, ' __other__ ' AS tok,
+         CAST(tot - COALESCE(k_mass, 0) AS BIGINT) AS c
+  FROM totals LEFT JOIN k_mass ON totals.source = k_mass.source
+),
+spine AS (SELECT tok, source FROM vocab CROSS JOIN (SELECT source FROM totals)),
+grid AS (
+  SELECT spine.tok, spine.source, COALESCE(counts_k.c, 0) AS c
+  FROM spine LEFT JOIN counts_k
+    ON spine.tok = counts_k.tok AND spine.source = counts_k.source
+  UNION ALL
+  SELECT tok, source, c FROM resid
+),
+paired AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.c AS c_a, b.c AS c_b,
+         ta.tot AS tot_a, tb.tot AS tot_b
+  FROM grid a JOIN grid b ON a.tok = b.tok AND a.source < b.source
+  JOIN totals ta ON ta.source = a.source
+  JOIN totals tb ON tb.source = b.source
+)
+SELECT source_a, source_b,
+       CAST(max(tot_a) AS BIGINT) AS n_tokens_a,
+       CAST(max(tot_b) AS BIGINT) AS n_tokens_b,
+       CAST(floor(1000000.0 * (sum(abs(c_a * tot_b - c_b * tot_a))
+                               / (2 * max(tot_a) * max(tot_b)))) AS BIGINT)
+         AS tv_ppm
+FROM paired
+GROUP BY source_a, source_b
+"""
+
+
+def _events_disorder_audit(spark, sf_dir):
+    return events.disorder_audit(_t(spark, sf_dir, "events"))
+
+
+_EVENTS_DISORDER_SQL = """
+WITH o AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         max(epoch_us(ts)) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS frontier
+  FROM events
+),
+l AS (
+  SELECT event_type,
+         CASE WHEN frontier IS NULL OR frontier < ts_us THEN 0
+              ELSE frontier - ts_us END AS lateness_us
+  FROM o
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN lateness_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(max(lateness_us) AS BIGINT) AS max_lateness_us,
+       CAST(sum(lateness_us) AS BIGINT) AS total_lateness_us
+FROM l
+GROUP BY event_type
+"""
+
+
 REGISTRY.update({
+    "source_vocab_tv": QuerySpec(
+        _source_vocab_tv, _SOURCE_TV_SQL,
+        "pairwise total-variation distance between per-source unigram "
+        "distributions over the top-1024 vocabulary + residual bucket "
+        "— exact common-denominator BIGINT arithmetic, no logarithm "
+        "(the domain-shift audit behind mixture weighting)",
+    ),
+    "events_disorder_audit": QuerySpec(
+        _events_disorder_audit, _EVENTS_DISORDER_SQL,
+        "watermark calibration: per-type arrival-order lateness vs "
+        "the running event-time frontier, distributed running max "
+        "via range shards + broadcast prefix maxes (no global window)",
+    ),
     "diag_clustering_advisor": QuerySpec(
         _diag_clustering_advisor, _DIAG_CLUSTERING_SQL,
         "sort-column advisor: exact overlapping-file-pair and point-"
@@ -6772,6 +6868,8 @@ _DEFER_TO_R6: set[str] = {
     "diag_clustering_advisor",
     "embedding_dim_variance",
     "event_transitions",
+    "source_vocab_tv",
+    "events_disorder_audit",
 }
 
 

@@ -220,6 +220,11 @@ _SCALAR_CROSS_OK = {
     "doc_unigram_logprob",       # broadcast 1-row corpus token total
     "customer_rfm_segments",     # broadcast 1-row max-date / count /
                                  #   percentile-edge scalars (global_rank)
+    "source_vocab_tv",           # vocab(≤1024) × sources(≤|taxonomy|)
+                                 #   alignment spine — both bounded by
+                                 #   construction, metadata scale
+    "events_disorder_audit",     # broadcast 1-row shard-edge scalar
+                                 #   (the global_rank idiom)
 }
 
 

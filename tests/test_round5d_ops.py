@@ -116,3 +116,104 @@ def test_event_transitions_prob_sums_to_one(spark):
     # floor-rounding loses < k ppm per src row.
     for r in sums:
         assert 1_000_000 - r["k"] < r["p"] <= 1_000_000
+
+
+def test_source_tv_distance_known_value(spark):
+    from iceberg_diag_spark.operators.textops import source_tv_distance
+
+    docs = spark.createDataFrame(
+        [(1, "x x y", "A"), (2, "x y y z", "B")],
+        "doc_id long, text string, source string",
+    )
+    # p_A = (x:2/3, y:1/3, z:0), p_B = (x:1/4, y:2/4, z:1/4):
+    # TV = (|2·4−1·3| + |1·4−2·3| + |0·4−1·3|) / (2·3·4) = 10/24.
+    row = source_tv_distance(docs, vocab_size=16).collect()[0]
+    assert (row["source_a"], row["source_b"]) == ("A", "B")
+    assert row["n_tokens_a"] == 3 and row["n_tokens_b"] == 4
+    assert row["tv_ppm"] == 416_666
+    # Truncating the vocab folds y and z into the residual bucket:
+    # A = (x:2, other:1), B = (x:1, other:3) → (5 + 5)/24 — same here.
+    row1 = source_tv_distance(docs, vocab_size=1).collect()[0]
+    assert row1["tv_ppm"] == 416_666
+
+
+def test_source_tv_distance_identical_sources_zero(spark):
+    from iceberg_diag_spark.operators.textops import source_tv_distance
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "A"), (2, "a b c", "B")],
+        "doc_id long, text string, source string",
+    )
+    assert source_tv_distance(docs).collect()[0]["tv_ppm"] == 0
+
+
+def test_disorder_audit_known_lateness(spark):
+    import datetime
+
+    from iceberg_diag_spark.operators.events import disorder_audit
+
+    t0 = datetime.datetime(2025, 1, 1)
+    sec = datetime.timedelta(seconds=1)
+    # arrival order (event_id) vs event time (seconds):
+    #   1→100, 2→50 (50 s late), 3→200, 4→190 (10 s late)
+    rows = [(1, t0 + 100 * sec, 1, "a", 0.0, "{}"),
+            (2, t0 + 50 * sec, 1, "a", 0.0, "{}"),
+            (3, t0 + 200 * sec, 2, "a", 0.0, "{}"),
+            (4, t0 + 190 * sec, 2, "a", 0.0, "{}")]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = disorder_audit(events, late_threshold_us=20_000_000, n_shards=2)
+    r = out.collect()[0]
+    assert r["n_events"] == 4
+    assert r["n_late"] == 1
+    assert r["max_lateness_us"] == 50_000_000
+    assert r["total_lateness_us"] == 60_000_000
+
+
+def test_disorder_audit_matches_sequential_fold(spark):
+    """Cross-check the sharded running-max against a plain Python
+    fold over arrival order (many shards → prefix propagation is
+    actually exercised)."""
+    import datetime
+
+    from iceberg_diag_spark.operators.events import disorder_audit
+
+    t0 = datetime.datetime(2025, 1, 1)
+    sec = datetime.timedelta(seconds=1)
+    # deterministic pseudo-random event times
+    times = [(i * 2654435761) % 1000 for i in range(200)]
+    rows = [
+        (i + 1, t0 + times[i] * sec, i % 7, "t" + str(i % 3), 0.0, "{}")
+        for i in range(200)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["event_type"]: r
+        for r in disorder_audit(
+            events, late_threshold_us=100_000_000, n_shards=16
+        ).collect()
+    }
+    # sequential reference
+    frontier = None
+    agg = {}
+    for i in range(200):
+        ts_us = times[i] * 1_000_000
+        late = max(0, (frontier - ts_us)) if frontier is not None else 0
+        frontier = ts_us if frontier is None else max(frontier, ts_us)
+        typ = "t" + str(i % 3)
+        a = agg.setdefault(typ, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += 1 if late > 100_000_000 else 0
+        a[2] = max(a[2], late)
+        a[3] += late
+    for typ, (n, nl, mx, tot) in agg.items():
+        r = got[typ]
+        assert (r["n_events"], r["n_late"], r["max_lateness_us"],
+                r["total_lateness_us"]) == (n, nl, mx, tot)
