@@ -92,20 +92,15 @@ def collapse_exact_duplicates(
     both consumers (the representative semi-join and the star-edge
     projection) read the materialized partitions, so the text scan +
     sha256 + window pass runs ONCE even though Catalyst shares no
-    subtree between them."""
-    from pyspark.sql import Window
+    subtree between them.
 
-    hashed = ensure_parallelism(docs).select(
-        F.col(id_col),
-        F.sha2(normalized_text(F.col(text_col)), 256).alias("__ch"),
-    )
-    marked = (
-        hashed.withColumn(
-            "__keep", F.min(id_col).over(Window.partitionBy("__ch"))
-        )
-        .select(id_col, "__keep")
-        .localCheckpoint()
-    )
+    NOTE the semi join here shuffles the full doc rows (text
+    included) by id — acceptable when the caller genuinely needs
+    representative TEXT downstream. The near-dup entry points do
+    not: they consume only narrow derived relations (fingerprints /
+    signatures), so they use content_rep_marks directly and filter
+    those relations instead — text never leaves the scan."""
+    marked = content_rep_marks(docs, text_col, id_col)
     reps = docs.join(
         marked.filter(F.col(id_col) == F.col("__keep")).select(id_col),
         id_col,
@@ -115,6 +110,27 @@ def collapse_exact_duplicates(
         F.col("__keep").alias("doc_a"), F.col(id_col).alias("doc_b")
     )
     return reps, star
+
+
+def content_rep_marks(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The narrow exact-duplicate mark relation: (id_col, __ch,
+    __keep) — each doc's normalized content hash and the minimum id
+    sharing that hash (its exact-dup representative; __keep == id
+    for survivors). One projection (text → 32-byte hash, zero text
+    movement) + one window shuffle on the uniform hash key, then
+    localCheckpointed (~48 B/doc) because every consumer reads it at
+    least twice (rep filter + star edges)."""
+    from pyspark.sql import Window
+
+    hashed = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.sha2(normalized_text(F.col(text_col)), 256).alias("__ch"),
+    )
+    return hashed.withColumn(
+        "__keep", F.min(id_col).over(Window.partitionBy("__ch"))
+    ).localCheckpoint()
 
 
 def word_ngrams(col: Column, n: int = 3) -> Column:
@@ -281,24 +297,40 @@ def minhash_candidate_pairs(
     is linear in true near-dups.
 
     With collapse_exact (default), byte-identical documents are
-    collapsed to their min-id representative BEFORE signature
-    generation (see collapse_exact_duplicates) — the pathology where
-    millions of exact copies share one bucket in every band can't
-    occur, signatures are computed once per distinct content, and
-    each exact-dup group surfaces as (rep, member) star pairs with
-    n_shared_bands = `bands` (an exact copy trivially shares every
-    band). Pairs between a collapsed member and its rep's near-dups
-    are reachable transitively through the rep — the contract
-    connected-components consumers rely on. Set collapse_exact=False
-    only when the input is already exact-deduped (corpus_curation
-    does its own collapse upstream).
+    collapsed to their min-id representative BEFORE banding — the
+    pathology where millions of exact copies share one bucket in
+    every band can't occur; each exact-dup group surfaces as (rep,
+    member) star pairs with n_shared_bands = `bands` (an exact copy
+    trivially shares every band). Pairs between a collapsed member
+    and its rep's near-dups are reachable transitively through the
+    rep — the contract connected-components consumers rely on.
+
+    Collapse mechanics (100 TB shape): the mark relation is narrow
+    (content_rep_marks, ~48 B/doc) and the collapse filters the
+    derived BAND-KEY relation via a semi join on the uniform id key
+    — full doc rows (text) never shuffle. Signatures are still
+    computed per input doc (linear map-side work on duplicate
+    copies; duplicate signatures merge in the banding aggregate),
+    which trades bounded extra CPU for never moving the corpus —
+    the right side of the trade once text is TB-scale. Set
+    collapse_exact=False only when the input is already
+    exact-deduped (corpus_curation does its own collapse upstream).
     """
     star = None
+    keep_ids = None
     if collapse_exact:
-        docs, star = collapse_exact_duplicates(docs, text_col, id_col)
+        marked = content_rep_marks(docs, text_col, id_col)
+        star = marked.filter(F.col(id_col) != F.col("__keep")).select(
+            F.col("__keep").alias("doc_a"), F.col(id_col).alias("doc_b")
+        )
+        keep_ids = marked.filter(
+            F.col(id_col) == F.col("__keep")
+        ).select(id_col)
     band_keys = minhash_band_keys(
         docs, text_col, id_col, num_hashes, bands, ngram
     )
+    if keep_ids is not None:
+        band_keys = band_keys.join(keep_ids, id_col, "semi")
     buckets = (
         band_keys.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -663,11 +695,22 @@ def simhash64(
         F.col(id_col),
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
     )
-    # Collapse repeated tokens to (doc, tok, count) first: repeated
+    return _simhash_from_tokens(toks, id_col)
+
+
+def _simhash_from_tokens(toks: DataFrame, key_col: str) -> DataFrame:
+    """SimHash vote pipeline over (key, tok) rows, grouped by an
+    arbitrary key — `key_col` is the doc id for the public
+    simhash64, or the normalized content hash for the near-dup path
+    (identical docs then merge in the map-side combine, and the
+    uniform k× scaling of every vote count leaves the sign bits —
+    2·cnt_b > n_toks — unchanged). Output: (key_col, simhash)."""
+    # Collapse repeated tokens to (key, tok, count) first: repeated
     # tokens vote repeatedly (tf weighting), so weighting each
     # distinct token's vote by its count is identical — and both the
     # md5 and the 64 vote sums then run on the distinct-token
     # relation (~2-3× fewer rows on natural text).
+    id_col = key_col
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
     md5 = F.md5(F.col("tok"))
     halves = tf.select(
@@ -753,16 +796,23 @@ def simhash_near_dup(
     Output: (doc_a, doc_b, hamming).
 
     With collapse_exact (default), exact duplicates are collapsed to
-    their min-id representative before fingerprinting — identical
-    docs have identical fingerprints, so an exact-dup-heavy corpus
-    would otherwise pile every copy onto the same band key in every
-    band (the n²-bucket pathology banding cannot mitigate). Each
-    collapsed group instead surfaces as (rep, member) star pairs with
+    their min-id representative before banding — identical docs have
+    identical fingerprints, so an exact-dup-heavy corpus would
+    otherwise pile every copy onto the same band key in every band
+    (the n²-bucket pathology banding cannot mitigate). Each collapsed
+    group instead surfaces as (rep, member) star pairs with
     hamming = 0; member↔near-dup relations are transitive via the
-    rep (see collapse_exact_duplicates)."""
+    rep.
+
+    Collapse mechanics (100 TB shape): fingerprints are computed per
+    input doc (linear map-side work on duplicate copies — measured
+    cheaper than carrying a wide content-hash key through the hot
+    token explode), then the narrow (id, simhash) relation is
+    filtered by the survivors of the mark relation
+    (content_rep_marks, ~48 B/doc) via a semi join on the uniform id
+    key. Full doc rows (text) never shuffle; no doc semi-join
+    exists at all."""
     star = None
-    if collapse_exact:
-        docs, star = collapse_exact_duplicates(docs, text_col, id_col)
     n_bands, d = _band_plan(max_hamming)
     width = 64 // n_bands
 
@@ -774,7 +824,17 @@ def simhash_near_dup(
     # tiny (id, simhash) relation (16 bytes/doc — ~2.4 GB cluster-wide
     # at 100M docs) and truncates the lineage so each side reads the
     # materialized partitions.
-    sh = simhash64(docs, text_col, id_col).localCheckpoint()
+    sh = simhash64(docs, text_col, id_col)
+    if collapse_exact:
+        marked = content_rep_marks(docs, text_col, id_col)
+        star = marked.filter(F.col(id_col) != F.col("__keep")).select(
+            F.col("__keep").alias("doc_a"), F.col(id_col).alias("doc_b")
+        )
+        keep_ids = marked.filter(
+            F.col(id_col) == F.col("__keep")
+        ).select(id_col)
+        sh = sh.join(keep_ids, id_col, "semi")
+    sh = sh.localCheckpoint()
 
     def _band_key(b: int) -> Column:
         # band b = bits [b*width, (b+1)*width); the last band absorbs
@@ -799,46 +859,76 @@ def simhash_near_dup(
     banded = sh.select(
         F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("b")
     ).select(id_col, "simhash", "b.band", "b.band_key")
-    build = banded.select(
-        "band", "band_key",
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"),
-    )
-    if d == 0:
-        probe = banded.select(
-            "band", "band_key",
-            F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"),
-        )
-    else:
-        # Probe side explodes each band key to its ≤d-bit-flip
-        # variants. The tail band absorbs 64 % n_bands remainder bits,
-        # so it gets its own (wider) mask set — probing only the low
-        # `width` bits there would silently drop pairs whose tail-band
-        # errors land in the extra high bits.
-        tail_width = 64 - (n_bands - 1) * width
+
+    # The tail band absorbs 64 % n_bands remainder bits, so it gets
+    # its own (wider) mask set — probing only the low `width` bits
+    # there would silently drop pairs whose tail-band errors land in
+    # the extra high bits.
+    tail_width = 64 - (n_bands - 1) * width
+
+    def _per_band_masks(max_flips: int) -> Column:
         mask_arr = F.array(
-            *[F.lit(m).cast("long") for m in _probe_masks(width, d)]
+            *[F.lit(m).cast("long") for m in _probe_masks(width, max_flips)]
         )
         tail_mask_arr = F.array(
-            *[F.lit(m).cast("long") for m in _probe_masks(tail_width, d)]
+            *[
+                F.lit(m).cast("long")
+                for m in _probe_masks(tail_width, max_flips)
+            ]
         )
-        per_band_masks = (
+        return (
             F.when(F.col("band") == n_bands - 1, tail_mask_arr)
             .otherwise(mask_arr)
             if tail_width != width
             else mask_arr
         )
-        probe = banded.select(
+
+    def _exploded_side(
+        max_flips: int, id_alias: str, sh_alias: str, m_alias: str
+    ) -> DataFrame:
+        return banded.select(
             "band",
-            F.explode(per_band_masks).alias("__m"),
+            F.explode(_per_band_masks(max_flips)).alias(m_alias),
             F.col("band_key"),
-            F.col(id_col).alias("doc_a"),
-            F.col("simhash").alias("sh_a"),
+            F.col(id_col).alias(id_alias),
+            F.col("simhash").alias(sh_alias),
         ).select(
             "band",
-            F.col("band_key").bitwiseXOR(F.col("__m")).alias("band_key"),
-            "doc_a",
-            "sh_a",
+            F.col("band_key").bitwiseXOR(F.col(m_alias)).alias("band_key"),
+            id_alias,
+            sh_alias,
+            m_alias,
         )
+
+    if d == 0:
+        build = banded.select(
+            "band", "band_key",
+            F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"),
+        )
+        probe = banded.select(
+            "band", "band_key",
+            F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"),
+        )
+    elif d == 2:
+        # Symmetric ball split: cover ≤2 in-band errors with a
+        # ≤1-bit-flip ball on EACH side — any weight-≤2 xor x factors
+        # as mp ^ mb with w(mp), w(mb) ≤ 1. Explode cost drops from
+        # C(width,2)+width+1 (~width²/2) one-sided probe masks to
+        # width+1 masks on BOTH sides: at width 16 that is 2·17 rows
+        # per (doc, band) instead of 137 — ~4× less exploded shuffle
+        # volume. A pair can match a band through several (mp, mb)
+        # splits of the same x; the canonical-split filter below
+        # keeps exactly one.
+        probe = _exploded_side(1, "doc_a", "sh_a", "__mp")
+        build = _exploded_side(1, "doc_b", "sh_b", "__mb")
+    else:
+        # One-sided multi-probe: probe explodes each band key to its
+        # ≤d-bit-flip variants.
+        build = banded.select(
+            "band", "band_key",
+            F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"),
+        )
+        probe = _exploded_side(d, "doc_a", "sh_a", "__mp").drop("__mp")
     xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     hamming = F.bit_count(xor)
 
@@ -865,20 +955,42 @@ def simhash_near_dup(
             first_band
         )
 
-    # The probe side is n_probes× wider than the build side, but its
-    # size estimate comes from the pre-explode relation, so the
-    # optimizer can pick a probe-side BROADCAST — hashing millions of
-    # probe rows while 20k build rows stream past. At cluster scale
-    # neither side is broadcastable (build is n_docs·n_bands rows);
-    # the right strategy at every scale is a shuffled hash join with
-    # the BUILD side as the hashed side, pinned via hint.
+    # The exploded sides' size estimates come from the pre-explode
+    # relation, so the optimizer could wrongly pick a BROADCAST of a
+    # millions-of-rows side. At cluster scale neither side is
+    # broadcastable (n_docs·n_bands·n_masks rows); the right strategy
+    # at every scale is a shuffled hash join, pinned via hint.
     out = (
         probe.join(build.hint("shuffle_hash"), ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(hamming <= max_hamming)
         .filter(first_band)
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
     )
+    if d == 2:
+        # Canonical-split filter: the joined row's in-band xor
+        # x = mp ^ mb has weight ≤ 2 by construction; keep only the
+        # canonical factorization mp = lowest set bit of x (0 when
+        # x = 0), mb = the rest — one surviving row per (pair, band).
+        x_band = F.lit(0).cast("long")
+        for b in range(n_bands):
+            mask_bits = (64 - b * width) if b == n_bands - 1 else width
+            shifted = F.shiftrightunsigned(xor, b * width)
+            val = (
+                xor
+                if mask_bits >= 64
+                else shifted.bitwiseAND(
+                    F.lit((1 << mask_bits) - 1).cast("long")
+                )
+            )
+            x_band = F.when(F.col("band") == b, val).otherwise(x_band)
+        exp_p = F.when(
+            x_band == F.lit(0).cast("long"), F.lit(0).cast("long")
+        ).otherwise(x_band.bitwiseAND(x_band * F.lit(-1)))
+        out = out.filter(
+            (F.col("__mp") == exp_p)
+            & (F.col("__mb") == x_band.bitwiseXOR(exp_p))
+        )
+    out = out.select("doc_a", "doc_b", hamming.alias("hamming"))
     if star is not None:
         out = out.unionByName(
             star.select(
