@@ -138,6 +138,10 @@ HEADLINE = [
     "diag_clustering_advisor",
     "embedding_dim_variance",
     "event_transitions",
+    "source_vocab_tv",
+    "events_disorder_audit",
+    "media_shard_plan",
+    "doc_template_clusters",
 ]
 
 

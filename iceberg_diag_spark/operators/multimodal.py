@@ -262,3 +262,44 @@ def media_dedup_stats(media: DataFrame) -> DataFrame:
         .cast("long")
         .alias("reclaimable_bytes"),
     )
+
+
+SHARD_TARGET_BYTES = 1 << 16
+
+
+def shard_plan(
+    media: DataFrame, target_bytes: int = SHARD_TARGET_BYTES
+) -> DataFrame:
+    """WebDataset-style shard packing plan: assign media items to
+    sequential tar-shard groups of ~`target_bytes` per media type —
+    the packaging step every multimodal training pipeline runs before
+    dataloader consumption (shards ≈ equal-sized sequential-read
+    units; too-small shards → per-file open overhead, too-large →
+    poor shuffle granularity).
+
+    Reuses the exact greedy fold of binpack_groups (sort by size,
+    check-before-append) over item byte lengths, partitioned by
+    media type. Metadata-only: the plan reads (media_type, byte_len)
+    — payload bytes never move, never reach Python, never shuffle.
+
+    Output: (media_type, shard_id, n_items, shard_bytes).
+    """
+    from iceberg_diag_spark.operators.binpack import binpack_groups
+
+    # binpack_groups' grouped-map schema names its key partition_key;
+    # feed it under that name and alias back on the way out.
+    items = media.select(
+        F.col("media_type").alias("partition_key"),
+        F.col("meta.byte_len").alias("byte_len"),
+    )
+    groups = binpack_groups(
+        items,
+        size_col="byte_len",
+        max_bytes_per_group=target_bytes,
+    )
+    return groups.select(
+        F.col("partition_key").alias("media_type"),
+        F.col("group_id").cast("long").alias("shard_id"),
+        F.col("group_file_count").cast("long").alias("n_items"),
+        F.col("group_size").cast("long").alias("shard_bytes"),
+    )

@@ -1088,3 +1088,47 @@ def source_tv_distance(
             .alias("tv_ppm"),
         )
     )
+
+
+def template_clusters(
+    docs: DataFrame,
+    prefix_tokens: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Template-page detector: cluster documents by the hash of their
+    first `prefix_tokens` normalized tokens. Machine-generated pages
+    (error pages, listing templates, mirrored license headers) share
+    an opening stanza even when their tails differ, so a large
+    cluster here is boilerplate the quality gate should down-weight —
+    the cheap prefix-blocked complement of full near-dup detection
+    (one zero-shuffle projection + one hash-aggregate on the 32-char
+    prefix hash; no shingles, no pair expansion).
+
+    Output: (template_md5, n_docs, n_sources, example_doc_id,
+    total_chars) for clusters of ≥ `min_docs` docs, where
+    example_doc_id is the cluster's minimum id and total_chars the
+    reclaimable char volume if the cluster collapsed to one doc.
+    """
+    prefix = F.concat_ws(
+        " ", F.slice(tokens(F.col(text_col)), 1, prefix_tokens)
+    )
+    return (
+        ensure_parallelism(docs)
+        .select(
+            F.md5(prefix).alias("template_md5"),
+            F.col(id_col),
+            F.col(source_col).alias("source"),
+            F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        )
+        .groupBy("template_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min(id_col).cast("long").alias("example_doc_id"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -180,7 +180,7 @@ def _diag_binpack(spark, sf_dir):
 # Parametrized over the grouping keys so the same recursion serves
 # the single-table proxy (partition_key) and the multi-table unioned
 # job (table_name, partition_key).
-def _binpack_cte(keys: list[str]) -> str:
+def _binpack_cte(keys: list[str], threshold: int = 786432000) -> str:
     kl = ", ".join(keys)
     b_kl = ", ".join(f"b.{k}" for k in keys)
     p_eq_b = " AND ".join(f"p.{k} = b.{k}" for k in keys)
@@ -209,7 +209,7 @@ bounds AS (
     FROM bounds b
     JOIN pre p ON {p_eq_b}
               AND p.rn >= b.srn
-              AND p.ps - b.base > 786432000
+              AND p.ps - b.base > {threshold}
     GROUP BY {b_kl}, b.gid
   ) q
 ),
@@ -6622,6 +6622,49 @@ FROM counts
 """
 
 
+def _media_shard_plan(spark, sf_dir):
+    return multimodal.shard_plan(_media(spark, sf_dir))
+
+
+_MEDIA_SHARD_SQL = f"""
+WITH RECURSIVE files AS (
+  SELECT ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+         CAST(length(text) AS BIGINT) AS file_size_in_bytes,
+         0 AS content
+  FROM documents
+),
+{_binpack_cte(["media_type"], threshold=multimodal.SHARD_TARGET_BYTES)}
+SELECT media_type,
+       CAST(gid AS BIGINT) AS shard_id,
+       CAST(cnt AS BIGINT) AS n_items,
+       CAST(gsz AS BIGINT) AS shard_bytes
+FROM grp
+"""
+
+
+def _doc_template_clusters(spark, sf_dir):
+    return textops.template_clusters(_t(spark, sf_dir, "documents"))
+
+
+_TEMPLATE_CLUSTERS_SQL = r"""
+WITH pre AS (
+  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars,
+         md5(array_to_string(
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[1:8],
+           ' ')) AS template_md5
+  FROM documents
+)
+SELECT template_md5,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(min(doc_id) AS BIGINT) AS example_doc_id,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM pre
+GROUP BY template_md5
+HAVING count(*) >= 2
+"""
+
+
 def _source_vocab_tv(spark, sf_dir):
     return textops.source_tv_distance(_t(spark, sf_dir, "documents"))
 
@@ -6706,6 +6749,20 @@ GROUP BY event_type
 
 
 REGISTRY.update({
+    "media_shard_plan": QuerySpec(
+        _media_shard_plan, _MEDIA_SHARD_SQL,
+        "WebDataset-style tar-shard packing plan per media type "
+        "(greedy check-before-append fold over byte lengths; "
+        "metadata-only — payloads never move); boundary-recursive "
+        "CTE oracle",
+    ),
+    "doc_template_clusters": QuerySpec(
+        _doc_template_clusters, _TEMPLATE_CLUSTERS_SQL,
+        "template-page detector: clusters of docs sharing the first-"
+        "8-token normalized prefix hash (zero-shuffle projection + "
+        "one hash-aggregate — the cheap prefix-blocked complement "
+        "of near-dup detection)",
+    ),
     "source_vocab_tv": QuerySpec(
         _source_vocab_tv, _SOURCE_TV_SQL,
         "pairwise total-variation distance between per-source unigram "
@@ -6870,6 +6927,8 @@ _DEFER_TO_R6: set[str] = {
     "event_transitions",
     "source_vocab_tv",
     "events_disorder_audit",
+    "media_shard_plan",
+    "doc_template_clusters",
 }
 
 

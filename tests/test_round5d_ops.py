@@ -217,3 +217,49 @@ def test_disorder_audit_matches_sequential_fold(spark):
         r = got[typ]
         assert (r["n_events"], r["n_late"], r["max_lateness_us"],
                 r["total_lateness_us"]) == (n, nl, mx, tot)
+
+
+def test_media_shard_plan_known_packing(spark):
+    from iceberg_diag_spark.operators.multimodal import shard_plan
+
+    # One media type, items of sizes 10,20,30,40 with target 45:
+    # greedy sorted fold (check-before-append closes after exceeding):
+    # 10+20+30 = 60 > 45 at next check → shard0 = [10,20,30*]? The
+    # fold appends then closes when total > target BEFORE the next
+    # append: 10 (10) → 20 (30) → 30 (60 > 45, still appended) →
+    # close → 40 alone. So shard0 = 3 items / 60 bytes, shard1 = 1
+    # item / 40 bytes.
+    rows = [(i, "image", 0, s) for i, s in enumerate([10, 20, 30, 40])]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, pad int, blen long"
+    ).selectExpr(
+        "doc_id", "media_type",
+        "cast(null as binary) as payload",
+        "named_struct('byte_len', blen, 'width', 0, 'height', 0,"
+        " 'sample_rate', 0, 'n_frames', cast(0 as int)) as meta",
+    )
+    out = {r["shard_id"]: r for r in shard_plan(media, target_bytes=45).collect()}
+    assert out[0]["n_items"] == 3 and out[0]["shard_bytes"] == 60
+    assert out[1]["n_items"] == 1 and out[1]["shard_bytes"] == 40
+
+
+def test_template_clusters_detects_shared_prefix(spark):
+    from iceberg_diag_spark.operators.textops import template_clusters
+
+    prefix = "error 404 page not found on this server please"
+    rows = [
+        (1, prefix + " alpha tail", "web", 0),
+        (2, prefix + " totally different continuation here", "web", 0),
+        (3, prefix + " yet another page body follows", "forum", 0),
+        (4, "a unique document with its own opening words entirely", "web", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    out = template_clusters(docs, prefix_tokens=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 3
+    assert r["n_sources"] == 2
+    assert r["example_doc_id"] == 1
+    assert r["total_chars"] == sum(len(t) for _, t, _, _ in rows[:3])
