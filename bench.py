@@ -142,6 +142,7 @@ HEADLINE = [
     "events_disorder_audit",
     "media_shard_plan",
     "doc_template_clusters",
+    "diag_skip_simulation",
 ]
 
 

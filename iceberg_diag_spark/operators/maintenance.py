@@ -326,3 +326,138 @@ def clustering_advisor(file_stats: DataFrame) -> DataFrame:
         .cast("long")
         .alias("avg_depth_ppm"),
     )
+
+
+def skip_simulation(
+    column_values: DataFrame,
+    file_stats: DataFrame,
+    rows_per_file: int = 32,
+) -> DataFrame:
+    """Sort-order rewrite simulator — the before/after improvement
+    table behind clustering_advisor's ranking, in the reference's
+    remediation idiom (the compaction metrics' before/after ratio
+    applied to data-skipping). BEFORE = the advisor's point-query
+    stats on TODAY's file bounds; AFTER = the same stats if files
+    were rewritten globally sorted by that column, computed EXACTLY
+    without materializing the sorted layout:
+
+    sort the column's distinct values, give each its starting row
+    rank s (an exclusive prefix sum of value counts — the
+    grouped_prefix_sum shard idiom, no global window), and every
+    after-stat falls out of per-value integer arithmetic: value v
+    occupying ranks [s, s+k-1] spans files f0 = (s-1)//m through
+    (s+k-2)//m, a file's start-of-file depth is its index minus the
+    f0 of its first value, and summing each value's arithmetic
+    series of depths gives total overlapping pairs. (The closed
+    form provably equals running the endpoint sweep on the sorted
+    layout's bounds — pinned by a test that does exactly that.)
+
+    Inputs: column_values = (col_name, v) one row per (row, candidate
+    column); file_stats = the advisor's (col_name, file_id, lo, hi).
+
+    Output per candidate column: n_files, overlap_pairs_before/after,
+    max_depth_before/after, avg_depth_ppm_before/after, and
+    improvement_ppm = floor(1e6 · after_avg / before_avg) — the
+    skip-ratio a rewrite would buy (lower = better; 1_000_000 = the
+    rewrite changes nothing).
+    """
+    from iceberg_diag_spark.operators.shuffling import grouped_prefix_sum
+
+    m = rows_per_file
+    before = clustering_advisor(file_stats).select(
+        "col_name",
+        F.col("overlap_pairs").alias("overlap_pairs_before"),
+        F.col("max_depth").alias("max_depth_before"),
+        F.col("avg_depth_ppm").alias("avg_depth_ppm_before"),
+    )
+
+    vals = column_values.groupBy("col_name", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    s = grouped_prefix_sum(vals, "col_name", "v", "k", out_col="__pre")
+    per_val = s.select(
+        "col_name",
+        "k",
+        (F.col("__pre") + 1).alias("s"),
+    ).select(
+        "col_name",
+        "k",
+        "s",
+        (F.col("s") + F.col("k") - 1).alias("e"),
+        F.floor((F.col("s") - 1) / m).alias("f0"),
+        F.floor((F.col("s") + m - 2) / m).alias("a"),
+    ).select(
+        "col_name",
+        "k",
+        "s",
+        "f0",
+        "a",
+        F.floor((F.col("e") - 1) / m).alias("b"),
+    ).select(
+        "col_name",
+        "k",
+        (F.col("a") - F.col("f0")).alias("ra"),
+        (F.col("b") - F.col("f0")).alias("rb"),
+        (F.col("b") >= F.col("a")).alias("spans"),
+    )
+    after = per_val.groupBy("col_name").agg(
+        F.sum("k").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("spans"),
+                (F.col("ra") + F.col("rb"))
+                * (F.col("rb") - F.col("ra") + 1)
+                / F.lit(2),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("overlap_pairs_after"),
+        F.greatest(
+            F.max(
+                F.when(F.col("spans"), F.col("rb") + 1).otherwise(F.lit(1))
+            ),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("max_depth_after"),
+    ).select(
+        "col_name",
+        F.ceil(F.col("n_rows") / m).cast("long").alias("n_files"),
+        "overlap_pairs_after",
+        "max_depth_after",
+    ).withColumn(
+        "avg_depth_ppm_after",
+        F.floor(
+            F.lit(1_000_000.0)
+            * (F.col("overlap_pairs_after") + F.col("n_files"))
+            / (F.col("n_files") * F.col("n_files"))
+        ).cast("long"),
+    )
+
+    return (
+        before.join(after, "col_name")
+        .withColumn(
+            "improvement_ppm",
+            F.when(
+                F.col("avg_depth_ppm_before") > 0,
+                F.floor(
+                    F.lit(1_000_000.0)
+                    * F.col("avg_depth_ppm_after")
+                    / F.col("avg_depth_ppm_before")
+                ),
+            )
+            .otherwise(F.lit(1_000_000))
+            .cast("long"),
+        )
+        .select(
+            "col_name",
+            "n_files",
+            "overlap_pairs_before",
+            "overlap_pairs_after",
+            "max_depth_before",
+            "max_depth_after",
+            "avg_depth_ppm_before",
+            "avg_depth_ppm_after",
+            "improvement_ppm",
+        )
+    )

@@ -113,3 +113,68 @@ def global_rank(
         )
         .drop("__shard", "__rank", "__offset")
     )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    val_col: str,
+    out_col: str = "prefix",
+    n_shards: int = 32,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of `val_col` over `order_col` within each
+    group, without a per-group single-task window — the global_rank
+    idiom generalized from counting to summing: approx-percentile
+    range shards per group (accuracy only affects balance, never the
+    sum), an exact partitioned cumulative window within each shard,
+    and broadcast per-shard offset totals. `order_col` values must be
+    unique within a group (the caller's relation is typically
+    distinct-by-construction).
+
+    Output: input columns + `out_col` = Σ val over rows strictly
+    before this row in (group, order) order.
+    """
+    probs = [i / n_shards for i in range(1, n_shards)]
+    edges = df.groupBy(group_col).agg(
+        F.percentile_approx(order_col, probs, 10_000).alias("__edges")
+    )
+    base = (
+        df.join(F.broadcast(edges), group_col)
+        .withColumn(
+            "__shard",
+            F.aggregate(
+                "__edges",
+                F.lit(0),
+                lambda acc, e: acc
+                + F.when(F.col(order_col) > e, 1).otherwise(0),
+            ),
+        )
+        .drop("__edges")
+    )
+    w_in = (
+        Window.partitionBy(group_col, "__shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_tot = base.groupBy(group_col, "__shard").agg(
+        F.sum(val_col).alias("__tot")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = shard_tot.select(
+        group_col,
+        "__shard",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        base.withColumn(
+            "__within", F.coalesce(F.sum(val_col).over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(offsets), [group_col, "__shard"])
+        .withColumn(out_col, F.col("__within") + F.col("__off"))
+        .drop("__shard", "__within", "__off")
+    )

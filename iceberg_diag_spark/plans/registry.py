@@ -49,6 +49,7 @@ from iceberg_diag_spark.operators.diagnostics import (
     table_metrics,
 )
 from iceberg_diag_spark.sources.data_files import (
+    column_values_from_lineitem,
     file_column_stats_from_lineitem,
     files_from_lineitem,
 )
@@ -6622,6 +6623,108 @@ FROM counts
 """
 
 
+def _diag_skip_simulation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # rows_per_file=128 ≈ the existing layout's rows per synthetic
+    # file (32 orderkeys × ~4 line items), so before/after compare
+    # layouts of similar file counts.
+    return maintenance.skip_simulation(
+        column_values_from_lineitem(li),
+        file_column_stats_from_lineitem(li),
+        rows_per_file=128,
+    )
+
+
+_DIAG_SKIP_SIM_SQL = """
+WITH per_file AS (
+  SELECT CAST(floor(l_orderkey / 32) AS BIGINT) AS file_id,
+         CAST(min(l_partkey) AS BIGINT) AS pk_lo, CAST(max(l_partkey) AS BIGINT) AS pk_hi,
+         CAST(min(l_suppkey) AS BIGINT) AS sk_lo, CAST(max(l_suppkey) AS BIGINT) AS sk_hi,
+         CAST(min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS pc_lo,
+         CAST(max(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS pc_hi,
+         CAST(min(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))) AS BIGINT) AS sd_lo,
+         CAST(max(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))) AS BIGINT) AS sd_hi
+  FROM lineitem GROUP BY file_id
+),
+fs AS (
+  SELECT 'l_partkey' AS col_name, file_id, pk_lo AS lo, pk_hi AS hi FROM per_file
+  UNION ALL SELECT 'l_suppkey', file_id, sk_lo, sk_hi FROM per_file
+  UNION ALL SELECT 'price_cents', file_id, pc_lo, pc_hi FROM per_file
+  UNION ALL SELECT 'ship_day', file_id, sd_lo, sd_hi FROM per_file
+),
+ev AS (
+  SELECT col_name, lo AS value, 0 AS typ, file_id FROM fs
+  UNION ALL
+  SELECT col_name, hi AS value, 1 AS typ, file_id FROM fs
+),
+swept AS (
+  SELECT col_name, typ,
+         COALESCE(SUM(typ) OVER w, 0) AS ends_lt,
+         COALESCE(SUM(1 - typ) OVER w, 0) AS prev_starts
+  FROM ev
+  WINDOW w AS (PARTITION BY col_name ORDER BY value, typ, file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+before AS (
+  SELECT col_name,
+         CAST(sum(depth) AS BIGINT) AS overlap_pairs_before,
+         CAST(max(depth) + 1 AS BIGINT) AS max_depth_before,
+         CAST(floor(1000000.0 * sum(depth + 1) / (count(*) * count(*))) AS BIGINT)
+           AS avg_depth_ppm_before
+  FROM (SELECT col_name, prev_starts - ends_lt AS depth FROM swept WHERE typ = 0)
+  GROUP BY col_name
+),
+cv AS (
+  SELECT 'l_partkey' AS col_name, CAST(l_partkey AS BIGINT) AS v FROM lineitem
+  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'price_cents', CAST(floor(l_extendedprice * 100) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'ship_day', CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) FROM lineitem
+),
+vals AS (SELECT col_name, v, CAST(count(*) AS BIGINT) AS k FROM cv GROUP BY col_name, v),
+ranked AS (
+  SELECT col_name, k,
+         1 + COALESCE(SUM(k) OVER (PARTITION BY col_name ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM vals
+),
+geom AS (
+  SELECT col_name, k,
+         CAST(floor((s - 1) / 128.0) AS BIGINT) AS f0,
+         CAST(floor((s + 126) / 128.0) AS BIGINT) AS a,
+         CAST(floor((s + k - 2) / 128.0) AS BIGINT) AS b
+  FROM ranked
+),
+per_val AS (
+  SELECT col_name, k, a - f0 AS ra, b - f0 AS rb, b >= a AS spans FROM geom
+),
+after AS (
+  SELECT col_name,
+         CAST(ceil(sum(k) / 128.0) AS BIGINT) AS n_files,
+         CAST(sum(CASE WHEN spans THEN (ra + rb) * (rb - ra + 1) / 2 ELSE 0 END) AS BIGINT)
+           AS overlap_pairs_after,
+         CAST(greatest(max(CASE WHEN spans THEN rb + 1 ELSE 1 END), 1) AS BIGINT)
+           AS max_depth_after
+  FROM per_val GROUP BY col_name
+)
+SELECT before.col_name,
+       n_files,
+       overlap_pairs_before,
+       overlap_pairs_after,
+       max_depth_before,
+       max_depth_after,
+       avg_depth_ppm_before,
+       CAST(floor(1000000.0 * (overlap_pairs_after + n_files)
+                  / (n_files * n_files)) AS BIGINT) AS avg_depth_ppm_after,
+       CAST(CASE WHEN avg_depth_ppm_before > 0
+            THEN floor(1000000.0
+                 * floor(1000000.0 * (overlap_pairs_after + n_files)
+                         / (n_files * n_files))
+                 / avg_depth_ppm_before)
+            ELSE 1000000 END AS BIGINT) AS improvement_ppm
+FROM before JOIN after ON before.col_name = after.col_name
+"""
+
+
 def _media_shard_plan(spark, sf_dir):
     return multimodal.shard_plan(_media(spark, sf_dir))
 
@@ -6749,6 +6852,15 @@ GROUP BY event_type
 
 
 REGISTRY.update({
+    "diag_skip_simulation": QuerySpec(
+        _diag_skip_simulation, _DIAG_SKIP_SIM_SQL,
+        "sort-order rewrite simulator: exact before/after point-query "
+        "depth and overlapping-pair stats per candidate column, the "
+        "after-layout computed in closed form from per-value rank "
+        "arithmetic (sharded prefix sums — the sorted layout is "
+        "never materialized); improvement_ppm in the reference's "
+        "before/after remediation idiom",
+    ),
     "media_shard_plan": QuerySpec(
         _media_shard_plan, _MEDIA_SHARD_SQL,
         "WebDataset-style tar-shard packing plan per media type "
@@ -6929,6 +7041,7 @@ _DEFER_TO_R6: set[str] = {
     "events_disorder_audit",
     "media_shard_plan",
     "doc_template_clusters",
+    "diag_skip_simulation",
 }
 
 

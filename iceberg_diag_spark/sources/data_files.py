@@ -136,3 +136,29 @@ def file_column_stats_from_lineitem(
             "'ship_day', sd_lo, sd_hi) AS (col_name, lo, hi)"
         ),
     ).select("col_name", "file_id", "lo", "hi")
+
+
+def column_values_from_lineitem(lineitem: DataFrame) -> DataFrame:
+    """Long-format (col_name, v) row relation for the same four
+    candidate clustering columns as file_column_stats_from_lineitem —
+    the skip_simulation input (one row per (row, candidate column),
+    zero-shuffle stack unpivot)."""
+    li = ensure_parallelism(lineitem)
+    return li.select(
+        F.col("l_partkey").cast("long").alias("pk"),
+        F.col("l_suppkey").cast("long").alias("sk"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("sd"),
+    ).select(
+        F.expr(
+            "stack(4, "
+            "'l_partkey', pk, "
+            "'l_suppkey', sk, "
+            "'price_cents', pc, "
+            "'ship_day', sd) AS (col_name, v)"
+        )
+    )

@@ -263,3 +263,75 @@ def test_template_clusters_detects_shared_prefix(spark):
     assert r["n_sources"] == 2
     assert r["example_doc_id"] == 1
     assert r["total_chars"] == sum(len(t) for _, t, _, _ in rows[:3])
+
+
+def test_skip_simulation_closed_form_matches_materialized_sort(spark):
+    """The after-layout stats are computed in closed form from
+    per-value rank arithmetic; verify they equal ACTUALLY sorting the
+    rows, cutting files of m rows, and running clustering_advisor's
+    endpoint sweep on the resulting bounds."""
+    from iceberg_diag_spark.operators.maintenance import (
+        clustering_advisor,
+        skip_simulation,
+    )
+
+    m = 8
+    # two candidate columns with heavy value duplication (so values
+    # straddle simulated file boundaries) and distinct shapes
+    values = {
+        "c1": [(i * 2654435761) % 17 for i in range(100)],
+        "c2": [i % 5 for i in range(100)],
+    }
+    cv = spark.createDataFrame(
+        [(c, v) for c, vs in values.items() for v in vs],
+        "col_name string, v long",
+    )
+    # a fake "before" layout: files of 10 consecutive input rows
+    fs_rows = []
+    for c, vs in values.items():
+        for f in range(10):
+            chunk = vs[f * 10:(f + 1) * 10]
+            fs_rows.append((c, f, min(chunk), max(chunk)))
+    fs = spark.createDataFrame(
+        fs_rows, "col_name string, file_id long, lo long, hi long"
+    )
+    got = {
+        r["col_name"]: r
+        for r in skip_simulation(cv, fs, rows_per_file=m).collect()
+    }
+
+    # materialize the sorted layout per column and sweep it
+    for c, vs in values.items():
+        sorted_vs = sorted(vs)
+        bounds = []
+        for f in range(0, (len(sorted_vs) + m - 1) // m):
+            chunk = sorted_vs[f * m:(f + 1) * m]
+            bounds.append((c, f, min(chunk), max(chunk)))
+        bdf = spark.createDataFrame(
+            bounds, "col_name string, file_id long, lo long, hi long"
+        )
+        ref = clustering_advisor(bdf).collect()[0]
+        r = got[c]
+        assert r["n_files"] == ref["n_files"], c
+        assert r["overlap_pairs_after"] == ref["overlap_pairs"], c
+        assert r["max_depth_after"] == ref["max_depth"], c
+        assert r["avg_depth_ppm_after"] == ref["avg_depth_ppm"], c
+
+
+def test_skip_simulation_perfectly_sorted_input_improves_to_disjoint(spark):
+    from iceberg_diag_spark.operators.maintenance import skip_simulation
+
+    # all-distinct values → after sorting, files are fully disjoint
+    cv = spark.createDataFrame(
+        [("c", v) for v in range(64)], "col_name string, v long"
+    )
+    # shuffled before-layout: interleaved bounds → heavy overlap
+    fs = spark.createDataFrame(
+        [("c", f, f, 56 + f) for f in range(8)],
+        "col_name string, file_id long, lo long, hi long",
+    )
+    r = skip_simulation(cv, fs, rows_per_file=8).collect()[0]
+    assert r["overlap_pairs_after"] == 0
+    assert r["max_depth_after"] == 1
+    assert r["overlap_pairs_before"] == 28  # all C(8,2) pairs overlap
+    assert r["improvement_ppm"] < 1_000_000
