@@ -111,6 +111,25 @@ def _render_maintenance(files_df, title: str) -> str:
             f"\n-- {title}: snapshot retention (180d) --",
             _render_df(snapshot_retention(files_df)),
         ]
+    if "readable_metrics" in files_df.columns:
+        # real `.files` relations (Iceberg ≥ 1.2) carry per-column
+        # typed bounds — surface the sort-column advisor on them
+        from iceberg_diag_spark.operators.maintenance import (
+            clustering_advisor,
+        )
+        from iceberg_diag_spark.sources.iceberg_meta import (
+            readable_metrics_to_column_stats,
+        )
+
+        out += [
+            f"\n-- {title}: sort-column advisor (fewest overlapping "
+            "file ranges first) --",
+            _render_df(
+                clustering_advisor(
+                    readable_metrics_to_column_stats(files_df)
+                ).orderBy("overlap_pairs", "col_name")
+            ),
+        ]
     return "\n".join(out)
 
 

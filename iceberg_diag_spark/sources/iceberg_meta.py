@@ -127,3 +127,68 @@ def data_files_from_files_table(files: DataFrame) -> DataFrame:
         F.col("file_size_in_bytes").cast("long").alias("file_size_in_bytes"),
         F.col("content").cast("int").alias("content"),
     )
+
+
+# `.files` with column-level bounds — Iceberg ≥ 1.2 exposes
+# readable_metrics: a struct keyed by column name whose fields carry
+# TYPED lower_bound/upper_bound (the human-readable projection of the
+# binary lower_bounds/upper_bounds maps). The advisor consumes only
+# integer-castable columns (int/long/date → days, timestamp → micros).
+def READABLE_METRICS_STRUCT(columns: list[str]) -> StructType:
+    """Schema factory for a readable_metrics struct over long-typed
+    columns (the shape contract-tested against the advisor chain)."""
+    per_col = StructType(
+        [
+            StructField("column_size", LongType()),
+            StructField("value_count", LongType()),
+            StructField("null_value_count", LongType()),
+            StructField("nan_value_count", LongType()),
+            StructField("lower_bound", LongType()),
+            StructField("upper_bound", LongType()),
+        ]
+    )
+    return StructType([StructField(c, per_col) for c in columns])
+
+
+def readable_metrics_to_column_stats(files: DataFrame) -> DataFrame:
+    """Adapter: ``.files`` rows carrying a readable_metrics struct →
+    the clustering_advisor / skip_simulation bounds relation
+    (col_name string, file_id long, lo long, hi long).
+
+    Column discovery is schema-driven: every readable_metrics field
+    whose lower_bound casts to long rides along; others are skipped
+    (string/binary bounds don't order as integers). file_id =
+    xxhash64(file_path) — deterministic, collision-free in practice,
+    and only used as the sweep's tie-break. Zero-shuffle projection;
+    one stack() unpivot.
+    """
+    rm_type = files.schema["readable_metrics"].dataType
+    numeric_cols = [
+        f.name
+        for f in rm_type.fields
+        if any(
+            sub.name == "lower_bound" and sub.dataType.simpleString()
+            in ("bigint", "int", "smallint", "date", "timestamp")
+            for sub in f.dataType.fields
+        )
+    ]
+    if not numeric_cols:
+        raise ValueError(
+            "readable_metrics carries no integer-orderable columns"
+        )
+    stack_args = ", ".join(
+        f"'{c}', CAST(readable_metrics.{c}.lower_bound AS LONG), "
+        f"CAST(readable_metrics.{c}.upper_bound AS LONG)"
+        for c in numeric_cols
+    )
+    return (
+        files.select(
+            F.xxhash64(F.col("file_path")).alias("file_id"),
+            F.expr(
+                f"stack({len(numeric_cols)}, {stack_args})"
+                " AS (col_name, lo, hi)"
+            ),
+        )
+        .filter(F.col("lo").isNotNull() & F.col("hi").isNotNull())
+        .select("col_name", "file_id", "lo", "hi")
+    )

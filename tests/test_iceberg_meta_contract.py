@@ -128,3 +128,48 @@ def test_content_codes_match_iceberg_spec():
     assert CONTENT_DATA == 0
     assert CONTENT_POSITION_DELETES == 1
     assert CONTENT_EQUALITY_DELETES == 2
+
+
+def test_readable_metrics_advisor_chain(spark):
+    """A spec-shaped `.files` relation with readable_metrics bounds
+    runs the full sort-column-advisor chain unchanged (the CLI
+    --maintenance path on a real Iceberg ≥1.2 metadata table)."""
+    from pyspark.sql import Row
+
+    from iceberg_diag_spark.operators.maintenance import clustering_advisor
+    from iceberg_diag_spark.sources.iceberg_meta import (
+        READABLE_METRICS_STRUCT,
+        readable_metrics_to_column_stats,
+    )
+
+    def rm(alo, ahi, blo, bhi):
+        col = lambda lo, hi: Row(
+            column_size=8, value_count=10, null_value_count=0,
+            nan_value_count=0, lower_bound=lo, upper_bound=hi,
+        )
+        return Row(col_a=col(alo, ahi), col_b=col(blo, bhi))
+
+    # col_a: disjoint ranges; col_b: all-overlapping ranges
+    rows = [
+        Row(file_path=f"s3://b/f{i}.parquet", readable_metrics=rm(
+            i * 10, i * 10 + 5, 0, 100 + i))
+        for i in range(4)
+    ]
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("file_path", StringType()),
+            StructField(
+                "readable_metrics",
+                READABLE_METRICS_STRUCT(["col_a", "col_b"]),
+            ),
+        ]
+    )
+    files = spark.createDataFrame(rows, schema)
+    stats = readable_metrics_to_column_stats(files)
+    assert set(stats.columns) == {"col_name", "file_id", "lo", "hi"}
+    out = {r["col_name"]: r for r in clustering_advisor(stats).collect()}
+    assert out["col_a"]["overlap_pairs"] == 0
+    assert out["col_b"]["overlap_pairs"] == 6  # C(4,2)
+    assert out["col_a"]["n_files"] == 4
