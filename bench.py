@@ -143,6 +143,7 @@ HEADLINE = [
     "media_shard_plan",
     "doc_template_clusters",
     "diag_skip_simulation",
+    "media_frame_dedup",
 ]
 
 

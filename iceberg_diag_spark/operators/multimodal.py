@@ -303,3 +303,38 @@ def shard_plan(
         F.col("group_file_count").cast("long").alias("n_items"),
         F.col("group_size").cast("long").alias("shard_bytes"),
     )
+
+
+def frame_dedup(media: DataFrame, every_k: int = 1) -> DataFrame:
+    """Cross-item frame-level dedup: frames whose content hash
+    repeats across DIFFERENT items — the shared-intro/outro/slate
+    detector for video corpora (and watermark/test-card detector for
+    image sets). Training on videos that all open with the same
+    5-second logo card over-weights those frames exactly like text
+    boilerplate over-weights repeated sentences; this table says
+    which frames and how much volume.
+
+    Frames come from the frame_sample extractor (every_k=1 → every
+    frame); the aggregate groups by the 16-byte frame hash — the
+    frame BYTES themselves never shuffle, only (hash, doc_id,
+    frame_len) rows, the media analog of the text exact-dedup
+    project-then-shuffle contract.
+
+    Output: (frame_md5, n_items, n_occurrences, frame_len,
+    example_doc_id, wasted_bytes) for hashes seen in ≥ 2 distinct
+    items, wasted_bytes = bytes beyond the first occurrence.
+    """
+    frames = frame_sample(media, every_k=every_k)
+    return (
+        frames.groupBy("frame_md5")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_items"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("frame_len").cast("long").alias("frame_len"),
+            F.min("doc_id").cast("long").alias("example_doc_id"),
+            (
+                (F.count(F.lit(1)) - 1) * F.max("frame_len")
+            ).cast("long").alias("wasted_bytes"),
+        )
+        .filter(F.col("n_items") >= 2)
+    )

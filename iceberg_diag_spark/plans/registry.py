@@ -6745,6 +6745,29 @@ FROM grp
 """
 
 
+def _media_frame_dedup(spark, sf_dir):
+    return multimodal.frame_dedup(_media(spark, sf_dir))
+
+
+_MEDIA_FRAME_DEDUP_SQL = """
+WITH f AS (
+  SELECT doc_id, substring(text, CAST(fi * 64 + 1 AS BIGINT), 64) AS frame
+  FROM (SELECT doc_id, text,
+               unnest(range(0, CAST(CEIL(length(text) / 64.0) AS BIGINT), 1)) AS fi
+        FROM documents)
+)
+SELECT md5(frame) AS frame_md5,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_items,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(max(length(frame)) AS BIGINT) AS frame_len,
+       CAST(min(doc_id) AS BIGINT) AS example_doc_id,
+       CAST((count(*) - 1) * max(length(frame)) AS BIGINT) AS wasted_bytes
+FROM f
+GROUP BY frame_md5
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 def _doc_template_clusters(spark, sf_dir):
     return textops.template_clusters(_t(spark, sf_dir, "documents"))
 
@@ -6867,6 +6890,13 @@ REGISTRY.update({
         "(greedy check-before-append fold over byte lengths; "
         "metadata-only — payloads never move); boundary-recursive "
         "CTE oracle",
+    ),
+    "media_frame_dedup": QuerySpec(
+        _media_frame_dedup, _MEDIA_FRAME_DEDUP_SQL,
+        "cross-item frame-level dedup (shared intro/outro/slate "
+        "detector): repeated frame hashes across distinct items with "
+        "occurrence and wasted-byte accounting — frame bytes never "
+        "shuffle, only their 16-byte hashes",
     ),
     "doc_template_clusters": QuerySpec(
         _doc_template_clusters, _TEMPLATE_CLUSTERS_SQL,
@@ -7042,6 +7072,7 @@ _DEFER_TO_R6: set[str] = {
     "media_shard_plan",
     "doc_template_clusters",
     "diag_skip_simulation",
+    "media_frame_dedup",
 }
 
 

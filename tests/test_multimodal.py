@@ -136,3 +136,30 @@ def test_media_dedup_stats_counts_byte_identical(spark):
     assert img.dup_assets == 1
     assert img.reclaimable_bytes == len("same payload bytes")
     assert out["audio"].dup_assets == 0
+
+
+def test_frame_dedup_finds_shared_intro(spark):
+    """Two 'videos' sharing a 64-byte intro frame surface as one
+    duplicated frame hash; unique frames don't."""
+    from iceberg_diag_spark.operators.multimodal import FRAME_BYTES, frame_dedup
+
+    intro = b"L" * FRAME_BYTES
+    rows = [
+        (1, "video", intro + b"A" * FRAME_BYTES),
+        (2, "video", intro + b"B" * FRAME_BYTES),
+        (3, "video", b"C" * FRAME_BYTES),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    ).selectExpr(
+        "doc_id", "media_type", "payload",
+        "named_struct('byte_len', cast(length(payload) as long), 'width', 0,"
+        " 'height', 0, 'sample_rate', 0, 'n_frames', cast(2 as int)) as meta",
+    )
+    out = frame_dedup(media).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_items"] == 2 and r["n_occurrences"] == 2
+    assert r["frame_len"] == FRAME_BYTES
+    assert r["example_doc_id"] == 1
+    assert r["wasted_bytes"] == FRAME_BYTES
