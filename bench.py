@@ -144,6 +144,7 @@ HEADLINE = [
     "doc_template_clusters",
     "diag_skip_simulation",
     "media_frame_dedup",
+    "diag_partition_advisor",
 ]
 
 

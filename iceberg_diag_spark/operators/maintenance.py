@@ -461,3 +461,66 @@ def skip_simulation(
             "improvement_ppm",
         )
     )
+
+
+def partition_advisor(
+    column_values: DataFrame,
+    buckets: int = 16,
+    truncate_width: int = 1024,
+) -> DataFrame:
+    """Partition-spec advisor — the partition-evolution companion of
+    clustering_advisor (which ranks SORT columns; this ranks
+    PARTITION transforms): for each candidate column simulate the
+    two standard Iceberg partition transforms — bucket(N) (proxied
+    with a positive mod; real Iceberg buckets by murmur3, which only
+    permutes bucket assignment, not the size distribution of a mod
+    over well-spread keys) and truncate(W) — and report the
+    partition-count / row-balance each would produce. A transform
+    whose skew_ppm is high concentrates writes and scans in few
+    partitions; one whose n_parts explodes shreds the table into
+    tiny partitions. The advisor table shows both failure modes per
+    candidate.
+
+    One stack projection + one hash-aggregate on (col, transform,
+    partition) + one rollup — linear, shuffle on a well-spread key.
+
+    Output: (col_name, transform, n_parts, total_rows,
+    max_part_rows, avg_part_rows, skew_ppm) where skew_ppm =
+    floor(1e6 · max_part_rows · n_parts / total_rows) — 1e6 means
+    perfectly balanced, N·1e6 means the largest partition carries
+    N× its fair share.
+    """
+    assigned = column_values.select(
+        "col_name",
+        F.expr(
+            f"stack(2, "
+            f"'bucket{buckets}', pmod(v, {buckets}), "
+            f"'truncate{truncate_width}', "
+            f"CAST(floor(v / {truncate_width}.0) AS LONG)"
+            f") AS (transform, pk)"
+        ),
+    )
+    per_part = assigned.groupBy("col_name", "transform", "pk").agg(
+        F.count(F.lit(1)).cast("long").alias("rows")
+    )
+    return (
+        per_part.groupBy("col_name", "transform")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rows").cast("long").alias("total_rows"),
+            F.max("rows").cast("long").alias("max_part_rows"),
+        )
+        .withColumn(
+            "avg_part_rows",
+            F.floor(F.col("total_rows") / F.col("n_parts")).cast("long"),
+        )
+        .withColumn(
+            "skew_ppm",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.col("max_part_rows")
+                * F.col("n_parts")
+                / F.col("total_rows")
+            ).cast("long"),
+        )
+    )

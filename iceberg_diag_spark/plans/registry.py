@@ -6745,6 +6745,39 @@ FROM grp
 """
 
 
+def _diag_partition_advisor(spark, sf_dir):
+    return maintenance.partition_advisor(
+        column_values_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    )
+
+
+_DIAG_PARTITION_ADVISOR_SQL = """
+WITH cv AS (
+  SELECT 'l_partkey' AS col_name, CAST(l_partkey AS BIGINT) AS v FROM lineitem
+  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'price_cents', CAST(floor(l_extendedprice * 100) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'ship_day', CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) FROM lineitem
+),
+assigned AS (
+  SELECT col_name, 'bucket16' AS transform, ((v % 16) + 16) % 16 AS pk FROM cv
+  UNION ALL
+  SELECT col_name, 'truncate1024', CAST(floor(v / 1024.0) AS BIGINT) FROM cv
+),
+per_part AS (
+  SELECT col_name, transform, pk, CAST(count(*) AS BIGINT) AS rows_
+  FROM assigned GROUP BY col_name, transform, pk
+)
+SELECT col_name, transform,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rows_) AS BIGINT) AS total_rows,
+       CAST(max(rows_) AS BIGINT) AS max_part_rows,
+       CAST(floor(sum(rows_) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_part_rows,
+       CAST(floor(1000000.0 * max(rows_) * count(*) / sum(rows_)) AS BIGINT) AS skew_ppm
+FROM per_part
+GROUP BY col_name, transform
+"""
+
+
 def _media_frame_dedup(spark, sf_dir):
     return multimodal.frame_dedup(_media(spark, sf_dir))
 
@@ -6890,6 +6923,13 @@ REGISTRY.update({
         "(greedy check-before-append fold over byte lengths; "
         "metadata-only — payloads never move); boundary-recursive "
         "CTE oracle",
+    ),
+    "diag_partition_advisor": QuerySpec(
+        _diag_partition_advisor, _DIAG_PARTITION_ADVISOR_SQL,
+        "partition-spec advisor: simulated bucket/truncate transform "
+        "per candidate column with partition-count and row-balance "
+        "(skew_ppm) stats — the partition-evolution companion of the "
+        "sort-column advisor",
     ),
     "media_frame_dedup": QuerySpec(
         _media_frame_dedup, _MEDIA_FRAME_DEDUP_SQL,
@@ -7073,6 +7113,7 @@ _DEFER_TO_R6: set[str] = {
     "doc_template_clusters",
     "diag_skip_simulation",
     "media_frame_dedup",
+    "diag_partition_advisor",
 }
 
 

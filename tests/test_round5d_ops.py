@@ -335,3 +335,29 @@ def test_skip_simulation_perfectly_sorted_input_improves_to_disjoint(spark):
     assert r["max_depth_after"] == 1
     assert r["overlap_pairs_before"] == 28  # all C(8,2) pairs overlap
     assert r["improvement_ppm"] < 1_000_000
+
+
+def test_partition_advisor_balance_vs_skew(spark):
+    from iceberg_diag_spark.operators.maintenance import partition_advisor
+
+    # "uniform": 0..159 → every mod-16 bucket gets 10 rows (skew 1e6).
+    # "skewed": 150 copies of one value + 10 distinct → one bucket
+    # dominates.
+    rows = [("uniform", v) for v in range(160)]
+    rows += [("skewed", 7)] * 150 + [("skewed", v) for v in range(10)]
+    cv = spark.createDataFrame(rows, "col_name string, v long")
+    out = {
+        (r["col_name"], r["transform"]): r
+        for r in partition_advisor(cv).collect()
+    }
+    u = out[("uniform", "bucket16")]
+    assert u["n_parts"] == 16
+    assert u["max_part_rows"] == 10
+    assert u["skew_ppm"] == 1_000_000
+    s = out[("skewed", "bucket16")]
+    # value 7 appears 151 times (150 + the distinct 7)
+    assert s["max_part_rows"] == 151
+    assert s["skew_ppm"] > 5_000_000
+    # truncate on uniform 0..159 with width 1024 → single partition
+    t = out[("uniform", "truncate1024")]
+    assert t["n_parts"] == 1 and t["skew_ppm"] == 1_000_000

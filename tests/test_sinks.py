@@ -132,3 +132,53 @@ def test_compact_write_partitioned_rebalances(spark, tmp_path_factory):
         assert all(os.path.getsize(f) < 4 * 64 * 1024 for f in files)
     back = sinks.read_partitioned(spark, out)
     assert back.count() == events.count()
+
+
+def test_sorted_rewrite_produces_disjoint_file_ranges(spark, tmp_path):
+    """The remediation loop closes: a shuffled write has heavily
+    overlapping per-file ranges; sorted_rewrite on the advisor's
+    column drives overlap to (near) zero — measured by the same
+    clustering_advisor sweep that recommended it."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from iceberg_diag_spark.operators.maintenance import clustering_advisor
+    from iceberg_diag_spark.sources.sinks import sorted_rewrite
+
+    # interleaved values → every pre-rewrite file spans ~full range
+    df = (
+        spark.range(0, 20_000, 1, 8)
+        .select((F.col("id") * 2654435761 % 100_000).alias("v"))
+    )
+    out = str(tmp_path / "sorted")
+    n_files = sorted_rewrite(df, ("v",), out, target_file_bytes=64 * 1024)
+    assert n_files >= 2
+
+    def advisor_stats(path):
+        files = sorted(glob.glob(path + "/part-*.parquet"))
+        rows = []
+        for i, f in enumerate(files):
+            b = spark.read.parquet(f).agg(
+                F.min("v").alias("lo"), F.max("v").alias("hi")
+            ).collect()[0]
+            rows.append(("v", i, b["lo"], b["hi"]))
+        fs = spark.createDataFrame(
+            rows, "col_name string, file_id long, lo long, hi long"
+        )
+        return clustering_advisor(fs).collect()[0]
+
+    stats = advisor_stats(out)
+    n = stats["n_files"]
+    assert n >= 2
+    # ranges are a total range partitioning: residual overlap only
+    # from a value straddling a boundary → pairs bounded by n-1,
+    # nothing like the all-overlap C(n,2) of the unsorted layout
+    assert stats["overlap_pairs"] <= n - 1
+    assert stats["max_depth"] <= 2
+
+    # contrast: an unsorted round-robin write of the same data
+    out2 = str(tmp_path / "unsorted")
+    df.repartition(n).write.mode("overwrite").parquet(out2)
+    unsorted = advisor_stats(out2)
+    assert unsorted["overlap_pairs"] == unsorted["n_files"] * (unsorted["n_files"] - 1) // 2
