@@ -145,6 +145,7 @@ HEADLINE = [
     "diag_skip_simulation",
     "media_frame_dedup",
     "diag_partition_advisor",
+    "near_dup_kcore",
 ]
 
 

@@ -96,3 +96,71 @@ def triangle_count(
     return e.agg(F.count(F.lit(1)).alias("edge_count")).crossJoin(
         triangles.agg(F.count(F.lit(1)).alias("triangle_count"))
     )
+
+
+def kcore(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 8,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph where
+    every node keeps ≥ k neighbors — the cluster-DENSITY signal the
+    other graph ops don't give. On a near-dup graph, star clusters
+    (one template, many copies) have an EMPTY 2-core, while
+    genuinely interlinked content farms survive it; `k`-core
+    membership therefore separates "one boilerplate source" from
+    "mutually-copying cluster" before anyone reads the documents.
+
+    Simultaneous peeling, `rounds` fixed iterations (mirroring the
+    unrolled-SQL oracle, the PageRank contract): each round drops
+    every node whose degree among surviving nodes is < k. Each round
+    is two semi joins + one aggregate on the uniform node key, with
+    localCheckpoint truncating the lineage. Raises RuntimeError if
+    the peel has not stabilized after `rounds` (the last two rounds
+    still differed) — near-dup graphs peel in a handful of rounds.
+
+    Output: (id_col, core_degree) for k-core members, core_degree =
+    the node's degree within the final core.
+    """
+    both = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    both = (
+        both.unionByName(
+            both.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    surv = nodes.select(F.col(id_col).alias("node")).localCheckpoint(
+        eager=True
+    )
+    prev_n = None
+    for _ in range(rounds):
+        alive = (
+            both.join(surv.withColumnRenamed("node", "src"), "src", "semi")
+            .join(surv.withColumnRenamed("node", "dst"), "dst", "semi")
+        )
+        surv = (
+            alive.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    n_last = surv.count()
+    final = (
+        both.join(surv.withColumnRenamed("node", "src"), "src", "semi")
+        .join(surv.withColumnRenamed("node", "dst"), "dst", "semi")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+    )
+    if final.count() != n_last:
+        raise RuntimeError(
+            f"k-core peel did not stabilize in {rounds} rounds — raise "
+            "`rounds` for graphs beyond the near-dup regime"
+        )
+    return final.select(F.col("src").alias(id_col), "core_degree")

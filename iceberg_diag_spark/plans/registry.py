@@ -6745,6 +6745,47 @@ FROM grp
 """
 
 
+def _near_dup_kcore(spark, sf_dir):
+    from iceberg_diag_spark.operators.graph import kcore
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    return kcore(docs.select("doc_id"), pairs, k=2, rounds=8)
+
+
+def _kcore_sql() -> str:
+    # 8 unrolled simultaneous-peel rounds (recursive CTEs cannot
+    # aggregate in the recursive term — the PageRank contract), same
+    # fixed count as the engine's loop.
+    rounds = []
+    for i in range(1, 9):
+        prev = f"r{i - 1}"
+        rounds.append(
+            f"r{i} AS (SELECT s AS node FROM bd "
+            f"JOIN {prev} a ON bd.s = a.node "
+            f"JOIN {prev} b ON bd.d = b.node "
+            f"GROUP BY s HAVING count(*) >= 2)"
+        )
+    return (
+        "WITH "
+        + _MINHASH_PRS_CTE.strip()
+        + """,
+bd AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM prs
+       UNION ALL SELECT doc_b, doc_a FROM prs),
+r0 AS (SELECT DISTINCT s AS node FROM bd),
+"""
+        + ",\n".join(rounds)
+        + """
+SELECT s AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM bd JOIN r8 a ON bd.s = a.node JOIN r8 b ON bd.d = b.node
+GROUP BY s HAVING count(*) >= 2
+"""
+    )
+
+
+_KCORE_SQL = _kcore_sql()
+
+
 def _diag_partition_advisor(spark, sf_dir):
     return maintenance.partition_advisor(
         column_values_from_lineitem(_t(spark, sf_dir, "lineitem"))
@@ -6923,6 +6964,13 @@ REGISTRY.update({
         "(greedy check-before-append fold over byte lengths; "
         "metadata-only — payloads never move); boundary-recursive "
         "CTE oracle",
+    ),
+    "near_dup_kcore": QuerySpec(
+        _near_dup_kcore, _KCORE_SQL,
+        "2-core of the near-dup graph (fixed-round simultaneous "
+        "peel, unrolled-SQL oracle): separates one-template star "
+        "clusters (empty core) from mutually-interlinked content "
+        "farms — the density companion of triangles/PageRank",
     ),
     "diag_partition_advisor": QuerySpec(
         _diag_partition_advisor, _DIAG_PARTITION_ADVISOR_SQL,
@@ -7114,6 +7162,7 @@ _DEFER_TO_R6: set[str] = {
     "diag_skip_simulation",
     "media_frame_dedup",
     "diag_partition_advisor",
+    "near_dup_kcore",
 }
 
 

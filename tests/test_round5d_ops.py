@@ -361,3 +361,33 @@ def test_partition_advisor_balance_vs_skew(spark):
     # truncate on uniform 0..159 with width 1024 → single partition
     t = out[("uniform", "truncate1024")]
     assert t["n_parts"] == 1 and t["skew_ppm"] == 1_000_000
+
+
+def test_kcore_star_vs_triangle(spark):
+    from iceberg_diag_spark.operators.graph import kcore
+
+    # star 1-{2,3,4} has NO 2-core; triangle 10-11-12 is one;
+    # node 20 hangs off the triangle and peels away.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (10, 11), (11, 12), (10, 12), (12, 20)],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 4, 10, 11, 12, 20, 99)], "doc_id long"
+    )
+    out = {r["doc_id"]: r["core_degree"] for r in kcore(nodes, edges).collect()}
+    assert out == {10: 2, 11: 2, 12: 2}
+
+
+def test_kcore_raises_when_rounds_too_small(spark):
+    import pytest
+
+    from iceberg_diag_spark.operators.graph import kcore
+
+    # a long cycle with pendant chains: chain of length 12 peels one
+    # node per round from each end — 1 round cannot stabilize it.
+    chain = [(i, i + 1) for i in range(12)]
+    edges = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(n,) for n in range(13)], "doc_id long")
+    with pytest.raises(RuntimeError):
+        kcore(nodes, edges, k=2, rounds=1)
