@@ -137,7 +137,12 @@ def kcore(
     surv = nodes.select(F.col(id_col).alias("node")).localCheckpoint(
         eager=True
     )
-    prev_n = None
+    # The peel is monotone (survivor sets only shrink), so an
+    # unchanged count IS the fixpoint — running the remaining rounds
+    # would be identity. Early exit keeps the result bit-identical
+    # to the oracle's full fixed unroll while skipping dead rounds.
+    prev_n = surv.count()
+    stabilized = False
     for _ in range(rounds):
         alive = (
             both.join(surv.withColumnRenamed("node", "src"), "src", "semi")
@@ -150,7 +155,11 @@ def kcore(
             .select(F.col("src").alias("node"))
             .localCheckpoint(eager=True)
         )
-    n_last = surv.count()
+        n = surv.count()
+        if n == prev_n:
+            stabilized = True
+            break
+        prev_n = n
     final = (
         both.join(surv.withColumnRenamed("node", "src"), "src", "semi")
         .join(surv.withColumnRenamed("node", "dst"), "dst", "semi")
@@ -158,7 +167,7 @@ def kcore(
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .filter(F.col("core_degree") >= k)
     )
-    if final.count() != n_last:
+    if not stabilized and final.count() != prev_n:
         raise RuntimeError(
             f"k-core peel did not stabilize in {rounds} rounds — raise "
             "`rounds` for graphs beyond the near-dup regime"
