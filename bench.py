@@ -146,6 +146,7 @@ HEADLINE = [
     "media_frame_dedup",
     "diag_partition_advisor",
     "near_dup_kcore",
+    "padding_waste_audit",
 ]
 
 

@@ -95,3 +95,101 @@ def pack_sequences(
     return base.groupBy("source", "shard").applyInPandas(
         _pack, schema=PACK_SCHEMA
     )
+
+
+# Power-of-two ladder for bucketed padding: smallest 2^k >= n, floor
+# 16, cap 2^20 (any longer sequence pads to the cap bucket). A CASE
+# ladder instead of log2 so the bucket is integer-exact on any engine.
+_POW2_BUCKETS = [1 << k for k in range(4, 21)]
+
+
+def _pow2_bucket(n):
+    expr = F.lit(_POW2_BUCKETS[-1]).cast("long")
+    for b in reversed(_POW2_BUCKETS):
+        expr = F.when(n <= b, F.lit(b).cast("long")).otherwise(expr)
+    return expr
+
+
+def padding_waste_audit(
+    docs: DataFrame,
+    batch_size: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-batch padding-waste audit: how many pad tokens does
+    each batching policy burn? The efficiency counterpart of
+    pack_sequences (which ELIMINATES padding by concatenation; many
+    fine-tuning setups can't pack and must pad, and this table says
+    what that choice costs under each policy):
+
+      global_max      every sequence pads to the corpus max — the
+                      naive dataloader
+      pow2_bucket     each sequence pads to the next power-of-two
+                      bucket (≥16) — length-bucketed loading
+      sorted_batches  sort by length, take batches of `batch_size`
+                      consecutive sequences, pad to the batch max —
+                      the optimal-ordering baseline
+
+    All-integer accounting: token counts are exact, bucket edges are
+    a CASE ladder (no log2), and the sorted policy uses the
+    global_rank range-shard primitive — no single-task sort. Output:
+    (strategy, n_docs, total_tokens, padded_tokens, waste_ppm) with
+    waste_ppm = floor(1e6 · (padded − total) / padded).
+    """
+    from iceberg_diag_spark.operators.shuffling import global_rank
+
+    base = docs.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n")
+    )
+
+    def _summary(strategy, padded_col_df):
+        return padded_col_df.agg(
+            F.lit(strategy).alias("strategy"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum("padded").cast("long").alias("padded_tokens"),
+        ).withColumn(
+            "waste_ppm",
+            F.floor(
+                F.lit(1_000_000.0)
+                * (F.col("padded_tokens") - F.col("total_tokens"))
+                / F.col("padded_tokens")
+            ).cast("long"),
+        )
+
+    mx = base.agg(F.max("n").alias("mx"))
+    g_max = _summary(
+        "global_max",
+        base.crossJoin(F.broadcast(mx)).withColumn(
+            "padded", F.col("mx").cast("long")
+        ),
+    )
+    pow2 = _summary(
+        "pow2_bucket", base.withColumn("padded", _pow2_bucket(F.col("n")))
+    )
+    ranked = global_rank(base, "n", id_col, out_col="rk")
+    batch_max = (
+        ranked.withColumn(
+            "batch", F.floor((F.col("rk") - 1) / batch_size).cast("long")
+        )
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.sum("n").alias("bsum"),
+            F.max("n").alias("bmax"),
+        )
+    )
+    sorted_b = batch_max.agg(
+        F.lit("sorted_batches").alias("strategy"),
+        F.sum("bn").cast("long").alias("n_docs"),
+        F.sum("bsum").cast("long").alias("total_tokens"),
+        F.sum(F.col("bn") * F.col("bmax")).cast("long").alias("padded_tokens"),
+    ).withColumn(
+        "waste_ppm",
+        F.floor(
+            F.lit(1_000_000.0)
+            * (F.col("padded_tokens") - F.col("total_tokens"))
+            / F.col("padded_tokens")
+        ).cast("long"),
+    )
+    return g_max.unionByName(pow2).unionByName(sorted_b)

@@ -6745,6 +6745,62 @@ FROM grp
 """
 
 
+def _padding_waste_audit(spark, sf_dir):
+    from iceberg_diag_spark.operators.packing import padding_waste_audit
+
+    return padding_waste_audit(_t(spark, sf_dir, "documents"))
+
+
+def _padding_waste_sql() -> str:
+    ladder = " ".join(
+        f"WHEN n <= {1 << k} THEN {1 << k}" for k in range(4, 21)
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n
+  FROM documents
+),
+g AS (
+  SELECT 'global_max' AS strategy,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS total_tokens,
+         CAST(count(*) * max(n) AS BIGINT) AS padded_tokens
+  FROM base
+),
+p AS (
+  SELECT 'pow2_bucket' AS strategy,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE {ladder} ELSE {1 << 20} END) AS BIGINT) AS padded_tokens
+  FROM base
+),
+ranked AS (
+  SELECT n, CAST((row_number() OVER (ORDER BY n, doc_id) - 1) // 32 AS BIGINT) AS batch
+  FROM base
+),
+bm AS (
+  SELECT batch, count(*) AS bn, sum(n) AS bsum, max(n) AS bmax
+  FROM ranked GROUP BY batch
+),
+s AS (
+  SELECT 'sorted_batches' AS strategy,
+         CAST(sum(bn) AS BIGINT) AS n_docs,
+         CAST(sum(bsum) AS BIGINT) AS total_tokens,
+         CAST(sum(bn * bmax) AS BIGINT) AS padded_tokens
+  FROM bm
+),
+u AS (SELECT * FROM g UNION ALL SELECT * FROM p UNION ALL SELECT * FROM s)
+SELECT strategy, n_docs, total_tokens, padded_tokens,
+       CAST(floor(1000000.0 * (padded_tokens - total_tokens) / padded_tokens)
+            AS BIGINT) AS waste_ppm
+FROM u
+"""
+
+
+_PADDING_WASTE_SQL = _padding_waste_sql()
+
+
 def _near_dup_kcore(spark, sf_dir):
     from iceberg_diag_spark.operators.graph import kcore
 
@@ -6965,6 +7021,14 @@ REGISTRY.update({
         "metadata-only — payloads never move); boundary-recursive "
         "CTE oracle",
     ),
+    "padding_waste_audit": QuerySpec(
+        _padding_waste_audit, _PADDING_WASTE_SQL,
+        "training-batch padding-waste audit: exact pad-token cost of "
+        "global-max / power-of-two-bucket / sorted-batch padding "
+        "policies (integer CASE-ladder buckets, distributed "
+        "global-rank batching — the can't-pack fine-tuning "
+        "counterpart of pack_sequences)",
+    ),
     "near_dup_kcore": QuerySpec(
         _near_dup_kcore, _KCORE_SQL,
         "2-core of the near-dup graph (fixed-round simultaneous "
@@ -7163,6 +7227,7 @@ _DEFER_TO_R6: set[str] = {
     "media_frame_dedup",
     "diag_partition_advisor",
     "near_dup_kcore",
+    "padding_waste_audit",
 }
 
 

@@ -225,6 +225,8 @@ _SCALAR_CROSS_OK = {
                                  #   construction, metadata scale
     "events_disorder_audit",     # broadcast 1-row shard-edge scalar
                                  #   (the global_rank idiom)
+    "padding_waste_audit",       # broadcast 1-row corpus-max and
+                                 #   percentile-edge scalars
 }
 
 

@@ -391,3 +391,30 @@ def test_kcore_raises_when_rounds_too_small(spark):
     nodes = spark.createDataFrame([(n,) for n in range(13)], "doc_id long")
     with pytest.raises(RuntimeError):
         kcore(nodes, edges, k=2, rounds=1)
+
+
+def test_padding_waste_known_values(spark):
+    from iceberg_diag_spark.operators.packing import padding_waste_audit
+
+    # 4 docs with 1, 2, 3, 4 tokens; batch_size=2.
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, "a b c"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["strategy"]: r
+        for r in padding_waste_audit(docs, batch_size=2).collect()
+    }
+    total = 1 + 2 + 3 + 4
+    # global max: everyone pads to 4 → 16 padded
+    g = out["global_max"]
+    assert g["total_tokens"] == total and g["padded_tokens"] == 16
+    assert g["waste_ppm"] == (16 - total) * 1_000_000 // 16
+    # pow2 floor bucket is 16 → everyone pads to 16 → 64
+    p = out["pow2_bucket"]
+    assert p["padded_tokens"] == 64
+    # sorted batches of 2: [1,2]→2·2, [3,4]→2·4 → 12 padded
+    s = out["sorted_batches"]
+    assert s["padded_tokens"] == 12
+    assert s["waste_ppm"] == (12 - total) * 1_000_000 // 12
+    assert all(r["n_docs"] == 4 for r in out.values())
