@@ -1,0 +1,105 @@
+"""Opt-in scale-stress smoke (SPARK_GRAFT_STRESS=1): the dedup chain
+on a 1M-doc expression-generated corpus with an adversarial exact-dup
+hot spot — 100 templates × 1,000 copies each — the shape that used to
+be the LSH n²-bucket pathology. Asserts exact duplicate accounting
+and bounded candidate output at ~200× the bench corpus.
+
+Generation is pure Spark expressions over spark.range (no Python, no
+driver materialization), so the test exercises the operators' scale
+posture rather than test-harness throughput.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_STRESS") != "1",
+    reason="stress smoke only under SPARK_GRAFT_STRESS=1",
+)
+
+N_DOCS = 1_000_000
+N_TEMPLATES = 100
+N_COPIES = 1_000  # last 100k ids are template copies
+VOCAB = [f"w{i:03d}" for i in range(512)]
+
+
+def _tokens_of(base, vocab):
+    # first 4 tokens are the base-512 digits of `base` (36 bits —
+    # injective below 2^36, so distinct bases ⇒ distinct texts);
+    # the rest are mixing tokens for realistic shingle variety.
+    toks = [
+        F.element_at(
+            vocab,
+            (F.shiftright(base, 9 * k) % len(VOCAB) + 1).cast("int"),
+        )
+        for k in range(4)
+    ]
+    # mixing tokens via a REAL hash (xxhash64), not linear
+    # congruences — any linear scheme has lattice structure (ids in
+    # arithmetic progression share every mixing token), which
+    # silently turns the "unique" range into genuine near-dup
+    # families. With proper hashing two distinct ids share a given
+    # token with p = 1/512, so the corpus is near-dup-sparse outside
+    # the constructed hot spot.
+    toks += [
+        F.element_at(
+            vocab,
+            (F.pmod(F.xxhash64(base, F.lit(k)), len(VOCAB)) + 1).cast("int"),
+        )
+        for k in range(4, 30)
+    ]
+    return F.concat_ws(" ", *toks)
+
+
+def _corpus(spark):
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    i = F.col("id")
+    # hot spot: ids >= N_DOCS - 100k all reuse one of 100 templates
+    # (template t's text equals the unique text of id == t, so each
+    # dup group is 1000 hot copies + that one original)
+    dup_cut = N_DOCS - N_TEMPLATES * N_COPIES
+    text = F.when(i < dup_cut, _tokens_of(i, vocab)).otherwise(
+        _tokens_of((i % N_TEMPLATES).cast("long"), vocab)
+    )
+    return spark.range(0, N_DOCS, 1, 64).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+
+
+def test_exact_dedup_accounting_at_1m(spark):
+    from iceberg_diag_spark.operators.dedup import exact_dedup_groups
+
+    docs = _corpus(spark)
+    t0 = time.time()
+    groups = exact_dedup_groups(docs).filter(F.col("dup_count") >= 2)
+    agg = groups.agg(
+        F.count(F.lit(1)).alias("g"), F.sum("dup_count").alias("d")
+    ).collect()[0]
+    wall = time.time() - t0
+    # each template: 1000 hot copies + its own id<dup_cut original
+    assert agg["g"] == N_TEMPLATES
+    assert agg["d"] == N_TEMPLATES * (N_COPIES + 1)
+    print(f"exact_dedup_groups 1M docs: {wall:.1f}s")
+
+
+def test_minhash_chain_bounded_at_1m(spark):
+    from iceberg_diag_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = _corpus(spark)
+    t0 = time.time()
+    pairs = minhash_candidate_pairs(docs)
+    n_star = pairs.filter(F.col("doc_a") < N_TEMPLATES).count()
+    n_total = pairs.count()
+    wall = time.time() - t0
+    # the hot spot collapses to star edges: 1000 members per template
+    # (the min-id representative is the template's own id < 100)
+    assert n_star >= N_TEMPLATES * N_COPIES
+    # and candidate volume stays linear-ish, nothing like the
+    # ~5·10^10 pairs an uncollapsed hot bucket would expand to
+    assert n_total < 5 * N_DOCS
+    print(f"minhash_candidate_pairs 1M docs: {wall:.1f}s, {n_total} pairs")
