@@ -103,3 +103,36 @@ def test_minhash_chain_bounded_at_1m(spark):
     # ~5·10^10 pairs an uncollapsed hot bucket would expand to
     assert n_total < 5 * N_DOCS
     print(f"minhash_candidate_pairs 1M docs: {wall:.1f}s, {n_total} pairs")
+
+
+def test_disorder_audit_shard_invariance_at_10m(spark):
+    """The range-sharded running max must be invariant to the shard
+    count — compare a 64-shard run against a 4-shard run on 10M
+    events (different shard boundaries, same exact answer)."""
+    from iceberg_diag_spark.operators.events import disorder_audit
+
+    n = 10_000_000
+    i = F.col("id")
+    events = spark.range(0, n, 1, 64).select(
+        i.alias("event_id"),
+        F.timestamp_micros(
+            (F.lit(1_700_000_000_000_000) + F.pmod(F.xxhash64(i), 86_400_000_000))
+        ).alias("ts"),
+        F.pmod(i, 1000).alias("user_id"),
+        F.concat(F.lit("t"), F.pmod(F.xxhash64(i, F.lit(1)), 5).cast("string")).alias(
+            "event_type"
+        ),
+    )
+    t0 = time.time()
+    a = {
+        r["event_type"]: tuple(r)
+        for r in disorder_audit(events, n_shards=64).collect()
+    }
+    wall = time.time() - t0
+    b = {
+        r["event_type"]: tuple(r)
+        for r in disorder_audit(events, n_shards=4).collect()
+    }
+    assert a == b
+    assert sum(r[1] for r in a.values()) == n
+    print(f"disorder_audit 10M events (64 shards): {wall:.1f}s")
