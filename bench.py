@@ -147,6 +147,7 @@ HEADLINE = [
     "diag_partition_advisor",
     "near_dup_kcore",
     "padding_waste_audit",
+    "events_watermark_advisor",
 ]
 
 

@@ -282,6 +282,26 @@ def disorder_audit(
     `late_threshold_us` behind the running event-time frontier.
     """
     ts_us = F.unix_micros(F.col("ts"))
+    late = _lateness(events, n_shards)
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("lateness_us") > late_threshold_us, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_late"),
+        F.max("lateness_us").cast("long").alias("max_lateness_us"),
+        F.sum("lateness_us").cast("long").alias("total_lateness_us"),
+    )
+
+
+def _lateness(events: DataFrame, n_shards: int = 32) -> DataFrame:
+    """Per-event lateness behind the running event-time frontier in
+    arrival order — the shared core of disorder_audit and
+    watermark_advisor (see disorder_audit for the range-shard +
+    broadcast-prefix formulation). Output columns: event_id,
+    event_type, ts_us, lateness_us."""
+    ts_us = F.unix_micros(F.col("ts"))
     base = events.select(
         F.col("event_id"), F.col("event_type"), ts_us.alias("ts_us")
     )
@@ -331,13 +351,61 @@ def disorder_audit(
             ).cast("long"),
         )
     )
-    return late.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum(
-            F.when(F.col("lateness_us") > late_threshold_us, 1).otherwise(0)
+    return late.select("event_id", "event_type", "ts_us", "lateness_us")
+
+
+# Candidate watermark delays for the advisor: 1 s, 10 s, 1 min, 10 min.
+WATERMARK_CANDIDATES_US = (1_000_000, 10_000_000, 60_000_000, 600_000_000)
+
+
+def watermark_advisor(
+    events: DataFrame,
+    candidates_us: tuple[int, ...] = WATERMARK_CANDIDATES_US,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Watermark POLICY table — the decision disorder_audit's raw
+    stats feed: for each (event_type, candidate watermark delay),
+    exactly how many events `withWatermark(delay)` would drop
+    (lateness beyond the delay = arrived after the frontier passed
+    their admission window). Pick the smallest candidate whose
+    drop_ppm is acceptable; a type whose drop rate stays high even at
+    the largest candidate needs upstream reordering, not a bigger
+    watermark.
+
+    One lateness pass (shared _lateness core, no global window), one
+    aggregate with a conditional sum per candidate, then a
+    metadata-size stack() unpivot — cost is independent of the
+    number of candidates until the unpivot (|types|·|candidates|
+    rows).
+
+    Output: (event_type, watermark_us, n_events, n_dropped,
+    drop_ppm).
+    """
+    late = _lateness(events, n_shards)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_events")]
+    for c in candidates_us:
+        aggs.append(
+            F.sum(F.when(F.col("lateness_us") > c, 1).otherwise(0))
+            .cast("long")
+            .alias(f"d{c}")
+        )
+    g = late.groupBy("event_type").agg(*aggs)
+    stack_args = ", ".join(f"{c}L, d{c}" for c in candidates_us)
+    return g.select(
+        "event_type",
+        "n_events",
+        F.expr(
+            f"stack({len(candidates_us)}, {stack_args})"
+            " AS (watermark_us, n_dropped)"
+        ),
+    ).select(
+        "event_type",
+        "watermark_us",
+        "n_events",
+        "n_dropped",
+        F.floor(
+            F.lit(1_000_000.0) * F.col("n_dropped") / F.col("n_events")
         )
         .cast("long")
-        .alias("n_late"),
-        F.max("lateness_us").cast("long").alias("max_lateness_us"),
-        F.sum("lateness_us").cast("long").alias("total_lateness_us"),
+        .alias("drop_ppm"),
     )

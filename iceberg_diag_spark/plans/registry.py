@@ -6745,6 +6745,45 @@ FROM grp
 """
 
 
+def _events_watermark_advisor(spark, sf_dir):
+    return events.watermark_advisor(_t(spark, sf_dir, "events"))
+
+
+_WATERMARK_ADVISOR_SQL = """
+WITH o AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         max(epoch_us(ts)) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS frontier
+  FROM events
+),
+l AS (
+  SELECT event_type,
+         CASE WHEN frontier IS NULL OR frontier < ts_us THEN 0
+              ELSE frontier - ts_us END AS lateness_us
+  FROM o
+),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN lateness_us > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN lateness_us > 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         CAST(sum(CASE WHEN lateness_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+         CAST(sum(CASE WHEN lateness_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS d4
+  FROM l GROUP BY event_type
+),
+u AS (
+  SELECT event_type, CAST(1000000 AS BIGINT) AS watermark_us, n_events, d1 AS n_dropped FROM g
+  UNION ALL SELECT event_type, 10000000, n_events, d2 FROM g
+  UNION ALL SELECT event_type, 60000000, n_events, d3 FROM g
+  UNION ALL SELECT event_type, 600000000, n_events, d4 FROM g
+)
+SELECT event_type, watermark_us, n_events, n_dropped,
+       CAST(floor(1000000.0 * n_dropped / n_events) AS BIGINT) AS drop_ppm
+FROM u
+"""
+
+
 def _padding_waste_audit(spark, sf_dir):
     from iceberg_diag_spark.operators.packing import padding_waste_audit
 
@@ -7021,6 +7060,14 @@ REGISTRY.update({
         "metadata-only — payloads never move); boundary-recursive "
         "CTE oracle",
     ),
+    "events_watermark_advisor": QuerySpec(
+        _events_watermark_advisor, _WATERMARK_ADVISOR_SQL,
+        "watermark policy table: exact withWatermark(delay) drop "
+        "counts per (event_type, candidate delay) over the arrival-"
+        "order lateness relation (shared distributed running-max "
+        "core; one conditional-sum aggregate + metadata-size "
+        "unpivot)",
+    ),
     "padding_waste_audit": QuerySpec(
         _padding_waste_audit, _PADDING_WASTE_SQL,
         "training-batch padding-waste audit: exact pad-token cost of "
@@ -7228,6 +7275,7 @@ _DEFER_TO_R6: set[str] = {
     "diag_partition_advisor",
     "near_dup_kcore",
     "padding_waste_audit",
+    "events_watermark_advisor",
 }
 
 

@@ -227,6 +227,8 @@ _SCALAR_CROSS_OK = {
                                  #   (the global_rank idiom)
     "padding_waste_audit",       # broadcast 1-row corpus-max and
                                  #   percentile-edge scalars
+    "events_watermark_advisor",  # broadcast 1-row shard-edge scalar
+                                 #   (shared _lateness core)
 }
 
 

@@ -418,3 +418,29 @@ def test_padding_waste_known_values(spark):
     assert s["padded_tokens"] == 12
     assert s["waste_ppm"] == (12 - total) * 1_000_000 // 12
     assert all(r["n_docs"] == 4 for r in out.values())
+
+
+def test_watermark_advisor_known_drops(spark):
+    import datetime
+
+    from iceberg_diag_spark.operators.events import watermark_advisor
+
+    t0 = datetime.datetime(2025, 1, 1)
+    sec = datetime.timedelta(seconds=1)
+    # arrival order: frontier hits 1000s at event 1; then events 5s,
+    # 30s, 500s, 999.5s behind it.
+    rows = [(1, t0 + 1000 * sec), (2, t0 + 995 * sec), (3, t0 + 970 * sec),
+            (4, t0 + 500 * sec), (5, t0 + 0.5 * sec)]
+    events = spark.createDataFrame(
+        [(i, ts, 1, "a", 0.0, "{}") for i, ts in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["watermark_us"]: r for r in watermark_advisor(events).collect()}
+    # lateness: 0, 5s, 30s, 500s, 999.5s
+    assert out[1_000_000]["n_dropped"] == 4       # > 1 s late
+    assert out[10_000_000]["n_dropped"] == 3      # > 10 s
+    assert out[60_000_000]["n_dropped"] == 2      # > 60 s
+    assert out[600_000_000]["n_dropped"] == 1     # > 600 s
+    assert all(r["n_events"] == 5 for r in out.values())
+    assert out[60_000_000]["drop_ppm"] == 400_000
