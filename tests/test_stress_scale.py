@@ -136,3 +136,29 @@ def test_disorder_audit_shard_invariance_at_10m(spark):
     assert a == b
     assert sum(r[1] for r in a.values()) == n
     print(f"disorder_audit 10M events (64 shards): {wall:.1f}s")
+
+
+def test_grouped_prefix_sum_shard_invariance_at_10m(spark):
+    """skip_simulation's rank core: exclusive prefix sums over 10M
+    (group, key) rows must be identical for any shard count."""
+    from iceberg_diag_spark.operators.shuffling import grouped_prefix_sum
+
+    n = 10_000_000
+    i = F.col("id")
+    df = spark.range(0, n, 1, 64).select(
+        F.concat(F.lit("g"), F.pmod(i, 4).cast("string")).alias("g"),
+        i.alias("k"),
+        (F.pmod(F.xxhash64(i), 100) + 1).alias("v"),
+    )
+    t0 = time.time()
+    a = grouped_prefix_sum(df, "g", "k", "v", out_col="p", n_shards=64)
+    chk_a = a.agg(
+        F.sum(F.col("p") * F.col("v")).alias("dot"), F.max("p").alias("mx")
+    ).collect()[0]
+    wall = time.time() - t0
+    b = grouped_prefix_sum(df, "g", "k", "v", out_col="p", n_shards=3)
+    chk_b = b.agg(
+        F.sum(F.col("p") * F.col("v")).alias("dot"), F.max("p").alias("mx")
+    ).collect()[0]
+    assert tuple(chk_a) == tuple(chk_b)
+    print(f"grouped_prefix_sum 10M rows (64 shards): {wall:.1f}s")
