@@ -148,6 +148,7 @@ HEADLINE = [
     "near_dup_kcore",
     "padding_waste_audit",
     "events_watermark_advisor",
+    "stream_disorder_monitor",
 ]
 
 

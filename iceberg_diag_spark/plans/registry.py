@@ -6745,6 +6745,38 @@ FROM grp
 """
 
 
+def _stream_disorder_monitor(spark, sf_dir):
+    ev = stream_ops.read_events_stream(spark, sf_dir)
+    return stream_ops.run_to_table(
+        stream_ops.disorder_monitor(ev), "update", "stream_disorder"
+    )
+
+
+_STREAM_DISORDER_SQL = """
+WITH o AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         max(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS frontier
+  FROM events
+),
+l AS (
+  SELECT event_type,
+         CASE WHEN frontier IS NULL OR frontier < ts_us THEN 0
+              ELSE frontier - ts_us END AS lateness_us
+  FROM o
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN lateness_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(max(lateness_us) AS BIGINT) AS max_lateness_us,
+       CAST(sum(lateness_us) AS BIGINT) AS total_lateness_us
+FROM l
+GROUP BY event_type
+"""
+
+
 def _events_watermark_advisor(spark, sf_dir):
     return events.watermark_advisor(_t(spark, sf_dir, "events"))
 
@@ -7060,6 +7092,13 @@ REGISTRY.update({
         "metadata-only — payloads never move); boundary-recursive "
         "CTE oracle",
     ),
+    "stream_disorder_monitor": QuerySpec(
+        _stream_disorder_monitor, _STREAM_DISORDER_SQL,
+        "streaming watermark-calibration monitor: per-type keyed-"
+        "state event-time frontier + cumulative lateness stats "
+        "(applyInPandasWithState, vectorized in-batch running max); "
+        "single availableNow drain equals the batch per-type audit",
+    ),
     "events_watermark_advisor": QuerySpec(
         _events_watermark_advisor, _WATERMARK_ADVISOR_SQL,
         "watermark policy table: exact withWatermark(delay) drop "
@@ -7276,6 +7315,7 @@ _DEFER_TO_R6: set[str] = {
     "near_dup_kcore",
     "padding_waste_audit",
     "events_watermark_advisor",
+    "stream_disorder_monitor",
 }
 
 

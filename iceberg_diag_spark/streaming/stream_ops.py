@@ -550,3 +550,72 @@ def centroid_confusion_stream(
     return assigned.groupBy("label", "predicted").agg(
         F.count(F.lit(1)).alias("n_vecs")
     )
+
+
+def disorder_monitor(
+    events: DataFrame, late_threshold_us: int = 60_000_000
+) -> DataFrame:
+    """Streaming watermark-calibration monitor — the live twin of the
+    batch events.disorder_audit / watermark_advisor pair: per
+    event TYPE, keyed state carries the running event-time frontier
+    and cumulative lateness stats, updated each micro-batch and
+    emitted as one row per type per batch. Run it beside a production
+    job and the `max_lateness_us` column IS the evidence the job's
+    withWatermark delay must cover.
+
+    Semantics: the frontier is per-type (keyed state shards by the
+    group key — the scalable keyed-state shape; the batch audit's
+    GLOBAL frontier has no per-key streaming equivalent), and rows
+    fold in event_id order within each batch (vectorized numpy
+    running-max, no Python row loop). Over a single availableNow
+    batch this equals the batch computation with a per-type frontier
+    — the property the oracle checks.
+
+    Output: (event_type, n_events, n_late, max_lateness_us,
+    total_lateness_us).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_type string, n_events long, n_late long,"
+        " max_lateness_us long, total_lateness_us long"
+    )
+    state_schema = "frontier long, n long, n_late long, mx long, tot long"
+
+    def update(key, pdfs, state: GroupState):
+        frontier, n, n_late, mx, tot = (
+            state.get if state.exists else (-1, 0, 0, 0, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values("event_id")
+            ts_us = (batch["ts"].astype("int64") // 1000).to_numpy()
+            cm = np.maximum.accumulate(ts_us)
+            prev = np.concatenate(([frontier], cm[:-1]))
+            prev = np.maximum(prev, frontier)
+            late = np.maximum(0, prev - ts_us)
+            n += len(ts_us)
+            n_late += int((late > late_threshold_us).sum())
+            mx = max(mx, int(late.max()))
+            tot += int(late.sum())
+            frontier = max(frontier, int(ts_us.max()))
+        state.update((int(frontier), int(n), int(n_late), int(mx), int(tot)))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "n_late": [n_late],
+                "max_lateness_us": [mx],
+                "total_lateness_us": [tot],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -172,3 +172,35 @@ def test_stream_stream_join_equals_batch_range_join(spark, events_batch):
         "gap_seconds",
     )
     assert rowset(got) == rowset(want)
+
+
+def test_disorder_monitor_state_across_batches(spark, tmp_path_factory, events_batch):
+    """disorder_monitor must carry per-type frontier state across
+    micro-batches: the final emitted row per type accounts for every
+    event seen in any batch (lateness itself is arrival-order-
+    dependent, so only the count is batch-order-invariant here; the
+    single-batch value semantics are pinned by the oracle parity
+    test)."""
+    src = str(tmp_path_factory.mktemp("ev_parts_dm"))
+    (
+        events_batch.withColumn("ts", F.unix_micros("ts") * 1000)
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(os.path.join(src, "events.parquet"))
+    )
+    ev = so.read_events_stream(spark, src, max_files_per_trigger=1)
+    out = so.run_to_table(so.disorder_monitor(ev), "update", "t_dm_inc")
+    rows = out.collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r.event_type)
+        if cur is None or r.n_events > cur.n_events:
+            final[r.event_type] = r
+    want = {
+        r.event_type: r.n
+        for r in events_batch.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {t: r.n_events for t, r in final.items()} == want
+    assert len(rows) > len(final)  # state really spanned >1 batch
