@@ -7282,6 +7282,14 @@ _MODIFIED_R5 = {
 # everything already green: they ride any window slots left over this
 # round and lead round 6's otherwise. Parity is pinned by
 # tests/test_oracle_parity locally either way.
+#
+# ROUND-6 BOOKKEEPING (first task of the next round, after reading
+# CORRECTNESS_r05.json): add an _R5_GREEN set from that file's green
+# rows, fold it into _eval_order's staleness tiers (r5-green = the
+# new freshest tier), clear or rename _MODIFIED_R5 for whatever
+# builders round 6 touches, and promote the ~33 entries below (never
+# externally scored — they have local sf0.001+sf0.01 parity only) to
+# the FRONT of the window so each finally earns a driver-green row.
 _DEFER_TO_R6: set[str] = {
     "ngram_containment",
     "doc_bigram_logprob",
