@@ -149,6 +149,7 @@ HEADLINE = [
     "padding_waste_audit",
     "events_watermark_advisor",
     "stream_disorder_monitor",
+    "lsh_near_dup_exact",
 ]
 
 

@@ -785,3 +785,139 @@ def dim_variance_audit(emb: DataFrame, scale_bits: int = 10) -> DataFrame:
         .cast("long")
         .alias("var_q"),
     )
+
+
+def md5_hyperplanes(
+    dim: int = 64, n_planes: int = 4, n_tables: int = 8
+) -> list[list[list[int]]]:
+    """Integer hyperplanes derived from md5 — engine-independent
+    CONSTANTS (each component = md5("t_p_d") first 16 bits mod 17,
+    shifted to [-8, 8]), so the sign-LSH built on them is exactly
+    reproducible anywhere, literals included in the DuckDB oracle.
+    Returns planes[t][p][d]."""
+    import hashlib
+
+    return [
+        [
+            [
+                int(
+                    hashlib.md5(f"{t}_{p}_{d}".encode()).hexdigest()[:4], 16
+                )
+                % 17
+                - 8
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Σ a[i]·b[i] over integer arrays as an exact long fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def lsh_near_dup_exact(
+    embeddings: DataFrame,
+    threshold_num: int = 9,
+    threshold_den: int = 20,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    scale_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH near-dup with EXACT cross-engine semantics — the
+    hash-oracle-able sibling of lsh_near_dup_pairs (whose seeded
+    float hyperplanes and float dot products are engine-private):
+
+    - hyperplanes are md5-derived integer constants (md5_hyperplanes);
+    - vectors quantize once to q = floor(v·2^scale_bits) — every
+      bucket bit is the sign of an exact integer dot product
+      (bit = dot > 0: no float, no ulp, no tie ambiguity);
+    - candidates collide in ≥ 1 of the n_tables bucket tables
+      (same-bucket equi-join, per-bucket-quadratic — the scale path);
+    - verification keeps pairs with cos ≥ threshold_num/threshold_den
+      via the cross-multiplied integer comparison
+      den²·dot² ≥ num²·|a|²·|b|² (with dot > 0) — exact rational
+      arithmetic; with scale_bits=8, dim=64 and |v| ≤ 4 every product
+      stays far inside int64.
+
+    Output: (vec_a, vec_b, cos_mppm) where cos_mppm =
+    floor(1e6·dot/(√|a|²·√|b|²)) — IEEE sqrt/divide are correctly
+    rounded single operations, bit-identical across engines.
+    """
+    from iceberg_diag_spark.functions.parallel import ensure_parallelism
+
+    planes = md5_hyperplanes(dim, n_planes, n_tables)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * (1 << scale_bits)).cast("long"),
+    )
+    base = ensure_parallelism(embeddings).select(
+        F.col(id_col), qv.alias("q")
+    )
+    buckets = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for p in range(n_planes):
+            plane = F.array(
+                *[F.lit(h).cast("long") for h in planes[t][p]]
+            )
+            bit = F.when(
+                int_dot(F.col("q"), plane) > 0,
+                F.shiftleft(F.lit(1).cast("long"), p),
+            ).otherwise(F.lit(0).cast("long"))
+            bucket = bucket.bitwiseOR(bit)
+        buckets.append(
+            F.struct(F.lit(t).alias("t"), bucket.alias("bucket"))
+        )
+    tabled = base.select(
+        id_col, "q", F.explode(F.array(*buckets)).alias("tb")
+    ).select(id_col, "q", "tb.t", "tb.bucket")
+    a = tabled.select(
+        F.col("t"), F.col("bucket"),
+        F.col(id_col).alias("vec_a"), F.col("q").alias("qa"),
+    )
+    b = tabled.select(
+        F.col("t"), F.col("bucket"),
+        F.col(id_col).alias("vec_b"), F.col("q").alias("qb"),
+    )
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "qa", "qb")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    d = int_dot(F.col("qa"), F.col("qb"))
+    na2 = int_dot(F.col("qa"), F.col("qa"))
+    nb2 = int_dot(F.col("qb"), F.col("qb"))
+    scored = cand.select(
+        "vec_a", "vec_b",
+        d.alias("d"), na2.alias("na2"), nb2.alias("nb2"),
+    ).filter(
+        (F.col("d") > 0)
+        & (
+            F.lit(threshold_den * threshold_den) * F.col("d") * F.col("d")
+            >= F.lit(threshold_num * threshold_num)
+            * F.col("na2")
+            * F.col("nb2")
+        )
+    )
+    return scored.select(
+        "vec_a",
+        "vec_b",
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.col("d")
+            / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+        )
+        .cast("long")
+        .alias("cos_mppm"),
+    )

@@ -6745,6 +6745,60 @@ FROM grp
 """
 
 
+def _lsh_near_dup_exact(spark, sf_dir):
+    return similarity.lsh_near_dup_exact(_t(spark, sf_dir, "embeddings"))
+
+
+def _lsh_exact_sql() -> str:
+    planes = similarity.md5_hyperplanes()
+    values = ", ".join(
+        f"({t},{p},{d},{h})"
+        for t, tp in enumerate(planes)
+        for p, row in enumerate(tp)
+        for d, h in enumerate(row)
+    )
+    return f"""
+WITH planes(t, p, d, h) AS (VALUES {values}),
+ex AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 256.0) AS BIGINT) AS q
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id, t, p, sum(q * h) AS dt
+  FROM ex JOIN planes USING (d) GROUP BY vec_id, t, p
+),
+bks AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN dt > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bks a JOIN bks b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pairdots AS (
+  SELECT c.vec_a, c.vec_b,
+         sum(ea.q * eb.q) AS dd,
+         sum(ea.q * ea.q) AS na2,
+         sum(eb.q * eb.q) AS nb2
+  FROM cand c
+  JOIN ex ea ON ea.vec_id = c.vec_a
+  JOIN ex eb ON eb.vec_id = c.vec_b AND ea.d = eb.d
+  GROUP BY c.vec_a, c.vec_b
+)
+SELECT vec_a, vec_b,
+       CAST(floor(1000000.0 * dd / (sqrt(na2) * sqrt(nb2))) AS BIGINT)
+         AS cos_mppm
+FROM pairdots
+WHERE dd > 0 AND 400 * dd * dd >= 81 * na2 * nb2
+"""
+
+
+_LSH_EXACT_SQL = _lsh_exact_sql()
+
+
 def _stream_disorder_monitor(spark, sf_dir):
     ev = stream_ops.read_events_stream(spark, sf_dir)
     return stream_ops.run_to_table(
@@ -7092,6 +7146,14 @@ REGISTRY.update({
         "metadata-only — payloads never move); boundary-recursive "
         "CTE oracle",
     ),
+    "lsh_near_dup_exact": QuerySpec(
+        _lsh_near_dup_exact, _LSH_EXACT_SQL,
+        "hash-oracle-able sign-LSH near-dup: md5-derived integer "
+        "hyperplanes + quantized integer dot products (bucket bits "
+        "and the cosine threshold are exact rational arithmetic — "
+        "no engine-private float signs), per-bucket-quadratic "
+        "candidates, cross-multiplied verification",
+    ),
     "stream_disorder_monitor": QuerySpec(
         _stream_disorder_monitor, _STREAM_DISORDER_SQL,
         "streaming watermark-calibration monitor: per-type keyed-"
@@ -7324,6 +7386,7 @@ _DEFER_TO_R6: set[str] = {
     "padding_waste_audit",
     "events_watermark_advisor",
     "stream_disorder_monitor",
+    "lsh_near_dup_exact",
 }
 
 

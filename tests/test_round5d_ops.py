@@ -444,3 +444,55 @@ def test_watermark_advisor_known_drops(spark):
     assert out[600_000_000]["n_dropped"] == 1     # > 600 s
     assert all(r["n_events"] == 5 for r in out.values())
     assert out[60_000_000]["drop_ppm"] == 400_000
+
+
+def test_lsh_near_dup_exact_no_false_positives_and_recall(spark):
+    import math
+    import random
+
+    from iceberg_diag_spark.operators.similarity import lsh_near_dup_exact
+
+    rng = random.Random(3)
+    # 30 clusters of 4 near-identical vectors + 80 random singletons
+    vecs = []
+    vid = 0
+    for c in range(30):
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        for _ in range(4):
+            vecs.append(
+                (vid, [x + rng.uniform(-0.02, 0.02) for x in base])
+            )
+            vid += 1
+    for _ in range(80):
+        vecs.append((vid, [rng.uniform(-1, 1) for _ in range(64)]))
+        vid += 1
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in lsh_near_dup_exact(emb).collect()
+    }
+
+    # exact ground truth under the SAME integer semantics
+    import struct
+
+    def as_f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    qs = {
+        i: [math.floor(as_f32(x) * 256.0) for x in v] for i, v in vecs
+    }
+    truth = set()
+    ids = sorted(qs)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            qa, qb = qs[ids[a]], qs[ids[b]]
+            d = sum(x * y for x, y in zip(qa, qb))
+            na2 = sum(x * x for x in qa)
+            nb2 = sum(x * x for x in qb)
+            if d > 0 and 400 * d * d >= 81 * na2 * nb2:
+                truth.add((ids[a], ids[b]))
+    # exact verification ⇒ every reported pair is true
+    assert got <= truth
+    # clustered pairs are high-cosine → multi-table recall is high
+    assert len(truth) > 0
+    assert len(got) / len(truth) >= 0.8
