@@ -150,6 +150,7 @@ HEADLINE = [
     "events_watermark_advisor",
     "stream_disorder_monitor",
     "lsh_near_dup_exact",
+    "user_transition_typicality",
 ]
 
 

@@ -409,3 +409,38 @@ def watermark_advisor(
         .cast("long")
         .alias("drop_ppm"),
     )
+
+
+def user_transition_typicality(events: DataFrame) -> DataFrame:
+    """Behavioral-anomaly score per user: how typical are this
+    user's event-type transitions under the corpus-wide first-order
+    Markov matrix (event_transitions)? Bots and scripted traffic
+    walk low-probability edges; engaged humans follow the common
+    paths. No logarithm anywhere — typicality is summarized as the
+    mean and minimum transition probability (ppm, exact integers),
+    which orders users the same way a perplexity would without
+    leaving integer arithmetic.
+
+    Shape: one lag window per user (shuffle on user_id), the
+    |types|² transition matrix broadcast back, one aggregate.
+    Output: (user_id, n_transitions, mean_prob_ppm, min_prob_ppm).
+    """
+    matrix = event_transitions(events).select("src", "dst", "prob_ppm")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+    )
+    return (
+        pairs.join(F.broadcast(matrix), ["src", "dst"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.floor(F.avg("prob_ppm")).cast("long").alias("mean_prob_ppm"),
+            F.min("prob_ppm").cast("long").alias("min_prob_ppm"),
+        )
+    )

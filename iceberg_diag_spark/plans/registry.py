@@ -6745,6 +6745,38 @@ FROM grp
 """
 
 
+def _user_transition_typicality(spark, sf_dir):
+    return events.user_transition_typicality(_t(spark, sf_dir, "events"))
+
+
+_USER_TYPICALITY_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+counts AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n_trans
+  FROM seq WHERE src IS NOT NULL
+  GROUP BY src, dst
+),
+matrix AS (
+  SELECT src, dst,
+         CAST(floor(1000000.0 * n_trans / SUM(n_trans) OVER (PARTITION BY src))
+              AS BIGINT) AS prob_ppm
+  FROM counts
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(floor(avg(prob_ppm)) AS BIGINT) AS mean_prob_ppm,
+       CAST(min(prob_ppm) AS BIGINT) AS min_prob_ppm
+FROM seq JOIN matrix USING (src, dst)
+WHERE src IS NOT NULL
+GROUP BY user_id
+"""
+
+
 def _lsh_near_dup_exact(spark, sf_dir):
     return similarity.lsh_near_dup_exact(_t(spark, sf_dir, "embeddings"))
 
@@ -7146,6 +7178,13 @@ REGISTRY.update({
         "metadata-only — payloads never move); boundary-recursive "
         "CTE oracle",
     ),
+    "user_transition_typicality": QuerySpec(
+        _user_transition_typicality, _USER_TYPICALITY_SQL,
+        "per-user behavioral typicality under the corpus Markov "
+        "matrix: mean/min transition probability in exact ppm (the "
+        "bot/scripted-traffic anomaly score — perplexity ordering "
+        "without a logarithm)",
+    ),
     "lsh_near_dup_exact": QuerySpec(
         _lsh_near_dup_exact, _LSH_EXACT_SQL,
         "hash-oracle-able sign-LSH near-dup: md5-derived integer "
@@ -7387,6 +7426,7 @@ _DEFER_TO_R6: set[str] = {
     "events_watermark_advisor",
     "stream_disorder_monitor",
     "lsh_near_dup_exact",
+    "user_transition_typicality",
 }
 
 

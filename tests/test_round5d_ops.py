@@ -496,3 +496,32 @@ def test_lsh_near_dup_exact_no_false_positives_and_recall(spark):
     # clustered pairs are high-cosine → multi-table recall is high
     assert len(truth) > 0
     assert len(got) / len(truth) >= 0.8
+
+
+def test_user_typicality_flags_rare_walker(spark):
+    import datetime
+
+    from iceberg_diag_spark.operators.events import user_transition_typicality
+
+    t0 = datetime.datetime(2025, 1, 1)
+
+    rows = []
+    i = 0
+    # 9 "normal" users cycle a->b->c; user 99 takes the rare a->c
+    # shortcut (1 occurrence of a->c vs 18 of a->b from state a).
+    for uid in range(9):
+        for ch in "abc" * 2:
+            rows.append((i, t0 + datetime.timedelta(seconds=i), uid, ch))
+            i += 1
+    rows.append((i, t0 + datetime.timedelta(seconds=i), 99, "a")); i += 1
+    rows.append((i, t0 + datetime.timedelta(seconds=i), 99, "c")); i += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {r["user_id"]: r for r in user_transition_typicality(events).collect()}
+    # normal users' transitions are the corpus majority → high ppm;
+    # user 99's single b->a edge is rare → lowest mean
+    rare = out[99]["mean_prob_ppm"]
+    assert all(out[u]["mean_prob_ppm"] > rare for u in range(9))
+    assert out[99]["n_transitions"] == 1
