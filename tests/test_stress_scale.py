@@ -162,3 +162,34 @@ def test_grouped_prefix_sum_shard_invariance_at_10m(spark):
     ).collect()[0]
     assert tuple(chk_a) == tuple(chk_b)
     print(f"grouped_prefix_sum 10M rows (64 shards): {wall:.1f}s")
+
+
+def test_clustering_advisor_2m_files_per_column(spark):
+    """Advisor sweep at metadata scale: 2M synthetic file bounds in
+    one column group (the documented one-task-per-column contract) —
+    must complete and match the closed-form expectation for
+    disjoint-vs-nested layouts."""
+    i = F.col("id")
+    n = 2_000_000
+    fs = spark.range(0, n, 1, 32).select(
+        F.when(i % 2 == 0, "disjoint").otherwise("nested").alias("col_name"),
+        (i / 2).cast("long").alias("file_id"),
+        F.when(i % 2 == 0, (i / 2).cast("long") * 10)
+        .otherwise((i / 2).cast("long"))
+        .alias("lo"),
+        F.when(i % 2 == 0, (i / 2).cast("long") * 10 + 5)
+        .otherwise(F.lit(2 * n) - (i / 2).cast("long"))
+        .alias("hi"),
+    )
+    from iceberg_diag_spark.operators.maintenance import clustering_advisor
+
+    t0 = time.time()
+    out = {r["col_name"]: r for r in clustering_advisor(fs).collect()}
+    wall = time.time() - t0
+    m = n // 2
+    assert out["disjoint"]["overlap_pairs"] == 0
+    assert out["disjoint"]["max_depth"] == 1
+    # fully nested intervals: every pair overlaps
+    assert out["nested"]["overlap_pairs"] == m * (m - 1) // 2
+    assert out["nested"]["max_depth"] == m
+    print(f"clustering_advisor 2x1M files: {wall:.1f}s")
