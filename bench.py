@@ -151,6 +151,7 @@ HEADLINE = [
     "stream_disorder_monitor",
     "lsh_near_dup_exact",
     "user_transition_typicality",
+    "part_affinity",
 ]
 
 

@@ -151,3 +151,74 @@ def rfm_segments(orders: DataFrame, n_bins: int = 5) -> DataFrame:
             ),
         )
     )
+
+
+def part_affinity(
+    lineitem: DataFrame, min_co_orders: int = 3
+) -> DataFrame:
+    """Market-basket affinity over order line items: for every pair
+    of parts co-occurring in ≥ `min_co_orders` orders, exact support
+    and lift — the association-mining table behind bundling /
+    substitution analysis (lift > 1e6 ppm ⇒ the parts co-occur more
+    than independence predicts).
+
+    Exact rational arithmetic end-to-end: lift = P(a∧b)/(P(a)·P(b))
+    = co·N / (cnt_a·cnt_b) over order counts, published as
+    lift_ppm = (1e6·co·N) DIV (cnt_a·cnt_b) — 64-bit INTEGER
+    division (never a double: the numerator exceeds 2^53 long before
+    it nears int64), identical on any engine.
+
+    Scale shape: the pair expansion self-joins the distinct
+    (order, part) relation on the order key — per-order work is
+    quadratic in BASKET size (bounded small by the domain), linear in
+    orders. One distinct + one self-join + two aggregates; the
+    per-part counts and the scalar order count broadcast back.
+
+    Output: (part_a, part_b, co_orders, orders_a, orders_b,
+    lift_ppm), part_a < part_b.
+    """
+    op = (
+        ensure_parallelism(lineitem)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    cnt = op.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    n_orders = op.select("ok").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    a = op.select("ok", F.col("pk").alias("part_a"))
+    b = op.select("ok", F.col("pk").alias("part_b"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_orders"))
+        .filter(F.col("co_orders") >= min_co_orders)
+    )
+    # no broadcast hint on the per-part counts: the relation's size
+    # is the part-catalog cardinality (data-dependent) — AQE picks
+    # broadcast when it actually fits (the boilerplate_removal
+    # lesson); only the 1-row order count is forced broadcast.
+    return (
+        co.join(
+            cnt.select(F.col("pk").alias("part_a"), F.col("cnt").alias("orders_a")),
+            "part_a",
+        )
+        .join(
+            cnt.select(F.col("pk").alias("part_b"), F.col("cnt").alias("orders_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "co_orders",
+            "orders_a",
+            "orders_b",
+            F.expr(
+                "(1000000L * co_orders * n_orders) DIV (orders_a * orders_b)"
+            ).alias("lift_ppm"),
+        )
+    )

@@ -6745,6 +6745,31 @@ FROM grp
 """
 
 
+def _part_affinity(spark, sf_dir):
+    return profiling.part_affinity(_t(spark, sf_dir, "lineitem"))
+
+
+_PART_AFFINITY_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+cnt AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM op GROUP BY pk),
+n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM op),
+co AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS co_orders
+  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+  HAVING count(*) >= 3
+)
+SELECT part_a, part_b, co_orders,
+       ca.cnt AS orders_a, cb.cnt AS orders_b,
+       CAST((1000000 * co_orders * n_orders) // (ca.cnt * cb.cnt) AS BIGINT)
+         AS lift_ppm
+FROM co
+JOIN cnt ca ON ca.pk = co.part_a
+JOIN cnt cb ON cb.pk = co.part_b
+CROSS JOIN n
+"""
+
+
 def _user_transition_typicality(spark, sf_dir):
     return events.user_transition_typicality(_t(spark, sf_dir, "events"))
 
@@ -7178,6 +7203,13 @@ REGISTRY.update({
         "metadata-only — payloads never move); boundary-recursive "
         "CTE oracle",
     ),
+    "part_affinity": QuerySpec(
+        _part_affinity, _PART_AFFINITY_SQL,
+        "market-basket part affinity: exact co-occurrence support "
+        "and lift over orders in 64-bit integer division (per-order "
+        "quadratic in bounded basket size, linear in orders — the "
+        "association-mining table behind bundling analysis)",
+    ),
     "user_transition_typicality": QuerySpec(
         _user_transition_typicality, _USER_TYPICALITY_SQL,
         "per-user behavioral typicality under the corpus Markov "
@@ -7427,6 +7459,7 @@ _DEFER_TO_R6: set[str] = {
     "stream_disorder_monitor",
     "lsh_near_dup_exact",
     "user_transition_typicality",
+    "part_affinity",
 }
 
 

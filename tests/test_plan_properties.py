@@ -229,6 +229,7 @@ _SCALAR_CROSS_OK = {
                                  #   percentile-edge scalars
     "events_watermark_advisor",  # broadcast 1-row shard-edge scalar
                                  #   (shared _lateness core)
+    "part_affinity",             # broadcast 1-row order-count scalar
 }
 
 

@@ -525,3 +525,24 @@ def test_user_typicality_flags_rare_walker(spark):
     rare = out[99]["mean_prob_ppm"]
     assert all(out[u]["mean_prob_ppm"] > rare for u in range(9))
     assert out[99]["n_transitions"] == 1
+
+
+def test_part_affinity_exact_lift(spark):
+    from iceberg_diag_spark.operators.profiling import part_affinity
+
+    # 4 orders: parts 1,2 always together (3 orders); part 3 alone.
+    rows = []
+    for ok, parts in [(10, [1, 2]), (20, [1, 2]), (30, [1, 2, 3]), (40, [3])]:
+        for i, pk in enumerate(parts):
+            rows.append((ok, pk, i + 1, 1.0))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_linenumber int, l_extendedprice double",
+    )
+    out = part_affinity(li, min_co_orders=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["part_a"], r["part_b"]) == (1, 2)
+    assert r["co_orders"] == 3 and r["orders_a"] == 3 and r["orders_b"] == 3
+    # lift = 3·4/(3·3) = 4/3 → 1_333_333 ppm
+    assert r["lift_ppm"] == 1_333_333
