@@ -714,8 +714,9 @@ def _simhash_from_tokens(toks: DataFrame, key_col: str) -> DataFrame:
     counters are PACKED two to a long (bit b in the low 32 bits of
     packed sum b, bit b+32 in the high 32), so the aggregate carries
     33 sum buffers instead of 65. Field overflow is impossible below
-    2^32 tokens per document (a ~4-billion-token doc — far past any
-    real corpus row)."""
+    2^31 tokens per document (the HIGH field accumulates cnt·2^32,
+    which exceeds int64 once 2^31 tokens vote 1 on a bit — still a
+    ~2-billion-token doc, far past any real corpus row)."""
     id_col = key_col
     md5 = F.md5(F.col("tok"))
     occ = toks.select(

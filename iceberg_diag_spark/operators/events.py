@@ -281,7 +281,6 @@ def disorder_audit(
     total_lateness_us) where n_late counts events arriving more than
     `late_threshold_us` behind the running event-time frontier.
     """
-    ts_us = F.unix_micros(F.col("ts"))
     late = _lateness(events, n_shards)
     return late.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),

@@ -405,9 +405,12 @@ def skip_simulation(
         F.sum(
             F.when(
                 F.col("spans"),
-                (F.col("ra") + F.col("rb"))
-                * (F.col("rb") - F.col("ra") + 1)
-                / F.lit(2),
+                # (ra+rb)(rb-ra+1) is always even; integer DIV keeps
+                # each term and the running sum in LONG — exact past
+                # 2^53 where double division would silently round.
+                F.expr(
+                    "(ra + rb) * (rb - ra + 1) DIV 2"
+                ),
             ).otherwise(F.lit(0))
         )
         .cast("long")

@@ -745,12 +745,16 @@ def dim_variance_audit(emb: DataFrame, scale_bits: int = 10) -> DataFrame:
     Integer-exact across engines: each value is first floored to a
     fixed grid q = floor(val · 2^scale_bits) (float→double widening
     is exact, floor is deterministic), then only integer sums leave
-    the per-dimension aggregate: n, Σq, Σq². Variance numerator
-    n·Σq² − (Σq)² is an exact BIGINT (no cancellation, no summation-
-    order ulp — the nearest_centroid_confusion lesson applied one
-    step earlier), and the published columns divide it back down with
-    a single correctly-rounded double division, identical on any
-    IEEE-754 engine.
+    the per-dimension aggregate: n, Σq, Σq² — accumulated as
+    DECIMAL(38,0), because n·Σq² reaches int64 around n ≈ 3M with
+    scale_bits=10 and would wrap silently under non-ANSI Spark
+    (DuckDB sums into HUGEINT; decimal keeps both engines on 128-bit
+    integers, exact to n ≈ 10¹³). The published columns come back
+    down via integer division: the variance numerator n·Σq² − (Σq)²
+    is ≥ 0 (Cauchy–Schwarz), so truncating DIV — identical semantics
+    in Spark (IntegralDivide) and DuckDB (//) — IS floor; the
+    possibly-negative mean numerator gets an explicit floor
+    correction off the remainder. No float ever materializes.
 
     One posexplode + one hash-aggregate on the dimension index —
     D output rows, embarrassingly parallel, no window, no Python.
@@ -769,21 +773,28 @@ def dim_variance_audit(emb: DataFrame, scale_bits: int = 10) -> DataFrame:
     )
     g = ex.groupBy("pos").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.sum("q").cast("long").alias("s"),
-        F.sum(F.col("q") * F.col("q")).cast("long").alias("ss"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias(
+            "ss"
+        ),
     )
+    # floor(a/b) for b>0: truncating DIV, minus 1 when a<0 with a
+    # nonzero remainder (Spark % carries the dividend's sign).
+    mean_num = F.lit(1_000_000).cast("decimal(38,0)") * F.col("s")
+    mean_div = F.expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * s) DIV n_vecs AS LONG)"
+    )
+    mean_fix = F.when(
+        (mean_num < 0) & (mean_num % F.col("n_vecs") != 0), F.lit(1)
+    ).otherwise(F.lit(0))
     return g.select(
         F.col("pos").cast("int").alias("pos"),
         "n_vecs",
-        F.floor(F.lit(1_000_000.0) * F.col("s") / F.col("n_vecs"))
-        .cast("long")
-        .alias("mean_q_ppm"),
-        F.floor(
-            (F.col("n_vecs") * F.col("ss") - F.col("s") * F.col("s"))
-            / (F.col("n_vecs") * F.col("n_vecs"))
-        )
-        .cast("long")
-        .alias("var_q"),
+        (mean_div - mean_fix).cast("long").alias("mean_q_ppm"),
+        F.expr(
+            "CAST((n_vecs * ss - s * s) DIV"
+            " (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs) AS LONG)"
+        ).alias("var_q"),
     )
 
 

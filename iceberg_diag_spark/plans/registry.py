@@ -6586,14 +6586,23 @@ WITH ex AS (
   FROM embeddings
 ),
 g AS (
+  -- HUGEINT moments: n*ss wraps int64 near 3M vectors; 128-bit
+  -- integers keep the oracle exact at any test scale (the Spark
+  -- side mirrors this with DECIMAL(38,0)).
   SELECT pos, CAST(count(*) AS BIGINT) AS n_vecs,
-         CAST(sum(q) AS BIGINT) AS s,
-         CAST(sum(q * q) AS BIGINT) AS ss
+         CAST(sum(q) AS HUGEINT) AS s,
+         CAST(sum(q * q) AS HUGEINT) AS ss
   FROM ex GROUP BY pos
 )
+-- // truncates toward zero in DuckDB (same as Spark's DIV): exact
+-- floor for the non-negative variance numerator; the mean numerator
+-- gets an explicit floor correction when negative with remainder.
 SELECT CAST(pos AS INTEGER) AS pos, n_vecs,
-       CAST(floor(1000000.0 * s / n_vecs) AS BIGINT) AS mean_q_ppm,
-       CAST(floor((n_vecs * ss - s * s) / (n_vecs * n_vecs)) AS BIGINT) AS var_q
+       CAST((1000000 * s) // n_vecs
+            - CASE WHEN 1000000 * s < 0 AND (1000000 * s) % n_vecs != 0
+                   THEN 1 ELSE 0 END AS BIGINT) AS mean_q_ppm,
+       CAST((n_vecs * ss - s * s) // (CAST(n_vecs AS HUGEINT) * n_vecs)
+            AS BIGINT) AS var_q
 FROM g
 """
 
@@ -6700,7 +6709,9 @@ per_val AS (
 after AS (
   SELECT col_name,
          CAST(ceil(sum(k) / 128.0) AS BIGINT) AS n_files,
-         CAST(sum(CASE WHEN spans THEN (ra + rb) * (rb - ra + 1) / 2 ELSE 0 END) AS BIGINT)
+         -- (ra+rb)(rb-ra+1) is always even; // keeps each term
+         -- integral (exact past 2^53, matching the Spark DIV 2)
+         CAST(sum(CASE WHEN spans THEN (ra + rb) * (rb - ra + 1) // 2 ELSE 0 END) AS BIGINT)
            AS overlap_pairs_after,
          CAST(greatest(max(CASE WHEN spans THEN rb + 1 ELSE 1 END), 1) AS BIGINT)
            AS max_depth_after
@@ -7394,37 +7405,56 @@ _R4_GREEN = {
     "q13_customer_distribution",
 }
 
-# Entries whose builder or oracle changed in round 5 — their old
-# green row no longer vouches for the current code: the stratified-
-# split membership checksum rewrite, the near-dup exact-duplicate
-# pre-collapse (engine + all six dependent oracles), the skew-audit
-# NULL sentinel, the centroid-confusion distance quantization, and
-# the boilerplate broadcast-hint removal.
-_MODIFIED_R5 = {
-    "stratified_split",
-    "minhash_pairs", "simhash_near_dup", "ngram_jaccard",
-    "near_dup_clusters", "near_dup_pagerank", "near_dup_triangles",
-    "cluster_representatives",
-    "events_skew_audit", "nearest_centroid_confusion",
-    "boilerplate_removal",
+# Names with a green hash row in CORRECTNESS_r05.json (50/50 green):
+# the 19 r2-stale re-scores, the 11 round-5-modified builders, and the
+# rank-1.5 spares that rode leftover slots.
+_R5_GREEN = {
+    "boilerplate_removal", "churned_buyers_except",
+    "cluster_representatives", "corpus_top_ngrams",
+    "curated_embedding_near_dup", "dedup_exact_groups",
+    "dedup_incremental", "diag_delete_impact", "diag_orphan_files",
+    "diag_snapshot_retention", "diag_zorder_layout",
+    "doc_dup_ngram_spans", "doc_line_dedup", "doc_unigram_logprob",
+    "doc_weighted_sample", "doc_winnow_fingerprints",
+    "events_skew_audit", "inactive_customers_anti",
+    "join_selectivity_audit", "label_silhouette", "lang_confusion",
+    "minhash_pairs", "near_dup_clusters", "near_dup_pagerank",
+    "near_dup_rate_by_source", "near_dup_triangles",
+    "nearest_centroid_confusion", "ngram_containment",
+    "ngram_jaccard", "orders_cube", "orders_decimal_totals",
+    "orders_rollup", "orders_status_pivot",
+    "orders_window_analytics", "q10_returned_items",
+    "q12_ship_delay", "q14_promo_revenue", "q17_small_quantity",
+    "q18_heavy_orders", "q22_sales_opportunity", "q7_nation_volume",
+    "quality_gate_ablation", "revenue_daily_gapfill",
+    "semantic_dedup", "simhash", "simhash_near_dup",
+    "stratified_split", "stream_incremental_dedup",
+    "stream_quality_gate", "token_budget_waterfill",
 }
 
-# Oracled entries added AFTER the round-5 window filled (31 rank-0 +
-# 19 rank-1 = exactly 50). Rank 1.5 places them behind this round's
-# must-scores (never displacing an r2-stale re-score) but ahead of
-# everything already green: they ride any window slots left over this
-# round and lead round 6's otherwise. Parity is pinned by
-# tests/test_oracle_parity locally either way.
-#
-# ROUND-6 BOOKKEEPING (first task of the next round, after reading
-# CORRECTNESS_r05.json): add an _R5_GREEN set from that file's green
-# rows, fold it into _eval_order's staleness tiers (r5-green = the
-# new freshest tier), clear or rename _MODIFIED_R5 for whatever
-# builders round 6 touches, and promote the ~33 entries below (never
-# externally scored — they have local sf0.001+sf0.01 parity only) to
-# the FRONT of the window so each finally earns a driver-green row.
-_DEFER_TO_R6: set[str] = {
-    "ngram_containment",
+# Entries whose builder or oracle changed in round 6 — their old
+# green row no longer vouches for the current code: the
+# lsh_near_dup_exact candidate-stage rewrite (ids-only pair dedup +
+# wider buckets), the JVM-side frame extraction (frame_sample /
+# frame_dedup / byte-histogram share the frame splitter), the
+# dim-variance overflow fix, and the skip-simulation integer
+# pair-count arithmetic. Most are in the never-scored deferral set
+# already; listing them here keeps rank 0 for any that were green.
+_MODIFIED_R6 = {
+    "lsh_near_dup_exact",
+    "media_frame_sample", "media_frame_dedup",
+    "embedding_dim_variance",
+    "diag_skip_simulation",
+}
+
+# Oracled entries added after the round-5 window filled. In round 5
+# they ranked 1.5 (behind the must-scores); `ngram_containment` rode a
+# spare slot to green, the other 35 have never earned an external
+# driver row — local sf0.001+sf0.01 DuckDB parity only. ROUND 6
+# promotes them to the FRONT of the 50-slot window (rank 0.5, just
+# behind this round's modified builders) so each finally converts
+# self-reported parity into a driver-confirmed green row.
+_NEVER_SCORED: set[str] = {
     "doc_bigram_logprob",
     "corpus_snapshot_diff",
     "quality_classifier_score",
@@ -7466,34 +7496,38 @@ _DEFER_TO_R6: set[str] = {
 def _eval_order(item: tuple[str, QuerySpec]) -> float:
     """Driver scores the FIRST 50 registry entries; order by evidence
     staleness so every oracled entry's latest green row stays at most
-    ~two rounds old under the 50-slot window:
-      0    builder/oracle modified this round, or never green — must
-           re-score
-      1    last green in r2 (three rounds stale — the r5 priority: r3
-           proved old green rows decay when the driver regenerates
-           testdata)
-      1.5  new entries deferred to round 6 (window already full)
-      2    last green in r3
-      3    rows-only (no oracle exists; weaker signal either way)
-      4    fresh r4 green — ride the tail where truncation costs least
+    ~two rounds old under the 50-slot window. Round-6 tiers:
+      0     builder/oracle modified this round, or oracled but never
+            green — must (re-)score
+      0.5   the 35-entry never-driver-scored backlog (local parity
+            only) — the round-6 priority
+      0.75  last green in r2 (four rounds stale)
+      1     last green in r3
+      2     last green in r4
+      3     rows-only (no oracle exists; weaker signal either way)
+      4     fresh r5 green — ride the tail where truncation costs
+            least
     """
     name, spec = item
-    if name in _DEFER_TO_R6:
-        return 1.5
-    if name in _MODIFIED_R5 or (
-        spec.oracle is not None
-        and name not in _R2_GREEN
-        and name not in _R3_GREEN
-        and name not in _R4_GREEN
-    ):
+    ever_green = (
+        name in _R2_GREEN or name in _R3_GREEN
+        or name in _R4_GREEN or name in _R5_GREEN
+    )
+    if name in _MODIFIED_R6 or (spec.oracle is not None
+                                and not ever_green):
         return 0
+    if name in _NEVER_SCORED:
+        return 0.5
     if spec.oracle is None:
         return 3
-    if name in _R4_GREEN:
+    # Latest green row wins; older evidence = earlier slot.
+    if name in _R5_GREEN:
         return 4
-    if name in _R2_GREEN:
+    if name in _R4_GREEN:
+        return 2
+    if name in _R3_GREEN:
         return 1
-    return 2
+    return 0.75  # green only in r2 — four rounds stale, must re-score
 
 
 REGISTRY = dict(

@@ -156,30 +156,45 @@ def readable_metrics_to_column_stats(files: DataFrame) -> DataFrame:
     (col_name string, file_id long, lo long, hi long).
 
     Column discovery is schema-driven: every readable_metrics field
-    whose lower_bound casts to long rides along; others are skipped
-    (string/binary bounds don't order as integers). file_id =
-    xxhash64(file_path) — deterministic, collision-free in practice,
-    and only used as the sweep's tie-break. Zero-shuffle projection;
-    one stack() unpivot.
+    whose lower_bound maps onto the integer line rides along; others
+    are skipped (string/binary bounds don't order as integers).
+    Type-aware mapping — Spark cannot CAST DATE to BIGINT, and
+    CAST(TIMESTAMP AS LONG) yields seconds, so dates go through
+    unix_date (days since epoch) and timestamps through unix_micros
+    (TIMESTAMP_NTZ via a session-tz cast first; monotonic, which is
+    all the sweep needs). file_id = xxhash64(file_path) —
+    deterministic, collision-free in practice, and only used as the
+    sweep's tie-break. Zero-shuffle projection; one stack() unpivot.
     """
+    to_long = {
+        "bigint": "CAST({x} AS LONG)",
+        "int": "CAST({x} AS LONG)",
+        "smallint": "CAST({x} AS LONG)",
+        "tinyint": "CAST({x} AS LONG)",
+        # unix_date returns INT; stack() needs every row the same
+        # type, so widen to LONG here.
+        "date": "CAST(unix_date({x}) AS LONG)",
+        "timestamp": "unix_micros({x})",
+        "timestamp_ntz": "unix_micros(CAST({x} AS TIMESTAMP))",
+    }
     rm_type = files.schema["readable_metrics"].dataType
-    numeric_cols = [
-        f.name
-        for f in rm_type.fields
-        if any(
-            sub.name == "lower_bound" and sub.dataType.simpleString()
-            in ("bigint", "int", "smallint", "date", "timestamp")
-            for sub in f.dataType.fields
-        )
-    ]
+    numeric_cols = []
+    for f in rm_type.fields:
+        for sub in f.dataType.fields:
+            if sub.name == "lower_bound":
+                tmpl = to_long.get(sub.dataType.simpleString())
+                if tmpl is not None:
+                    numeric_cols.append((f.name, tmpl))
     if not numeric_cols:
         raise ValueError(
             "readable_metrics carries no integer-orderable columns"
         )
     stack_args = ", ".join(
-        f"'{c}', CAST(readable_metrics.{c}.lower_bound AS LONG), "
-        f"CAST(readable_metrics.{c}.upper_bound AS LONG)"
-        for c in numeric_cols
+        f"'{c}', "
+        + tmpl.format(x=f"readable_metrics.{c}.lower_bound")
+        + ", "
+        + tmpl.format(x=f"readable_metrics.{c}.upper_bound")
+        for c, tmpl in numeric_cols
     )
     return (
         files.select(

@@ -173,3 +173,91 @@ def test_readable_metrics_advisor_chain(spark):
     assert out["col_a"]["overlap_pairs"] == 0
     assert out["col_b"]["overlap_pairs"] == 6  # C(4,2)
     assert out["col_a"]["n_files"] == 4
+
+
+def test_readable_metrics_temporal_bounds(spark):
+    """DATE / TIMESTAMP / TIMESTAMP_NTZ bounds map onto the integer
+    line (unix_date days, unix_micros micros) instead of crashing the
+    adapter — Spark cannot CAST DATE AS LONG, and a date-partitioned
+    table is the single most common Iceberg layout, so this is the
+    CLI --maintenance hot path. String bounds are skipped."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        DateType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    from iceberg_diag_spark.sources.iceberg_meta import (
+        readable_metrics_to_column_stats,
+    )
+
+    def per_col(bound_type):
+        return StructType(
+            [
+                StructField("column_size", LongType()),
+                StructField("value_count", LongType()),
+                StructField("null_value_count", LongType()),
+                StructField("nan_value_count", LongType()),
+                StructField("lower_bound", bound_type),
+                StructField("upper_bound", bound_type),
+            ]
+        )
+
+    schema = StructType(
+        [
+            StructField("file_path", StringType()),
+            StructField(
+                "readable_metrics",
+                StructType(
+                    [
+                        StructField("event_date", per_col(DateType())),
+                        StructField("created_at", per_col(TimestampType())),
+                        StructField(
+                            "updated_at", per_col(TimestampNTZType())
+                        ),
+                        StructField("label", per_col(StringType())),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def stats_row(lo, hi):
+        return Row(
+            column_size=8, value_count=10, null_value_count=0,
+            nan_value_count=0, lower_bound=lo, upper_bound=hi,
+        )
+
+    d0, d1 = dt.date(1970, 1, 11), dt.date(1970, 1, 21)  # days 10, 20
+    t0 = dt.datetime(1970, 1, 1, 0, 0, 1)  # 1_000_000 micros (UTC tz)
+    t1 = dt.datetime(1970, 1, 1, 0, 0, 2)
+    rows = [
+        Row(
+            file_path="s3://b/f0.parquet",
+            readable_metrics=Row(
+                event_date=stats_row(d0, d1),
+                created_at=stats_row(t0, t1),
+                updated_at=stats_row(t0, t1),
+                label=stats_row("aa", "zz"),
+            ),
+        )
+    ]
+    files = spark.createDataFrame(rows, schema)
+    out = {
+        r["col_name"]: r
+        for r in readable_metrics_to_column_stats(files).collect()
+    }
+    assert set(out) == {"event_date", "created_at", "updated_at"}
+    assert (out["event_date"]["lo"], out["event_date"]["hi"]) == (10, 20)
+    # session tz is UTC in conftest, so micros are exact
+    assert (out["created_at"]["lo"], out["created_at"]["hi"]) == (
+        1_000_000, 2_000_000,
+    )
+    assert out["updated_at"]["lo"] < out["updated_at"]["hi"]
