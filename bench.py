@@ -152,6 +152,11 @@ HEADLINE = [
     "lsh_near_dup_exact",
     "user_transition_typicality",
     "part_affinity",
+    "winnow_clone_pairs",
+    "dsir_logratio",
+    "vocab_growth_curve",
+    "diag_file_skew",
+    "embedding_drift_audit",
 ]
 
 
@@ -220,15 +225,19 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Key order matters: the driver's BENCH artifact keeps only the
+    # LAST 2000 bytes of stdout, so `spread` (diagnostic) goes before
+    # `queries` (the per-query minimums the judge reads) — whatever
+    # truncates, the timings survive.
     payload = {
         "metric": "headline_suite_wall_clock",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
-        "spread": spreads,
         "runs_per_query": n_runs,
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "spread": spreads,
+        "queries": timings,
     }
     print(json.dumps(payload))
     # The driver records only a truncated tail of stdout, so also

@@ -507,6 +507,23 @@ def winnow_fingerprints(
 
     Output: (doc_id, n_fingerprints, fp_xor).
     """
+    selected = _winnow_selected(docs, text_col, id_col, n, window)
+    return selected.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.bit_xor("fp").alias("fp_xor"),
+    )
+
+
+def _winnow_selected(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """The distinct (id, fp) winnowing-fingerprint relation shared by
+    winnow_fingerprints (per-doc digest) and winnow_clone_pairs
+    (cross-doc join)."""
     from pyspark.sql import Window
 
     toks = ensure_parallelism(docs).select(
@@ -531,7 +548,7 @@ def winnow_fingerprints(
         .orderBy("pos")
         .rowsBetween(Window.currentRow, window - 1)
     )
-    selected = (
+    return (
         grams.select(
             F.col(id_col),
             F.min("gh").over(fw).alias("fp"),
@@ -541,9 +558,52 @@ def winnow_fingerprints(
         .select(id_col, "fp")
         .distinct()
     )
-    return selected.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_fingerprints"),
-        F.bit_xor("fp").alias("fp_xor"),
+
+
+def winnow_clone_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_docs_per_fp: int = 64,
+) -> DataFrame:
+    """MOSS-style clone-pair detection: document pairs sharing at
+    least `min_shared` winnowing fingerprints — position-robust
+    evidence of verbatim shared spans (each shared fingerprint
+    witnesses a shared substring of ≥ n + window − 1 tokens), the
+    pairwise complement of the per-doc winnow digest and an exact
+    (non-probabilistic) sibling of minhash_pairs.
+
+    Scale posture: pairs form ONLY within a fingerprint's posting
+    list (equi-join on fp, never all-pairs), and fingerprints present
+    in more than `max_docs_per_fp` documents are dropped first — a
+    fingerprint shared by thousands of docs is boilerplate, carries
+    no clone signal, and would make its bucket quadratic (the same
+    stop-list guard the LSH banding paths use). The pair aggregate
+    shuffles only (doc_a, doc_b) id pairs.
+
+    Output: (doc_a, doc_b, shared_fps), doc_a < doc_b.
+    """
+    sel = _winnow_selected(docs, text_col, id_col, n, window)
+    rare = (
+        sel.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(
+            (F.col("__nd") >= 2) & (F.col("__nd") <= max_docs_per_fp)
+        )
+        .select("fp")
+    )
+    kept = sel.join(rare, "fp")
+    a = kept.select(F.col("fp"), F.col(id_col).alias("doc_a"))
+    b = kept.select(F.col("fp"), F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
     )
 
 

@@ -527,3 +527,50 @@ def partition_advisor(
             ).cast("long"),
         )
     )
+
+
+def file_skew_audit(files: DataFrame) -> DataFrame:
+    """Per-partition file-size dispersion audit — the 'which
+    partitions have pathological layouts' companion to the bin-pack
+    compaction model: a partition whose sizes vary wildly (tiny
+    files next to huge ones) wastes task scheduling either way, and
+    one whose largest file carries most of the bytes straggles every
+    scan of that partition.
+
+    Integer-exact dispersion, no float moments: variance numerator
+    n·Σx² − (Σx)² accumulates as DECIMAL(38,0) (Σx² wraps int64
+    past a handful of GiB-sized files) and publishes via truncating
+    DIV (numerator ≥ 0 ⇒ floor); the largest-file byte share is the
+    exact integer (1e6·max) DIV total. One hash aggregate on the
+    partition key — the same single-shuffle contract as
+    delete_impact.
+
+    Output: (partition_key, n_files, total_bytes, min_bytes,
+    max_bytes, var_bytes, max_share_ppm) over DATA files only.
+    """
+    sized = files.filter(F.col("content") == 0).select(
+        "partition_key",
+        F.col("file_size_in_bytes").alias("x"),
+    )
+    g = sized.groupBy("partition_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("x").cast("long").alias("total_bytes"),
+        F.min("x").cast("long").alias("min_bytes"),
+        F.max("x").cast("long").alias("max_bytes"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("__ss"),
+    )
+    return g.select(
+        "partition_key",
+        "n_files",
+        "total_bytes",
+        "min_bytes",
+        "max_bytes",
+        F.expr(
+            "CAST((n_files * __ss -"
+            " CAST(total_bytes AS DECIMAL(38,0)) * total_bytes)"
+            " DIV (CAST(n_files AS DECIMAL(38,0)) * n_files) AS LONG)"
+        ).alias("var_bytes"),
+        F.expr(
+            "CAST((1000000 * max_bytes) DIV total_bytes AS LONG)"
+        ).alias("max_share_ppm"),
+    )

@@ -88,31 +88,47 @@ def media_type_stats(media: DataFrame) -> DataFrame:
 
 def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
     """Sample every k-th FRAME_BYTES-sized frame from each payload —
-    the video-keyframe-extraction shape. Arrow-batched mapInPandas:
-    one task per input partition, no shuffle at all; output is
+    the video-keyframe-extraction shape. Pure JVM expressions
+    (explode over frame indices + binary substring + md5): frame
+    splitting needs no codec, so unlike decode_features it never
+    leaves whole-stage codegen — with every_k=1 (frame_dedup's
+    default) this path touches every byte of the corpus and a Python
+    loop here was the r5 perf-weak flag. No shuffle at all; output is
     ~1/k of input volume. Emits (doc_id, frame_idx, frame_len,
     frame_md5)."""
-    import hashlib
-
-    import pandas as pd
-
-    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, idxs, lens, md5s = [], [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                buf = bytes(payload)
-                for fi in range(0, (len(buf) + FRAME_BYTES - 1) // FRAME_BYTES, every_k):
-                    frame = buf[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
-                    ids.append(doc_id)
-                    idxs.append(fi)
-                    lens.append(len(frame))
-                    md5s.append(hashlib.md5(frame).hexdigest())
-            yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "frame_len": lens, "frame_md5": md5s}
-            )
-
-    return ensure_parallelism(media.select("doc_id", "payload")).mapInPandas(
-        sample, "doc_id long, frame_idx long, frame_len long, frame_md5 string"
+    n_frames = F.ceil(
+        F.length(F.col("payload")) / F.lit(FRAME_BYTES)
+    ).cast("long")
+    return (
+        ensure_parallelism(media.select("doc_id", "payload"))
+        # empty payloads yield no frames (and sequence(0,-1) errors)
+        .filter(F.length(F.col("payload")) > 0)
+        .select(
+            "doc_id",
+            "payload",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    n_frames - 1,
+                    F.lit(int(every_k)).cast("long"),
+                )
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.expr(
+                f"substring(payload,"
+                f" cast(frame_idx * {FRAME_BYTES} + 1 as int),"
+                f" {FRAME_BYTES})"
+            ).alias("frame"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.length(F.col("frame")).cast("long").alias("frame_len"),
+            F.md5(F.col("frame")).alias("frame_md5"),
+        )
     )
 
 

@@ -799,7 +799,7 @@ def dim_variance_audit(emb: DataFrame, scale_bits: int = 10) -> DataFrame:
 
 
 def md5_hyperplanes(
-    dim: int = 64, n_planes: int = 4, n_tables: int = 8
+    dim: int = 64, n_planes: int = 8, n_tables: int = 8
 ) -> list[list[list[int]]]:
     """Integer hyperplanes derived from md5 — engine-independent
     CONSTANTS (each component = md5("t_p_d") first 16 bits mod 17,
@@ -837,7 +837,7 @@ def lsh_near_dup_exact(
     embeddings: DataFrame,
     threshold_num: int = 9,
     threshold_den: int = 20,
-    n_planes: int = 4,
+    n_planes: int = 8,
     n_tables: int = 8,
     dim: int = 64,
     scale_bits: int = 8,
@@ -853,7 +853,13 @@ def lsh_near_dup_exact(
       bucket bit is the sign of an exact integer dot product
       (bit = dot > 0: no float, no ulp, no tie ambiguity);
     - candidates collide in ≥ 1 of the n_tables bucket tables
-      (same-bucket equi-join, per-bucket-quadratic — the scale path);
+      (same-bucket equi-join, per-bucket-quadratic — the scale path;
+      n_planes=8 ⇒ 256 buckets/table, so a uniform corpus pays
+      ~n²/256 candidates per table, not the n²/16 the old 4-bit
+      keys allowed). The pair-dedup exchange carries ONLY the two
+      ids — quantized vectors are joined back afterwards, exactly
+      like lsh_near_dup_pairs, so candidate dedup shuffles 16 B/pair
+      instead of ~1 KB/pair of long arrays;
     - verification keeps pairs with cos ≥ threshold_num/threshold_den
       via the cross-multiplied integer comparison
       den²·dot² ≥ num²·|a|²·|b|² (with dot > 0) — exact rational
@@ -874,38 +880,49 @@ def lsh_near_dup_exact(
     base = ensure_parallelism(embeddings).select(
         F.col(id_col), qv.alias("q")
     )
-    buckets = []
+    # Each table's bucket renders as ONE SQL string (one py4j call):
+    # building plane literals as F.lit() trees costs a round-trip per
+    # component (~10 s of driver time for 8×8×64), while inlining the
+    # dots as flat q[d]*h arithmetic blows janino's 64 KB method
+    # limit. SQL aggregate/zip_with keeps every dot a single compact
+    # expression node — fast to construct AND codegen-friendly.
+    def dot_sql(plane: list[int]) -> str:
+        arr = ", ".join(f"{h}L" for h in plane)
+        return (
+            f"aggregate(zip_with(q, array({arr}), (x, y) -> x * y),"
+            " cast(0 as long), (acc, v) -> acc + v)"
+        )
+
+    table_exprs = []
     for t in range(n_tables):
-        bucket = F.lit(0).cast("long")
-        for p in range(n_planes):
-            plane = F.array(
-                *[F.lit(h).cast("long") for h in planes[t][p]]
-            )
-            bit = F.when(
-                int_dot(F.col("q"), plane) > 0,
-                F.shiftleft(F.lit(1).cast("long"), p),
-            ).otherwise(F.lit(0).cast("long"))
-            bucket = bucket.bitwiseOR(bit)
-        buckets.append(
-            F.struct(F.lit(t).alias("t"), bucket.alias("bucket"))
+        bits = " + ".join(
+            f"(CASE WHEN {dot_sql(planes[t][p])} > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        table_exprs.append(
+            f"named_struct('t', {t}, 'bucket', CAST({bits} AS LONG))"
         )
     tabled = base.select(
-        id_col, "q", F.explode(F.array(*buckets)).alias("tb")
-    ).select(id_col, "q", "tb.t", "tb.bucket")
+        id_col,
+        F.explode(F.expr(f"array({', '.join(table_exprs)})")).alias("tb"),
+    ).select(id_col, "tb.t", "tb.bucket")
     a = tabled.select(
-        F.col("t"), F.col("bucket"),
-        F.col(id_col).alias("vec_a"), F.col("q").alias("qa"),
+        F.col("t"), F.col("bucket"), F.col(id_col).alias("vec_a")
     )
     b = tabled.select(
-        F.col("t"), F.col("bucket"),
-        F.col(id_col).alias("vec_b"), F.col("q").alias("qb"),
+        F.col("t"), F.col("bucket"), F.col(id_col).alias("vec_b")
     )
+    # ids-only through the dedup exchange; vectors re-join after
     cand = (
         a.join(b, ["t", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "qa", "qb")
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    qa = base.select(F.col(id_col).alias("vec_a"), F.col("q").alias("qa"))
+    qb = base.select(F.col(id_col).alias("vec_b"), F.col("q").alias("qb"))
+    cand = cand.join(qa, "vec_a").join(qb, "vec_b")
     d = int_dot(F.col("qa"), F.col("qb"))
     na2 = int_dot(F.col("qa"), F.col("qa"))
     nb2 = int_dot(F.col("qb"), F.col("qb"))
@@ -931,4 +948,160 @@ def lsh_near_dup_exact(
         )
         .cast("long")
         .alias("cos_mppm"),
+    )
+
+
+def embedding_drift_audit(
+    embeddings: DataFrame,
+    scale_bits: int = 8,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distribution-drift audit between two deterministic halves of
+    the corpus (vec_id parity — the train/validation-split shape):
+    per label, the squared distance between the two halves' centroids
+    in quantized units. A label whose halves disagree is drifting
+    (ingestion-order effects, re-crawl shift, annotation change) —
+    splits stratified on it won't be exchangeable, and centroids
+    trained on one half won't serve the other.
+
+    Integer-exact across engines: values quantize once to
+    q = floor(v·2^scale_bits); each half's per-dimension sums are
+    exact integers, and the squared centroid gap per dimension is the
+    exact rational (sa·nb − sb·na)²/(na·nb)² — numerator and the
+    dimension-sum accumulate as DECIMAL(38,0) (exact to ~2×10⁸ rows
+    per label-half at scale_bits=8; raise and re-scale past that),
+    published via one truncating DIV (numerator ≥ 0 ⇒ floor). No
+    float ever materializes.
+
+    One posexplode + hash aggregate on (label, pos) — D rows per
+    label — then a label rollup; never a pairwise join.
+    Output: (label, n_a, n_b, drift_sq_q) in q² units.
+    """
+    ex = embeddings.select(
+        F.col(label_col).alias("label"),
+        (F.pmod(F.col(id_col), F.lit(2)) == 0).alias("__a"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).select(
+        "label",
+        "__a",
+        "pos",
+        F.floor(F.col("val").cast("double") * F.lit(float(2 ** scale_bits)))
+        .cast("long")
+        .alias("q"),
+    )
+    per_dim = ex.groupBy("label", "pos").agg(
+        F.sum(F.when(F.col("__a"), F.col("q")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("sa"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(F.col("q")))
+        .cast("decimal(38,0)")
+        .alias("sb"),
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(1)).cast("long").alias("nb"),
+    )
+    num = (
+        F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")
+    )
+    return (
+        per_dim.filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select("label", "na", "nb", (num * num).alias("__t"))
+        .groupBy("label")
+        .agg(
+            F.min("na").cast("long").alias("n_a"),
+            F.min("nb").cast("long").alias("n_b"),
+            F.sum("__t").alias("__num"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(__num DIV (CAST(n_a AS DECIMAL(38,0)) * n_b"
+                " * n_a * n_b) AS LONG)"
+            ).alias("drift_sq_q"),
+        )
+    )
+
+
+def embedding_dim_covariance(
+    embeddings: DataFrame,
+    top_dims: int = 8,
+    scale_bits: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise covariance over the TOP-VARIANCE embedding dimensions
+    — the anisotropy-direction companion of dim_variance_audit:
+    variance says which coordinates carry energy, covariance says
+    whether they carry the SAME energy (strongly-correlated top dims
+    mean the representation collapsed onto a lower-rank subspace, so
+    PCA/whitening before quantization or LSH is warranted).
+
+    Never a 64×64 expansion: phase 1 is the dim_variance moment pass
+    (D rows); the top_dims highest-variance dimensions (exact integer
+    tie-break: var numerator desc, pos asc) form a tiny broadcast
+    set; phase 2 re-explodes only those dimensions — top_dims values
+    per row — and one equi-join on the row id builds the
+    C(top_dims, 2) pairs. Moments accumulate as DECIMAL(38,0);
+    the covariance numerator n·Σxy − Σx·Σy can be NEGATIVE, so it is
+    published by truncating DIV (toward zero — identical in Spark
+    and DuckDB), documented as such.
+
+    Output: (pos_a, pos_b, n_vecs, cov_q) with pos_a < pos_b, cov_q
+    = (n·Σq_a·q_b − Σq_a·Σq_b) DIV n² in q² units.
+    """
+    ex = embeddings.select(
+        F.col(id_col).alias("__rid"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).select(
+        "__rid",
+        "pos",
+        F.floor(F.col("val").cast("double") * F.lit(float(2 ** scale_bits)))
+        .cast("long")
+        .alias("q"),
+    )
+    ex = ex.localCheckpoint(eager=False)
+    # phase 1: exact variance numerator per dimension → top set
+    mom = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("ss"),
+    )
+    top = (
+        mom.select(
+            "pos",
+            (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).alias(
+                "__var_num"
+            ),
+        )
+        .orderBy(F.desc("__var_num"), F.asc("pos"))
+        .limit(top_dims)
+        .select("pos")
+    )
+    kept = ex.join(F.broadcast(top), "pos")
+    a = kept.select(
+        "__rid", F.col("pos").alias("pos_a"), F.col("q").alias("qa")
+    )
+    b = kept.select(
+        "__rid", F.col("pos").alias("pos_b"), F.col("q").alias("qb")
+    )
+    pairs = a.join(b, "__rid").filter(F.col("pos_a") < F.col("pos_b"))
+    g = pairs.groupBy("pos_a", "pos_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.col("qa").cast("decimal(38,0)")).alias("sa"),
+        F.sum(F.col("qb").cast("decimal(38,0)")).alias("sb"),
+        F.sum((F.col("qa") * F.col("qb")).cast("decimal(38,0)")).alias(
+            "sab"
+        ),
+    )
+    return g.select(
+        F.col("pos_a").cast("int").alias("pos_a"),
+        F.col("pos_b").cast("int").alias("pos_b"),
+        "n_vecs",
+        F.expr(
+            "CAST((n_vecs * sab - sa * sb) DIV"
+            " (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs) AS LONG)"
+        ).alias("cov_q"),
     )

@@ -653,6 +653,137 @@ def bigram_logprob(
     )
 
 
+def dsir_logratio(
+    docs: DataFrame,
+    target_source: str = "src0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR-style importance log-ratio per document (Xie et al.,
+    Data Selection for LMs via Importance Resampling): score each doc
+    by Σ_tok [ln p_target(tok) − ln p_rest(tok)] under Laplace-
+    smoothed unigram LMs, where the target distribution is the docs
+    of `target_source` and the proposal is everything else. High
+    scores = docs that look like the target domain; sampling
+    ∝ exp(score) is the DSIR resampling step (the score table is the
+    deliverable — the sampler is doc_weighted_sample).
+
+    Same exactness contract as unigram_logprob: the per-term ratio
+    ln((c_t+1)/(N_t+V)) − ln((c_r+1)/(N_r+V)) is a fixed-shape
+    double expression (identical literal order both engines), floor-
+    quantized to micro-nats per TERM, then only integer sums leave
+    the per-doc aggregate — no order-dependent float summation.
+
+    Two hash aggregates (conditional counts in one vocabulary pass +
+    three broadcast scalars), one re-join of tokens to the scored
+    vocabulary. Output: (doc_id, n_tokens, sum_lr_micro,
+    avg_lr_micro).
+    """
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col),
+        (F.col(source_col) == target_source).alias("__is_t"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("__is_t"), 0).otherwise(1)).alias("cr"),
+    )
+    totals = vocab.agg(
+        F.sum("ct").cast("double").alias("nt"),
+        F.sum("cr").cast("double").alias("nr"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    scored = vocab.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.floor(
+            (
+                F.log((F.col("ct") + 1).cast("double") / (F.col("nt") + F.col("v")))
+                - F.log((F.col("cr") + 1).cast("double") / (F.col("nr") + F.col("v")))
+            )
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    return (
+        toks.join(scored, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lr_micro").cast("long").alias("sum_lr_micro"),
+        )
+        .withColumn(
+            "avg_lr_micro",
+            F.floor(
+                F.col("sum_lr_micro").cast("double") / F.col("n_tokens")
+            ).cast("long"),
+        )
+    )
+
+
+def vocab_growth_curve(
+    docs: DataFrame,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps-law vocabulary-growth audit across curriculum shards:
+    walk the corpus in id order, cut it into n_shards equal-width id
+    ranges (the sequential-ingestion curriculum shape), and report,
+    per shard, the token volume and how many vocabulary types appear
+    there for the FIRST time. A healthy corpus keeps discovering
+    types sublinearly (Heaps exponent < 1); a flat curve means
+    saturation/duplication, a linear one means noise (OCR garbage
+    mints unlimited new types).
+
+    Distributed shape: the shard id is exact integer arithmetic
+    (id·n DIV (max_id+1), max as a broadcast scalar); first-
+    occurrence shard is min(shard) per term — one hash aggregate on
+    the term key; the per-shard rollup and the cumulative sum act on
+    ≤ n_shards rows (window over a constant-size relation, not the
+    corpus). Output: (shard_id, n_tokens, new_types, cum_types).
+    """
+    from pyspark.sql import Window
+
+    mx = docs.agg(F.max(F.col(id_col)).alias("__mx"))
+    toks = (
+        ensure_parallelism(docs)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(f"{id_col} * {int(n_shards)} DIV (__mx + 1)").alias(
+                "shard_id"
+            ),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+    )
+    per_shard_tokens = toks.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    first_seen = toks.groupBy("term").agg(
+        F.min("shard_id").alias("shard_id")
+    )
+    new_types = first_seen.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    w = Window.orderBy("shard_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_shard_tokens.join(new_types, "shard_id", "left")
+        .select(
+            F.col("shard_id").cast("long").alias("shard_id"),
+            "n_tokens",
+            F.coalesce(F.col("new_types"), F.lit(0))
+            .cast("long")
+            .alias("new_types"),
+        )
+        .withColumn(
+            "cum_types", F.sum("new_types").over(w).cast("long")
+        )
+    )
+
+
 # Fixed quality-classifier weights (the fasttext-style keep/drop
 # filter shape used by DCLM/FineWeb-class pipelines, with literal
 # weights instead of a trained model — the Spark-side plumbing,

@@ -52,12 +52,19 @@ def list_tables(
 def iceberg_tables(spark: SparkSession, database: str) -> DataFrame:
     """S3: keep only Iceberg-provider tables. Uses the catalog's
     table metadata; non-Iceberg session catalogs yield an empty
-    result rather than an error."""
-    rows = []
-    for t in spark.catalog.listTables(database):
+    result rather than an error.
+
+    The per-table DESCRIBE probes fan out across a thread pool (the
+    reference's own per-table fan-out idiom, X1/cli.py:148): catalog
+    RPCs are latency-bound, not CPU-bound, so a 10k-table namespace
+    pays ~N/10 sequential waves instead of N round-trips. Spark
+    sessions are thread-safe for concurrent sql() calls."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def probe(name: str) -> str | None:
         try:
             detail = spark.sql(
-                f"DESCRIBE TABLE EXTENDED {database}.{t.name}"
+                f"DESCRIBE TABLE EXTENDED {database}.{name}"
             ).collect()
             provider = {
                 r["col_name"]: r["data_type"]
@@ -65,9 +72,16 @@ def iceberg_tables(spark: SparkSession, database: str) -> DataFrame:
                 if r["col_name"] in ("Provider", "Table Properties")
             }
             if "iceberg" in str(provider.get("Provider", "")).lower():
-                rows.append((t.name,))
+                return name
         except Exception:
-            continue
+            pass
+        return None
+
+    names = [t.name for t in spark.catalog.listTables(database)]
+    rows: list[tuple[str]] = []
+    if names:
+        with ThreadPoolExecutor(max_workers=min(10, len(names))) as pool:
+            rows = [(n,) for n in pool.map(probe, names) if n is not None]
     return spark.createDataFrame(rows or [], "table_name string").orderBy(
         "table_name"
     )

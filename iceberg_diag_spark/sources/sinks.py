@@ -158,3 +158,47 @@ def sorted_rewrite(
         .parquet(path)
     )
     return n_files
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> int:
+    """Export a curated corpus as deterministic training shards — the
+    dataloader-facing end of the pipeline (WebDataset/Mosaic-style:
+    fixed shard membership, seeded intra-shard order, so every rank
+    of a training job can map shard → worker without coordination
+    and a re-run of the export is byte-stable).
+
+    Shard membership is pmod(xxhash64(id, seed), n_shards) — the same
+    salted-hash idiom as the stratified split, so membership is
+    reproducible from the id alone (no global sort, no collect);
+    intra-shard order is a second independent hash, giving each shard
+    a deterministic shuffle of its members (the epoch_shuffle
+    contract at write time). One hash repartition co-locates each
+    shard; partitionBy lays shards out as prunable directories.
+
+    Returns n_shards. Read a single shard back with
+    ``spark.read.parquet(f"{path}/shard={k}")``.
+    """
+    from pyspark.sql import functions as F
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_shards))
+    order = F.xxhash64(F.col(id_col), F.lit(seed + 1))
+    (
+        df.withColumn("shard", shard)
+        .withColumn("__ord", order)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__ord")
+        .drop("__ord")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return n_shards

@@ -110,10 +110,14 @@ def test_ann_brute_force_broadcasts_queries(spark):
     assert "Python" not in plan
 
 
-def test_frame_sample_is_arrow_batched(spark):
-    plan = _plan(spark, "media_frame_sample")
-    assert "MapInPandas" in plan  # Arrow-batched, not BatchEvalPython
-    assert "BatchEvalPython" not in plan
+def test_frame_extraction_is_jvm_side(spark):
+    # frame splitting + hashing is sequence/substring/md5 — no codec
+    # involved, so NO Python of any kind (the r5 perf-weak fix):
+    # with every_k=1 a Python loop would touch every corpus byte
+    for q in ("media_frame_sample", "media_frame_dedup"):
+        plan = _plan(spark, q)
+        assert "Python" not in plan, q
+        assert "MapInPandas" not in plan, q
 
 
 def test_scans_prune_columns(spark):
@@ -230,6 +234,10 @@ _SCALAR_CROSS_OK = {
     "events_watermark_advisor",  # broadcast 1-row shard-edge scalar
                                  #   (shared _lateness core)
     "part_affinity",             # broadcast 1-row order-count scalar
+    "dsir_logratio",             # broadcast 1-row (N_t, N_r, V)
+                                 #   vocabulary-total scalars
+    "vocab_growth_curve",        # broadcast 1-row corpus-max scalar
+                                 #   (sequential shard edges)
 }
 
 
