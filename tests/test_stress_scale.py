@@ -193,3 +193,27 @@ def test_clustering_advisor_2m_files_per_column(spark):
     assert out["nested"]["overlap_pairs"] == m * (m - 1) // 2
     assert out["nested"]["max_depth"] == m
     print(f"clustering_advisor 2x1M files: {wall:.1f}s")
+
+
+def test_winnow_clone_pairs_bounded_at_1m(spark):
+    """The 100×1000-copy hot spot is exactly the shape that would make
+    clone-pair posting lists quadratic (each template fingerprint sits
+    in ~1001 docs → ~500k pairs per fingerprint × fingerprints per
+    doc). The max_docs_per_fp stop-list must drop those lists whole,
+    leaving the near-dup-sparse unique range pairless — mirroring the
+    near-dup family's exact-dup pre-collapse lesson: mass duplication
+    is the exact tier's job, the pairwise tier handles the tail."""
+    import time as _time
+
+    from iceberg_diag_spark.operators.dedup import winnow_clone_pairs
+
+    docs = _corpus(spark)
+    t0 = _time.time()
+    n_pairs = winnow_clone_pairs(docs).count()
+    dt = _time.time() - t0
+    # template fps: ~1001 docs each > cap 64 → dropped whole. If the
+    # cap failed, the hot spot alone yields ~100·C(1001,2) ≈ 5×10⁷
+    # pairs; what's left is the birthday-collision tail of the
+    # 512-token vocab (measured ~2×10² at 1M docs) — bounded, sparse.
+    assert n_pairs < 100_000, n_pairs
+    print(f"winnow_clone_pairs @1M: {dt:.1f}s, pairs={n_pairs}")
