@@ -619,3 +619,55 @@ def disorder_monitor(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_export_shards(
+    docs_stream: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    seed: int = 42,
+    id_col: str = "doc_id",
+):
+    """Streaming ingest → training shards: route each micro-batch
+    through the SAME deterministic shard assignment as the batch
+    export_training_shards sink (pmod(xxhash64(id, seed), n_shards)),
+    so shard membership is a pure function of the id no matter which
+    micro-batch delivered the row — batch and streaming exports of
+    one corpus land byte-compatible shard layouts.
+
+    foreachBatch writes each batch to its own ``batch=<id>``
+    directory with mode("overwrite"): a replayed batch (failure →
+    restart from checkpoint) overwrites its own directory instead of
+    appending duplicates, making the parquet sink idempotent per
+    batch — effectively exactly-once without a transactional table
+    format. Readers see standard two-level partition discovery
+    (batch=N/shard=K); a shard's full content is
+    ``spark.read.parquet(path).filter(col("shard") == k)``.
+
+    Returns the started StreamingQuery (caller drains/stops — see
+    run_to_table for the availableNow test idiom).
+    """
+    shard = F.pmod(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_shards)
+    )
+    order = F.xxhash64(F.col(id_col), F.lit(seed + 1))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("shard", shard)
+            .withColumn("__ord", order)
+            .repartition(n_shards, F.col("shard"))
+            .sortWithinPartitions("shard", "__ord")
+            .drop("__ord")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(f"{path}/batch={int(batch_id)}")
+        )
+
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_shard_export_")
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

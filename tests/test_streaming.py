@@ -204,3 +204,42 @@ def test_disorder_monitor_state_across_batches(spark, tmp_path_factory, events_b
     }
     assert {t: r.n_events for t, r in final.items()} == want
     assert len(rows) > len(final)  # state really spanned >1 batch
+
+
+def test_stream_export_shards_matches_batch_membership(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from iceberg_diag_spark.sources.sinks import export_training_shards
+    from iceberg_diag_spark.sources.tpch import load_table
+    from iceberg_diag_spark.streaming.stream_ops import (
+        STREAM_DRAIN_TIMEOUT_SECS,
+        read_documents_stream,
+        stream_export_shards,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    base = tmp_path_factory.mktemp("stream_shards")
+    stream_out, batch_out = str(base / "stream"), str(base / "batch")
+
+    q = stream_export_shards(
+        read_documents_stream(spark, sf_dir), stream_out, n_shards=8
+    )
+    assert q.awaitTermination(STREAM_DRAIN_TIMEOUT_SECS)
+
+    docs = load_table(spark, sf_dir, "documents")
+    export_training_shards(docs, batch_out, n_shards=8)
+
+    def members(path):
+        return {
+            r["shard"]: sorted(r["ids"])
+            for r in spark.read.parquet(path)
+            .groupBy("shard")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .collect()
+        }
+
+    got = spark.read.parquet(stream_out)
+    assert got.count() == docs.count()
+    # shard membership is a pure function of doc_id: the streaming
+    # export agrees with the batch export shard-for-shard
+    assert members(stream_out) == members(batch_out)
