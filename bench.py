@@ -157,6 +157,8 @@ HEADLINE = [
     "vocab_growth_curve",
     "diag_file_skew",
     "embedding_drift_audit",
+    "embedding_dim_covariance",
+    "lsh_topk_exact",
 ]
 
 

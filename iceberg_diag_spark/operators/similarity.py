@@ -833,6 +833,61 @@ def int_dot(a: Column, b: Column) -> Column:
     )
 
 
+def _exact_bucketed(
+    embeddings: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    scale_bits: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared sign-LSH quantize+bucket stage for the exact
+    (hash-oracle-able) tier: returns (base = (id, q) quantized
+    vectors, tabled = (id, t, bucket) assignments).
+
+    Each table's bucket renders as ONE SQL string (one py4j call):
+    building plane literals as F.lit() trees costs a round-trip per
+    component (~10 s of driver time for 8×8×64), while inlining the
+    dots as flat q[d]*h arithmetic blows janino's 64 KB method
+    limit. SQL aggregate/zip_with keeps every dot a single compact
+    expression node — fast to construct AND codegen-friendly.
+    """
+    from iceberg_diag_spark.functions.parallel import ensure_parallelism
+
+    planes = md5_hyperplanes(dim, n_planes, n_tables)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * (1 << scale_bits)).cast("long"),
+    )
+    base = ensure_parallelism(embeddings).select(
+        F.col(id_col), qv.alias("q")
+    )
+
+    def dot_sql(plane: list[int]) -> str:
+        arr = ", ".join(f"{h}L" for h in plane)
+        return (
+            f"aggregate(zip_with(q, array({arr}), (x, y) -> x * y),"
+            " cast(0 as long), (acc, v) -> acc + v)"
+        )
+
+    table_exprs = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN {dot_sql(planes[t][p])} > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        table_exprs.append(
+            f"named_struct('t', {t}, 'bucket', CAST({bits} AS LONG))"
+        )
+    tabled = base.select(
+        id_col,
+        F.explode(F.expr(f"array({', '.join(table_exprs)})")).alias("tb"),
+    ).select(id_col, "tb.t", "tb.bucket")
+    return base, tabled
+
+
 def lsh_near_dup_exact(
     embeddings: DataFrame,
     threshold_num: int = 9,
@@ -870,43 +925,9 @@ def lsh_near_dup_exact(
     floor(1e6·dot/(√|a|²·√|b|²)) — IEEE sqrt/divide are correctly
     rounded single operations, bit-identical across engines.
     """
-    from iceberg_diag_spark.functions.parallel import ensure_parallelism
-
-    planes = md5_hyperplanes(dim, n_planes, n_tables)
-    qv = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * (1 << scale_bits)).cast("long"),
+    base, tabled = _exact_bucketed(
+        embeddings, n_planes, n_tables, dim, scale_bits, id_col, vec_col
     )
-    base = ensure_parallelism(embeddings).select(
-        F.col(id_col), qv.alias("q")
-    )
-    # Each table's bucket renders as ONE SQL string (one py4j call):
-    # building plane literals as F.lit() trees costs a round-trip per
-    # component (~10 s of driver time for 8×8×64), while inlining the
-    # dots as flat q[d]*h arithmetic blows janino's 64 KB method
-    # limit. SQL aggregate/zip_with keeps every dot a single compact
-    # expression node — fast to construct AND codegen-friendly.
-    def dot_sql(plane: list[int]) -> str:
-        arr = ", ".join(f"{h}L" for h in plane)
-        return (
-            f"aggregate(zip_with(q, array({arr}), (x, y) -> x * y),"
-            " cast(0 as long), (acc, v) -> acc + v)"
-        )
-
-    table_exprs = []
-    for t in range(n_tables):
-        bits = " + ".join(
-            f"(CASE WHEN {dot_sql(planes[t][p])} > 0"
-            f" THEN {1 << p} ELSE 0 END)"
-            for p in range(n_planes)
-        )
-        table_exprs.append(
-            f"named_struct('t', {t}, 'bucket', CAST({bits} AS LONG))"
-        )
-    tabled = base.select(
-        id_col,
-        F.explode(F.expr(f"array({', '.join(table_exprs)})")).alias("tb"),
-    ).select(id_col, "tb.t", "tb.bucket")
     a = tabled.select(
         F.col("t"), F.col("bucket"), F.col(id_col).alias("vec_a")
     )
@@ -948,6 +969,97 @@ def lsh_near_dup_exact(
         )
         .cast("long")
         .alias("cos_mppm"),
+    )
+
+
+def lsh_topk_exact(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    scale_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN with EXACT cross-engine semantics — the
+    hash-oracle-able sibling of lsh_topk (whose seeded float
+    hyperplanes are engine-private): candidates are same-bucket
+    neighbors in ≥ 1 of the md5-derived integer bucket tables
+    (_exact_bucketed), scored by the exact integer dot products,
+    ranked per query by (cos_mppm desc, neighbor_id asc) — a total
+    deterministic order, so the top-k set is identical on any
+    engine. Approximation lives ONLY in candidate recall (a true
+    neighbor missing from every shared bucket can't rank), exactly
+    like lsh_topk; unlike it, every surviving row hash-matches the
+    DuckDB oracle.
+
+    Same scale posture as lsh_near_dup_exact: per-bucket-quadratic
+    candidates, ids-only through the dedup exchange, vectors
+    re-joined after. The per-query top-k is a window over each
+    query's candidate list (bounded by bucket sizes), never over the
+    corpus. Output: (query_id, neighbor_id, rank, cos_mppm).
+    """
+    from pyspark.sql.window import Window
+
+    base, tabled = _exact_bucketed(
+        embeddings, n_planes, n_tables, dim, scale_bits, id_col, vec_col
+    )
+    a = tabled.select(
+        F.col("t"), F.col("bucket"), F.col(id_col).alias("query_id")
+    )
+    b = tabled.select(
+        F.col("t"), F.col("bucket"), F.col(id_col).alias("neighbor_id")
+    )
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qa = base.select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qa")
+    )
+    qb = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("qb")
+    )
+    scored = (
+        cand.join(qa, "query_id")
+        .join(qb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            int_dot(F.col("qa"), F.col("qb")).alias("d"),
+            int_dot(F.col("qa"), F.col("qa")).alias("na2"),
+            int_dot(F.col("qb"), F.col("qb")).alias("nb2"),
+        )
+        # all-zero quantized vectors have no direction: 0/0 is NaN
+        # (and CAST(NaN AS BIGINT) errors on some engines) — drop
+        .filter((F.col("na2") > 0) & (F.col("nb2") > 0))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.col("d")
+                / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+            )
+            .cast("long")
+            .alias("cos_mppm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_mppm"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_mppm",
+        )
     )
 
 

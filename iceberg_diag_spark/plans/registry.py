@@ -7485,6 +7485,69 @@ GROUP BY label
 """
 
 
+def _lsh_topk_exact(spark, sf_dir):
+    return similarity.lsh_topk_exact(_t(spark, sf_dir, "embeddings"))
+
+
+def _lsh_topk_exact_sql() -> str:
+    planes = similarity.md5_hyperplanes()
+    values = ", ".join(
+        f"({t},{p},{d},{h})"
+        for t, tp in enumerate(planes)
+        for p, row in enumerate(tp)
+        for d, h in enumerate(row)
+    )
+    return f"""
+WITH planes(t, p, d, h) AS (VALUES {values}),
+ex AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 256.0) AS BIGINT) AS q
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id, t, p, sum(q * h) AS dt
+  FROM ex JOIN planes USING (d) GROUP BY vec_id, t, p
+),
+bks AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN dt > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM bks a JOIN bks b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+pairdots AS (
+  SELECT c.query_id, c.neighbor_id,
+         sum(ea.q * eb.q) AS dd,
+         sum(ea.q * ea.q) AS na2,
+         sum(eb.q * eb.q) AS nb2
+  FROM cand c
+  JOIN ex ea ON ea.vec_id = c.query_id
+  JOIN ex eb ON eb.vec_id = c.neighbor_id AND ea.d = eb.d
+  GROUP BY c.query_id, c.neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(floor(1000000.0 * dd / (sqrt(na2) * sqrt(nb2))) AS BIGINT)
+           AS cos_mppm
+  FROM pairdots WHERE na2 > 0 AND nb2 > 0
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_mppm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_mppm DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_mppm
+FROM ranked WHERE rank <= 5
+"""
+
+
+_LSH_TOPK_EXACT_SQL = _lsh_topk_exact_sql()
+
+
 def _embedding_dim_covariance(spark, sf_dir):
     return similarity.embedding_dim_covariance(
         _t(spark, sf_dir, "embeddings")
@@ -7528,6 +7591,13 @@ FROM pairs
 
 
 REGISTRY.update({
+    "lsh_topk_exact": QuerySpec(
+        _lsh_topk_exact, _LSH_TOPK_EXACT_SQL,
+        "hash-oracle-able approximate kNN: same-bucket candidates "
+        "over md5-derived integer hyperplanes, exact integer dots, "
+        "total deterministic (cos_mppm desc, neighbor asc) ranking — "
+        "approximation lives only in candidate recall",
+    ),
     "embedding_dim_covariance": QuerySpec(
         _embedding_dim_covariance, _EMB_COV_SQL,
         "pairwise covariance over the top-8 variance dimensions "

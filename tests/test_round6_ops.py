@@ -184,3 +184,40 @@ def test_embedding_dim_covariance_sign_and_topdim_selection(spark):
     # up to grid quantization (float32 + floor add ≤1 q-unit per
     # value → ≲1% of the ~9e4 q² magnitude here)
     assert abs(out[(0, 1)] + out[(0, 2)]) <= abs(out[(0, 1)]) // 50
+
+
+def test_lsh_topk_exact_recall_and_determinism(spark):
+    import random
+
+    from iceberg_diag_spark.operators.similarity import lsh_topk_exact
+
+    rng = random.Random(7)
+    # 20 clusters of 4 near-identical vectors: each member's true
+    # nearest neighbors are its 3 cluster-mates
+    vecs, vid = [], 0
+    for c in range(20):
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        for _ in range(4):
+            vecs.append((vid, [x + rng.uniform(-0.01, 0.01) for x in base]))
+            vid += 1
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = lsh_topk_exact(emb, k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # high-cosine cluster-mates collide in >= 1 of 8 tables virtually
+    # always; count queries whose ENTIRE top-3 is its cluster
+    full = 0
+    for q, rs in by_q.items():
+        mates = {q - q % 4 + i for i in range(4)} - {q}
+        got = {r["neighbor_id"] for r in rs}
+        assert all(1 <= r["rank"] <= 3 for r in rs)
+        if got == mates:
+            full += 1
+    assert len(by_q) >= 70          # nearly every query has candidates
+    assert full >= 0.8 * len(by_q)  # and recalls its whole cluster
+
+    # determinism: a second run returns the identical row set
+    again = lsh_topk_exact(emb, k=3).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["cos_mppm"])
+    assert sorted(map(key, rows)) == sorted(map(key, again))
