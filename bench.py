@@ -159,6 +159,7 @@ HEADLINE = [
     "embedding_drift_audit",
     "embedding_dim_covariance",
     "lsh_topk_exact",
+    "ivf_topk_exact",
 ]
 
 

@@ -1217,3 +1217,139 @@ def embedding_dim_covariance(
             " (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs) AS LONG)"
         ).alias("cov_q"),
     )
+
+
+def md5_centroids(
+    dim: int = 64, n_lists: int = 16, half_range: int = 256
+) -> list[list[int]]:
+    """Integer IVF centroids derived from md5 — engine-independent
+    CONSTANTS (component = md5("c_{c}_{d}") first 16 bits mod
+    (2·half_range+1), shifted to [−half_range, half_range] — the same
+    grid as q = floor(v·256)), so the coarse quantizer built on them
+    is exactly reproducible anywhere, literals included in the DuckDB
+    oracle. Returns centroids[c][d]."""
+    import hashlib
+
+    m = 2 * half_range + 1
+    return [
+        [
+            int(hashlib.md5(f"c_{c}_{d}".encode()).hexdigest()[:4], 16) % m
+            - half_range
+            for d in range(dim)
+        ]
+        for c in range(n_lists)
+    ]
+
+
+def ivf_topk_exact(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    scale_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate kNN with EXACT cross-engine semantics — the
+    hash-oracle-able sibling of ivf_topk (whose KMeans centroids are
+    engine-private): the coarse quantizer is the fixed md5-derived
+    integer centroid set, assignment is argmin of EXACT integer
+    squared distance (ties → lowest cell id), each query probes its
+    n_probe nearest cells, and candidates score by exact integer
+    cosine with the total (cos_mppm desc, neighbor asc) order.
+    Approximation lives ONLY in which cells are probed — every
+    surviving row hash-matches the DuckDB oracle.
+
+    The per-vector cell ranking is ONE array_sort over n_lists
+    (dist², cell) structs — no window over corpus×n_lists rows:
+    assignment = element 1, probe set = slice(1..n_probe). Centroid
+    literals render as one SQL string per cell (the _exact_bucketed
+    lesson). INDEX shape matches a real deployment: `assigned` is
+    the list_id-partitioned table a production pipeline would
+    materialize. Output: (query_id, neighbor_id, rank, cos_mppm).
+    """
+    from pyspark.sql.window import Window
+
+    from iceberg_diag_spark.functions.parallel import ensure_parallelism
+
+    cents = md5_centroids(dim, n_lists, 1 << scale_bits)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * (1 << scale_bits)).cast("long"),
+    )
+    base = ensure_parallelism(embeddings).select(
+        F.col(id_col), qv.alias("q")
+    )
+
+    def d2_sql(cent: list[int]) -> str:
+        arr = ", ".join(f"{h}L" for h in cent)
+        return (
+            f"aggregate(zip_with(q, array({arr}),"
+            " (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as long), (acc, v) -> acc + v)"
+        )
+
+    cell_structs = ", ".join(
+        f"named_struct('d2', {d2_sql(cents[c])}, 'c', {c})"
+        for c in range(n_lists)
+    )
+    cells = base.select(
+        id_col,
+        F.expr(f"array_sort(array({cell_structs}))").alias("cells"),
+    )
+    assigned = cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr("cells[0].c").alias("list_id"),
+    )
+    probes = cells.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.expr(f"transform(slice(cells, 1, {int(n_probe)}), s -> s.c)")
+        ).alias("list_id"),
+    )
+    cand = (
+        probes.join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qa = base.select(F.col(id_col).alias("query_id"), F.col("q").alias("qa"))
+    qb = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("qb")
+    )
+    scored = (
+        cand.join(qa, "query_id")
+        .join(qb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            int_dot(F.col("qa"), F.col("qb")).alias("d"),
+            int_dot(F.col("qa"), F.col("qa")).alias("na2"),
+            int_dot(F.col("qb"), F.col("qb")).alias("nb2"),
+        )
+        .filter((F.col("na2") > 0) & (F.col("nb2") > 0))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.col("d")
+                / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+            )
+            .cast("long")
+            .alias("cos_mppm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_mppm"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_mppm",
+        )
+    )

@@ -7548,6 +7548,72 @@ FROM ranked WHERE rank <= 5
 _LSH_TOPK_EXACT_SQL = _lsh_topk_exact_sql()
 
 
+def _ivf_topk_exact(spark, sf_dir):
+    return similarity.ivf_topk_exact(_t(spark, sf_dir, "embeddings"))
+
+
+def _ivf_topk_exact_sql() -> str:
+    cents = similarity.md5_centroids()
+    values = ", ".join(
+        f"({c},{d},{h})"
+        for c, row in enumerate(cents)
+        for d, h in enumerate(row)
+    )
+    return f"""
+WITH cents(c, d, h) AS (VALUES {values}),
+ex AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 256.0) AS BIGINT) AS q
+  FROM embeddings
+),
+dists AS (
+  SELECT vec_id, c, sum((q - h) * (q - h)) AS d2
+  FROM ex JOIN cents USING (d) GROUP BY vec_id, c
+),
+ranked_cells AS (
+  SELECT vec_id, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+  FROM dists
+),
+assigned AS (SELECT vec_id AS neighbor_id, c AS list_id
+             FROM ranked_cells WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, c AS list_id
+           FROM ranked_cells WHERE rn <= 4),
+cand AS (
+  SELECT p.query_id, a.neighbor_id
+  FROM probes p JOIN assigned a USING (list_id)
+  WHERE p.query_id != a.neighbor_id
+),
+pairdots AS (
+  SELECT c.query_id, c.neighbor_id,
+         sum(ea.q * eb.q) AS dd,
+         sum(ea.q * ea.q) AS na2,
+         sum(eb.q * eb.q) AS nb2
+  FROM cand c
+  JOIN ex ea ON ea.vec_id = c.query_id
+  JOIN ex eb ON eb.vec_id = c.neighbor_id AND ea.d = eb.d
+  GROUP BY c.query_id, c.neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(floor(1000000.0 * dd / (sqrt(na2) * sqrt(nb2))) AS BIGINT)
+           AS cos_mppm
+  FROM pairdots WHERE na2 > 0 AND nb2 > 0
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_mppm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_mppm DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_mppm
+FROM ranked WHERE rank <= 5
+"""
+
+
+_IVF_TOPK_EXACT_SQL = _ivf_topk_exact_sql()
+
+
 def _embedding_dim_covariance(spark, sf_dir):
     return similarity.embedding_dim_covariance(
         _t(spark, sf_dir, "embeddings")
@@ -7597,6 +7663,14 @@ REGISTRY.update({
         "over md5-derived integer hyperplanes, exact integer dots, "
         "total deterministic (cos_mppm desc, neighbor asc) ranking — "
         "approximation lives only in candidate recall",
+    ),
+    "ivf_topk_exact": QuerySpec(
+        _ivf_topk_exact, _IVF_TOPK_EXACT_SQL,
+        "hash-oracle-able IVF kNN: fixed md5-derived integer "
+        "centroids, exact integer squared-distance assignment "
+        "(one array_sort per vector, no corpus-wide window), "
+        "n_probe nearest cells per query, exact integer cosine "
+        "ranking",
     ),
     "embedding_dim_covariance": QuerySpec(
         _embedding_dim_covariance, _EMB_COV_SQL,

@@ -221,3 +221,44 @@ def test_lsh_topk_exact_recall_and_determinism(spark):
     again = lsh_topk_exact(emb, k=3).collect()
     key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["cos_mppm"])
     assert sorted(map(key, rows)) == sorted(map(key, again))
+
+
+def test_ivf_topk_exact_well_formed_and_probing_bounds_candidates(spark):
+    import random
+
+    from iceberg_diag_spark.operators.similarity import (
+        ivf_topk_exact,
+        md5_centroids,
+    )
+
+    # fixed centroids are on the q grid and engine-independent
+    cents = md5_centroids()
+    assert len(cents) == 16 and len(cents[0]) == 64
+    assert all(-256 <= h <= 256 for row in cents for h in row)
+
+    rng = random.Random(11)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = ivf_topk_exact(emb, k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        # ranking is by cos desc with neighbor tie-break
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        for x, y in zip(ordered, ordered[1:]):
+            assert (x["cos_mppm"], -x["neighbor_id"]) >= (
+                y["cos_mppm"], -y["neighbor_id"],
+            )
+    # probing 4/16 cells: every query found SOME candidates (uniform
+    # data spreads across cells, and its own cell is always probed)
+    assert len(by_q) >= 290
+
+    # determinism across runs
+    again = ivf_topk_exact(emb, k=3).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["cos_mppm"])
+    assert sorted(map(key, rows)) == sorted(map(key, again))
