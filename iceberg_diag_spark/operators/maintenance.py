@@ -537,16 +537,19 @@ def file_skew_audit(files: DataFrame) -> DataFrame:
     one whose largest file carries most of the bytes straggles every
     scan of that partition.
 
-    Integer-exact dispersion, no float moments: variance numerator
-    n·Σx² − (Σx)² accumulates as DECIMAL(38,0) (Σx² wraps int64
-    past a handful of GiB-sized files) and publishes via truncating
-    DIV (numerator ≥ 0 ⇒ floor); the largest-file byte share is the
-    exact integer (1e6·max) DIV total. One hash aggregate on the
-    partition key — the same single-shuffle contract as
-    delete_impact.
+    Exact 128-bit moments: the variance numerator n·Σx² − (Σx)²
+    accumulates as DECIMAL(38,0) (Σx² wraps int64 past a handful of
+    GiB-sized files, and the variance ITSELF wraps past ~TiB sizes),
+    then publishes as stddev_bytes = floor(sqrt(num)/n) — sqrt brings
+    the figure back inside int64 for any physical file size, and the
+    decimal→double conversion + sqrt + divide are each single
+    correctly-rounded IEEE operations in fixed order, identical on
+    any engine. The largest-file byte share is the exact integer
+    (1e6·max) DIV total. One hash aggregate on the partition key —
+    the same single-shuffle contract as delete_impact.
 
     Output: (partition_key, n_files, total_bytes, min_bytes,
-    max_bytes, var_bytes, max_share_ppm) over DATA files only.
+    max_bytes, stddev_bytes, max_share_ppm) over DATA files only.
     """
     sized = files.filter(F.col("content") == 0).select(
         "partition_key",
@@ -566,10 +569,10 @@ def file_skew_audit(files: DataFrame) -> DataFrame:
         "min_bytes",
         "max_bytes",
         F.expr(
-            "CAST((n_files * __ss -"
-            " CAST(total_bytes AS DECIMAL(38,0)) * total_bytes)"
-            " DIV (CAST(n_files AS DECIMAL(38,0)) * n_files) AS LONG)"
-        ).alias("var_bytes"),
+            "CAST(FLOOR(SQRT(CAST(n_files * __ss -"
+            " CAST(total_bytes AS DECIMAL(38,0)) * total_bytes"
+            " AS DOUBLE)) / n_files) AS LONG)"
+        ).alias("stddev_bytes"),
         F.expr(
             "CAST((1000000 * max_bytes) DIV total_bytes AS LONG)"
         ).alias("max_share_ppm"),

@@ -843,8 +843,10 @@ def _exact_bucketed(
     vec_col: str,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared sign-LSH quantize+bucket stage for the exact
-    (hash-oracle-able) tier: returns (base = (id, q) quantized
-    vectors, tabled = (id, t, bucket) assignments).
+    (hash-oracle-able) tier: returns (base = (id, q, n2) quantized
+    vectors with their precomputed squared norm — one fold per
+    VECTOR, not per candidate pair — and tabled = (id, t, bucket)
+    assignments).
 
     Each table's bucket renders as ONE SQL string (one py4j call):
     building plane literals as F.lit() trees costs a round-trip per
@@ -862,6 +864,9 @@ def _exact_bucketed(
     )
     base = ensure_parallelism(embeddings).select(
         F.col(id_col), qv.alias("q")
+    )
+    base = base.select(
+        id_col, "q", int_dot(F.col("q"), F.col("q")).alias("n2")
     )
 
     def dot_sql(plane: list[int]) -> str:
@@ -941,15 +946,20 @@ def lsh_near_dup_exact(
         .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    qa = base.select(F.col(id_col).alias("vec_a"), F.col("q").alias("qa"))
-    qb = base.select(F.col(id_col).alias("vec_b"), F.col("q").alias("qb"))
+    qa = base.select(
+        F.col(id_col).alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    qb = base.select(
+        F.col(id_col).alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
     cand = cand.join(qa, "vec_a").join(qb, "vec_b")
     d = int_dot(F.col("qa"), F.col("qb"))
-    na2 = int_dot(F.col("qa"), F.col("qa"))
-    nb2 = int_dot(F.col("qb"), F.col("qb"))
     scored = cand.select(
-        "vec_a", "vec_b",
-        d.alias("d"), na2.alias("na2"), nb2.alias("nb2"),
+        "vec_a", "vec_b", d.alias("d"), "na2", "nb2"
     ).filter(
         (F.col("d") > 0)
         & (
@@ -1006,39 +1016,47 @@ def lsh_topk_exact(
         embeddings, n_planes, n_tables, dim, scale_bits, id_col, vec_col
     )
     a = tabled.select(
-        F.col("t"), F.col("bucket"), F.col(id_col).alias("query_id")
+        F.col("t"), F.col("bucket"), F.col(id_col).alias("vec_a")
     )
     b = tabled.select(
-        F.col("t"), F.col("bucket"), F.col(id_col).alias("neighbor_id")
+        F.col("t"), F.col("bucket"), F.col(id_col).alias("vec_b")
     )
+    # kNN candidates are symmetric (same buckets both ways), so dedup
+    # and score each UNORDERED pair once — half the exchange weight
+    # and half the dot products — then emit both orientations into
+    # the per-query ranking.
     cand = (
         a.join(b, ["t", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
     )
     qa = base.select(
-        F.col(id_col).alias("query_id"), F.col("q").alias("qa")
+        F.col(id_col).alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
     )
     qb = base.select(
-        F.col(id_col).alias("neighbor_id"), F.col("q").alias("qb")
+        F.col(id_col).alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
     )
-    scored = (
-        cand.join(qa, "query_id")
-        .join(qb, "neighbor_id")
+    pair_scored = (
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
         .select(
-            "query_id",
-            "neighbor_id",
+            "vec_a",
+            "vec_b",
             int_dot(F.col("qa"), F.col("qb")).alias("d"),
-            int_dot(F.col("qa"), F.col("qa")).alias("na2"),
-            int_dot(F.col("qb"), F.col("qb")).alias("nb2"),
+            "na2",
+            "nb2",
         )
         # all-zero quantized vectors have no direction: 0/0 is NaN
         # (and CAST(NaN AS BIGINT) errors on some engines) — drop
         .filter((F.col("na2") > 0) & (F.col("nb2") > 0))
         .select(
-            "query_id",
-            "neighbor_id",
+            "vec_a",
+            "vec_b",
             F.floor(
                 F.lit(1_000_000.0)
                 * F.col("d")
@@ -1046,6 +1064,21 @@ def lsh_topk_exact(
             )
             .cast("long")
             .alias("cos_mppm"),
+        )
+    )
+    # materialize the scored pairs once: without this, both union
+    # branches re-execute the join+dot subplan (no exchange reuse
+    # through a union of two projections of one plan)
+    pair_scored = pair_scored.localCheckpoint(eager=False)
+    scored = pair_scored.select(
+        F.col("vec_a").alias("query_id"),
+        F.col("vec_b").alias("neighbor_id"),
+        "cos_mppm",
+    ).unionAll(
+        pair_scored.select(
+            F.col("vec_b").alias("query_id"),
+            F.col("vec_a").alias("neighbor_id"),
+            "cos_mppm",
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1281,6 +1314,9 @@ def ivf_topk_exact(
     base = ensure_parallelism(embeddings).select(
         F.col(id_col), qv.alias("q")
     )
+    base = base.select(
+        id_col, "q", int_dot(F.col("q"), F.col("q")).alias("n2")
+    )
 
     def d2_sql(cent: list[int]) -> str:
         arr = ", ".join(f"{h}L" for h in cent)
@@ -1313,9 +1349,15 @@ def ivf_topk_exact(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
-    qa = base.select(F.col(id_col).alias("query_id"), F.col("q").alias("qa"))
+    qa = base.select(
+        F.col(id_col).alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
     qb = base.select(
-        F.col(id_col).alias("neighbor_id"), F.col("q").alias("qb")
+        F.col(id_col).alias("neighbor_id"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
     )
     scored = (
         cand.join(qa, "query_id")
@@ -1324,8 +1366,8 @@ def ivf_topk_exact(
             "query_id",
             "neighbor_id",
             int_dot(F.col("qa"), F.col("qb")).alias("d"),
-            int_dot(F.col("qa"), F.col("qa")).alias("na2"),
-            int_dot(F.col("qb"), F.col("qb")).alias("nb2"),
+            "na2",
+            "nb2",
         )
         .filter((F.col("na2") > 0) & (F.col("nb2") > 0))
         .select(

@@ -7447,8 +7447,12 @@ g AS (
   GROUP BY partition_key
 )
 SELECT partition_key, n_files, total_bytes, min_bytes, max_bytes,
-       CAST((n_files * ss - CAST(total_bytes AS HUGEINT) * total_bytes)
-            // (CAST(n_files AS HUGEINT) * n_files) AS BIGINT) AS var_bytes,
+       -- sqrt keeps dispersion inside int64 at any physical file
+       -- size (the variance itself wraps past ~TiB); conversion +
+       -- sqrt + divide are fixed-order correctly-rounded IEEE ops
+       CAST(FLOOR(sqrt(CAST(n_files * ss
+                            - CAST(total_bytes AS HUGEINT) * total_bytes
+                            AS DOUBLE)) / n_files) AS BIGINT) AS stddev_bytes,
        CAST((1000000 * max_bytes) // total_bytes AS BIGINT) AS max_share_ppm
 FROM g
 """

@@ -115,11 +115,14 @@ def test_file_skew_audit_exact_variance(spark):
     out = {r["partition_key"]: r for r in file_skew_audit(files).collect()}
     p1 = out["p1"]
     assert (p1["n_files"], p1["total_bytes"]) == (3, 600)
-    # population variance of (100,200,300) = 6666.67 -> floor 6666
-    assert p1["var_bytes"] == (3 * (100**2 + 200**2 + 300**2) - 600**2) // 9
+    # population stddev of (100,200,300): floor(sqrt(n*ss - s^2)/n)
+    import math
+
+    num = 3 * (100**2 + 200**2 + 300**2) - 600**2
+    assert p1["stddev_bytes"] == math.floor(math.sqrt(float(num)) / 3)
     assert p1["max_share_ppm"] == 1_000_000 * 300 // 600
     p2 = out["p2"]
-    assert p2["var_bytes"] == 0 and p2["max_share_ppm"] == 500_000
+    assert p2["stddev_bytes"] == 0 and p2["max_share_ppm"] == 500_000
 
 
 def test_file_skew_audit_no_int64_overflow(spark):
@@ -133,7 +136,7 @@ def test_file_skew_audit_no_int64_overflow(spark):
         "partition_key string, file_size_in_bytes long, content int",
     )
     row = file_skew_audit(files).collect()[0]
-    assert row["var_bytes"] == 0  # identical sizes -> zero, not garbage
+    assert row["stddev_bytes"] == 0  # identical sizes -> zero, not garbage
     assert row["max_share_ppm"] == 1_000_000 // 20
 
 
