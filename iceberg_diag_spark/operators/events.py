@@ -443,3 +443,49 @@ def user_transition_typicality(events: DataFrame) -> DataFrame:
             F.min("prob_ppm").cast("long").alias("min_prob_ppm"),
         )
     )
+
+
+def scd2_build(events: DataFrame) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a CDC-style
+    change stream: treat each event as setting its user's current
+    state to `event_type`, collapse consecutive repeats of the same
+    state into one run, and emit one validity interval per run —
+    the standard MERGE-free SCD2 build a warehouse runs after
+    ingesting a change feed (the interval-history complement of
+    events_cdc_dedup's latest-row projection).
+
+    Distributed shape: both window passes share ONE partitioning
+    (user_id, ordered by event-time then event_id for a total
+    deterministic order under timestamp ties) — Catalyst plans a
+    single shuffle and sorts once; no corpus-wide window exists.
+    Time is integer epoch-micros end to end.
+
+    Output: (user_id, state, valid_from_us, valid_to_us,
+    version_seq, is_current) where valid_to_us is NULL on the open
+    interval, version_seq is the 1-based run index per user, and
+    half-open intervals [valid_from_us, valid_to_us) tile each
+    user's observed lifetime exactly.
+    """
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    runs = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            ts_us.alias("ts_us"),
+            "event_id",
+            F.lag("event_type").over(w).alias("__prev"),
+        )
+        .filter(
+            F.col("__prev").isNull() | (F.col("__prev") != F.col("state"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return runs.select(
+        "user_id",
+        "state",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+        F.row_number().over(w2).cast("long").alias("version_seq"),
+        F.lead("ts_us").over(w2).isNull().cast("long").alias("is_current"),
+    )

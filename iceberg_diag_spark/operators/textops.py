@@ -1263,3 +1263,197 @@ def template_clusters(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = ("spark", "join", "window"),
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval scoring (Robertson/Sparck Jones; the Lucene
+    `ln(1 + (N - df + 0.5)/(df + 0.5))` non-negative idf variant,
+    k1=1.2, b=0.75): rank the corpus against a fixed query-term set
+    and return the top-k documents. This is the keyword-retrieval
+    complement of the embedding ANN family — the first-stage
+    retriever of a RAG / data-curation stack.
+
+    Exactness contract (the unigram_logprob pattern): every per-
+    (term, doc) partial is ONE fixed-shape double expression —
+      idf(t) * (tf*2.2) / (tf + 1.2*(0.25 + 0.75*(dl/avgdl)))
+    with identical literal order in the DuckDB oracle — floor-
+    quantized to micro before the per-doc sum, so only integer sums
+    cross the aggregate and no order-dependent float summation
+    exists. avgdl enters as the single broadcast double
+    total_tokens/n_docs.
+
+    Distributed shape: document length comes from size(tokens) in
+    the scan projection (NO explode for the length pass); the
+    explode is filtered to the query terms in the same stage, so
+    only matching (doc, term) rows reach the tf hash aggregate.
+    df per term and the corpus totals are broadcast scalars. The
+    final top-k is (score desc, id asc) + limit ⇒
+    TakeOrderedAndProject, never a global sort. Output:
+    (doc_id, n_terms_hit, bm25_micro), ties broken by doc_id.
+    """
+    terms = [t.lower() for t in query_terms]
+    base = ensure_parallelism(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    doclen = base.select(
+        F.col(id_col), F.size("__toks").cast("long").alias("dl")
+    )
+    totals = doclen.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        base.select(
+            F.col(id_col),
+            F.size("__toks").cast("long").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+    )
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.log(
+                    F.lit(1.0)
+                    + (
+                        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                        / (F.col("df") + F.lit(0.5))
+                    )
+                )
+                * (
+                    (F.col("tf") * F.lit(2.2))
+                    / (
+                        F.col("tf")
+                        + F.lit(1.2)
+                        * (
+                            F.lit(0.25)
+                            + F.lit(0.75)
+                            * (F.col("dl") / F.col("avgdl"))
+                        )
+                    )
+                )
+            )
+            .cast("long")
+            .alias("s_micro"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.sum("s_micro").cast("long").alias("bm25_micro"),
+        )
+        .orderBy(F.desc("bm25_micro"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_n: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top collocations by pointwise mutual information over the
+    corpus bigram stream: PMI(a,b) = ln(c_ab·N / (c_a·c_b)) with all
+    marginals taken over bigram EVENTS (c_a = bigrams starting with
+    a, c_b = bigrams ending with b, N = total bigrams) — the
+    Church & Hanks association measure that drives merge decisions
+    in BPE/WordPiece-style vocabulary construction and multiword-
+    expression mining.
+
+    Exactness contract: counts are exact integers; each surviving
+    pair's PMI is ONE fixed-shape double expression in log-sum form
+    ln(c_ab) + ln(N) − ln(c_a) − ln(c_b) (left-associated
+    identically in the DuckDB oracle), floor-quantized to
+    micro-nats. The log-sum form is deliberate: the integer product
+    c_ab·N wraps int64 once the corpus passes ~10¹³ bigrams, while
+    each individual count converts to double exactly (< 2⁵³) at any
+    realistic scale. min_count prunes the hapax tail BEFORE
+    scoring, so the join and sort see only the frequent vocabulary.
+
+    Distributed shape: bigram pairs come straight off the codegen
+    posexplode + lead() path as TWO COLUMNS — no concat-then-split
+    round trip (reparsing the joined gram also trips ANSI array
+    indexing when Catalyst infers join-key not-null predicates that
+    evaluate `split(gram)[1]` below the end-of-doc filter); one
+    hash aggregate each for pair and two marginal counts (map-side
+    combine); two vocab-sized equi-joins (AQE broadcasts them when
+    the vocabulary is small); the final top-N is (pmi desc, pair
+    asc) + limit ⇒ TakeOrderedAndProject, never a global sort.
+    Output: (w1, w2, n_pair, pmi_micro).
+    """
+    from pyspark.sql import Window
+
+    from iceberg_diag_spark.operators.dedup import normalized_text
+
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bg = (
+        toks.select(
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    pairs = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    left = bg.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("c_a")
+    )
+    right = bg.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_b")
+    )
+    total = bg.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        pairs.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.floor(
+                F.lit(1_000_000.0)
+                * (
+                    F.log(F.col("n_pair").cast("double"))
+                    + F.log(F.col("n_total").cast("double"))
+                    - F.log(F.col("c_a").cast("double"))
+                    - F.log(F.col("c_b").cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+        .orderBy(
+            F.desc("pmi_micro"), F.asc("w1"), F.asc("w2")
+        )
+        .limit(top_n)
+    )

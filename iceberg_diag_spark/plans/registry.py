@@ -35,6 +35,7 @@ from iceberg_diag_spark.operators import (
     joins,
     maintenance,
     multimodal,
+    privacy,
     profiling,
     sampling,
     shuffling,
@@ -7712,6 +7713,189 @@ REGISTRY.update({
         "split-drift audit: exact rational squared centroid gap "
         "between id-parity halves per label (train/val "
         "exchangeability check)",
+    ),
+})
+
+
+# --------------------------------------------------------------------
+# Round-6b extensions: retrieval scoring, SCD2 history, privacy audit,
+# collocation mining
+# --------------------------------------------------------------------
+
+def _bm25_topk(spark, sf_dir):
+    return textops.bm25_topk(_t(spark, sf_dir, "documents"))
+
+
+_BM25_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+doclen AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM doclen
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+         CAST(max(dl) AS BIGINT) AS dl
+  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(toks) AS term
+        FROM base) x
+  WHERE term IN ('spark', 'join', 'window')
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(FLOOR(1000000.0
+              * ln(1.0 + ((t.n_docs - dft.df + 0.5) / (dft.df + 0.5)))
+              * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / t.avgdl)))))
+           AS BIGINT) AS s_micro
+  FROM tf JOIN dft USING (term) CROSS JOIN totals t
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+       CAST(sum(s_micro) AS BIGINT) AS bm25_micro
+FROM scored GROUP BY doc_id
+ORDER BY bm25_micro DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+def _events_scd2(spark, sf_dir):
+    return events.scd2_build(_t(spark, sf_dir, "events"))
+
+
+_EVENTS_SCD2_SQL = """
+WITH runs AS (
+  SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+f AS (
+  SELECT user_id, state, ts_us, event_id
+  FROM runs WHERE prev IS NULL OR prev <> state
+)
+SELECT user_id, state,
+       ts_us AS valid_from_us,
+       lead(ts_us) OVER w2 AS valid_to_us,
+       CAST(row_number() OVER w2 AS BIGINT) AS version_seq,
+       CAST(lead(ts_us) OVER w2 IS NULL AS BIGINT) AS is_current
+FROM f
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
+def _customer_k_anonymity(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(1000))
+        .cast("long")
+        .alias("acctbal_kb"),
+        "c_mktsegment",
+    )
+    return privacy.k_anonymity_audit(
+        cust, ["c_nationkey", "acctbal_kb"], "c_mktsegment"
+    )
+
+
+_K_ANONYMITY_SQL = """
+WITH q AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS acctbal_kb,
+         c_mktsegment
+  FROM customer
+),
+classes AS (
+  SELECT c_nationkey, acctbal_kb,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+  FROM q GROUP BY c_nationkey, acctbal_kb
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+         AS records_at_risk,
+       CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS homogeneous_classes,
+       CAST(min(n) AS BIGINT) AS min_class_size,
+       CAST(min(l) AS BIGINT) AS min_l
+FROM classes CROSS JOIN (SELECT unnest([2, 5, 10, 20]) AS k) ks
+GROUP BY k
+"""
+
+
+def _pmi_collocations(spark, sf_dir):
+    return textops.pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
+_PMI_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+           list_transform(generate_series(0, len(toks) - 2),
+                          i -> toks[i + 1] || ' ' || toks[i + 2])
+         ELSE [] END) AS gram
+  FROM norm
+),
+sp AS (
+  SELECT string_split(gram, ' ')[1] AS w1,
+         string_split(gram, ' ')[2] AS w2
+  FROM bg
+),
+pairs AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM sp GROUP BY w1, w2 HAVING count(*) >= 5
+),
+lft AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_a FROM sp GROUP BY w1),
+rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS c_b FROM sp GROUP BY w2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM sp)
+SELECT w1, w2, n_pair,
+       CAST(FLOOR(1000000.0
+            * (ln(CAST(n_pair AS DOUBLE)) + ln(CAST(n_total AS DOUBLE))
+               - ln(CAST(c_a AS DOUBLE)) - ln(CAST(c_b AS DOUBLE))))
+         AS BIGINT) AS pmi_micro
+FROM pairs JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+ORDER BY pmi_micro DESC, w1 ASC, w2 ASC
+LIMIT 100
+"""
+
+
+REGISTRY.update({
+    "bm25_topk": QuerySpec(
+        _bm25_topk, _BM25_SQL,
+        "BM25 retrieval top-k (Lucene idf variant, k1=1.2 b=0.75) — "
+        "the keyword first-stage retriever; per-(term,doc) partials "
+        "floor-quantized to micro before exact integer per-doc sums",
+    ),
+    "events_scd2_history": QuerySpec(
+        _events_scd2, _EVENTS_SCD2_SQL,
+        "type-2 SCD history from the CDC event stream: consecutive-"
+        "repeat collapse + half-open validity intervals, one shared "
+        "per-user window partitioning (single shuffle)",
+    ),
+    "customer_k_anonymity": QuerySpec(
+        _customer_k_anonymity, _K_ANONYMITY_SQL,
+        "k-anonymity / l-diversity release audit over quasi-"
+        "identifier classes (nation × balance bucket, segment "
+        "sensitive): violations, records-at-risk, homogeneous "
+        "classes per candidate k",
+    ),
+    "pmi_collocations": QuerySpec(
+        _pmi_collocations, _PMI_SQL,
+        "top collocations by PMI over the corpus bigram stream "
+        "(Church-Hanks; overflow-free log-sum form, micro-nat "
+        "floor quantization, min-count hapax pruning)",
     ),
 })
 

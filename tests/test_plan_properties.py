@@ -238,6 +238,9 @@ _SCALAR_CROSS_OK = {
                                  #   vocabulary-total scalars
     "vocab_growth_curve",        # broadcast 1-row corpus-max scalar
                                  #   (sequential shard edges)
+    "bm25_topk",                 # broadcast 1-row (n_docs, avgdl)
+                                 #   corpus-total scalars
+    "pmi_collocations",          # broadcast 1-row bigram-total N
 }
 
 

@@ -1,0 +1,197 @@
+"""Unit tests for the round-6b extensions: BM25 retrieval, SCD2
+history build, k-anonymity audit, PMI collocations — small fixtures
+with hand-computable (or brute-force Python) expectations."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_bm25_topk_matches_python_reference(spark):
+    from iceberg_diag_spark.operators.textops import bm25_topk
+
+    docs = [
+        (0, "spark join window spark spark"),
+        (1, "join join filter sort"),
+        (2, "window"),
+        (3, "table scan merge sort filter agg"),  # no query term
+        (4, "spark spark spark spark spark spark spark spark"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_terms_hit"], r["bm25_micro"])
+        for r in bm25_topk(df, query_terms=("spark", "join", "window"), k=10).collect()
+    }
+    # python reference with the identical fixed-shape expression
+    toks = {i: t.split(" ") for i, t in docs}
+    n_docs = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    tf = {}
+    for i, ts in toks.items():
+        for term in ("spark", "join", "window"):
+            c = ts.count(term)
+            if c:
+                tf[(i, term)] = c
+    df_t = {
+        term: sum(1 for (i, t2) in tf if t2 == term)
+        for term in ("spark", "join", "window")
+    }
+    ref = {}
+    for (i, term), c in tf.items():
+        dl = len(toks[i])
+        idf = math.log(1.0 + ((n_docs - df_t[term] + 0.5) / (df_t[term] + 0.5)))
+        s = math.floor(
+            1_000_000.0
+            * idf
+            * ((c * 2.2) / (c + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+        )
+        hit, tot = ref.get(i, (0, 0))
+        ref[i] = (hit + 1, tot + s)
+    assert got == ref
+    # doc 3 has no query terms -> absent
+    assert 3 not in got
+
+
+def test_bm25_topk_k_limits_and_ordering(spark):
+    from iceberg_diag_spark.operators.textops import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, "spark word") for i in range(10)], "doc_id long, text string"
+    )
+    rows = bm25_topk(df, query_terms=("spark",), k=4).collect()
+    # identical scores everywhere -> tie-break by doc_id ascending
+    assert [r["doc_id"] for r in rows] == [0, 1, 2, 3]
+
+
+def test_scd2_build_intervals(spark):
+    from iceberg_diag_spark.operators.events import scd2_build
+
+    rows = [
+        # user 1: A A B A  -> runs A(t1..t3) B(t3..t4) A(t4..)
+        (1, 1, 1_000_000, "A"),
+        (2, 1, 2_000_000, "A"),
+        (3, 1, 3_000_000, "B"),
+        (4, 1, 4_000_000, "A"),
+        # user 2: single event -> one open interval
+        (5, 2, 9_000_000, "X"),
+    ]
+    ev = spark.createDataFrame(
+        [(eid, u, ts, et) for eid, u, ts, et in rows],
+        "event_id long, user_id long, ts_raw long, event_type string",
+    ).selectExpr(
+        "event_id", "user_id",
+        "timestamp_micros(ts_raw) AS ts", "event_type",
+    )
+    got = sorted(
+        (
+            (r["user_id"], r["version_seq"], r["state"],
+             r["valid_from_us"], r["valid_to_us"], r["is_current"])
+            for r in scd2_build(ev).collect()
+        )
+    )
+    assert got == [
+        (1, 1, "A", 1_000_000, 3_000_000, 0),
+        (1, 2, "B", 3_000_000, 4_000_000, 0),
+        (1, 3, "A", 4_000_000, None, 1),
+        (2, 1, "X", 9_000_000, None, 1),
+    ]
+    # half-open intervals tile each user's lifetime: next valid_from
+    # equals previous valid_to
+
+
+def test_scd2_build_timestamp_tie_uses_event_id(spark):
+    from iceberg_diag_spark.operators.events import scd2_build
+
+    ev = spark.createDataFrame(
+        [(2, 1, 1_000_000, "B"), (1, 1, 1_000_000, "A")],
+        "event_id long, user_id long, ts_raw long, event_type string",
+    ).selectExpr(
+        "event_id", "user_id",
+        "timestamp_micros(ts_raw) AS ts", "event_type",
+    )
+    got = sorted(
+        (r["version_seq"], r["state"], r["is_current"])
+        for r in scd2_build(ev).collect()
+    )
+    # event_id orders the tie: A (eid 1) precedes B (eid 2)
+    assert got == [(1, "A", 0), (2, "B", 1)]
+
+
+def test_k_anonymity_audit_counts(spark):
+    from iceberg_diag_spark.operators.privacy import k_anonymity_audit
+
+    # classes: (a,1)x5 all same sensitive; (a,2)x2 two sensitives;
+    # (b,1)x1 single row
+    rows = (
+        [("a", 1, "s1")] * 5
+        + [("a", 2, "s1"), ("a", 2, "s2")]
+        + [("b", 1, "s3")]
+    )
+    df = spark.createDataFrame(rows, "g string, b long, sens string")
+    got = {
+        r["k"]: r.asDict()
+        for r in k_anonymity_audit(df, ["g", "b"], "sens", (2, 5, 10)).collect()
+    }
+    assert set(got) == {2, 5, 10}
+    for k in (2, 5, 10):
+        assert got[k]["n_classes"] == 3
+        assert got[k]["min_class_size"] == 1
+        assert got[k]["min_l"] == 1
+        assert got[k]["homogeneous_classes"] == 2  # (a,1) and (b,1)
+    assert got[2]["n_violating_classes"] == 1  # only (b,1)
+    assert got[2]["records_at_risk"] == 1
+    assert got[5]["n_violating_classes"] == 2  # (a,2) and (b,1)
+    assert got[5]["records_at_risk"] == 3
+    assert got[10]["n_violating_classes"] == 3
+    assert got[10]["records_at_risk"] == 8
+
+
+def test_pmi_collocations_matches_python_reference(spark):
+    from iceberg_diag_spark.operators.textops import pmi_collocations
+
+    docs = [
+        (0, "a b a b a b c d"),
+        (1, "a b c a b"),
+        (2, "d c d c"),
+        (3, "x"),  # single token -> no bigrams
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["pmi_micro"])
+        for r in pmi_collocations(df, min_count=2, top_n=100).collect()
+    }
+    # python reference over the same bigram event stream
+    bigrams = []
+    for _, t in docs:
+        ts = t.split(" ")
+        bigrams += list(zip(ts, ts[1:]))
+    n_total = len(bigrams)
+    from collections import Counter
+
+    pair_c = Counter(bigrams)
+    left_c = Counter(w1 for w1, _ in bigrams)
+    right_c = Counter(w2 for _, w2 in bigrams)
+    ref = {}
+    for (w1, w2), c in pair_c.items():
+        if c >= 2:
+            pmi = (
+                math.log(float(c))
+                + math.log(float(n_total))
+                - math.log(float(left_c[w1]))
+                - math.log(float(right_c[w2]))
+            )
+            ref[(w1, w2)] = (c, math.floor(1_000_000.0 * pmi))
+    assert got == ref
+
+
+def test_pmi_collocations_top_n_tie_break(spark):
+    from iceberg_diag_spark.operators.textops import pmi_collocations
+
+    # two disjoint pairs with identical statistics -> identical PMI;
+    # top_n=1 must pick the lexicographically first
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "c d c d")], "doc_id long, text string"
+    )
+    rows = pmi_collocations(df, min_count=2, top_n=1).collect()
+    assert len(rows) == 1
+    assert (rows[0]["w1"], rows[0]["w2"]) == ("a", "b")
