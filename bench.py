@@ -160,6 +160,10 @@ HEADLINE = [
     "embedding_dim_covariance",
     "lsh_topk_exact",
     "ivf_topk_exact",
+    "bm25_topk",
+    "events_scd2_history",
+    "customer_k_anonymity",
+    "pmi_collocations",
 ]
 
 

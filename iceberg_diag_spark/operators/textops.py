@@ -1395,11 +1395,14 @@ def pmi_collocations(
     posexplode + lead() path as TWO COLUMNS — no concat-then-split
     round trip (reparsing the joined gram also trips ANSI array
     indexing when Catalyst infers join-key not-null predicates that
-    evaluate `split(gram)[1]` below the end-of-doc filter); one
-    hash aggregate each for pair and two marginal counts (map-side
-    combine); two vocab-sized equi-joins (AQE broadcasts them when
-    the vocabulary is small); the final top-N is (pmi desc, pair
-    asc) + limit ⇒ TakeOrderedAndProject, never a global sort.
+    evaluate `split(gram)[1]` below the end-of-doc filter); ONE
+    corpus-scale hash aggregate builds the unfiltered pair-count
+    relation (vocab²-bounded), which is checkpointed and
+    re-aggregated for both marginals and the total — the corpus is
+    scanned, tokenized and window-sorted exactly once; two
+    vocab-sized equi-joins (AQE broadcasts them when the vocabulary
+    is small); the final top-N is (pmi desc, pair asc) + limit ⇒
+    TakeOrderedAndProject, never a global sort.
     Output: (w1, w2, n_pair, pmi_micro).
     """
     from pyspark.sql import Window
@@ -1420,18 +1423,26 @@ def pmi_collocations(
         )
         .filter(F.col("w2").isNotNull())
     )
-    pairs = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
-        .filter(F.col("n_pair") >= min_count)
+    # ONE corpus pass: the unfiltered pair-count relation is bounded
+    # by vocab² (≪ corpus volume) and every marginal is an exact
+    # re-aggregation of it — c_a = Σ_b c_ab, c_b = Σ_a c_ab,
+    # N = Σ c_ab. Materialize it once (localCheckpoint) so the four
+    # consumers don't each replay the tokenize+window subplan: Spark
+    # reuses no exchange across join branches of one plan.
+    pair_counts = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
     )
-    left = bg.groupBy("w1").agg(
-        F.count(F.lit(1)).cast("long").alias("c_a")
+    pair_counts = pair_counts.localCheckpoint(eager=False)
+    pairs = pair_counts.filter(F.col("n_pair") >= min_count)
+    left = pair_counts.groupBy("w1").agg(
+        F.sum("n_pair").cast("long").alias("c_a")
     )
-    right = bg.groupBy("w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c_b")
+    right = pair_counts.groupBy("w2").agg(
+        F.sum("n_pair").cast("long").alias("c_b")
     )
-    total = bg.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    total = pair_counts.agg(
+        F.sum("n_pair").cast("long").alias("n_total")
+    )
     return (
         pairs.join(left, "w1")
         .join(right, "w2")
