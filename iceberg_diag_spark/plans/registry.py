@@ -7790,6 +7790,43 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 """
 
 
+def _stream_scd2(spark, sf_dir):
+    """Streaming SCD2 feed: drain the event stream availableNow and
+    emit every interval the run-collapse CLOSES (append mode; the
+    open run per user stays in keyed state)."""
+    return stream_ops.run_to_table(
+        stream_ops.scd2_stream(
+            stream_ops.read_events_stream(spark, sf_dir)
+        ),
+        "append",
+        "stream_scd2",
+    )
+
+
+_STREAM_SCD2_SQL = """
+WITH runs AS (
+  SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+f AS (
+  SELECT user_id, state, ts_us, event_id
+  FROM runs WHERE prev IS NULL OR prev <> state
+),
+iv AS (
+  SELECT user_id, state,
+         ts_us AS valid_from_us,
+         lead(ts_us) OVER w2 AS valid_to_us,
+         CAST(row_number() OVER w2 AS BIGINT) AS version_seq
+  FROM f
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id, state, valid_from_us, valid_to_us, version_seq
+FROM iv WHERE valid_to_us IS NOT NULL
+"""
+
+
 def _customer_k_anonymity(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select(
         "c_nationkey",
@@ -7883,6 +7920,13 @@ REGISTRY.update({
         "type-2 SCD history from the CDC event stream: consecutive-"
         "repeat collapse + half-open validity intervals, one shared "
         "per-user window partitioning (single shuffle)",
+    ),
+    "stream_scd2_history": QuerySpec(
+        _stream_scd2, _STREAM_SCD2_SQL,
+        "streaming SCD2 feed (applyInPandasWithState): per-user "
+        "keyed state holds the open run, every closed validity "
+        "interval is emitted append-mode — equals the batch "
+        "scd2_build's closed subset over the finite drain",
     ),
     "customer_k_anonymity": QuerySpec(
         _customer_k_anonymity, _K_ANONYMITY_SQL,

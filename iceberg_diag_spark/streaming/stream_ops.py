@@ -621,6 +621,81 @@ def disorder_monitor(
     )
 
 
+def scd2_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of events.scd2_build: per-user keyed state
+    carries the OPEN run (current state, its start, its version
+    index); each micro-batch folds its rows in event-time order and
+    emits every interval it CLOSES — exactly the append-mode shape
+    of a type-2 dimension feed (the open run is never emitted; it
+    closes in a later batch or stays in state).
+
+    Semantics contract: rows fold in (ts, event_id) order WITHIN a
+    batch (sorted here), and per-user order must hold ACROSS batches
+    for cross-batch runs to collapse correctly — true by
+    construction for a single availableNow batch (the oracle's
+    configuration) and for any in-order source; a disordered
+    multi-batch source is the disorder_monitor's department. Over a
+    finite in-order drain the emitted set equals the batch
+    scd2_build rows whose valid_to_us is non-NULL.
+
+    State per user is ONE (state, from_us, version) tuple — bounded
+    by user cardinality, the canonical keyed-state shape. Output:
+    (user_id, state, valid_from_us, valid_to_us, version_seq).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, state string, valid_from_us long,"
+        " valid_to_us long, version_seq long"
+    )
+    state_schema = "cur_state string, cur_from long, version long"
+
+    def update(key, pdfs, state: GroupState):
+        cur_state, cur_from, version = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        states, froms, tos, vers = [], [], [], []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            ts_us = (batch["ts"].astype("int64") // 1000).to_numpy()
+            for t, et in zip(ts_us, batch["event_type"]):
+                if cur_state is None:
+                    cur_state, cur_from, version = et, int(t), 1
+                elif et != cur_state:
+                    states.append(cur_state)
+                    froms.append(cur_from)
+                    tos.append(int(t))
+                    vers.append(version)
+                    cur_state, cur_from = et, int(t)
+                    version += 1
+        state.update((cur_state, int(cur_from), int(version)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(states),
+                "state": states,
+                "valid_from_us": froms,
+                "valid_to_us": tos,
+                "version_seq": vers,
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_export_shards(
     docs_stream: DataFrame,
     path: str,

@@ -243,3 +243,67 @@ def test_stream_export_shards_matches_batch_membership(spark, tmp_path_factory):
     # shard membership is a pure function of doc_id: the streaming
     # export agrees with the batch export shard-for-shard
     assert members(stream_out) == members(batch_out)
+
+
+def test_scd2_stream_equals_batch_closed_intervals(spark, events_batch):
+    """Single availableNow drain: the streaming SCD2 feed emits
+    exactly the batch scd2_build rows whose valid_to_us is non-NULL
+    (closed intervals; the open run per user stays in state)."""
+    got = so.run_to_table(
+        so.scd2_stream(so.read_events_stream(spark, SF_DIR)),
+        "append",
+        "t_scd2",
+    )
+    want = (
+        batch_events.scd2_build(events_batch)
+        .filter(F.col("valid_to_us").isNotNull())
+        .select(
+            "user_id", "state", "valid_from_us", "valid_to_us",
+            "version_seq",
+        )
+    )
+    assert rowset(got) == rowset(want)
+
+
+def test_scd2_stream_state_carries_across_batches(
+    spark, tmp_path_factory, events_batch
+):
+    """Split events at the median timestamp into two sequentially
+    written file groups and stream one file per trigger: per-user
+    arrival order across batches follows event time, so cross-batch
+    runs must collapse exactly as in batch — including runs OPEN at
+    the first batch's end that close in the second."""
+    med = events_batch.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)")
+    ).collect()[0][0]
+    src = str(tmp_path_factory.mktemp("ev_scd2"))
+    dst = os.path.join(src, "events.parquet")
+    as_ns = events_batch.withColumn("ts", F.unix_micros("ts") * 1000)
+    try:
+        (
+            as_ns.filter(F.col("ts") / 1000 <= med)
+            .coalesce(1).write.mode("append").parquet(dst)
+        )
+        (
+            as_ns.filter(F.col("ts") / 1000 > med)
+            .coalesce(1).write.mode("append").parquet(dst)
+        )
+        ev = so.read_events_stream(spark, src, max_files_per_trigger=1)
+        got = so.run_to_table(so.scd2_stream(ev), "append", "t_scd2_mb")
+        want = (
+            batch_events.scd2_build(events_batch)
+            .filter(F.col("valid_to_us").isNotNull())
+            .select(
+                "user_id", "state", "valid_from_us", "valid_to_us",
+                "version_seq",
+            )
+        )
+        assert rowset(got) == rowset(want)
+        # the boundary is real: some closed interval spans the split
+        spanning = [
+            r for r in got.collect()
+            if r.valid_from_us <= med * 1 and r.valid_to_us > med
+        ]
+        assert spanning, "median split produced no boundary-spanning run"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
