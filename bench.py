@@ -162,8 +162,10 @@ HEADLINE = [
     "ivf_topk_exact",
     "bm25_topk",
     "events_scd2_history",
+    "stream_scd2_history",
     "customer_k_anonymity",
     "pmi_collocations",
+    "orders_benford_audit",
 ]
 
 

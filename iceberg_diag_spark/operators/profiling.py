@@ -222,3 +222,57 @@ def part_affinity(
             ).alias("lift_ppm"),
         )
     )
+
+
+def benford_audit(
+    df: DataFrame, value_col: str, scale: int = 100
+) -> DataFrame:
+    """Benford first-digit audit over a positive numeric column — the
+    classic fabricated/synthetic-data detector for financial and
+    measurement fields: naturally occurring multiplicative amounts
+    put digit d first with probability log10(1 + 1/d); uniform or
+    hand-entered data does not.
+
+    Exactness: amounts quantize to integer units (floor ·scale) and
+    the leading digit comes from the DECIMAL STRING of that integer
+    (substring of a bigint cast — bit-identical on any engine; a
+    float log10-of-value digit extraction would wobble at exact
+    powers of ten). Observed shares are exact integer DIV ppm;
+    expected shares are the one fixed-shape double expression
+    floor(1e6·log10(1 + 1/d)).
+
+    Shape: one scan, one 9-group hash aggregate (map-side combine
+    collapses each task to ≤ 9 rows), one broadcast 1-row total.
+    Output per leading digit 1–9: (digit, n_rows, observed_ppm,
+    expected_ppm, delta_ppm).
+    """
+    units = F.floor(F.col(value_col) * F.lit(scale)).cast("long")
+    d = (
+        ensure_parallelism(df)
+        .filter(F.col(value_col) > 0)
+        .select(
+            F.substring(units.cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    total = d.agg(F.sum("n_rows").cast("long").alias("n_total"))
+    return (
+        d.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_rows",
+            F.expr("(1000000 * n_rows) DIV n_total").alias("observed_ppm"),
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+            )
+            .cast("long")
+            .alias("expected_ppm"),
+        )
+        .withColumn(
+            "delta_ppm", F.col("observed_ppm") - F.col("expected_ppm")
+        )
+    )

@@ -7868,6 +7868,34 @@ GROUP BY k
 """
 
 
+def _orders_benford(spark, sf_dir):
+    return profiling.benford_audit(
+        _t(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
+_BENFORD_SQL = """
+WITH v AS (
+  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice > 0
+),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM v GROUP BY 1
+),
+t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM d)
+SELECT digit, n_rows,
+       CAST((1000000 * n_rows) // n_total AS BIGINT) AS observed_ppm,
+       CAST(FLOOR(1000000.0 * log10(1.0 + 1.0 / digit)) AS BIGINT)
+         AS expected_ppm,
+       CAST((1000000 * n_rows) // n_total AS BIGINT)
+         - CAST(FLOOR(1000000.0 * log10(1.0 + 1.0 / digit)) AS BIGINT)
+         AS delta_ppm
+FROM d CROSS JOIN t
+"""
+
+
 def _pmi_collocations(spark, sf_dir):
     return textops.pmi_collocations(_t(spark, sf_dir, "documents"))
 
@@ -7934,6 +7962,12 @@ REGISTRY.update({
         "identifier classes (nation × balance bucket, segment "
         "sensitive): violations, records-at-risk, homogeneous "
         "classes per candidate k",
+    ),
+    "orders_benford_audit": QuerySpec(
+        _orders_benford, _BENFORD_SQL,
+        "Benford first-digit audit over order totals (fabricated-"
+        "data detector): decimal-string digit extraction, exact "
+        "integer-DIV observed shares vs log10(1+1/d) expectation",
     ),
     "pmi_collocations": QuerySpec(
         _pmi_collocations, _PMI_SQL,

@@ -241,6 +241,7 @@ _SCALAR_CROSS_OK = {
     "bm25_topk",                 # broadcast 1-row (n_docs, avgdl)
                                  #   corpus-total scalars
     "pmi_collocations",          # broadcast 1-row bigram-total N
+    "orders_benford_audit",      # broadcast 1-row digit-total scalar
 }
 
 

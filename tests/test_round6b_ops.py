@@ -195,3 +195,31 @@ def test_pmi_collocations_top_n_tie_break(spark):
     rows = pmi_collocations(df, min_count=2, top_n=1).collect()
     assert len(rows) == 1
     assert (rows[0]["w1"], rows[0]["w2"]) == ("a", "b")
+
+
+def test_benford_audit_matches_python_reference(spark):
+    from iceberg_diag_spark.operators.profiling import benford_audit
+
+    vals = [1.23, 12.34, 19.99, 2.50, 29.0, 311.11, 0.42, 9000.0,
+            0.0, -5.0, 1.00, 155.5]
+    df = spark.createDataFrame([(v,) for v in vals], "amount double")
+    got = {r["digit"]: r.asDict() for r in benford_audit(df, "amount").collect()}
+    pos = [v for v in vals if v > 0]
+    digits = [int(str(math.floor(v * 100))[0]) for v in pos]
+    from collections import Counter
+
+    cnt = Counter(digits)
+    assert {d: r["n_rows"] for d, r in got.items()} == dict(cnt)
+    n_total = len(pos)
+    for d, r in got.items():
+        assert r["observed_ppm"] == (1_000_000 * cnt[d]) // n_total
+        assert r["expected_ppm"] == math.floor(
+            1_000_000.0 * math.log10(1.0 + 1.0 / d)
+        )
+        assert r["delta_ppm"] == r["observed_ppm"] - r["expected_ppm"]
+    # expected shares over all 9 digits sum to ~1e6 (floor slack < 9)
+    exp_all = sum(
+        math.floor(1_000_000.0 * math.log10(1.0 + 1.0 / d))
+        for d in range(1, 10)
+    )
+    assert 1_000_000 - 9 < exp_all <= 1_000_000
