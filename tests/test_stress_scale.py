@@ -217,3 +217,39 @@ def test_winnow_clone_pairs_bounded_at_1m(spark):
     # 512-token vocab (measured ~2×10² at 1M docs) — bounded, sparse.
     assert n_pairs < 100_000, n_pairs
     print(f"winnow_clone_pairs @1M: {dt:.1f}s, pairs={n_pairs}")
+
+
+def test_bm25_bounded_at_1m(spark):
+    """BM25 over the 1M-doc corpus: two corpus passes (length pass
+    without explode + term-filtered tf pass) and a top-k — no
+    corpus-sized sort, no skew on the 9-term tf key beyond the term
+    frequencies themselves."""
+    from iceberg_diag_spark.operators.textops import bm25_topk
+
+    docs = _corpus(spark)
+    t0 = time.time()
+    rows = bm25_topk(
+        docs, query_terms=(VOCAB[0], VOCAB[1], VOCAB[2]), k=50
+    ).collect()
+    wall = time.time() - t0
+    assert len(rows) == 50
+    # scores are sorted descending with doc_id tie-break
+    scores = [r["bm25_micro"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    print(f"bm25_topk @1M: {wall:.1f}s")
+
+
+def test_pmi_bounded_at_1m(spark):
+    """PMI over the 1M-doc corpus: the checkpointed pair-count
+    relation is vocab²-bounded (≤ 512² = 262k rows regardless of
+    corpus size) — the single corpus pass dominates, everything
+    after it is metadata-scale."""
+    from iceberg_diag_spark.operators.textops import pmi_collocations
+
+    docs = _corpus(spark)
+    t0 = time.time()
+    rows = pmi_collocations(docs, min_count=5, top_n=100).collect()
+    wall = time.time() - t0
+    assert len(rows) == 100
+    assert all(r["n_pair"] >= 5 for r in rows)
+    print(f"pmi_collocations @1M: {wall:.1f}s")
