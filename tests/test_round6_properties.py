@@ -123,3 +123,133 @@ def test_dsir_logratio_matches_python_reference(spark):
         toks = text.split(" ")
         want = (len(toks), sum(lr[t] for t in toks))
         assert got[i] == want, i
+
+
+def test_scd2_build_matches_python_reference(spark):
+    """Random event streams with duplicate timestamps and repeated
+    states: run collapse, interval tiling, version numbering and the
+    tie-break must match a brute-force Python SCD2."""
+    from iceberg_diag_spark.operators.events import scd2_build
+
+    rng = random.Random(9)
+    rows = []
+    eid = 0
+    for u in range(20):
+        t = 1_000_000
+        for _ in range(rng.randrange(1, 40)):
+            # duplicate timestamps are common (batch ingestion):
+            # advance time only 70% of steps
+            if rng.random() < 0.7:
+                t += rng.randrange(1, 5) * 1_000_000
+            rows.append((eid, u, t, rng.choice("ABC")))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_raw long, event_type string"
+    ).selectExpr(
+        "event_id", "user_id", "timestamp_micros(ts_raw) AS ts",
+        "event_type",
+    )
+    got = sorted(
+        (r["user_id"], r["version_seq"], r["state"],
+         r["valid_from_us"], r["valid_to_us"], r["is_current"])
+        for r in scd2_build(ev).collect()
+    )
+    # python reference: sort by (user, ts, event_id), collapse runs
+    ref = []
+    by_user = {}
+    for e, u, t, s in rows:
+        by_user.setdefault(u, []).append((t, e, s))
+    for u, evs in by_user.items():
+        evs.sort()
+        runs = []
+        for t, e, s in evs:
+            if not runs or runs[-1][0] != s:
+                runs.append((s, t))
+        for i, (s, t) in enumerate(runs):
+            nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+            ref.append((u, i + 1, s, t, nxt, 0 if nxt is not None else 1))
+    assert got == sorted(ref)
+
+
+def test_k_anonymity_audit_invariants(spark):
+    """Random tables: per-k monotonicity (violations and records at
+    risk never decrease as k grows), bounds against totals, and
+    exact agreement with a brute-force Python audit."""
+    from iceberg_diag_spark.operators.privacy import k_anonymity_audit
+
+    rng = random.Random(10)
+    rows = [
+        (rng.choice("abcd"), rng.randrange(3), f"s{rng.randrange(4)}")
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, b long, sens string")
+    ks = (2, 3, 5, 8, 13)
+    got = {
+        r["k"]: r.asDict()
+        for r in k_anonymity_audit(df, ["g", "b"], "sens", ks).collect()
+    }
+    classes: dict[tuple, list] = {}
+    for g, b, s in rows:
+        classes.setdefault((g, b), []).append(s)
+    for k in ks:
+        n_viol = sum(1 for v in classes.values() if len(v) < k)
+        at_risk = sum(len(v) for v in classes.values() if len(v) < k)
+        homog = sum(1 for v in classes.values() if len(set(v)) == 1)
+        want = {
+            "k": k,
+            "n_classes": len(classes),
+            "n_violating_classes": n_viol,
+            "records_at_risk": at_risk,
+            "homogeneous_classes": homog,
+            "min_class_size": min(len(v) for v in classes.values()),
+            "min_l": min(len(set(v)) for v in classes.values()),
+        }
+        assert got[k] == want, k
+    seq = [got[k] for k in ks]
+    for a, b in zip(seq, seq[1:]):
+        assert a["n_violating_classes"] <= b["n_violating_classes"]
+        assert a["records_at_risk"] <= b["records_at_risk"]
+        assert b["records_at_risk"] <= len(rows)
+
+
+def test_bm25_random_corpus_matches_python(spark):
+    """Random corpora: BM25 micro-scores agree exactly with the
+    fixed-shape Python expression for every scored doc (not just the
+    top-k) when k exceeds the corpus size."""
+    from iceberg_diag_spark.operators.textops import bm25_topk
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    q_terms = ("w0", "w1", "w2")
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 30))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_terms_hit"], r["bm25_micro"])
+        for r in bm25_topk(df, query_terms=q_terms, k=1000).collect()
+    }
+    toks = {i: t.split(" ") for i, t in docs}
+    n_docs = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    tf = {
+        (i, term): toks[i].count(term)
+        for i in toks
+        for term in q_terms
+        if term in toks[i]
+    }
+    df_t = {
+        term: sum(1 for (_, t2) in tf if t2 == term) for term in q_terms
+    }
+    ref: dict[int, tuple[int, int]] = {}
+    for (i, term), c in tf.items():
+        dl = len(toks[i])
+        idf = math.log(1.0 + ((n_docs - df_t[term] + 0.5) / (df_t[term] + 0.5)))
+        s = math.floor(
+            1_000_000.0 * idf
+            * ((c * 2.2) / (c + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+        )
+        hit, tot = ref.get(i, (0, 0))
+        ref[i] = (hit + 1, tot + s)
+    assert got == ref
