@@ -1354,3 +1354,85 @@ def jaccard_threshold_histogram(
         .groupBy("bucket_ppm")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def ngram_dup_curve(
+    docs: DataFrame,
+    max_n: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplication-rate curve across n-gram granularities n = 1..max_n
+    — the table that picks a dedup policy's shingle size: unigram
+    duplication is near-total in any natural corpus, document-level
+    near zero; the knee in between says where span-level dedup stops
+    paying. dup_ppm(n) = 1e6·(total_n − distinct_n)/total_n.
+
+    Single corpus pass: posexplode + one window partitioning yields
+    all max_n gram lengths at once (lead chain shared across n — the
+    n-gram for every n reads the same max_n−1 leads), emitted as an
+    exploded (n, gram-md5) stream. Grams shuffle as fixed-width md5
+    digests, never as strings (identical digests on any engine, so
+    distinct-counting parity holds); one (n, digest) hash aggregate +
+    a max_n-row rollup. The ppm is DECIMAL-exact — 1e6·count wraps
+    int64 past ~9.2e12 grams, which a 100 TB corpus exceeds.
+
+    Output: (n, total_grams, distinct_grams, dup_ppm).
+    """
+    from pyspark.sql import Window
+
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # window leads become PLAIN columns first (window exprs cannot
+    # nest inside higher-order functions), then the per-position
+    # entry array is built from those columns
+    led = toks.select(
+        F.col("tok").alias("l0"),
+        *[
+            F.lead("tok", i).over(w).alias(f"l{i}")
+            for i in range(1, max_n)
+        ],
+    )
+    leads = [F.col(f"l{i}") for i in range(max_n)]
+    entries = [
+        F.when(
+            leads[n - 1].isNotNull(),
+            F.struct(
+                F.lit(n).cast("int").alias("n"),
+                F.md5(F.concat_ws(" ", *leads[:n])).alias("g"),
+            ),
+        )
+        for n in range(1, max_n + 1)
+    ]
+    grams = (
+        led.select(
+            F.explode(
+                F.filter(F.array(*entries), lambda e: e.isNotNull())
+            ).alias("e")
+        )
+        .select(F.col("e.n").alias("n"), F.col("e.g").alias("g"))
+    )
+    per_gram = grams.groupBy("n", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        per_gram.groupBy("n")
+        .agg(
+            F.sum("c").cast("long").alias("total_grams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_grams"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n"),
+            "total_grams",
+            "distinct_grams",
+            F.expr(
+                "CAST((CAST(total_grams - distinct_grams AS DECIMAL(38,0))"
+                " * 1000000) DIV total_grams AS LONG)"
+            ).alias("dup_ppm"),
+        )
+    )

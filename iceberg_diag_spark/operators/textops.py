@@ -1468,3 +1468,64 @@ def pmi_collocations(
         )
         .limit(top_n)
     )
+
+
+def pii_density_by_source(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source PII exposure rollup — the release-gate companion of
+    pii_redaction (which scrubs per document): for each ingestion
+    source, how many documents carry PII at all, the per-pattern hit
+    totals, and the density normalized per million characters — the
+    table that decides which source needs scrubbing (or exclusion)
+    before training.
+
+    Same pattern set and counting semantics as pii_redaction
+    (PII_PATTERNS, count-on-original-text); one scan-speed projection
+    + one hash aggregate on the source key. pii_per_mchar is exact
+    integer arithmetic: (1e6 · hits) DIV chars.
+
+    Output: (source, n_docs, docs_with_pii, n_emails, n_ssns,
+    n_phones, total_chars, pii_per_mchar).
+    """
+    text = F.col(text_col)
+    counts = {
+        f"n_{name}s": F.size(
+            F.regexp_extract_all(text, F.lit(pat), F.lit(0))
+        ).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    per_doc = ensure_parallelism(docs).select(
+        F.col(source_col).alias("source"),
+        F.length(text).cast("long").alias("__chars"),
+        *[c.alias(n) for n, c in counts.items()],
+        total.alias("__pii"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("__pii") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_with_pii"),
+            *[
+                F.sum(n).cast("long").alias(n)
+                for n in counts
+            ],
+            F.sum("__chars").cast("long").alias("total_chars"),
+            F.sum("__pii").cast("long").alias("__pii_sum"),
+        )
+        .select(
+            "source", "n_docs", "docs_with_pii",
+            *counts,
+            "total_chars",
+            F.expr("(1000000 * __pii_sum) DIV total_chars")
+            .alias("pii_per_mchar"),
+        )
+    )

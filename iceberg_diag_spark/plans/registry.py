@@ -7868,6 +7868,95 @@ GROUP BY k
 """
 
 
+def _pii_density(spark, sf_dir):
+    """Same synthetic PII footer as pii_redaction (the corpus ships
+    clean), injected into every third doc so the per-source density
+    varies and clean docs exercise the zero path."""
+    docs = _t(spark, sf_dir, "documents")
+    footer = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ssn "),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(1000)).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(100)).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" ph 555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    tainted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, footer).otherwise(F.col("text")),
+    )
+    return textops.pii_density_by_source(tainted)
+
+
+_PII_DENSITY_SQL = r"""
+WITH t AS (
+  SELECT source,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com ssn '
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' ph 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE text END AS t
+  FROM documents
+),
+c AS (
+  SELECT source,
+         length(t) AS chars,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+         len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS s,
+         len(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS p
+  FROM t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN e + s + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_pii,
+       CAST(sum(e) AS BIGINT) AS n_emails,
+       CAST(sum(s) AS BIGINT) AS n_ssns,
+       CAST(sum(p) AS BIGINT) AS n_phones,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST((1000000 * sum(e + s + p)) // sum(chars) AS BIGINT)
+         AS pii_per_mchar
+FROM c GROUP BY source
+"""
+
+
+def _ngram_dup_curve(spark, sf_dir):
+    return dedup.ngram_dup_curve(_t(spark, sf_dir, "documents"))
+
+
+_NGRAM_DUP_CURVE_SQL = r"""
+WITH norm AS (
+  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+ns AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n),
+g AS (
+  SELECT ns.n,
+         unnest(CASE WHEN len(toks) >= ns.n THEN
+            list_transform(generate_series(0, len(toks) - ns.n),
+                           i -> md5(array_to_string(toks[i+1:i+ns.n], ' ')))
+         ELSE [] END) AS g
+  FROM norm CROSS JOIN ns
+),
+pg AS (SELECT n, g, count(*) AS c FROM g GROUP BY n, g)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(sum(c) AS BIGINT) AS total_grams,
+       CAST(count(*) AS BIGINT) AS distinct_grams,
+       CAST((CAST(sum(c) - count(*) AS HUGEINT) * 1000000) // sum(c)
+            AS BIGINT) AS dup_ppm
+FROM pg GROUP BY n
+"""
+
+
 def _orders_benford(spark, sf_dir):
     return profiling.benford_audit(
         _t(spark, sf_dir, "orders"), "o_totalprice"
@@ -7974,6 +8063,20 @@ REGISTRY.update({
         "top collocations by PMI over the corpus bigram stream "
         "(Church-Hanks; overflow-free log-sum form, micro-nat "
         "floor quantization, min-count hapax pruning)",
+    ),
+    "pii_density_by_source": QuerySpec(
+        _pii_density, _PII_DENSITY_SQL,
+        "per-source PII exposure rollup (release gate): docs hit, "
+        "per-pattern totals, density per million chars — same "
+        "pattern set as pii_redaction, one scan + one source-key "
+        "aggregate",
+    ),
+    "ngram_dup_curve": QuerySpec(
+        _ngram_dup_curve, _NGRAM_DUP_CURVE_SQL,
+        "duplication-rate curve across n-gram sizes 1-6 (dedup-"
+        "policy knee finder): one corpus pass emits all sizes via a "
+        "shared lead chain, grams shuffle as fixed-width md5 "
+        "digests, DECIMAL-exact ppm",
     ),
 })
 
@@ -8149,6 +8252,18 @@ _NEVER_SCORED: set[str] = {
 }
 
 
+# Oracled entries added AFTER the round-6 window filled (50 rank-0
+# slots, exactly the never-scored backlog + this round's modified
+# builders). Scoring them now would displace a never-scored entry, so
+# they rank 1.5 — first in line for round 7 — with local sf0.001 +
+# sf0.01 DuckDB parity as their interim evidence (the same deferral
+# round 5 used for _NEVER_SCORED, registry.py history).
+_DEFER_TO_R7: set[str] = {
+    "pii_density_by_source",
+    "ngram_dup_curve",
+}
+
+
 def _eval_order(item: tuple[str, QuerySpec]) -> float:
     """Driver scores the FIRST 50 registry entries; order by evidence
     staleness so every oracled entry's latest green row stays at most
@@ -8165,6 +8280,8 @@ def _eval_order(item: tuple[str, QuerySpec]) -> float:
             least
     """
     name, spec = item
+    if name in _DEFER_TO_R7:
+        return 1.5
     ever_green = (
         name in _R2_GREEN or name in _R3_GREEN
         or name in _R4_GREEN or name in _R5_GREEN

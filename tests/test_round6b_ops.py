@@ -223,3 +223,48 @@ def test_benford_audit_matches_python_reference(spark):
         for d in range(1, 10)
     )
     assert 1_000_000 - 9 < exp_all <= 1_000_000
+
+
+def test_pii_density_by_source_counts(spark):
+    from iceberg_diag_spark.operators.textops import pii_density_by_source
+
+    rows = [
+        (0, "clean text here", "a"),
+        (1, "mail me at bob@x.org today", "a"),
+        (2, "ssn 123-45-6789 and ph 555-1234", "a"),
+        (3, "two mails x@y.io z@w.co", "b"),
+        (4, "nothing", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r.asDict() for r in pii_density_by_source(df).collect()}
+    a, b = got["a"], got["b"]
+    assert (a["n_docs"], a["docs_with_pii"]) == (3, 2)
+    assert (a["n_emails"], a["n_ssns"], a["n_phones"]) == (1, 1, 1)
+    chars_a = sum(len(t) for _, t, s in rows if s == "a")
+    assert a["total_chars"] == chars_a
+    assert a["pii_per_mchar"] == (1_000_000 * 3) // chars_a
+    assert (b["n_docs"], b["docs_with_pii"], b["n_emails"]) == (2, 1, 2)
+
+
+def test_ngram_dup_curve_matches_python_reference(spark):
+    from iceberg_diag_spark.operators.dedup import ngram_dup_curve
+
+    docs = [(0, "a b a b"), (1, "a b c"), (2, "x")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["n"]: (r["total_grams"], r["distinct_grams"], r["dup_ppm"])
+        for r in ngram_dup_curve(df, max_n=3).collect()
+    }
+    ref = {}
+    for n in (1, 2, 3):
+        grams = []
+        for _, t in docs:
+            ts = t.split(" ")
+            grams += [
+                " ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)
+            ]
+        total, dist = len(grams), len(set(grams))
+        ref[n] = (total, dist, ((total - dist) * 1_000_000) // total)
+    assert got == ref
+    # curve is monotone here: duplication falls as n grows
+    assert got[1][2] >= got[2][2] >= got[3][2]
