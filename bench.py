@@ -166,6 +166,9 @@ HEADLINE = [
     "customer_k_anonymity",
     "pmi_collocations",
     "orders_benford_audit",
+    "pii_density_by_source",
+    "ngram_dup_curve",
+    "events_cadence_autocorr",
 ]
 
 

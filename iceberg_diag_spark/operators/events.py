@@ -489,3 +489,89 @@ def scd2_build(events: DataFrame) -> DataFrame:
         F.row_number().over(w2).cast("long").alias("version_seq"),
         F.lead("ts_us").over(w2).isNull().cast("long").alias("is_current"),
     )
+
+
+def cadence_autocorr(
+    events: DataFrame, lags: tuple[int, ...] = (1, 2, 3, 6, 12, 24)
+) -> DataFrame:
+    """Arrival-cadence periodicity audit: per event type, the Pearson
+    autocorrelation of the DENSE hourly arrival-count series at each
+    candidate lag (hours). A spike at lag 24 is diurnal traffic, at
+    lag 1 burst clustering — the evidence for trigger cadence and
+    watermark tuning that the disorder/watermark advisors don't see
+    (they measure lateness, not rhythm).
+
+    The series is gap-filled per type (sequence over the observed
+    hour range; silent hours count 0 — skipping them would fabricate
+    correlation). Each (type, lag) pair's moments n, Σx, Σy, Σxy,
+    Σx², Σy² accumulate as exact DECIMAL(38,0) (hourly counts square
+    past int64 at planetary scale), and the correlation publishes as
+    ONE fixed-shape double expression
+      floor(1e6 · (n·Σxy − Σx·Σy) /
+            (sqrt(n·Σx² − Σx·Σx) · sqrt(n·Σy² − Σy·Σy)))
+    mirrored literally in the DuckDB oracle; constant series (zero
+    variance) yield NULL rather than a 0/0.
+
+    Distributed shape: one (type, hour) hash aggregate over the
+    corpus; the spine, the lag self-join (equi-join on the integer
+    hour index) and the moment rollup act on the DENSE SERIES — at
+    most types × hours rows, metadata scale. Output:
+    (event_type, lag_h, n_pairs, corr_ppm).
+    """
+    hours = events.groupBy(
+        F.col("event_type"),
+        (F.unix_micros(F.date_trunc("hour", F.col("ts")))
+         / F.lit(3_600_000_000)).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    span = hours.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = span.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    dense = (
+        spine.join(hours, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    ks = F.array(*[F.lit(int(k)).cast("long") for k in lags])
+    left = dense.select(
+        "event_type",
+        F.explode(ks).alias("lag_h"),
+        (F.col("h") + F.col("lag_h")).alias("h2"),
+        F.col("c").alias("x"),
+    )
+    right = dense.select(
+        "event_type", F.col("h").alias("h2"), F.col("c").alias("y")
+    )
+    pairs = left.join(right, ["event_type", "h2"])
+    mom = pairs.groupBy("event_type", "lag_h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)") * F.col("y")
+        ).alias("sxy"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)") * F.col("x")
+        ).alias("sxx"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)") * F.col("y")
+        ).alias("syy"),
+    )
+    return mom.select(
+        "event_type",
+        "lag_h",
+        "n_pairs",
+        F.expr(
+            "CASE WHEN n_pairs * sxx - sx * sx > 0"
+            " AND n_pairs * syy - sy * sy > 0 THEN"
+            " CAST(FLOOR(1000000.0"
+            "  * CAST(n_pairs * sxy - sx * sy AS DOUBLE)"
+            "  / (SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE))"
+            "     * SQRT(CAST(n_pairs * syy - sy * sy AS DOUBLE))))"
+            " AS LONG) ELSE NULL END"
+        ).alias("corr_ppm"),
+    )

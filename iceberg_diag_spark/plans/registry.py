@@ -7957,6 +7957,55 @@ FROM pg GROUP BY n
 """
 
 
+def _events_cadence_autocorr(spark, sf_dir):
+    return events.cadence_autocorr(_t(spark, sf_dir, "events"))
+
+
+_CADENCE_AUTOCORR_SQL = """
+WITH hrs AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hrs GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS h FROM span
+),
+dense AS (
+  SELECT s.event_type, s.h, COALESCE(hrs.c, 0) AS c
+  FROM spine s
+  LEFT JOIN hrs ON s.event_type = hrs.event_type AND s.h = hrs.h
+),
+ks AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag_h),
+pairs AS (
+  SELECT a.event_type, ks.lag_h, a.c AS x, b.c AS y
+  FROM dense a CROSS JOIN ks
+  JOIN dense b ON b.event_type = a.event_type AND b.h = a.h + ks.lag_h
+),
+mom AS (
+  SELECT event_type, CAST(lag_h AS BIGINT) AS lag_h,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag_h, n_pairs,
+       CASE WHEN n_pairs * sxx - sx * sx > 0
+             AND n_pairs * syy - sy * sy > 0 THEN
+         CAST(FLOOR(1000000.0
+            * CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+            / (SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+               * SQRT(CAST(n_pairs * syy - sy * sy AS DOUBLE))))
+           AS BIGINT)
+       ELSE NULL END AS corr_ppm
+FROM mom
+"""
+
+
 def _orders_benford(spark, sf_dir):
     return profiling.benford_audit(
         _t(spark, sf_dir, "orders"), "o_totalprice"
@@ -8077,6 +8126,14 @@ REGISTRY.update({
         "policy knee finder): one corpus pass emits all sizes via a "
         "shared lead chain, grams shuffle as fixed-width md5 "
         "digests, DECIMAL-exact ppm",
+    ),
+    "events_cadence_autocorr": QuerySpec(
+        _events_cadence_autocorr, _CADENCE_AUTOCORR_SQL,
+        "per-type hourly-arrival Pearson autocorrelation at lags "
+        "1/2/3/6/12/24h over the gap-filled dense series (diurnal "
+        "rhythm / burst-clustering audit); exact DECIMAL moments, "
+        "one fixed-shape correlation expression, NULL on zero "
+        "variance",
     ),
 })
 
@@ -8261,6 +8318,7 @@ _NEVER_SCORED: set[str] = {
 _DEFER_TO_R7: set[str] = {
     "pii_density_by_source",
     "ngram_dup_curve",
+    "events_cadence_autocorr",
 }
 
 

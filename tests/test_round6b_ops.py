@@ -268,3 +268,58 @@ def test_ngram_dup_curve_matches_python_reference(spark):
     assert got == ref
     # curve is monotone here: duplication falls as n grows
     assert got[1][2] >= got[2][2] >= got[3][2]
+
+
+def test_cadence_autocorr_matches_python_reference(spark):
+    from iceberg_diag_spark.operators.events import cadence_autocorr
+
+    import random
+
+    rng = random.Random(12)
+    rows, eid = [], 0
+    # type A: diurnal-ish rhythm over 4 days with silent hours;
+    # type B: constant one event/hour -> zero variance -> NULL corr
+    for hour in range(96):
+        n = (3 + (2 if hour % 24 in (9, 10, 11) else 0)) if hour % 7 else 0
+        for _ in range(n):
+            rows.append((eid, 1, hour * 3_600_000_000 + rng.randrange(3_600_000_000), "A"))
+            eid += 1
+    for hour in range(48):
+        rows.append((eid, 2, hour * 3_600_000_000 + 5, "B"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_raw long, event_type string"
+    ).selectExpr(
+        "event_id", "user_id", "timestamp_micros(ts_raw) AS ts", "event_type"
+    )
+    got = {
+        (r["event_type"], r["lag_h"]): (r["n_pairs"], r["corr_ppm"])
+        for r in cadence_autocorr(ev, lags=(1, 24)).collect()
+    }
+
+    def ref_corr(series, k):
+        xs, ys = series[:-k] if k else series, series[k:]
+        xs = series[: len(series) - k]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+        num = n * sxy - sx * sy
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            return n, None
+        return n, math.floor(
+            1_000_000.0 * float(num) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+        )
+
+    from collections import Counter
+
+    per_hour = Counter((et, t // 3_600_000_000) for _, _, t, et in rows)
+    for et in ("A", "B"):
+        hs = [h for (e, h) in per_hour if e == et]
+        lo, hi = min(hs), max(hs)
+        series = [per_hour.get((et, h), 0) for h in range(lo, hi + 1)]
+        for k in (1, 24):
+            assert got[(et, k)] == ref_corr(series, k), (et, k)
+    assert got[("B", 1)][1] is None  # constant series -> NULL
+    assert got[("A", 24)][1] is not None
