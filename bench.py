@@ -169,6 +169,7 @@ HEADLINE = [
     "pii_density_by_source",
     "ngram_dup_curve",
     "events_cadence_autocorr",
+    "quality_dup_matrix",
 ]
 
 

@@ -1529,3 +1529,80 @@ def pii_density_by_source(
             .alias("pii_per_mchar"),
         )
     )
+
+
+def quality_dup_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality × duplication joint profile: exact-duplicate rate per
+    type-token-ratio decile — the cross-family audit that answers
+    "is the low-quality tail also the duplicated tail?" (usually
+    yes: template/boilerplate pages are both repetitive and
+    duplicated, so curation thresholds should be set jointly, not
+    per-filter).
+
+    Per doc: ttr_ppm = floor(1e6·distinct/tokens) (exact integers)
+    and is_dup = its normalized sha256 occurs >1× in the corpus
+    (exact_dedup semantics — one hash-only aggregate + re-join, text
+    never shuffles). Decile edges are the broadcast
+    percentile(ttr_ppm, 0.1..0.9) array (the length_deciles idiom —
+    no global-sort ntile); bucket assignment is a row-local
+    comparison fold. Output per decile: (decile, n_docs, dup_docs,
+    dup_ppm, min_ttr_ppm, max_ttr_ppm).
+    """
+    from iceberg_diag_spark.operators.dedup import normalized_text
+
+    t = tokens(F.col(text_col))
+    base = ensure_parallelism(docs).select(
+        F.col(id_col),
+        # distinct count casts to long BEFORE the 1e6 multiply —
+        # the int32 product wraps (ANSI: throws) past 2147 distinct
+        # tokens per doc
+        F.floor(
+            F.lit(1_000_000)
+            * F.size(F.array_distinct(t)).cast("long")
+            / F.greatest(F.size(t), F.lit(1))
+        )
+        .cast("long")
+        .alias("ttr_ppm"),
+        F.sha2(normalized_text(F.col(text_col)), 256).alias("__h"),
+    )
+    dup_counts = base.groupBy("__h").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    marked = base.join(dup_counts, "__h").select(
+        "ttr_ppm", (F.col("__n") > 1).cast("long").alias("is_dup")
+    )
+    qs = marked.agg(
+        F.expr(
+            "percentile(ttr_ppm, array("
+            + ", ".join(str(i / 10) for i in range(1, 10))
+            + "))"
+        ).alias("qs")
+    )
+    decile = F.lit(1)
+    for i in range(9):
+        decile = decile + (
+            F.col("ttr_ppm") > F.element_at(F.col("qs"), i + 1)
+        ).cast("int")
+    return (
+        marked.crossJoin(F.broadcast(qs))
+        .select(decile.cast("long").alias("decile"), "ttr_ppm", "is_dup")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("dup_docs"),
+            F.min("ttr_ppm").cast("long").alias("min_ttr_ppm"),
+            F.max("ttr_ppm").cast("long").alias("max_ttr_ppm"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "dup_docs",
+            F.expr("(1000000 * dup_docs) DIV n_docs").alias("dup_ppm"),
+            "min_ttr_ppm",
+            "max_ttr_ppm",
+        )
+    )

@@ -7957,6 +7957,55 @@ FROM pg GROUP BY n
 """
 
 
+def _quality_dup_matrix(spark, sf_dir):
+    return textops.quality_dup_matrix(_t(spark, sf_dir, "documents"))
+
+
+_QUALITY_DUP_MATRIX_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(FLOOR(1000000
+              * CAST(len(list_distinct(string_split(
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')))
+                AS BIGINT)
+              / greatest(len(string_split(
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')), 1))
+           AS BIGINT) AS ttr_ppm,
+         sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+  FROM documents
+),
+dc AS (SELECT h, count(*) AS n FROM base GROUP BY h),
+marked AS (
+  SELECT ttr_ppm, CAST(dc.n > 1 AS BIGINT) AS is_dup
+  FROM base JOIN dc USING (h)
+),
+qs AS (
+  SELECT [quantile_cont(ttr_ppm, 0.1), quantile_cont(ttr_ppm, 0.2),
+          quantile_cont(ttr_ppm, 0.3), quantile_cont(ttr_ppm, 0.4),
+          quantile_cont(ttr_ppm, 0.5), quantile_cont(ttr_ppm, 0.6),
+          quantile_cont(ttr_ppm, 0.7), quantile_cont(ttr_ppm, 0.8),
+          quantile_cont(ttr_ppm, 0.9)] AS q
+  FROM marked
+),
+bucketed AS (
+  SELECT 1 + CAST(ttr_ppm > q[1] AS INT) + CAST(ttr_ppm > q[2] AS INT)
+           + CAST(ttr_ppm > q[3] AS INT) + CAST(ttr_ppm > q[4] AS INT)
+           + CAST(ttr_ppm > q[5] AS INT) + CAST(ttr_ppm > q[6] AS INT)
+           + CAST(ttr_ppm > q[7] AS INT) + CAST(ttr_ppm > q[8] AS INT)
+           + CAST(ttr_ppm > q[9] AS INT) AS decile,
+         ttr_ppm, is_dup
+  FROM marked CROSS JOIN qs
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_dup) AS BIGINT) AS dup_docs,
+       CAST((1000000 * sum(is_dup)) // count(*) AS BIGINT) AS dup_ppm,
+       CAST(min(ttr_ppm) AS BIGINT) AS min_ttr_ppm,
+       CAST(max(ttr_ppm) AS BIGINT) AS max_ttr_ppm
+FROM bucketed GROUP BY decile
+"""
+
+
 def _events_cadence_autocorr(spark, sf_dir):
     return events.cadence_autocorr(_t(spark, sf_dir, "events"))
 
@@ -8126,6 +8175,13 @@ REGISTRY.update({
         "policy knee finder): one corpus pass emits all sizes via a "
         "shared lead chain, grams shuffle as fixed-width md5 "
         "digests, DECIMAL-exact ppm",
+    ),
+    "quality_dup_matrix": QuerySpec(
+        _quality_dup_matrix, _QUALITY_DUP_MATRIX_SQL,
+        "quality × duplication joint profile: exact-dup rate per "
+        "type-token-ratio decile (joint curation-threshold "
+        "evidence); hash-only dup pass + broadcast percentile "
+        "edges, text never shuffles",
     ),
     "events_cadence_autocorr": QuerySpec(
         _events_cadence_autocorr, _CADENCE_AUTOCORR_SQL,
@@ -8319,6 +8375,7 @@ _DEFER_TO_R7: set[str] = {
     "pii_density_by_source",
     "ngram_dup_curve",
     "events_cadence_autocorr",
+    "quality_dup_matrix",
 }
 
 

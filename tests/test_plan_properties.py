@@ -242,6 +242,7 @@ _SCALAR_CROSS_OK = {
                                  #   corpus-total scalars
     "pmi_collocations",          # broadcast 1-row bigram-total N
     "orders_benford_audit",      # broadcast 1-row digit-total scalar
+    "quality_dup_matrix",        # broadcast 1-row percentile-edge array
 }
 
 

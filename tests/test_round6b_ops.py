@@ -323,3 +323,31 @@ def test_cadence_autocorr_matches_python_reference(spark):
             assert got[(et, k)] == ref_corr(series, k), (et, k)
     assert got[("B", 1)][1] is None  # constant series -> NULL
     assert got[("A", 24)][1] is not None
+
+
+def test_quality_dup_matrix_counts(spark):
+    from iceberg_diag_spark.operators.textops import quality_dup_matrix
+
+    # 6 docs: two exact-dup pairs (low TTR), two unique high-TTR docs
+    docs = [
+        (0, "a a a a"),          # ttr 250000, dup (with 1)
+        (1, "a a a a"),
+        (2, "b b b b b"),        # ttr 200000, dup (with 3)
+        (3, "b b b b b"),
+        (4, "p q r s"),          # ttr 1e6, unique
+        (5, "t u v w x"),        # ttr 1e6, unique
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = quality_dup_matrix(df).collect()
+    total = sum(r["n_docs"] for r in rows)
+    dup_total = sum(r["dup_docs"] for r in rows)
+    assert total == 6 and dup_total == 4
+    by_decile = sorted(rows, key=lambda r: r["decile"])
+    # every doc in the lowest-TTR bucket is a duplicate; the
+    # top bucket (ttr 1e6) holds only the unique docs
+    assert by_decile[0]["dup_ppm"] == 1_000_000
+    top = by_decile[-1]
+    assert top["min_ttr_ppm"] == 1_000_000 and top["dup_docs"] == 0
+    for r in rows:
+        assert r["dup_ppm"] == (1_000_000 * r["dup_docs"]) // r["n_docs"]
+        assert r["min_ttr_ppm"] <= r["max_ttr_ppm"]
