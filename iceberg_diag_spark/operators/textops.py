@@ -1544,14 +1544,19 @@ def quality_dup_matrix(
     per-filter).
 
     Per doc: ttr_ppm = floor(1e6·distinct/tokens) (exact integers)
-    and is_dup = its normalized sha256 occurs >1× in the corpus
-    (exact_dedup semantics — one hash-only aggregate + re-join, text
-    never shuffles). Decile edges are the broadcast
+    and is_dup = its normalized sha256 occurs >1× in the corpus —
+    computed as a window count over the hash partitioning (ONE
+    shuffle on the uniform 32-byte key; partition size = dup
+    multiplicity; an aggregate + re-join shape would scan the corpus
+    twice). The narrow (ttr_ppm, is_dup) relation is checkpointed so
+    the percentile pass and the rollup don't each replay the
+    tokenize+hash scan. Decile edges are the broadcast
     percentile(ttr_ppm, 0.1..0.9) array (the length_deciles idiom —
     no global-sort ntile); bucket assignment is a row-local
     comparison fold. Output per decile: (decile, n_docs, dup_docs,
     dup_ppm, min_ttr_ppm, max_ttr_ppm).
     """
+    from pyspark.sql import Window
     from iceberg_diag_spark.operators.dedup import normalized_text
 
     t = tokens(F.col(text_col))
@@ -1569,12 +1574,12 @@ def quality_dup_matrix(
         .alias("ttr_ppm"),
         F.sha2(normalized_text(F.col(text_col)), 256).alias("__h"),
     )
-    dup_counts = base.groupBy("__h").agg(
-        F.count(F.lit(1)).cast("long").alias("__n")
+    wh = Window.partitionBy("__h")
+    marked = base.select(
+        "ttr_ppm",
+        (F.count(F.lit(1)).over(wh) > 1).cast("long").alias("is_dup"),
     )
-    marked = base.join(dup_counts, "__h").select(
-        "ttr_ppm", (F.col("__n") > 1).cast("long").alias("is_dup")
-    )
+    marked = marked.localCheckpoint(eager=False)
     qs = marked.agg(
         F.expr(
             "percentile(ttr_ppm, array("
