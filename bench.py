@@ -170,6 +170,7 @@ HEADLINE = [
     "ngram_dup_curve",
     "events_cadence_autocorr",
     "quality_dup_matrix",
+    "media_integrity_audit",
 ]
 
 

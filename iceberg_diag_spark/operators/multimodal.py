@@ -354,3 +354,66 @@ def frame_dedup(media: DataFrame, every_k: int = 1) -> DataFrame:
         )
         .filter(F.col("n_items") >= 2)
     )
+
+
+# Expected payload magic per declared media type (first 4 bytes,
+# uppercase hex): PNG signature, RIFF container, MP4 ftyp-box size.
+MEDIA_MAGIC: dict[str, str] = {
+    "image": "89504E47",
+    "audio": "52494646",
+    "video": "00000018",
+}
+
+
+def media_integrity_audit(
+    media: DataFrame, magic: dict[str, str] = MEDIA_MAGIC
+) -> DataFrame:
+    """Magic-byte integrity audit: does each payload's leading
+    4 bytes match the signature its declared `media_type` promises?
+    Mislabeled or truncated media is the classic silent failure of a
+    bulk ingest — the decoder finds it much later, per item, at GPU
+    prices; this finds it at scan speed.
+
+    The header check is hex-string equality on
+    substring(hex(payload), 1, 8) — pure JVM projection, and the
+    exact shape the DuckDB oracle can mirror (blob slicing differs
+    across engines; hex-then-slice is identical). One scan + one
+    hash aggregate on the small media_type key. Output per type:
+    (media_type, n_items, n_valid, n_corrupt, corrupt_ppm,
+    example_corrupt_id — min corrupt id, NULL when clean).
+    """
+    header = F.substring(F.hex(F.col("payload")), 1, 8)
+    expected = None
+    for t, h in magic.items():
+        cond = F.when(F.col("media_type") == t, F.lit(h))
+        expected = cond if expected is None else expected.when(
+            F.col("media_type") == t, F.lit(h)
+        )
+    ok = header == expected
+    return (
+        ensure_parallelism(media.select("media_type", "payload", "doc_id"))
+        .select("media_type", ok.alias("__ok"), "doc_id")
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.when(F.col("__ok"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_valid"),
+            F.sum(F.when(F.col("__ok"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_corrupt"),
+            # conditional min inside the same aggregate — a filtered
+            # second pass + re-join would scan the payloads twice
+            F.min(F.when(~F.col("__ok"), F.col("doc_id")))
+            .cast("long")
+            .alias("example_corrupt_id"),
+        )
+        .select(
+            "media_type",
+            "n_items",
+            "n_valid",
+            "n_corrupt",
+            F.expr("(1000000 * n_corrupt) DIV n_items").alias("corrupt_ppm"),
+            "example_corrupt_id",
+        )
+    )

@@ -7957,6 +7957,58 @@ FROM pg GROUP BY n
 """
 
 
+def _media_integrity(spark, sf_dir):
+    """Synthetic magic headers (the corpus ships text payloads):
+    every item gets its declared type's signature prepended EXCEPT
+    doc_id % 4 == 0, which gets a junk header — the constructed
+    corruption the audit must count per type."""
+    media = multimodal.with_media(_t(spark, sf_dir, "documents"))
+    magic = None
+    for t, h in multimodal.MEDIA_MAGIC.items():
+        cond = F.when(F.col("media_type") == t, F.lit(h))
+        magic = cond if magic is None else magic.when(
+            F.col("media_type") == t, F.lit(h)
+        )
+    hdr = F.unhex(
+        F.when(F.col("doc_id") % 4 == 0, F.lit("DEADBEEF")).otherwise(magic)
+    )
+    tainted = media.withColumn(
+        "payload", F.concat(hdr, F.col("payload"))
+    )
+    return multimodal.media_integrity_audit(tainted)
+
+
+_MEDIA_INTEGRITY_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1]
+           AS media_type,
+         from_hex(CASE WHEN doc_id % 4 = 0 THEN 'DEADBEEF'
+                       WHEN doc_id % 3 = 0 THEN '89504E47'
+                       WHEN doc_id % 3 = 1 THEN '52494646'
+                       ELSE '00000018' END) || encode(text) AS payload
+  FROM documents
+),
+c AS (
+  SELECT media_type, doc_id,
+         substring(hex(payload), 1, 8) =
+           CASE media_type WHEN 'image' THEN '89504E47'
+                           WHEN 'audio' THEN '52494646'
+                           ELSE '00000018' END AS ok
+  FROM p
+)
+SELECT media_type,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+       CAST((1000000 * sum(CASE WHEN ok THEN 0 ELSE 1 END)) // count(*)
+            AS BIGINT) AS corrupt_ppm,
+       CAST(min(CASE WHEN NOT ok THEN doc_id END) AS BIGINT)
+         AS example_corrupt_id
+FROM c GROUP BY media_type
+"""
+
+
 def _quality_dup_matrix(spark, sf_dir):
     return textops.quality_dup_matrix(_t(spark, sf_dir, "documents"))
 
@@ -8176,6 +8228,13 @@ REGISTRY.update({
         "shared lead chain, grams shuffle as fixed-width md5 "
         "digests, DECIMAL-exact ppm",
     ),
+    "media_integrity_audit": QuerySpec(
+        _media_integrity, _MEDIA_INTEGRITY_SQL,
+        "magic-byte integrity audit per media type (mislabeled/"
+        "truncated ingest detector): hex-then-slice header check, "
+        "pure JVM projection + one small-key aggregate with "
+        "conditional-min example ids",
+    ),
     "quality_dup_matrix": QuerySpec(
         _quality_dup_matrix, _QUALITY_DUP_MATRIX_SQL,
         "quality × duplication joint profile: exact-dup rate per "
@@ -8376,6 +8435,7 @@ _DEFER_TO_R7: set[str] = {
     "ngram_dup_curve",
     "events_cadence_autocorr",
     "quality_dup_matrix",
+    "media_integrity_audit",
 }
 
 

@@ -351,3 +351,40 @@ def test_quality_dup_matrix_counts(spark):
     for r in rows:
         assert r["dup_ppm"] == (1_000_000 * r["dup_docs"]) // r["n_docs"]
         assert r["min_ttr_ppm"] <= r["max_ttr_ppm"]
+
+
+def test_media_integrity_audit(spark):
+    from iceberg_diag_spark.operators.multimodal import (
+        MEDIA_MAGIC,
+        media_integrity_audit,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "image", "89504E47"),   # valid PNG
+        (1, "image", "DEADBEEF"),   # corrupt
+        (2, "audio", "52494646"),   # valid RIFF
+        (3, "audio", "52494646"),
+        (4, "video", "00000018"),
+        (5, "video", "FFFFFFFF"),   # corrupt
+        (6, "image", "89504e47"),   # lowercase hex input -> same bytes
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, hdr string"
+    ).select(
+        "doc_id", "media_type",
+        F.concat(F.unhex("hdr"), F.encode(F.lit("body"), "UTF-8"))
+        .alias("payload"),
+    )
+    got = {r["media_type"]: r.asDict() for r in media_integrity_audit(media).collect()}
+    assert got["image"]["n_items"] == 3
+    assert got["image"]["n_valid"] == 2      # unhex is case-insensitive
+    assert got["image"]["n_corrupt"] == 1
+    assert got["image"]["example_corrupt_id"] == 1
+    assert got["audio"]["n_corrupt"] == 0
+    assert got["audio"]["example_corrupt_id"] is None
+    assert got["video"]["corrupt_ppm"] == 500_000
+    assert got["video"]["example_corrupt_id"] == 5
+    assert all(
+        r["n_valid"] + r["n_corrupt"] == r["n_items"] for r in got.values()
+    )
