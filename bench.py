@@ -171,6 +171,8 @@ HEADLINE = [
     "events_cadence_autocorr",
     "quality_dup_matrix",
     "media_integrity_audit",
+    "exact_quota_holdout",
+    "clone_pairs_verified",
 ]
 
 

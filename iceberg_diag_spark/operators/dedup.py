@@ -1436,3 +1436,60 @@ def ngram_dup_curve(
             ).alias("dup_ppm"),
         )
     )
+
+
+def clone_pairs_verified(
+    docs: DataFrame,
+    max_distance_ppm: int = 200_000,
+    min_shared_fps: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact edit-distance verification of the winnowing clone
+    candidates — the two-tier near-dup shape (cheap recall stage →
+    exact verify on the bounded candidate set) with Levenshtein as
+    the verifier: a pair survives when
+    distance ≤ max_distance_ppm · max(len_a, len_b) / 1e6 over the
+    normalized texts. Winnowing alone proves shared SPANS; the edit
+    ratio proves the documents are globally near-identical, not just
+    sharing one boilerplate block.
+
+    Scale contract: Levenshtein is O(len_a·len_b) per pair and runs
+    ONLY on the winnow candidates — a relation the fingerprint
+    stop-list has already bounded (boilerplate fps are dropped, so
+    no quadratic bucket feeds this). Texts join back by id after the
+    id-only pair stage (the id-only-dedup-then-rejoin idiom); both
+    engines compute the identical integer distance, so the output is
+    hash-exact. Output: (doc_a, doc_b, shared_fps, distance,
+    dist_ppm), dist_ppm = floor(1e6·distance / max(len_a, len_b)).
+    """
+    cand = winnow_clone_pairs(
+        docs, text_col=text_col, id_col=id_col,
+    ).filter(F.col("shared_fps") >= min_shared_fps)
+    norm = docs.select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("__nt")
+    )
+    ta = norm.select(
+        F.col(id_col).alias("doc_a"), F.col("__nt").alias("__ta")
+    )
+    tb = norm.select(
+        F.col(id_col).alias("doc_b"), F.col("__nt").alias("__tb")
+    )
+    d = F.levenshtein(F.col("__ta"), F.col("__tb"))
+    mx = F.greatest(
+        F.length("__ta"), F.length("__tb"), F.lit(1)
+    ).cast("long")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            d.cast("long").alias("distance"),
+            F.floor(F.lit(1_000_000) * d.cast("long") / mx)
+            .cast("long")
+            .alias("dist_ppm"),
+        )
+        .filter(F.col("dist_ppm") <= max_distance_ppm)
+    )

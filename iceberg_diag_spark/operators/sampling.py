@@ -355,3 +355,83 @@ def curriculum_shards(
         .cast("long")
         .alias("band_share_ppm"),
     )
+
+
+def exact_quota_holdout(
+    docs: DataFrame,
+    holdout_ppm: int = 100_000,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Exact-proportion stratified holdout via largest-remainder
+    apportionment (the Hamilton method): the holdout gets EXACTLY
+    floor(N·ppm/1e6) rows overall, distributed across strata so no
+    stratum's share deviates from proportionality by more than one
+    row — the property hash-threshold samplers (stratified_split)
+    deliberately trade away for statelessness, and the one an
+    eval-set builder actually wants ("exactly 10%, balanced").
+
+    All apportionment arithmetic is exact integers: per-stratum base
+    quota floor(n_s·ppm/1e6), remainders n_s·ppm − base·1e6, and the
+    leftover T − Σbase rows go to the largest remainders (stratum
+    name breaks ties). Membership is deterministic: the quota_s
+    smallest md5(id) values win within each stratum — reproducible
+    on any engine, no RNG.
+
+    Distributed shape: the stratum-count aggregate and the
+    apportionment act on ≤ |strata| rows (one rank window over a
+    metadata-size relation); membership is ONE row_number window per
+    stratum (uniform md5 order key) + a broadcast quota join. Output:
+    (doc_id, stratum, pick_rank).
+    """
+    from pyspark.sql.window import Window
+
+    from iceberg_diag_spark.functions.parallel import ensure_parallelism
+
+    keyed = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.col(stratum_col).alias("stratum"),
+        F.md5(F.col(id_col).cast("string")).alias("__mh"),
+    )
+    counts = keyed.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    totals = counts.agg(
+        F.sum("n_s").cast("long").alias("n_total"),
+        F.sum(
+            F.expr(f"(n_s * {int(holdout_ppm)}) DIV 1000000")
+        ).cast("long").alias("base_total"),
+    )
+    wrem = Window.orderBy(
+        F.desc("rem"), F.asc("stratum")
+    )  # |strata| rows — a single-partition window over metadata is fine
+    quotas = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "stratum",
+            "n_s",
+            F.expr(f"(n_s * {int(holdout_ppm)}) DIV 1000000").alias("base"),
+            F.expr(
+                f"n_s * {int(holdout_ppm)}"
+                f" - ((n_s * {int(holdout_ppm)}) DIV 1000000) * 1000000"
+            ).alias("rem"),
+            F.expr(
+                f"(n_total * {int(holdout_ppm)}) DIV 1000000 - base_total"
+            ).alias("spare"),
+        )
+        .withColumn("rk", F.row_number().over(wrem))
+        .select(
+            "stratum",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("spare"), 1).otherwise(0)
+            ).cast("long").alias("quota"),
+        )
+    )
+    wpick = Window.partitionBy("stratum").orderBy("__mh", id_col)
+    return (
+        keyed.join(F.broadcast(quotas), "stratum")
+        .withColumn("pick_rank", F.row_number().over(wpick).cast("long"))
+        .filter(F.col("pick_rank") <= F.col("quota"))
+        .select(id_col, "stratum", "pick_rank")
+    )

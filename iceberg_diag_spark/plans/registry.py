@@ -7957,6 +7957,99 @@ FROM pg GROUP BY n
 """
 
 
+def _clone_pairs_verified(spark, sf_dir):
+    return dedup.clone_pairs_verified(_t(spark, sf_dir, "documents"))
+
+
+_CLONE_VERIFIED_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substring(md5(array_to_string(toks[i + 1 : i + 3], ' ')), 1, 15))::BIGINT AS gh
+  FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 3)) AS i
+        FROM norm WHERE len(toks) >= 3)
+),
+win AS (
+  SELECT doc_id,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+  FROM pos
+),
+sel AS (SELECT DISTINCT doc_id, fp FROM win WHERE wn = 4),
+fpc AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) BETWEEN 2 AND 64),
+kept AS (SELECT s.doc_id, s.fp FROM sel s JOIN fpc USING (fp)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared_fps
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 2
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b, c.shared_fps,
+         CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS distance,
+         CAST(FLOOR(1000000 * levenshtein(na.nt, nb.nt)
+              / greatest(length(na.nt), length(nb.nt), 1)) AS BIGINT)
+           AS dist_ppm
+  FROM cand c
+  JOIN norm na ON na.doc_id = c.doc_a
+  JOIN norm nb ON nb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, shared_fps, distance, dist_ppm
+FROM scored WHERE dist_ppm <= 200000
+"""
+
+
+def _exact_quota_holdout(spark, sf_dir):
+    return sampling.exact_quota_holdout(
+        _t(spark, sf_dir, "documents"), holdout_ppm=100_000
+    )
+
+
+_EXACT_QUOTA_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source AS stratum,
+         md5(CAST(doc_id AS VARCHAR)) AS mh
+  FROM documents
+),
+counts AS (
+  SELECT stratum, CAST(count(*) AS BIGINT) AS n_s
+  FROM keyed GROUP BY stratum
+),
+totals AS (
+  SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+         CAST(sum((n_s * 100000) // 1000000) AS BIGINT) AS base_total
+  FROM counts
+),
+quotas AS (
+  SELECT stratum,
+         (n_s * 100000) // 1000000
+           + CASE WHEN row_number() OVER (
+                    ORDER BY n_s * 100000
+                             - ((n_s * 100000) // 1000000) * 1000000 DESC,
+                             stratum ASC)
+                    <= (n_total * 100000) // 1000000 - base_total
+             THEN 1 ELSE 0 END AS quota
+  FROM counts CROSS JOIN totals
+)
+SELECT k.doc_id, k.stratum, CAST(k.rn AS BIGINT) AS pick_rank
+FROM (
+  SELECT doc_id, stratum,
+         row_number() OVER (PARTITION BY stratum ORDER BY mh, doc_id)
+           AS rn
+  FROM keyed
+) k JOIN quotas USING (stratum)
+WHERE k.rn <= quota
+"""
+
+
 def _media_integrity(spark, sf_dir):
     """Synthetic magic headers (the corpus ships text payloads):
     every item gets its declared type's signature prepended EXCEPT
@@ -8228,6 +8321,21 @@ REGISTRY.update({
         "shared lead chain, grams shuffle as fixed-width md5 "
         "digests, DECIMAL-exact ppm",
     ),
+    "clone_pairs_verified": QuerySpec(
+        _clone_pairs_verified, _CLONE_VERIFIED_SQL,
+        "two-tier near-dup: winnow clone candidates verified by "
+        "exact Levenshtein ratio (<= 20% of the longer text) - "
+        "quadratic verifier runs only on the stop-listed candidate "
+        "set, texts re-join by id after the id-only pair stage",
+    ),
+    "exact_quota_holdout": QuerySpec(
+        _exact_quota_holdout, _EXACT_QUOTA_SQL,
+        "exact-proportion stratified holdout via largest-remainder "
+        "apportionment (Hamilton method): total exactly "
+        "floor(N*ppm/1e6), per-stratum deviation < 1 row, "
+        "deterministic md5-order membership — the exact-quota "
+        "complement of the hash-threshold stratified_split",
+    ),
     "media_integrity_audit": QuerySpec(
         _media_integrity, _MEDIA_INTEGRITY_SQL,
         "magic-byte integrity audit per media type (mislabeled/"
@@ -8436,6 +8544,8 @@ _DEFER_TO_R7: set[str] = {
     "events_cadence_autocorr",
     "quality_dup_matrix",
     "media_integrity_audit",
+    "exact_quota_holdout",
+    "clone_pairs_verified",
 }
 
 

@@ -388,3 +388,74 @@ def test_media_integrity_audit(spark):
     assert all(
         r["n_valid"] + r["n_corrupt"] == r["n_items"] for r in got.values()
     )
+
+
+def test_exact_quota_holdout_apportionment(spark):
+    from iceberg_diag_spark.operators.sampling import exact_quota_holdout
+
+    # strata sizes 7 / 5 / 3 (N=15), 40% holdout: T = floor(15*0.4)=6
+    # ideal shares 2.8 / 2.0 / 1.2 -> bases 2/2/1 (sum 5), one spare
+    # row goes to the largest remainder (0.8 -> stratum a)
+    rows = (
+        [(i, "a") for i in range(7)]
+        + [(100 + i, "b") for i in range(5)]
+        + [(200 + i, "c") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = exact_quota_holdout(df, holdout_ppm=400_000).collect()
+    by_stratum = {}
+    for r in got:
+        by_stratum.setdefault(r["stratum"], []).append(r)
+    assert len(got) == 6  # exactly floor(15 * 0.4)
+    assert {s: len(v) for s, v in by_stratum.items()} == {
+        "a": 3, "b": 2, "c": 1
+    }
+    # pick_rank is 1..quota_s within each stratum
+    for s, v in by_stratum.items():
+        assert sorted(r["pick_rank"] for r in v) == list(
+            range(1, len(v) + 1)
+        )
+    # determinism: a second run picks the identical membership
+    again = exact_quota_holdout(df, holdout_ppm=400_000).collect()
+    assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in again)
+
+
+def test_exact_quota_holdout_total_always_exact(spark):
+    from iceberg_diag_spark.operators.sampling import exact_quota_holdout
+
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (i, rng.choice(["s0", "s1", "s2", "s3", "s4"])) for i in range(137)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    for ppm in (50_000, 100_000, 333_333, 900_000):
+        got = exact_quota_holdout(df, holdout_ppm=ppm).count()
+        assert got == (137 * ppm) // 1_000_000, ppm
+
+
+def test_clone_pairs_verified_filters_by_edit_ratio(spark):
+    from iceberg_diag_spark.operators.dedup import clone_pairs_verified
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (0, base),
+        (1, base + " extra"),                 # tiny edit -> survives
+        (2, base.replace("beta", "XYZQ") +    # shares spans but big tail
+            " completely different continuation words here now " * 3),
+        (3, "unrelated text with no shared spans at all whatsoever"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = clone_pairs_verified(df, max_distance_ppm=200_000).collect()
+    got = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert (0, 1) in got
+    r01 = got[(0, 1)]
+    assert r01["distance"] == len(" extra")
+    assert r01["dist_ppm"] == (
+        1_000_000 * len(" extra")
+    ) // len(base + " extra")
+    # the long-tail variant shares winnow spans with 0/1 but fails
+    # the 20% edit-ratio verify
+    assert all(2 not in pair for pair in got)
+    assert all(3 not in pair for pair in got)
