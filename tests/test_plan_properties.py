@@ -243,6 +243,7 @@ _SCALAR_CROSS_OK = {
     "pmi_collocations",          # broadcast 1-row bigram-total N
     "orders_benford_audit",      # broadcast 1-row digit-total scalar
     "quality_dup_matrix",        # broadcast 1-row percentile-edge array
+    "exact_quota_holdout",       # broadcast 1-row apportionment totals
 }
 
 
