@@ -1457,16 +1457,26 @@ def clone_pairs_verified(
     Scale contract: Levenshtein is O(len_a·len_b) per pair and runs
     ONLY on the winnow candidates — a relation the fingerprint
     stop-list has already bounded (boilerplate fps are dropped, so
-    no quadratic bucket feeds this). Texts join back by id after the
-    id-only pair stage (the id-only-dedup-then-rejoin idiom); both
-    engines compute the identical integer distance, so the output is
-    hash-exact. Output: (doc_a, doc_b, shared_fps, distance,
-    dist_ppm), dist_ppm = floor(1e6·distance / max(len_a, len_b)).
+    no quadratic bucket feeds this). The candidate id-pairs are
+    checkpointed (they feed three consumers — the id prune and both
+    text joins — and the winnow subplan must not replay per
+    consumer), and the text relation is broadcast-semi-pruned to
+    the ids that actually appear in a pair BEFORE texts join back,
+    so corpus text never rides a shuffle. Both engines compute the
+    identical integer distance, so the output is hash-exact.
+    Output: (doc_a, doc_b, shared_fps, distance, dist_ppm),
+    dist_ppm = floor(1e6·distance / max(len_a, len_b)).
     """
     cand = winnow_clone_pairs(
         docs, text_col=text_col, id_col=id_col,
     ).filter(F.col("shared_fps") >= min_shared_fps)
-    norm = docs.select(
+    cand = cand.localCheckpoint(eager=False)
+    pair_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionAll(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    norm = docs.join(F.broadcast(pair_ids), id_col, "semi").select(
         F.col(id_col), normalized_text(F.col(text_col)).alias("__nt")
     )
     ta = norm.select(
