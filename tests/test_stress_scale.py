@@ -253,3 +253,44 @@ def test_pmi_bounded_at_1m(spark):
     assert len(rows) == 100
     assert all(r["n_pair"] >= 5 for r in rows)
     print(f"pmi_collocations @1M: {wall:.1f}s")
+
+
+def test_exact_quota_holdout_bounded_at_1m(spark):
+    """Largest-remainder holdout at 1M rows: the apportionment acts
+    on the stratum relation (tiny) and membership is one row_number
+    window per stratum — and the total is EXACT at any scale."""
+    from pyspark.sql import functions as F
+
+    from iceberg_diag_spark.operators.sampling import exact_quota_holdout
+
+    docs = spark.range(0, N_DOCS, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 17).cast("string")).alias(
+            "source"
+        ),
+    )
+    t0 = time.time()
+    got = exact_quota_holdout(docs, holdout_ppm=100_000).count()
+    wall = time.time() - t0
+    assert got == (N_DOCS * 100_000) // 1_000_000
+    print(f"exact_quota_holdout @1M: {wall:.1f}s")
+
+
+def test_quality_dup_matrix_bounded_at_1m(spark):
+    """Quality×dup matrix on the 1M-doc hot-spot corpus: the window
+    dup pass shuffles 48B/doc (hash + ttr), the checkpointed audit
+    relation is 16B/doc, and the 100k-copy hot spot must land
+    entirely in dup buckets."""
+    from iceberg_diag_spark.operators.textops import quality_dup_matrix
+
+    docs = _corpus(spark)
+    t0 = time.time()
+    rows = quality_dup_matrix(docs).collect()
+    wall = time.time() - t0
+    total = sum(r["n_docs"] for r in rows)
+    dup_total = sum(r["dup_docs"] for r in rows)
+    assert total == N_DOCS
+    # the constructed hot spot: 100 templates x 1000 copies + the
+    # 100 originals are all duplicates
+    assert dup_total == N_TEMPLATES * N_COPIES + N_TEMPLATES
+    print(f"quality_dup_matrix @1M: {wall:.1f}s")
