@@ -173,6 +173,7 @@ HEADLINE = [
     "media_integrity_audit",
     "exact_quota_holdout",
     "clone_pairs_verified",
+    "user_activity_gini",
 ]
 
 

@@ -575,3 +575,71 @@ def cadence_autocorr(
             " AS LONG) ELSE NULL END"
         ).alias("corr_ppm"),
     )
+
+
+def user_activity_gini(events: DataFrame) -> DataFrame:
+    """Exact Gini coefficient of the per-user event-count
+    distribution — the single-number concentration audit behind
+    "is our traffic (or training-data contribution) dominated by a
+    few accounts?", complementing events_skew_audit's per-key view.
+
+    Exactness AND scale come from the same trick: Gini over sorted
+    counts needs Σ rank·x, but ranks over 10⁹ users would be a
+    global sort — so fold ties first: group users by their COUNT
+    VALUE c (the histogram (c, m_c) is bounded by max events/user,
+    metadata-size), order that tiny relation, and use the closed
+    form for a tied block's rank-sum:
+      Σ rank·x = Σ_c c·(m_c·cum_before + m_c(m_c+1)/2)
+    (cum_before = users in smaller-count blocks; the product is
+    always even, so DIV 2 is exact). Then
+      gini_ppm = floor(1e6·(2S − (n+1)T) / (n·T)),
+    all moments exact DECIMAL(38,0) (S ~ n·T wraps int64 at
+    planetary scale), identical in the DuckDB oracle.
+
+    Shape: one corpus shuffle (user counts, map-side combined), one
+    tiny histogram aggregate, one window over the HISTOGRAM rows.
+    Output: one row (n_users, total_events, max_user_events,
+    gini_ppm); 0 for perfectly uniform, → 1e6 as a single user
+    dominates.
+    """
+    counts = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    hist = counts.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    wh = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # histogram rows only — |distinct c| ≪ n_users
+    blocks = hist.select(
+        "c",
+        "m",
+        F.coalesce(F.sum("m").over(wh), F.lit(0)).alias("cum_before"),
+    )
+    mom = blocks.agg(
+        F.sum("m").cast("long").alias("n_users"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("m")
+        ).alias("t_events"),
+        F.max(F.col("c")).cast("long").alias("max_user_events"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)")
+            * (
+                F.col("m").cast("decimal(38,0)") * F.col("cum_before")
+                + F.expr(
+                    "CAST(m AS DECIMAL(38,0)) * (m + 1) DIV 2"
+                )
+            )
+        ).alias("s_rank"),
+    )
+    return mom.select(
+        "n_users",
+        F.col("t_events").cast("long").alias("total_events"),
+        "max_user_events",
+        F.expr(
+            "CAST(((CAST(2 AS DECIMAL(38,0)) * s_rank * 1000000"
+            " - (n_users + 1) * t_events * 1000000)"
+            " DIV (CAST(n_users AS DECIMAL(38,0)) * t_events))"
+            " AS LONG)"
+        ).alias("gini_ppm"),
+    )

@@ -7957,6 +7957,44 @@ FROM pg GROUP BY n
 """
 
 
+def _user_activity_gini(spark, sf_dir):
+    return events.user_activity_gini(_t(spark, sf_dir, "events"))
+
+
+_USER_GINI_SQL = """
+WITH counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+hist AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM counts GROUP BY c),
+blocks AS (
+  SELECT c, m,
+         COALESCE(sum(m) OVER (ORDER BY c
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cum_before
+  FROM hist
+),
+mom AS (
+  SELECT CAST(sum(m) AS BIGINT) AS n_users,
+         CAST(sum(CAST(c AS HUGEINT) * m) AS HUGEINT) AS t_events,
+         CAST(max(c) AS BIGINT) AS max_user_events,
+         CAST(sum(CAST(c AS HUGEINT)
+                  * (CAST(m AS HUGEINT) * cum_before
+                     + CAST(m AS HUGEINT) * (m + 1) // 2))
+              AS HUGEINT) AS s_rank
+  FROM blocks
+)
+SELECT n_users,
+       CAST(t_events AS BIGINT) AS total_events,
+       max_user_events,
+       CAST((2 * s_rank * 1000000
+             - (n_users + 1) * t_events * 1000000)
+            // (CAST(n_users AS HUGEINT) * t_events) AS BIGINT)
+         AS gini_ppm
+FROM mom
+"""
+
+
 def _clone_pairs_verified(spark, sf_dir):
     return dedup.clone_pairs_verified(_t(spark, sf_dir, "documents"))
 
@@ -8321,6 +8359,13 @@ REGISTRY.update({
         "shared lead chain, grams shuffle as fixed-width md5 "
         "digests, DECIMAL-exact ppm",
     ),
+    "user_activity_gini": QuerySpec(
+        _user_activity_gini, _USER_GINI_SQL,
+        "exact Gini of the per-user event-count distribution "
+        "(traffic/contribution concentration) via the tied-block "
+        "closed form over the count HISTOGRAM - no global user "
+        "sort, DECIMAL-exact moments",
+    ),
     "clone_pairs_verified": QuerySpec(
         _clone_pairs_verified, _CLONE_VERIFIED_SQL,
         "two-tier near-dup: winnow clone candidates verified by "
@@ -8546,6 +8591,7 @@ _DEFER_TO_R7: set[str] = {
     "media_integrity_audit",
     "exact_quota_holdout",
     "clone_pairs_verified",
+    "user_activity_gini",
 }
 
 

@@ -459,3 +459,48 @@ def test_clone_pairs_verified_filters_by_edit_ratio(spark):
     # the 20% edit-ratio verify
     assert all(2 not in pair for pair in got)
     assert all(3 not in pair for pair in got)
+
+
+def test_user_activity_gini_matches_python_reference(spark):
+    from iceberg_diag_spark.operators.events import user_activity_gini
+
+    import random
+
+    rng = random.Random(14)
+    rows, eid = [], 0
+    per_user = {u: rng.randrange(1, 30) for u in range(40)}
+    per_user[99] = 500  # a dominating account
+    for u, k in per_user.items():
+        for _ in range(k):
+            rows.append((eid, u, eid * 1_000, "e"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_raw long, event_type string"
+    ).selectExpr(
+        "event_id", "user_id", "timestamp_micros(ts_raw) AS ts", "event_type"
+    )
+    row = user_activity_gini(ev).collect()[0]
+    xs = sorted(per_user.values())
+    n, t = len(xs), sum(xs)
+    s = sum((i + 1) * x for i, x in enumerate(xs))
+    want = (2 * s * 1_000_000 - (n + 1) * t * 1_000_000) // (n * t)
+    assert row["n_users"] == n
+    assert row["total_events"] == t
+    assert row["max_user_events"] == 500
+    assert row["gini_ppm"] == want
+    # a dominating account must push concentration well up
+    assert row["gini_ppm"] > 300_000
+
+
+def test_user_activity_gini_uniform_is_zero(spark):
+    from iceberg_diag_spark.operators.events import user_activity_gini
+
+    rows = [(u * 3 + i, u, (u * 3 + i) * 1_000, "e")
+            for u in range(10) for i in range(3)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_raw long, event_type string"
+    ).selectExpr(
+        "event_id", "user_id", "timestamp_micros(ts_raw) AS ts", "event_type"
+    )
+    row = user_activity_gini(ev).collect()[0]
+    assert row["gini_ppm"] == 0  # perfectly uniform
