@@ -389,7 +389,12 @@ def media_integrity_audit(
         expected = cond if expected is None else expected.when(
             F.col("media_type") == t, F.lit(h)
         )
-    ok = header == expected
+    # coalesce: a media_type absent from `magic` makes `expected`
+    # NULL ⇒ header == expected is NULL, which would count the row in
+    # n_corrupt (otherwise-branch) yet exclude it from the
+    # example_corrupt_id conditional min. Unknown types are uniformly
+    # corrupt.
+    ok = F.coalesce(header == expected, F.lit(False))
     return (
         ensure_parallelism(media.select("media_type", "payload", "doc_id"))
         .select("media_type", ok.alias("__ok"), "doc_id")

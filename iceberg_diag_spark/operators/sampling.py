@@ -380,9 +380,17 @@ def exact_quota_holdout(
 
     Distributed shape: the stratum-count aggregate and the
     apportionment act on ≤ |strata| rows (one rank window over a
-    metadata-size relation); membership is ONE row_number window per
-    stratum (uniform md5 order key) + a broadcast quota join. Output:
-    (doc_id, stratum, pick_rank).
+    metadata-size relation). Membership does NOT use a per-stratum
+    global window (that puts every row of a stratum in one task — a
+    few dozen sources over 10^10 docs means a handful of tasks own
+    the world): the md5 order key is range-sharded on its first hex
+    digit (ascii('0'..'9','a'..'f') is monotone, so shard order ==
+    key order), ranked within (stratum, shard) partitions — 16×
+    |strata| tasks — and completed to the exact per-stratum rank by a
+    broadcast of cumulative (stratum, shard) counts: the
+    epoch_shuffle / global_rank idiom (shuffling.py). Output is
+    byte-identical to the single-window form: (doc_id, stratum,
+    pick_rank).
     """
     from pyspark.sql.window import Window
 
@@ -428,10 +436,36 @@ def exact_quota_holdout(
             ).cast("long").alias("quota"),
         )
     )
-    wpick = Window.partitionBy("stratum").orderBy("__mh", id_col)
+    sharded = keyed.withColumn(
+        "__shard", F.ascii(F.substring("__mh", 1, 1))
+    )
+    w_local = Window.partitionBy("stratum", "__shard").orderBy(
+        "__mh", id_col
+    )
+    shard_sizes = sharded.groupBy("stratum", "__shard").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    # 16·|strata| rows — the per-stratum cumulative window over this
+    # metadata-size relation is cheap; it is what lets the big
+    # relation avoid any single-partition exchange.
+    w_off = (
+        Window.partitionBy("stratum")
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = shard_sizes.select(
+        "stratum",
+        "__shard",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__offset"),
+    )
     return (
-        keyed.join(F.broadcast(quotas), "stratum")
-        .withColumn("pick_rank", F.row_number().over(wpick).cast("long"))
+        sharded.withColumn("__rk", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["stratum", "__shard"])
+        .join(F.broadcast(quotas), "stratum")
+        .withColumn(
+            "pick_rank",
+            (F.col("__offset") + F.col("__rk")).cast("long"),
+        )
         .filter(F.col("pick_rank") <= F.col("quota"))
         .select(id_col, "stratum", "pick_rank")
     )

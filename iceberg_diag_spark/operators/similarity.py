@@ -1137,12 +1137,16 @@ def embedding_drift_audit(
         .alias("q"),
     )
     per_dim = ex.groupBy("label", "pos").agg(
-        F.sum(F.when(F.col("__a"), F.col("q")).otherwise(0))
-        .cast("decimal(38,0)")
-        .alias("sa"),
-        F.sum(F.when(F.col("__a"), 0).otherwise(F.col("q")))
-        .cast("decimal(38,0)")
-        .alias("sb"),
+        # cast INSIDE the sum so accumulation itself is 128-bit —
+        # casting the finished sum would let the partials wrap int64
+        F.sum(
+            F.when(F.col("__a"), F.col("q")).otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("sa"),
+        F.sum(
+            F.when(F.col("__a"), 0).otherwise(F.col("q"))
+            .cast("decimal(38,0)")
+        ).alias("sb"),
         F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("na"),
         F.sum(F.when(F.col("__a"), 0).otherwise(1)).cast("long").alias("nb"),
     )

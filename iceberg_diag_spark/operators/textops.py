@@ -1525,7 +1525,10 @@ def pii_density_by_source(
             "source", "n_docs", "docs_with_pii",
             *counts,
             "total_chars",
-            F.expr("(1000000 * __pii_sum) DIV total_chars")
+            # greatest(·,1): a source of all-empty texts has
+            # total_chars = 0 — Spark DIV would yield NULL while the
+            # DuckDB oracle's // raises; both sides guard identically
+            F.expr("(1000000 * __pii_sum) DIV greatest(total_chars, 1)")
             .alias("pii_per_mchar"),
         )
     )

@@ -7923,7 +7923,7 @@ SELECT source,
        CAST(sum(s) AS BIGINT) AS n_ssns,
        CAST(sum(p) AS BIGINT) AS n_phones,
        CAST(sum(chars) AS BIGINT) AS total_chars,
-       CAST((1000000 * sum(e + s + p)) // sum(chars) AS BIGINT)
+       CAST((1000000 * sum(e + s + p)) // greatest(sum(chars), 1) AS BIGINT)
          AS pii_per_mchar
 FROM c GROUP BY source
 """
@@ -8577,12 +8577,10 @@ _NEVER_SCORED: set[str] = {
 }
 
 
-# Oracled entries added AFTER the round-6 window filled (50 rank-0
-# slots, exactly the never-scored backlog + this round's modified
-# builders). Scoring them now would displace a never-scored entry, so
-# they rank 1.5 — first in line for round 7 — with local sf0.001 +
-# sf0.01 DuckDB parity as their interim evidence (the same deferral
-# round 5 used for _NEVER_SCORED, registry.py history).
+# Oracled entries added AFTER the round-6 window filled. Round 7
+# promotes them to rank 0 so each converts local sf0.001+sf0.01
+# parity into a driver-confirmed green row (the r5→r6 promotion
+# pattern — all 35 of that backlog went green in r6).
 _DEFER_TO_R7: set[str] = {
     "pii_density_by_source",
     "ngram_dup_curve",
@@ -8594,44 +8592,85 @@ _DEFER_TO_R7: set[str] = {
     "user_activity_gini",
 }
 
+# Names with a green hash row in CORRECTNESS_r06.json (50/50 green —
+# the entire _NEVER_SCORED backlog plus the round-6 modified
+# builders; freshest evidence, rides the tail this round).
+_R6_GREEN = {
+    'bm25_topk', 'contamination_report', 'corpus_snapshot_diff',
+    'customer_k_anonymity', 'customer_rfm_segments',
+    'dedup_survivorship', 'diag_clustering_advisor', 'diag_file_skew',
+    'diag_manifest_stats', 'diag_partition_advisor',
+    'diag_skip_simulation', 'doc_bigram_logprob', 'doc_char_novelty',
+    'doc_curriculum_shards', 'doc_readability', 'doc_template_clusters',
+    'dsir_logratio', 'embedding_dim_covariance',
+    'embedding_dim_variance', 'embedding_drift_audit',
+    'embedding_norm_outliers', 'event_transitions', 'events_cdc_dedup',
+    'events_disorder_audit', 'events_scd2_history',
+    'events_watermark_advisor', 'ivf_topk_exact',
+    'jaccard_threshold_hist', 'langid_margin', 'lsh_near_dup_exact',
+    'lsh_topk_exact', 'media_dedup_exact', 'media_frame_dedup',
+    'media_frame_sample', 'media_shard_plan', 'near_dup_kcore',
+    'orders_benford_audit', 'padding_waste_audit', 'part_affinity',
+    'pmi_collocations', 'quality_classifier_score', 'source_vocab_tv',
+    'stream_centroid_confusion', 'stream_disorder_monitor',
+    'stream_scd2_history', 'tokenizer_fertility',
+    'user_transition_typicality', 'vocab_growth_curve',
+    'vocab_oov_rate', 'winnow_clone_pairs',
+}
+
+# Entries whose builder or oracle changed in round 7 — their r6 green
+# row no longer vouches for the current code, so they re-score this
+# round: the drift-audit 128-bit-accumulation fix (cast moved inside
+# F.sum) and the quota-holdout membership-window range-shard rewrite
+# (exact_quota_holdout itself is already in _DEFER_TO_R7; listed for
+# the discipline).
+_MODIFIED_R7 = {
+    "embedding_drift_audit",
+    "exact_quota_holdout",
+    "media_integrity_audit",
+    "pii_density_by_source",
+}
+
 
 def _eval_order(item: tuple[str, QuerySpec]) -> float:
     """Driver scores the FIRST 50 registry entries; order by evidence
     staleness so every oracled entry's latest green row stays at most
-    ~two rounds old under the 50-slot window. Round-6 tiers:
-      0     builder/oracle modified this round, or oracled but never
-            green — must (re-)score
-      0.5   the 35-entry never-driver-scored backlog (local parity
-            only) — the round-6 priority
-      0.75  last green in r2 (four rounds stale)
-      1     last green in r3
-      2     last green in r4
+    ~three rounds old under the 50-slot window. Round-7 tiers:
+      0     builder/oracle modified this round, the 8-entry
+            _DEFER_TO_R7 backlog, or oracled-but-never-green (new
+            round-7 queries) — must (re-)score
+      1     latest green in r3 (four rounds stale — the entire
+            30-entry cohort fits this window)
+      2     latest green in r4 — the oldest of these fill the
+            remaining slots
       3     rows-only (no oracle exists; weaker signal either way)
-      4     fresh r5 green — ride the tail where truncation costs
+      4     latest green in r5
+      5     fresh r6 green — ride the tail where truncation costs
             least
     """
     name, spec = item
-    if name in _DEFER_TO_R7:
-        return 1.5
     ever_green = (
-        name in _R2_GREEN or name in _R3_GREEN
-        or name in _R4_GREEN or name in _R5_GREEN
+        name in _R2_GREEN or name in _R3_GREEN or name in _R4_GREEN
+        or name in _R5_GREEN or name in _R6_GREEN
     )
-    if name in _MODIFIED_R6 or (spec.oracle is not None
-                                and not ever_green):
+    if (
+        name in _MODIFIED_R7
+        or name in _DEFER_TO_R7
+        or (spec.oracle is not None and not ever_green)
+    ):
         return 0
-    if name in _NEVER_SCORED:
-        return 0.5
     if spec.oracle is None:
         return 3
     # Latest green row wins; older evidence = earlier slot.
+    if name in _R6_GREEN:
+        return 5
     if name in _R5_GREEN:
         return 4
     if name in _R4_GREEN:
         return 2
     if name in _R3_GREEN:
         return 1
-    return 0.75  # green only in r2 — four rounds stale, must re-score
+    return 0.75  # green only in r2 — five rounds stale, must re-score
 
 
 REGISTRY = dict(

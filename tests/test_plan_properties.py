@@ -323,3 +323,18 @@ def test_lang_confusion_single_scan_no_join(spark):
     plan = _plan(spark, "lang_confusion")
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_quota_holdout_membership_range_sharded(spark):
+    # the membership rank over the FULL corpus must be partitioned by
+    # (stratum, __shard) — a bare partitionBy(stratum) window puts a
+    # whole stratum (billions of rows at scale) in one task. Every
+    # window ordering by the md5 membership key must carry the shard
+    # column; single-partition exchanges may appear only for the
+    # |strata|-row apportionment rank and scalar totals.
+    plan = _plan(spark, "exact_quota_holdout")
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    mh_specs = [s for s in specs if "__mh" in s]
+    assert mh_specs, "membership window missing from plan"
+    assert all("__shard" in s for s in mh_specs), mh_specs
+    assert "Python" not in plan
