@@ -1442,6 +1442,7 @@ def clone_pairs_verified(
     docs: DataFrame,
     max_distance_ppm: int = 200_000,
     min_shared_fps: int = 2,
+    max_pairs_per_doc: int | None = 1_000,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -1466,11 +1467,37 @@ def clone_pairs_verified(
     identical integer distance, so the output is hash-exact.
     Output: (doc_a, doc_b, shared_fps, distance, dist_ppm),
     dist_ppm = floor(1e6·distance / max(len_a, len_b)).
+
+    `max_pairs_per_doc` is the verifier's refusal valve (the
+    similarity tier's quadratic-guard idiom): a corpus adversarial
+    enough to defeat the boilerplate fingerprint cap — one document
+    winnow-matching a large fraction of the corpus — must degrade to
+    an explicit error, not a silent O(pairs·len²) multi-hour stage.
+    The probe is a cheap groupBy over the already-checkpointed
+    id-pair relation. Pass None to force verification regardless.
     """
     cand = winnow_clone_pairs(
         docs, text_col=text_col, id_col=id_col,
     ).filter(F.col("shared_fps") >= min_shared_fps)
     cand = cand.localCheckpoint(eager=False)
+    if max_pairs_per_doc is not None:
+        hot = (
+            cand.select(F.col("doc_a").alias("__d"))
+            .unionAll(cand.select(F.col("doc_b").alias("__d")))
+            .groupBy("__d")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_pairs_per_doc)
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            raise ValueError(
+                f"clone_pairs_verified: doc {hot[0]['__d']} appears in "
+                f"{hot[0]['__n']} candidate pairs (> {max_pairs_per_doc}); "
+                "the exact Levenshtein tier would be quadratic on this "
+                "hot spot — tighten the winnow boilerplate cap or raise "
+                "min_shared_fps, or pass max_pairs_per_doc=None to force"
+            )
     pair_ids = (
         cand.select(F.col("doc_a").alias(id_col))
         .unionAll(cand.select(F.col("doc_b").alias(id_col)))

@@ -7822,7 +7822,11 @@ iv AS (
   FROM f
   WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 )
-SELECT user_id, state, valid_from_us, valid_to_us, version_seq
+-- disorder_seen is identically 0 under the oracle's single
+-- availableNow drain: no row can arrive behind a prior batch's
+-- per-user frontier when there is only one batch
+SELECT user_id, state, valid_from_us, valid_to_us, version_seq,
+       CAST(0 AS BIGINT) AS disorder_seen
 FROM iv WHERE valid_to_us IS NOT NULL
 """
 
@@ -8629,6 +8633,9 @@ _MODIFIED_R7 = {
     "exact_quota_holdout",
     "media_integrity_audit",
     "pii_density_by_source",
+    # disorder-frontier hardening added a disorder_seen column to the
+    # stream and a matching constant-0 to the single-drain oracle
+    "stream_scd2_history",
 }
 
 

@@ -632,37 +632,51 @@ def scd2_stream(
     closes in a later batch or stays in state).
 
     Semantics contract: rows fold in (ts, event_id) order WITHIN a
-    batch (sorted here), and per-user order must hold ACROSS batches
-    for cross-batch runs to collapse correctly — true by
-    construction for a single availableNow batch (the oracle's
-    configuration) and for any in-order source; a disordered
-    multi-batch source is the disorder_monitor's department. Over a
-    finite in-order drain the emitted set equals the batch
-    scd2_build rows whose valid_to_us is non-NULL.
+    batch (sorted here). ACROSS batches the fold is guarded by a
+    per-user event-time frontier carried in state: a row arriving
+    with ts strictly below the frontier of an earlier batch cannot
+    be folded correctly any more (its run boundary is already
+    emitted), so it is SKIPPED and counted instead of silently
+    corrupting the run-collapse. Every emitted interval carries
+    `disorder_seen` — the user's cumulative skipped-late-row count
+    at emission — so a downstream consumer can quarantine a user's
+    history the moment its feed shows disorder (routing/alerting is
+    the disorder_monitor's department). Over a finite in-order drain
+    (the oracle's single availableNow batch) no row is ever late,
+    disorder_seen is identically 0, and the emitted set equals the
+    batch scd2_build rows whose valid_to_us is non-NULL.
 
-    State per user is ONE (state, from_us, version) tuple — bounded
-    by user cardinality, the canonical keyed-state shape. Output:
-    (user_id, state, valid_from_us, valid_to_us, version_seq).
+    State per user is ONE (state, from_us, version, frontier,
+    n_late) tuple — bounded by user cardinality, the canonical
+    keyed-state shape. Output: (user_id, state, valid_from_us,
+    valid_to_us, version_seq, disorder_seen).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = (
         "user_id long, state string, valid_from_us long,"
-        " valid_to_us long, version_seq long"
+        " valid_to_us long, version_seq long, disorder_seen long"
     )
-    state_schema = "cur_state string, cur_from long, version long"
+    state_schema = (
+        "cur_state string, cur_from long, version long,"
+        " frontier long, n_late long"
+    )
 
     def update(key, pdfs, state: GroupState):
-        cur_state, cur_from, version = (
-            state.get if state.exists else (None, 0, 0)
+        cur_state, cur_from, version, frontier, n_late = (
+            state.get if state.exists else (None, 0, 0, -1, 0)
         )
         states, froms, tos, vers = [], [], [], []
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch):
             batch = batch.sort_values(["ts", "event_id"])
             ts_us = (batch["ts"].astype("int64") // 1000).to_numpy()
-            for t, et in zip(ts_us, batch["event_type"]):
+            # cross-batch disorder guard: strictly below the frontier
+            # means an earlier batch already folded past this instant
+            late = ts_us < frontier
+            n_late += int(late.sum())
+            for t, et in zip(ts_us[~late], batch["event_type"][~late]):
                 if cur_state is None:
                     cur_state, cur_from, version = et, int(t), 1
                 elif et != cur_state:
@@ -672,7 +686,12 @@ def scd2_stream(
                     vers.append(version)
                     cur_state, cur_from = et, int(t)
                     version += 1
-        state.update((cur_state, int(cur_from), int(version)))
+            if len(ts_us):
+                frontier = max(int(frontier), int(ts_us.max()))
+        state.update(
+            (cur_state, int(cur_from), int(version), int(frontier),
+             int(n_late))
+        )
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(states),
@@ -680,6 +699,7 @@ def scd2_stream(
                 "valid_from_us": froms,
                 "valid_to_us": tos,
                 "version_seq": vers,
+                "disorder_seen": [int(n_late)] * len(states),
             }
         )
 

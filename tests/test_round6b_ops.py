@@ -461,6 +461,26 @@ def test_clone_pairs_verified_filters_by_edit_ratio(spark):
     assert all(3 not in pair for pair in got)
 
 
+def test_clone_pairs_verified_refuses_hot_spot(spark):
+    """The verifier's refusal valve: a document whose candidate-pair
+    degree exceeds max_pairs_per_doc degrades to an explicit error —
+    never a silent quadratic Levenshtein stage. Same corpus passes
+    with the guard disabled."""
+    import pytest
+
+    from iceberg_diag_spark.operators.dedup import clone_pairs_verified
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # every doc is a near-copy of every other: each participates in
+    # n-1 candidate pairs, defeating a tiny per-doc cap
+    docs = [(i, base + f" v{i}") for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    with pytest.raises(ValueError, match="candidate pairs"):
+        clone_pairs_verified(df, max_pairs_per_doc=3)
+    got = clone_pairs_verified(df, max_pairs_per_doc=None)
+    assert got.count() == 8 * 7 // 2  # all unordered near-copy pairs
+
+
 def test_user_activity_gini_matches_python_reference(spark):
     from iceberg_diag_spark.operators.events import user_activity_gini
 

@@ -254,6 +254,8 @@ def test_scd2_stream_equals_batch_closed_intervals(spark, events_batch):
         "append",
         "t_scd2",
     )
+    # a single drain can never be cross-batch-late
+    assert rowset(got.filter(F.col("disorder_seen") != 0)) == []
     want = (
         batch_events.scd2_build(events_batch)
         .filter(F.col("valid_to_us").isNotNull())
@@ -262,7 +264,7 @@ def test_scd2_stream_equals_batch_closed_intervals(spark, events_batch):
             "version_seq",
         )
     )
-    assert rowset(got) == rowset(want)
+    assert rowset(got.drop("disorder_seen")) == rowset(want)
 
 
 def test_scd2_stream_state_carries_across_batches(
@@ -290,6 +292,9 @@ def test_scd2_stream_state_carries_across_batches(
         )
         ev = so.read_events_stream(spark, src, max_files_per_trigger=1)
         got = so.run_to_table(so.scd2_stream(ev), "append", "t_scd2_mb")
+        # in-order batches: the disorder frontier never fires
+        assert rowset(got.filter(F.col("disorder_seen") != 0)) == []
+        got = got.drop("disorder_seen")
         want = (
             batch_events.scd2_build(events_batch)
             .filter(F.col("valid_to_us").isNotNull())
@@ -305,5 +310,46 @@ def test_scd2_stream_state_carries_across_batches(
             if r.valid_from_us <= med * 1 and r.valid_to_us > med
         ]
         assert spanning, "median split produced no boundary-spanning run"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_scd2_stream_counts_cross_batch_disorder(spark, tmp_path_factory):
+    """A second batch delivering a row BEHIND a user's event-time
+    frontier must not corrupt the run-collapse: the late row is
+    skipped (its run boundary was already emitted) and surfaced in
+    disorder_seen on every subsequent emission for that user."""
+    import time
+
+    src = str(tmp_path_factory.mktemp("ev_scd2_dis"))
+    dst = os.path.join(src, "events.parquet")
+    cols = (
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def ns(sec):  # ts written as int64 nanos, the legacy-conf shape
+        return sec * 1_000_000_000
+
+    b1 = [(1, ns(10), 7, "A", 0.0, "{}"), (2, ns(20), 7, "B", 0.0, "{}")]
+    b2 = [
+        (3, ns(15), 7, "C", 0.0, "{}"),  # behind the 20 s frontier
+        (4, ns(30), 7, "D", 0.0, "{}"),  # closes B at 30 s
+    ]
+    try:
+        spark.createDataFrame(b1, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(dst)
+        time.sleep(0.1)  # distinct mtimes → deterministic file order
+        spark.createDataFrame(b2, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(dst)
+        ev = so.read_events_stream(spark, src, max_files_per_trigger=1)
+        got = so.run_to_table(so.scd2_stream(ev), "append", "t_scd2_dis")
+        rows = sorted(tuple(r) for r in got.collect())
+        assert rows == [
+            (7, "A", 10_000_000, 20_000_000, 1, 0),
+            (7, "B", 20_000_000, 30_000_000, 2, 1),
+        ]
     finally:
         shutil.rmtree(src, ignore_errors=True)
