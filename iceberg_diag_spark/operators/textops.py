@@ -1366,6 +1366,122 @@ def bm25_topk(
     )
 
 
+def hybrid_retrieval_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: tuple[str, ...] = ("spark", "join", "window"),
+    n_candidates: int = 50,
+    m_feedback: int = 10,
+    k: int = 10,
+    scale_bits: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Retrieve-then-rerank — the two-stage shape of a production
+    RAG / curation retriever: BM25 keyword retrieval proposes
+    `n_candidates` documents, a dense rerank reorders them, and only
+    the fused top-k survives. The rerank query vector is built by
+    pseudo-relevance feedback (Rocchio with α=0, β=1): the SUM of
+    the quantized embeddings of the top `m_feedback` BM25 hits —
+    summing instead of averaging keeps every coordinate an exact
+    integer, and cosine is scale-invariant so the ranking is
+    unchanged.
+
+    Exactness contract: embeddings quantize once to
+    q = floor(v·2^scale_bits) (the lsh_topk_exact idiom,
+    similarity.py); the feedback centroid, every dot product, and
+    every squared norm are exact integer sums, and only the final
+    cos_mppm = floor(1e6·d/(√nq2·√nd2)) touches doubles — one
+    fixed-shape expression with identical literal order in the
+    DuckDB oracle.
+
+    Distributed shape: BM25 is the existing TakeOrderedAndProject
+    pipeline; its ≤ n_candidates ids broadcast-semi-prune the
+    embeddings scan so the corpus vectors are read ONCE and never
+    shuffled (the pruned relation is checkpointed — it feeds the
+    feedback centroid AND the rerank). The centroid is a
+    D-row aggregate, its norm a 1-row broadcast scalar; the final
+    rank window orders ≤ n_candidates rows. Candidates without an
+    embedding row cannot be reranked and drop out (inner-join
+    contract). Output: (doc_id, rank, cos_mppm, n_terms_hit,
+    bm25_micro), rank by (cos_mppm desc, doc_id asc).
+    """
+    from pyspark.sql.window import Window
+
+    from iceberg_diag_spark.operators.similarity import int_dot
+
+    cand = bm25_topk(
+        docs, query_terms, k=n_candidates,
+        text_col=text_col, id_col=id_col,
+    )
+    # feeds three consumers (vector prune, feedback pick, final
+    # projection) — the BM25 subplan must not replay per consumer
+    cand = cand.localCheckpoint(eager=False)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * (1 << scale_bits)).cast("long"),
+    )
+    cvec = (
+        embeddings.select(F.col(vec_id_col).alias(id_col), qv.alias("q"))
+        .join(F.broadcast(cand.select(id_col)), id_col, "semi")
+        .select(
+            id_col, "q", int_dot(F.col("q"), F.col("q")).alias("nd2")
+        )
+    )
+    # ≤ n_candidates quantized vectors; both the centroid and the
+    # rerank read it — checkpoint so the embeddings scan runs once
+    cvec = cvec.localCheckpoint(eager=False)
+    fb_ids = (
+        cand.orderBy(F.desc("bm25_micro"), F.asc(id_col))
+        .limit(m_feedback)
+        .select(id_col)
+    )
+    fb_dims = (
+        cvec.join(F.broadcast(fb_ids), id_col, "semi")
+        .select(F.posexplode("q").alias("pos", "qd"))
+        .groupBy("pos")
+        .agg(F.sum("qd").cast("long").alias("qs"))
+    )
+    qnorm = fb_dims.agg(
+        F.sum(F.col("qs") * F.col("qs")).cast("long").alias("nq2")
+    )
+    dots = (
+        cvec.select(
+            id_col, "nd2", F.posexplode("q").alias("pos", "qd")
+        )
+        .join(F.broadcast(fb_dims), "pos")
+        .groupBy(id_col)
+        .agg(
+            F.max("nd2").alias("nd2"),
+            F.sum(F.col("qd") * F.col("qs")).cast("long").alias("d"),
+        )
+    )
+    scored = (
+        dots.crossJoin(F.broadcast(qnorm))
+        # zero-norm vectors (all-zero quantization) have no direction
+        .filter((F.col("nd2") > 0) & (F.col("nq2") > 0))
+        .select(
+            id_col,
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.col("d")
+                / (F.sqrt(F.col("nq2")) * F.sqrt(F.col("nd2")))
+            )
+            .cast("long")
+            .alias("cos_mppm"),
+        )
+    )
+    w = Window.orderBy(F.desc("cos_mppm"), F.asc(id_col))
+    return (
+        scored.join(F.broadcast(cand), id_col)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "cos_mppm", "n_terms_hit", "bm25_micro")
+    )
+
+
 def pmi_collocations(
     docs: DataFrame,
     min_count: int = 5,

@@ -7765,6 +7765,94 @@ LIMIT 50
 """
 
 
+def _hybrid_retrieval(spark, sf_dir):
+    return textops.hybrid_retrieval_topk(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+    )
+
+
+_HYBRID_RETRIEVAL_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+doclen AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM doclen
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+         CAST(max(dl) AS BIGINT) AS dl
+  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(toks) AS term
+        FROM base) x
+  WHERE term IN ('spark', 'join', 'window')
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(FLOOR(1000000.0
+              * ln(1.0 + ((t.n_docs - dft.df + 0.5) / (dft.df + 0.5)))
+              * ((tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / t.avgdl)))))
+           AS BIGINT) AS s_micro
+  FROM tf JOIN dft USING (term) CROSS JOIN totals t
+),
+bm AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+         CAST(sum(s_micro) AS BIGINT) AS bm25_micro
+  FROM sc GROUP BY doc_id
+  ORDER BY bm25_micro DESC, doc_id ASC
+  LIMIT 50
+),
+fb AS (
+  SELECT doc_id FROM bm
+  ORDER BY bm25_micro DESC, doc_id ASC LIMIT 10
+),
+qv AS (
+  SELECT vec_id AS doc_id,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 256) AS BIGINT)
+           AS qd
+  FROM embeddings
+  WHERE vec_id IN (SELECT doc_id FROM bm)
+),
+fdim AS (
+  SELECT pos, CAST(sum(qd) AS BIGINT) AS qs
+  FROM qv WHERE doc_id IN (SELECT doc_id FROM fb)
+  GROUP BY pos
+),
+qn AS (SELECT CAST(sum(qs * qs) AS BIGINT) AS nq2 FROM fdim),
+dots AS (
+  SELECT q.doc_id,
+         CAST(sum(q.qd * f.qs) AS BIGINT) AS d,
+         CAST(sum(q.qd * q.qd) AS BIGINT) AS nd2
+  FROM qv q JOIN fdim f USING (pos)
+  GROUP BY q.doc_id
+),
+rr AS (
+  SELECT dots.doc_id,
+         CAST(FLOOR(1000000.0 * dots.d
+              / (sqrt(qn.nq2) * sqrt(dots.nd2))) AS BIGINT) AS cos_mppm
+  FROM dots CROSS JOIN qn
+  WHERE dots.nd2 > 0 AND qn.nq2 > 0
+)
+SELECT doc_id, rank, cos_mppm, n_terms_hit, bm25_micro
+FROM (
+  SELECT r.doc_id,
+         CAST(row_number() OVER (ORDER BY r.cos_mppm DESC, r.doc_id ASC)
+           AS BIGINT) AS rank,
+         r.cos_mppm, b.n_terms_hit, b.bm25_micro
+  FROM rr r JOIN bm b USING (doc_id)
+) WHERE rank <= 10
+"""
+
+
 def _events_scd2(spark, sf_dir):
     return events.scd2_build(_t(spark, sf_dir, "events"))
 
@@ -8316,6 +8404,13 @@ REGISTRY.update({
         "BM25 retrieval top-k (Lucene idf variant, k1=1.2 b=0.75) — "
         "the keyword first-stage retriever; per-(term,doc) partials "
         "floor-quantized to micro before exact integer per-doc sums",
+    ),
+    "hybrid_retrieval_topk": QuerySpec(
+        _hybrid_retrieval, _HYBRID_RETRIEVAL_SQL,
+        "retrieve-then-rerank: BM25 candidates → pseudo-relevance "
+        "feedback centroid (integer sum of top-m quantized "
+        "embeddings) → exact integer cosine rerank → fused top-k; "
+        "candidate ids broadcast-semi-prune the embeddings scan",
     ),
     "events_scd2_history": QuerySpec(
         _events_scd2, _EVENTS_SCD2_SQL,

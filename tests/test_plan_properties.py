@@ -244,6 +244,8 @@ _SCALAR_CROSS_OK = {
     "orders_benford_audit",      # broadcast 1-row digit-total scalar
     "quality_dup_matrix",        # broadcast 1-row percentile-edge array
     "exact_quota_holdout",       # broadcast 1-row apportionment totals
+    "hybrid_retrieval_topk",     # broadcast 1-row bm25 corpus totals +
+                                 #   1-row feedback-centroid norm
 }
 
 
