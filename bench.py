@@ -174,6 +174,11 @@ HEADLINE = [
     "exact_quota_holdout",
     "clone_pairs_verified",
     "user_activity_gini",
+    # round 7 additions
+    "hybrid_retrieval_topk",
+    "bpe_merge_candidates",
+    "source_quality_calibration",
+    "embedding_consistency_audit",
 ]
 
 

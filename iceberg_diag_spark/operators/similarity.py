@@ -1096,6 +1096,100 @@ def lsh_topk_exact(
     )
 
 
+def embedding_consistency_audit(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    threshold_mppm: int = 950_000,
+    scale_bits: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-modal consistency audit: documents whose TEXT is
+    byte-identical (same normalized sha256) must carry near-identical
+    EMBEDDINGS — when they don't, the embedding pipeline is broken
+    for one of them (stale vector after a re-crawl, version-skewed
+    encoder, row mix-up). This is the detector a curation stack runs
+    before trusting vectors for semantic dedup or retrieval.
+
+    Scale contract — star pattern, never quadratic: each exact-dup
+    group compares members against the group REPRESENTATIVE (min id)
+    only, so the pair count is linear in the duplicated-doc count no
+    matter how large a dup cluster grows (a 10^6-copy boilerplate
+    page yields 10^6−1 pairs, not 10^12). Group discovery is ONE
+    window over the uniform 32-byte hash partitioning (partition
+    size = dup multiplicity — the quality_dup_matrix idiom);
+    quantized vectors join by id afterwards, so text and vectors
+    never ride the same shuffle. Cosine is the exact integer
+    lsh_topk_exact arithmetic. Output: inconsistent pairs only —
+    (rep_id, doc_id, cos_mppm) with cos_mppm < threshold_mppm.
+    """
+    from pyspark.sql.window import Window
+
+    from iceberg_diag_spark.functions.parallel import ensure_parallelism
+    from iceberg_diag_spark.operators.dedup import normalized_text
+
+    hashed = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.sha2(normalized_text(F.col(text_col)), 256).alias("__h"),
+    )
+    wg = Window.partitionBy("__h")
+    members = (
+        hashed.select(
+            id_col,
+            F.min(id_col).over(wg).alias("rep_id"),
+            F.count(F.lit(1)).over(wg).alias("__n"),
+        )
+        .filter((F.col("__n") > 1) & (F.col(id_col) != F.col("rep_id")))
+        .select("rep_id", id_col)
+    )
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * (1 << scale_bits)).cast("long"),
+    )
+    base = embeddings.select(
+        F.col(vec_id_col).alias("__vid"), qv.alias("q")
+    )
+    base = base.select(
+        "__vid", "q", int_dot(F.col("q"), F.col("q")).alias("n2")
+    )
+    qa = base.select(
+        F.col("__vid").alias("rep_id"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    qb = base.select(
+        F.col("__vid").alias(id_col),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    return (
+        members.join(qa, "rep_id")
+        .join(qb, id_col)
+        .select(
+            "rep_id",
+            id_col,
+            int_dot(F.col("qa"), F.col("qb")).alias("d"),
+            "na2",
+            "nb2",
+        )
+        .filter((F.col("na2") > 0) & (F.col("nb2") > 0))
+        .select(
+            "rep_id",
+            id_col,
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.col("d")
+                / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+            )
+            .cast("long")
+            .alias("cos_mppm"),
+        )
+        .filter(F.col("cos_mppm") < threshold_mppm)
+    )
+
+
 def embedding_drift_audit(
     embeddings: DataFrame,
     scale_bits: int = 8,

@@ -1482,6 +1482,147 @@ def hybrid_retrieval_topk(
     )
 
 
+def bpe_merge_candidates(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """First-iteration BPE merge statistics — the tokenizer-training
+    counterpart of tokenizer_fertility: for every adjacent character
+    pair, the corpus-frequency-weighted occurrence count, i.e. the
+    quantity BPE training maximizes when it picks its first merge.
+
+    Scale contract (the classic BPE training optimization): pair
+    counting runs over the DISTINCT word forms weighted by corpus
+    frequency, never over the token stream — the corpus collapses to
+    its vocabulary (Heaps-sublinear in corpus size) after ONE word
+    count aggregate, and the pair explode touches each distinct form
+    once. Overlapping occurrences count individually ("aaa" has two
+    "aa" pairs), matching the standard counting stage. The final
+    top-k is (count desc, pair asc) + limit ⇒ TakeOrderedAndProject.
+    All counts are exact integers. Output:
+    (pair, n_word_forms, merge_count).
+    """
+    words = (
+        ensure_parallelism(docs)
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    pairs = words.select(
+        "w",
+        "wc",
+        # length >= 2 is guaranteed above, so the sequence is never
+        # descending (Spark's sequence(1, 0) would yield [1, 0])
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+    ).select(F.expr("substring(w, i, 2)").alias("pair"), "w", "wc")
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.countDistinct("w").cast("long").alias("n_word_forms"),
+            F.sum("wc").cast("long").alias("merge_count"),
+        )
+        .orderBy(F.desc("merge_count"), F.asc("pair"))
+        .limit(k)
+    )
+
+
+def source_quality_calibration(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Per-source percentile calibration of a quality score — the
+    normalization step before corpus-wide quality thresholding: raw
+    quality distributions differ by domain (a 60th-percentile web
+    page and a 60th-percentile academic text have very different
+    absolute scores), so curation stacks threshold on the WITHIN-
+    source percentile, not the raw score. Score here is the
+    type-token ratio in exact ppm (the quality_dup_matrix proxy).
+
+    Distributed shape — the grouped global_rank idiom
+    (shuffling.py): a bare `row_number() OVER (PARTITION BY source
+    ORDER BY score)` puts each source (potentially 10^9+ docs) in
+    one task. Instead per-source approx-percentile range edges (a
+    |sources|-row broadcast; accuracy affects only load balance,
+    never correctness) assign each row an order-preserving shard;
+    ranks complete within (source, shard) windows plus exact
+    broadcast cumulative shard counts. pct_ppm =
+    floor(1e6·(rank−1)/(n_s−1)) so each source spans [0, 1e6].
+    Output: (doc_id, source, ttr_ppm, src_rank, pct_ppm).
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    scored = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.floor(
+            F.lit(1_000_000)
+            * F.size(F.array_distinct(toks)).cast("long")
+            / F.greatest(F.size(toks), F.lit(1)).cast("long")
+        )
+        .cast("long")
+        .alias("ttr_ppm"),
+    )
+    probs = [i / n_shards for i in range(1, n_shards)]
+    edges = scored.groupBy("source").agg(
+        F.percentile_approx("ttr_ppm", probs, 10_000).alias("__edges")
+    )
+    base = (
+        scored.join(F.broadcast(edges), "source")
+        .withColumn(
+            "__shard",
+            F.aggregate(
+                "__edges",
+                F.lit(0),
+                lambda acc, e: acc
+                + F.when(F.col("ttr_ppm") > e, 1).otherwise(0),
+            ),
+        )
+        .drop("__edges")
+    )
+    w = Window.partitionBy("source", "__shard").orderBy("ttr_ppm", id_col)
+    sizes = base.groupBy("source", "__shard").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "source",
+        "__shard",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(
+            Window.partitionBy("source").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n_s"),
+    )
+    return (
+        base.withColumn("__rk", F.row_number().over(w))
+        .join(F.broadcast(offsets), ["source", "__shard"])
+        .select(
+            id_col,
+            "source",
+            "ttr_ppm",
+            (F.col("__off") + F.col("__rk")).cast("long").alias("src_rank"),
+            F.floor(
+                F.lit(1_000_000)
+                * (F.col("__off") + F.col("__rk") - 1)
+                / F.greatest(F.col("__n_s") - 1, F.lit(1))
+            )
+            .cast("long")
+            .alias("pct_ppm"),
+        )
+    )
+
+
 def pmi_collocations(
     docs: DataFrame,
     min_count: int = 5,

@@ -7853,6 +7853,140 @@ FROM (
 """
 
 
+def _bpe_merge_candidates(spark, sf_dir):
+    return textops.bpe_merge_candidates(_t(spark, sf_dir, "documents"))
+
+
+_BPE_MERGE_SQL = r"""
+WITH w AS (
+  SELECT t AS w, CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+        FROM documents)
+  WHERE len(t) >= 2
+  GROUP BY t
+),
+p AS (
+  SELECT substring(w, CAST(unnest(generate_series(1, len(w) - 1)) AS INTEGER), 2) AS pair,
+         w, wc
+  FROM w
+)
+SELECT pair,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_word_forms,
+       CAST(sum(wc) AS BIGINT) AS merge_count
+FROM p GROUP BY pair
+ORDER BY merge_count DESC, pair ASC
+LIMIT 20
+"""
+
+
+def _source_quality_calibration(spark, sf_dir):
+    return textops.source_quality_calibration(
+        _t(spark, sf_dir, "documents")
+    )
+
+
+_SOURCE_QUALITY_CAL_SQL = r"""
+WITH s AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(1000000
+              * CAST(len(list_distinct(string_split(
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')))
+                AS BIGINT)
+              / greatest(len(string_split(
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')), 1))
+           AS BIGINT) AS ttr_ppm
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, ttr_ppm,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY ttr_ppm, doc_id) AS BIGINT)
+           AS src_rank,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+  FROM s
+)
+SELECT doc_id, source, ttr_ppm, src_rank,
+       CAST(FLOOR(1000000 * (src_rank - 1) / greatest(n_s - 1, 1))
+         AS BIGINT) AS pct_ppm
+FROM r
+"""
+
+
+def _embedding_consistency(spark, sf_dir):
+    """Constructed re-crawl (the corpus has no natural exact dups at
+    the gate SF): every doc_id % 5 == 0 document re-appears under
+    id + 100000 with identical text; its embedding is copied
+    verbatim for % 10 == 0 (a CONSISTENT re-embed) and reversed
+    otherwise (the stale/mixed-up vector the audit must catch)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    docs2 = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    emb2 = emb.unionByName(
+        emb.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.when(
+                F.col("vec_id") % 10 == 0, F.col("embedding")
+            ).otherwise(F.reverse(F.col("embedding"))).alias("embedding"),
+        )
+    )
+    return similarity.embedding_consistency_audit(docs2, emb2)
+
+
+_EMB_CONSISTENCY_SQL = r"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0
+),
+emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         CASE WHEN vec_id % 10 = 0 THEN embedding
+              ELSE list_reverse(embedding) END AS embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+h AS (
+  SELECT doc_id,
+         sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS hh
+  FROM docs2
+),
+g AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY hh) AS rep_id,
+         count(*) OVER (PARTITION BY hh) AS n
+  FROM h
+),
+m AS (SELECT rep_id, doc_id FROM g WHERE n > 1 AND doc_id <> rep_id),
+qv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 256) AS BIGINT)
+           AS qd
+  FROM emb2
+),
+ds AS (
+  SELECT m.rep_id, m.doc_id,
+         CAST(sum(a.qd * b.qd) AS BIGINT) AS d,
+         CAST(sum(a.qd * a.qd) AS BIGINT) AS na2,
+         CAST(sum(b.qd * b.qd) AS BIGINT) AS nb2
+  FROM m JOIN qv a ON a.vec_id = m.rep_id
+         JOIN qv b ON b.vec_id = m.doc_id AND b.pos = a.pos
+  GROUP BY m.rep_id, m.doc_id
+)
+SELECT rep_id, doc_id,
+       CAST(FLOOR(1000000.0 * d / (sqrt(na2) * sqrt(nb2))) AS BIGINT)
+         AS cos_mppm
+FROM ds
+WHERE na2 > 0 AND nb2 > 0
+  AND CAST(FLOOR(1000000.0 * d / (sqrt(na2) * sqrt(nb2))) AS BIGINT)
+        < 950000
+"""
+
+
 def _events_scd2(spark, sf_dir):
     return events.scd2_build(_t(spark, sf_dir, "events"))
 
@@ -8411,6 +8545,26 @@ REGISTRY.update({
         "feedback centroid (integer sum of top-m quantized "
         "embeddings) → exact integer cosine rerank → fused top-k; "
         "candidate ids broadcast-semi-prune the embeddings scan",
+    ),
+    "bpe_merge_candidates": QuerySpec(
+        _bpe_merge_candidates, _BPE_MERGE_SQL,
+        "first-iteration BPE merge counts over distinct word forms "
+        "weighted by corpus frequency (the tokenizer-training "
+        "optimization: pair explode touches the vocabulary, never "
+        "the token stream); exact integers, TakeOrderedAndProject",
+    ),
+    "source_quality_calibration": QuerySpec(
+        _source_quality_calibration, _SOURCE_QUALITY_CAL_SQL,
+        "per-source percentile calibration of the ttr quality proxy "
+        "via the grouped range-shard rank idiom — no whole-source "
+        "single-task window; pct_ppm exact from rank arithmetic",
+    ),
+    "embedding_consistency_audit": QuerySpec(
+        _embedding_consistency, _EMB_CONSISTENCY_SQL,
+        "cross-modal audit: exact-dup text groups whose embeddings "
+        "disagree (stale vector / version skew / row mix-up); star "
+        "pattern vs the group representative — linear in dup count, "
+        "never quadratic; exact integer cosine",
     ),
     "events_scd2_history": QuerySpec(
         _events_scd2, _EVENTS_SCD2_SQL,

@@ -340,3 +340,23 @@ def test_quota_holdout_membership_range_sharded(spark):
     assert mh_specs, "membership window missing from plan"
     assert all("__shard" in s for s in mh_specs), mh_specs
     assert "Python" not in plan
+
+
+def test_quality_calibration_rank_range_sharded(spark):
+    # same invariant as quota holdout: every window ordering by the
+    # quality score must carry the range-shard column — a bare
+    # partitionBy(source) window would put a whole source in one task
+    plan = _plan(spark, "source_quality_calibration")
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    score_specs = [s for s in specs if "ttr_ppm" in s]
+    assert score_specs, "calibration rank window missing from plan"
+    assert all("__shard" in s for s in score_specs), score_specs
+    assert "Python" not in plan
+
+
+def test_hybrid_retrieval_prunes_embeddings_scan(spark):
+    # the embeddings scan must be broadcast-semi-pruned by the BM25
+    # candidate ids and the corpus text scan must stay Python-free
+    plan = _plan(spark, "hybrid_retrieval_topk")
+    assert "Python" not in plan
+    assert _op_count(plan, "TakeOrderedAndProject") >= 1  # BM25 top-k
