@@ -179,6 +179,10 @@ HEADLINE = [
     "bpe_merge_candidates",
     "source_quality_calibration",
     "embedding_consistency_audit",
+    "events_hourly_trend",
+    "orders_pareto_share",
+    "embedding_ivf_balance",
+    "quality_length_skyline",
 ]
 
 

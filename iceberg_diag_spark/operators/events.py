@@ -577,6 +577,79 @@ def cadence_autocorr(
     )
 
 
+def hourly_trend(events: DataFrame) -> DataFrame:
+    """Exact least-squares trend of the dense hourly arrival series
+    per event type — the capacity-planning complement of
+    cadence_autocorr (rhythm) and hourly_anomalies (outliers): is
+    traffic GROWING, and how well does a line explain it?
+
+    Same dense-series discipline as cadence_autocorr: the series is
+    gap-filled over each type's observed hour range (silent hours
+    count 0 — skipping them fabricates slope), x is the hour index
+    from the type's first hour, y the hourly count. OLS moments
+    n, Σx, Σy, Σxy, Σx², Σy² accumulate as exact DECIMAL(38,0);
+    slope and fit publish as fixed-shape double expressions mirrored
+    literally in the oracle:
+      slope_mppm = floor(1e6 · (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx))
+      r2_ppm     = floor(1e6 · num² / (den_x · den_y))
+    with den guards (a single-hour or constant series yields NULL).
+
+    Distributed shape: ONE (type, hour) hash aggregate over the
+    corpus; spine and moments act on the dense series — at most
+    types × hours rows, metadata scale. Output:
+    (event_type, n_hours, total_events, slope_mppm, r2_ppm).
+    """
+    hours = events.groupBy(
+        F.col("event_type"),
+        (F.unix_micros(F.date_trunc("hour", F.col("ts")))
+         / F.lit(3_600_000_000)).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    span = hours.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = span.select(
+        "event_type", "lo", F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    dense = (
+        spine.join(hours, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            (F.col("h") - F.col("lo")).cast("long").alias("x"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    mom = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    return mom.select(
+        "event_type",
+        "n_hours",
+        F.col("sy").cast("long").alias("total_events"),
+        F.expr(
+            "CASE WHEN n_hours * sxx - sx * sx > 0 THEN"
+            " CAST(FLOOR(1000000.0"
+            "  * CAST(n_hours * sxy - sx * sy AS DOUBLE)"
+            "  / CAST(n_hours * sxx - sx * sx AS DOUBLE)) AS LONG)"
+            " ELSE NULL END"
+        ).alias("slope_mppm"),
+        F.expr(
+            "CASE WHEN n_hours * sxx - sx * sx > 0"
+            " AND n_hours * syy - sy * sy > 0 THEN"
+            " CAST(FLOOR(1000000.0"
+            "  * CAST(n_hours * sxy - sx * sy AS DOUBLE)"
+            "  * CAST(n_hours * sxy - sx * sy AS DOUBLE)"
+            "  / (CAST(n_hours * sxx - sx * sx AS DOUBLE)"
+            "     * CAST(n_hours * syy - sy * sy AS DOUBLE))) AS LONG)"
+            " ELSE NULL END"
+        ).alias("r2_ppm"),
+    )
+
+
 def user_activity_gini(events: DataFrame) -> DataFrame:
     """Exact Gini coefficient of the per-user event-count
     distribution — the single-number concentration audit behind

@@ -1190,6 +1190,77 @@ def embedding_consistency_audit(
     )
 
 
+def ivf_balance_audit(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    dim: int = 64,
+    scale_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN index health check: the cell-occupancy profile of the IVF
+    coarse quantizer ivf_topk_exact probes. A skewed inverted file is
+    the silent ANN performance killer — a cell holding 40% of the
+    corpus makes every probe of it quadratic-ish while empty cells
+    waste recall — so a production pipeline audits balance BEFORE
+    serving the index. Same md5-derived centroid constants and exact
+    integer argmin assignment as ivf_topk_exact (ties → lowest cell
+    id), so this audit describes exactly the index that query path
+    uses.
+
+    One scan: assignment is a row-local array_sort over n_lists
+    (dist², cell) structs, then ONE hash aggregate on the ≤ n_lists
+    key. share_ppm and the deviation from the uniform 1/n_lists
+    ideal are exact integer arithmetic on the counts. Output per
+    occupied cell: (list_id, n_vecs, share_ppm, dev_ppm) where
+    dev_ppm = share_ppm − floor(1e6/n_lists).
+    """
+    from iceberg_diag_spark.functions.parallel import ensure_parallelism
+
+    cents = md5_centroids(dim, n_lists, 1 << scale_bits)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * (1 << scale_bits)).cast("long"),
+    )
+    base = ensure_parallelism(embeddings).select(
+        F.col(id_col), qv.alias("q")
+    )
+
+    def d2_sql(cent: list[int]) -> str:
+        arr = ", ".join(f"{h}L" for h in cent)
+        return (
+            f"aggregate(zip_with(q, array({arr}),"
+            " (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as long), (acc, v) -> acc + v)"
+        )
+
+    cell_structs = ", ".join(
+        f"named_struct('d2', {d2_sql(cents[c])}, 'c', {c})"
+        for c in range(n_lists)
+    )
+    assigned = base.select(
+        F.expr(
+            f"array_sort(array({cell_structs}))[0].c"
+        ).cast("long").alias("list_id")
+    )
+    counts = assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    total = counts.agg(F.sum("n_vecs").cast("long").alias("n_total"))
+    ideal = 1_000_000 // n_lists
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "list_id",
+            "n_vecs",
+            F.expr("(1000000 * n_vecs) DIV n_total").alias("share_ppm"),
+            (
+                F.expr("(1000000 * n_vecs) DIV n_total") - F.lit(ideal)
+            ).cast("long").alias("dev_ppm"),
+        )
+    )
+
+
 def embedding_drift_audit(
     embeddings: DataFrame,
     scale_bits: int = 8,

@@ -1623,6 +1623,63 @@ def source_quality_calibration(
     )
 
 
+def quality_length_skyline(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pareto frontier (skyline) of the quality-length tradeoff: the
+    documents not dominated by any other document on
+    (ttr quality ↑, character length ↑) — the shortlist a curator
+    inspects by hand, and a genuinely distinct relational operator
+    (skyline) the rest of the registry doesn't exercise. A doc is
+    dominated iff another doc is ≥ on both axes and strictly better
+    on at least one; ties on both axes are mutually non-dominating
+    and all survive.
+
+    Distributed 2-D skyline without any corpus-wide sort: fold the
+    corpus to the per-ttr-value maximum length (ONE hash aggregate;
+    the (ttr, max_chars) histogram is bounded by |distinct ttr| ≤
+    1e6+1 — metadata scale, the user_activity_gini bound argument),
+    take the strictly-higher-ttr running max over that bounded
+    relation (the only window, |distinct ttr| rows), and join back:
+    survivor ⇔ chars > running_max_above AND chars = own-ttr max.
+    Output: (doc_id, ttr_ppm, chars).
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    scored = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.floor(
+            F.lit(1_000_000)
+            * F.size(F.array_distinct(toks)).cast("long")
+            / F.greatest(F.size(toks), F.lit(1)).cast("long")
+        )
+        .cast("long")
+        .alias("ttr_ppm"),
+        F.length(F.col(text_col)).cast("long").alias("chars"),
+    )
+    g = scored.groupBy("ttr_ppm").agg(F.max("chars").alias("mx"))
+    w_above = (
+        Window.orderBy(F.desc("ttr_ppm"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    thr = g.select(
+        "ttr_ppm",
+        "mx",
+        F.coalesce(F.max("mx").over(w_above), F.lit(-1)).alias("hi_mx"),
+    )
+    return (
+        scored.join(thr, "ttr_ppm")
+        .filter(
+            (F.col("chars") > F.col("hi_mx"))
+            & (F.col("chars") == F.col("mx"))
+        )
+        .select(id_col, "ttr_ppm", "chars")
+    )
+
+
 def pmi_collocations(
     docs: DataFrame,
     min_count: int = 5,

@@ -8464,6 +8464,204 @@ FROM mom
 """
 
 
+def _events_hourly_trend(spark, sf_dir):
+    return events.hourly_trend(_t(spark, sf_dir, "events"))
+
+
+_HOURLY_TREND_SQL = """
+WITH hrs AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hrs GROUP BY 1),
+spine AS (
+  SELECT event_type, lo, unnest(generate_series(lo, hi)) AS h FROM span
+),
+dense AS (
+  SELECT s.event_type, s.h - s.lo AS x, COALESCE(hrs.c, 0) AS y
+  FROM spine s
+  LEFT JOIN hrs ON s.event_type = hrs.event_type AND s.h = hrs.h
+),
+mom AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM dense GROUP BY 1
+)
+SELECT event_type, n_hours, CAST(sy AS BIGINT) AS total_events,
+       CASE WHEN n_hours * sxx - sx * sx > 0 THEN
+         CAST(FLOOR(1000000.0
+            * CAST(n_hours * sxy - sx * sy AS DOUBLE)
+            / CAST(n_hours * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+       ELSE NULL END AS slope_mppm,
+       CASE WHEN n_hours * sxx - sx * sx > 0
+             AND n_hours * syy - sy * sy > 0 THEN
+         CAST(FLOOR(1000000.0
+            * CAST(n_hours * sxy - sx * sy AS DOUBLE)
+            * CAST(n_hours * sxy - sx * sy AS DOUBLE)
+            / (CAST(n_hours * sxx - sx * sx AS DOUBLE)
+               * CAST(n_hours * syy - sy * sy AS DOUBLE))) AS BIGINT)
+       ELSE NULL END AS r2_ppm
+FROM mom
+"""
+
+
+def _orders_pareto_share(spark, sf_dir, ks=(1, 10, 100)):
+    """Revenue-concentration audit: the share of total revenue held
+    by the top-K customers for K in {1, 10, 100} — the whale-risk
+    number. Per-customer revenue folds to exact integer cents; the
+    top-max(K) pick is (rev desc, custkey asc) + limit ⇒
+    TakeOrderedAndProject; ranking and cumulative sums act on that
+    ≤ max(K)-row relation plus one broadcast 1-row grand total."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    top = rev.orderBy(F.desc("rev_cents"), F.asc("o_custkey")).limit(
+        max(ks)
+    )
+    totals = rev.agg(
+        F.sum("rev_cents").cast("long").alias("total_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+    )
+    w = Window.orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
+    ranked = (
+        top.withColumn("r", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.sum("rev_cents").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        ranked.filter(F.col("r").isin([int(k) for k in ks]))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("r").cast("long").alias("top_k"),
+            F.col("cum").cast("long").alias("top_rev_cents"),
+            "total_cents",
+            "n_customers",
+            F.expr("(1000000 * cum) DIV total_cents").alias("share_ppm"),
+        )
+    )
+
+
+_PARETO_SHARE_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+         CAST(count(*) AS BIGINT) AS n_customers
+  FROM rev
+),
+rk AS (
+  SELECT rev_cents,
+         row_number() OVER (ORDER BY rev_cents DESC, o_custkey ASC) AS r,
+         sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+  FROM rev
+)
+SELECT CAST(r AS BIGINT) AS top_k, CAST(cum AS BIGINT) AS top_rev_cents,
+       total_cents, n_customers,
+       CAST((1000000 * cum) // total_cents AS BIGINT) AS share_ppm
+FROM rk CROSS JOIN t
+WHERE r IN (1, 10, 100)
+"""
+
+
+def _ivf_balance_audit(spark, sf_dir):
+    return similarity.ivf_balance_audit(_t(spark, sf_dir, "embeddings"))
+
+
+def _ivf_balance_oracle() -> str:
+    """Oracle with the same md5-derived centroid constants inlined:
+    per vector, argmin of exact integer squared distance over the 16
+    centroid literals (ties → lowest cell), then the occupancy
+    rollup."""
+    from iceberg_diag_spark.operators.similarity import md5_centroids
+
+    cents = md5_centroids(64, 16, 256)
+    d2 = []
+    for c in range(16):
+        arr = ", ".join(str(h) for h in cents[c])
+        d2.append(
+            f"list_sum(list_transform(list_zip(q, [{arr}]),"
+            " p -> CAST((p[1] - p[2]) * (p[1] - p[2]) AS BIGINT)))"
+        )
+    structs = ", ".join(
+        "{'d2': " + d2[c] + f", 'c': {c}" + "}" for c in range(16)
+    )
+    return f"""
+WITH qv AS (
+  SELECT list_transform(embedding,
+           v -> CAST(FLOOR(CAST(v AS DOUBLE) * 256) AS BIGINT)) AS q
+  FROM embeddings
+),
+a AS (
+  SELECT CAST(list_sort(ARRAY[{structs}])[1].c AS BIGINT) AS list_id
+  FROM qv
+),
+c AS (
+  SELECT list_id, CAST(count(*) AS BIGINT) AS n_vecs
+  FROM a GROUP BY 1
+),
+t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM c)
+SELECT list_id, n_vecs,
+       CAST((1000000 * n_vecs) // n_total AS BIGINT) AS share_ppm,
+       CAST((1000000 * n_vecs) // n_total - 62500 AS BIGINT) AS dev_ppm
+FROM c CROSS JOIN t
+"""
+
+
+_IVF_BALANCE_SQL = _ivf_balance_oracle()
+
+
+def _quality_length_skyline(spark, sf_dir):
+    return textops.quality_length_skyline(_t(spark, sf_dir, "documents"))
+
+
+_SKYLINE_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(FLOOR(1000000
+              * CAST(len(list_distinct(string_split(
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')))
+                AS BIGINT)
+              / greatest(len(string_split(
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')), 1))
+           AS BIGINT) AS ttr_ppm,
+         CAST(len(text) AS BIGINT) AS chars
+  FROM documents
+),
+g AS (SELECT ttr_ppm, max(chars) AS mx FROM s GROUP BY 1),
+t AS (
+  SELECT ttr_ppm, mx,
+         COALESCE(max(mx) OVER (ORDER BY ttr_ppm DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), -1) AS hi_mx
+  FROM g
+)
+SELECT s.doc_id, s.ttr_ppm, s.chars
+FROM s JOIN t USING (ttr_ppm)
+WHERE s.chars > t.hi_mx AND s.chars = t.mx
+"""
+
+
 def _orders_benford(spark, sf_dir):
     return profiling.benford_audit(
         _t(spark, sf_dir, "orders"), "o_totalprice"
@@ -8565,6 +8763,33 @@ REGISTRY.update({
         "disagree (stale vector / version skew / row mix-up); star "
         "pattern vs the group representative — linear in dup count, "
         "never quadratic; exact integer cosine",
+    ),
+    "events_hourly_trend": QuerySpec(
+        _events_hourly_trend, _HOURLY_TREND_SQL,
+        "exact OLS trend of the dense hourly arrival series per "
+        "event type (capacity planning): DECIMAL(38,0) moments, "
+        "slope_mppm + r2_ppm published as fixed-shape double exprs; "
+        "gap-filled spine at metadata scale",
+    ),
+    "orders_pareto_share": QuerySpec(
+        _orders_pareto_share, _PARETO_SHARE_SQL,
+        "revenue concentration: share of total revenue held by the "
+        "top-{1,10,100} customers in exact integer cents — "
+        "TakeOrderedAndProject pick + broadcast grand total",
+    ),
+    "embedding_ivf_balance": QuerySpec(
+        _ivf_balance_audit, _IVF_BALANCE_SQL,
+        "ANN index health: IVF cell-occupancy profile under the same "
+        "md5 coarse quantizer ivf_topk_exact serves — skewed cells "
+        "are the silent ANN performance killer; row-local argmin "
+        "assignment, one hash aggregate on the n_lists key",
+    ),
+    "quality_length_skyline": QuerySpec(
+        _quality_length_skyline, _SKYLINE_SQL,
+        "Pareto frontier (skyline) of (ttr quality, length): docs "
+        "dominated by no other; distributed via the per-ttr max "
+        "histogram + one bounded running-max window — no corpus "
+        "sort",
     ),
     "events_scd2_history": QuerySpec(
         _events_scd2, _EVENTS_SCD2_SQL,

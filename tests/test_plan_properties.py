@@ -246,6 +246,8 @@ _SCALAR_CROSS_OK = {
     "exact_quota_holdout",       # broadcast 1-row apportionment totals
     "hybrid_retrieval_topk",     # broadcast 1-row bm25 corpus totals +
                                  #   1-row feedback-centroid norm
+    "orders_pareto_share",       # broadcast 1-row grand-total scalar
+    "embedding_ivf_balance",     # broadcast 1-row occupancy total
 }
 
 
