@@ -183,6 +183,7 @@ HEADLINE = [
     "orders_pareto_share",
     "embedding_ivf_balance",
     "quality_length_skyline",
+    "events_changepoint",
 ]
 
 

@@ -650,6 +650,99 @@ def hourly_trend(events: DataFrame) -> DataFrame:
     )
 
 
+def changepoint_detect(events: DataFrame) -> DataFrame:
+    """Single most likely level-shift (changepoint) in each type's
+    hourly arrival series, by exact CUSUM: the hour index i
+    maximizing |n·S_i − i·S_n| where S_i is the running count sum —
+    the common-denominator form of |S_i − i·mean| that stays in
+    integers (the source_vocab_tv no-division trick). The monitoring
+    question behind it: "did this feed's rate step-change, and
+    when?" — the pager-worthy complement of hourly_trend's gradual
+    slope.
+
+    Same dense-series discipline as hourly_trend / cadence_autocorr
+    (silent hours count 0). The running sum is a per-type window
+    over the DENSE series — at most types × hours rows, metadata
+    scale (the user_activity_gini bound argument), never over raw
+    events. Deviations accumulate as DECIMAL(38,0); the argmax is a
+    (deviation desc, hour asc) rank — deterministic tie-break.
+    Pre/post means publish as fixed-shape double exprs. Output:
+    (event_type, n_hours, cp_idx, pre_mean_mppm, post_mean_mppm,
+    shift_mppm) where cp_idx is the LAST hour of the pre segment
+    (1-based), means are events/hour · 1e6.
+    """
+    from pyspark.sql.window import Window
+
+    hours = events.groupBy(
+        F.col("event_type"),
+        (F.unix_micros(F.date_trunc("hour", F.col("ts")))
+         / F.lit(3_600_000_000)).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    span = hours.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = span.select(
+        "event_type", "lo", F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    dense = (
+        spine.join(hours, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            (F.col("h") - F.col("lo") + 1).cast("long").alias("i"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = dense.select(
+        "event_type",
+        "i",
+        F.sum(F.col("y").cast("decimal(38,0)")).over(w_run).alias("s_i"),
+        F.sum(F.col("y").cast("decimal(38,0)")).over(w_all).alias("s_n"),
+        F.max("i").over(w_all).alias("n_hours"),
+    ).filter(F.col("i") < F.col("n_hours"))  # a split needs both sides
+    dev = cum.select(
+        "event_type",
+        "i",
+        "s_i",
+        "s_n",
+        "n_hours",
+        F.abs(
+            F.col("n_hours").cast("decimal(38,0)") * F.col("s_i")
+            - F.col("i").cast("decimal(38,0)") * F.col("s_n")
+        ).alias("dev"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.desc("dev"), F.asc("i")
+    )
+    return (
+        dev.withColumn("rk", F.row_number().over(w_pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n_hours").cast("long").alias("n_hours"),
+            F.col("i").cast("long").alias("cp_idx"),
+            F.expr(
+                "CAST(FLOOR(1000000.0 * CAST(s_i AS DOUBLE)"
+                " / CAST(i AS DOUBLE)) AS LONG)"
+            ).alias("pre_mean_mppm"),
+            F.expr(
+                "CAST(FLOOR(1000000.0 * CAST(s_n - s_i AS DOUBLE)"
+                " / CAST(n_hours - i AS DOUBLE)) AS LONG)"
+            ).alias("post_mean_mppm"),
+            F.expr(
+                "CAST(FLOOR(1000000.0 * (CAST(s_n - s_i AS DOUBLE)"
+                " / CAST(n_hours - i AS DOUBLE)"
+                " - CAST(s_i AS DOUBLE) / CAST(i AS DOUBLE))) AS LONG)"
+            ).alias("shift_mppm"),
+        )
+    )
+
+
 def user_activity_gini(events: DataFrame) -> DataFrame:
     """Exact Gini coefficient of the per-user event-count
     distribution — the single-number concentration audit behind

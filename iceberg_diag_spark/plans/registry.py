@@ -8512,6 +8512,61 @@ FROM mom
 """
 
 
+def _events_changepoint(spark, sf_dir):
+    return events.changepoint_detect(_t(spark, sf_dir, "events"))
+
+
+_CHANGEPOINT_SQL = """
+WITH hrs AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hrs GROUP BY 1),
+spine AS (
+  SELECT event_type, lo, unnest(generate_series(lo, hi)) AS h FROM span
+),
+dense AS (
+  SELECT s.event_type, s.h - s.lo + 1 AS i, COALESCE(hrs.c, 0) AS y
+  FROM spine s
+  LEFT JOIN hrs ON s.event_type = hrs.event_type AND s.h = hrs.h
+),
+cum AS (
+  SELECT event_type, i,
+         sum(CAST(y AS HUGEINT)) OVER (PARTITION BY event_type
+                                       ORDER BY i
+                                       ROWS UNBOUNDED PRECEDING) AS s_i,
+         sum(CAST(y AS HUGEINT)) OVER (PARTITION BY event_type) AS s_n,
+         max(i) OVER (PARTITION BY event_type) AS n_hours
+  FROM dense
+),
+dev AS (
+  SELECT event_type, i, s_i, s_n, n_hours,
+         abs(CAST(n_hours AS HUGEINT) * s_i
+             - CAST(i AS HUGEINT) * s_n) AS dev
+  FROM cum WHERE i < n_hours
+),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY dev DESC, i ASC) AS rk
+  FROM dev
+)
+SELECT event_type,
+       CAST(n_hours AS BIGINT) AS n_hours,
+       CAST(i AS BIGINT) AS cp_idx,
+       CAST(FLOOR(1000000.0 * CAST(s_i AS DOUBLE) / CAST(i AS DOUBLE))
+         AS BIGINT) AS pre_mean_mppm,
+       CAST(FLOOR(1000000.0 * CAST(s_n - s_i AS DOUBLE)
+            / CAST(n_hours - i AS DOUBLE)) AS BIGINT) AS post_mean_mppm,
+       CAST(FLOOR(1000000.0 * (CAST(s_n - s_i AS DOUBLE)
+            / CAST(n_hours - i AS DOUBLE)
+            - CAST(s_i AS DOUBLE) / CAST(i AS DOUBLE))) AS BIGINT)
+         AS shift_mppm
+FROM pick WHERE rk = 1
+"""
+
+
 def _orders_pareto_share(spark, sf_dir, ks=(1, 10, 100)):
     """Revenue-concentration audit: the share of total revenue held
     by the top-K customers for K in {1, 10, 100} — the whale-risk
@@ -8763,6 +8818,13 @@ REGISTRY.update({
         "disagree (stale vector / version skew / row mix-up); star "
         "pattern vs the group representative — linear in dup count, "
         "never quadratic; exact integer cosine",
+    ),
+    "events_changepoint": QuerySpec(
+        _events_changepoint, _CHANGEPOINT_SQL,
+        "exact CUSUM changepoint per event type: hour maximizing "
+        "|n·S_i − i·S_n| over the gap-filled dense series (integer "
+        "common-denominator form, DECIMAL(38,0)); pre/post means and "
+        "shift published as fixed-shape double exprs",
     ),
     "events_hourly_trend": QuerySpec(
         _events_hourly_trend, _HOURLY_TREND_SQL,
