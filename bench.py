@@ -184,6 +184,11 @@ HEADLINE = [
     "embedding_ivf_balance",
     "quality_length_skyline",
     "events_changepoint",
+    # round 7b additions
+    "doc_repetition_profile",
+    "token_zipf_curve",
+    "ann_recall_eval",
+    "media_phash_near_dup",
 ]
 
 

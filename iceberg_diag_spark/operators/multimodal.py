@@ -422,3 +422,85 @@ def media_integrity_audit(
             "example_corrupt_id",
         )
     )
+
+
+def media_phash_near_dup(
+    media: DataFrame,
+    max_hamming: int = 1,
+    min_bytes: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perceptual-hash near-duplicate candidates over opaque media
+    payloads — the dHash pipeline (difference hash: downsample,
+    compare adjacent samples, band the bits, pair within bands) that
+    image dedup runs before any decoder. Since the container ships
+    no codecs, the "downsample" here is the byte-domain analogue:
+    17 evenly spaced payload bytes, bit_i = byte[p_i] > byte[p_i+1]
+    — deterministic, decoder-free, and exactly the Spark plumbing
+    (fingerprint projection, band explode, bucket self-join) a real
+    pHash would ride; swapping in a PIL-backed Pandas-UDF
+    fingerprint changes ONE projection.
+
+    Engine-portable byte access: the payload is hex()'d once and
+    bytes are 2-char slices — fixed-width uppercase hex compares
+    exactly like the byte value, and DuckDB mirrors the same
+    expression (blob slicing semantics differ across engines;
+    hex-then-slice is identical). The 16-bit fingerprint folds in ONE
+    SQL-string aggregate (no py4j literal tree, no janino blowup).
+
+    Scale shape: candidates only form inside a (band_idx, band_value)
+    bucket — 4 bands × 16 values; the self-join ships (id, fp) pairs
+    only (16 bytes), never payloads; unordered pairs dedup once and
+    Hamming-verify via xor+bit_count, all JVM. Payloads below
+    min_bytes are skipped (a 17-point sample of a shorter payload is
+    noise). Output: (doc_a, doc_b, hamming), ordered.
+    """
+    fp_expr = (
+        "aggregate(sequence(0, 15), 0L, (acc, i) -> acc + if("
+        "substring(__hx, cast(2*(1 + (i*(__len-1)) DIV 16) - 1 as int), 2)"
+        " > "
+        "substring(__hx, cast(2*(1 + ((i+1)*(__len-1)) DIV 16) - 1 as int), 2),"
+        " shiftleft(1L, cast(i as int)), 0L))"
+    )
+    fps = (
+        ensure_parallelism(media)
+        .select(
+            F.col(id_col),
+            F.hex(F.col("payload")).alias("__hx"),
+            F.length(F.col("payload")).cast("long").alias("__len"),
+        )
+        .filter(F.col("__len") >= min_bytes)
+        .select(F.col(id_col), F.expr(fp_expr).alias("fp"))
+    )
+    bands = fps.select(
+        id_col,
+        "fp",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), t -> "
+                "named_struct('t', cast(t as int), "
+                "'b', cast(shiftright(fp, cast(4*t as int)) & 15 as int)))"
+            )
+        ).alias("tb"),
+    ).select(id_col, "fp", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    a = bands.select(
+        "t", "b", F.col(id_col).alias("doc_a"), F.col("fp").alias("fa")
+    )
+    b = bands.select(
+        "t", "b", F.col(id_col).alias("doc_b"), F.col("fp").alias("fb")
+    )
+    return (
+        a.join(b, ["t", "b"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fa", "fb")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

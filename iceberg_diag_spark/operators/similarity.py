@@ -1564,3 +1564,102 @@ def ivf_topk_exact(
             "cos_mppm",
         )
     )
+
+
+def ann_recall_eval(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_mod: int = 100,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    scale_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN index quality audit: per-query recall@k of the sign-LSH
+    approximate kNN (lsh_topk_exact) against the EXACT brute-force
+    top-k under the *same* quantized-integer scoring and tie-break —
+    so the number measures exactly one thing: candidate coverage of
+    the bucket tables (a true neighbor sharing no bucket with the
+    query can never rank). The eval every ANN deployment runs before
+    trusting an index; here both sides are integer-deterministic, so
+    the whole report is hash-oracle-able.
+
+    Scale contract: the ground-truth side is O(N·Q); Q is a
+    deterministic 1/query_mod id-sample (vec_id % query_mod = 0) and
+    the sampled query vectors BROADCAST — the audit is "spot-check
+    recall on a bounded query panel against the full corpus", never
+    all-pairs. The per-query top-k filter compiles to
+    WindowGroupLimit (partial per-task top-k before the exchange),
+    so only k rows per (query, task) shuffle. The approx side is the
+    production bucket plan itself.
+
+    Output per sampled query: (query_id, n_exact, n_hits,
+    recall_ppm, first_miss_rank — 0 when nothing was missed).
+    """
+    from pyspark.sql.window import Window
+
+    base, _ = _exact_bucketed(
+        embeddings, n_planes, n_tables, dim, scale_bits, id_col, vec_col
+    )
+    base = base.localCheckpoint(eager=False)
+    q = base.filter(
+        (F.col(id_col) % query_mod == 0) & (F.col("n2") > 0)
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    pairs = (
+        base.filter(F.col("n2") > 0)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.floor(
+                F.lit(1_000_000.0)
+                * int_dot(F.col("q"), F.col("qq"))
+                / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2")))
+            )
+            .cast("long")
+            .alias("cos_mppm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_mppm"), F.asc("neighbor_id")
+    )
+    exact_topk = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    approx = lsh_topk_exact(
+        embeddings, k, n_planes, n_tables, dim, scale_bits, id_col, vec_col
+    ).filter(F.col("query_id") % query_mod == 0)
+    hit = approx.select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    return (
+        exact_topk.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+            F.min(
+                F.when(F.col("__hit").isNull(), F.col("rank"))
+            ).alias("__first_miss"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(1000000 * n_hits) DIV n_exact").alias("recall_ppm"),
+            F.coalesce(F.col("__first_miss"), F.lit(0))
+            .cast("long")
+            .alias("first_miss_rank"),
+        )
+        .orderBy("query_id")
+    )

@@ -1928,3 +1928,175 @@ def quality_dup_matrix(
             "max_ttr_ppm",
         )
     )
+
+
+def _gram_run_stats_expr(grams_col: str) -> str:
+    """SQL-string aggregate over a SORTED gram array returning
+    struct(bc: top gram count, bg: top gram or null, dc: char mass of
+    repeat occurrences). Sorting makes equal grams adjacent, so one
+    linear fold computes per-gram counts with zero shuffle; the
+    strict `>` on run close means the lexically smallest gram wins
+    count ties (the array is ascending), keeping the answer
+    deterministic. One-shot SQL string (not a py4j literal tree) per
+    the expression-construction playbook."""
+    return f"""
+    aggregate(
+      {grams_col},
+      named_struct('prev', cast(null as string), 'run', 0L,
+                   'bc', 0L, 'bg', cast(null as string), 'dc', 0L),
+      (a, x) -> if(a.prev is not null and x = a.prev,
+        named_struct('prev', a.prev, 'run', a.run + 1L,
+                     'bc', a.bc, 'bg', a.bg, 'dc', a.dc),
+        named_struct('prev', x, 'run', 1L,
+                     'bc', if(a.run > a.bc, a.run, a.bc),
+                     'bg', if(a.run > a.bc, a.prev, a.bg),
+                     'dc', a.dc + if(a.run > 1L,
+                                     (a.run - 1L) * length(a.prev), 0L))),
+      a -> named_struct(
+        'bc', if(a.run > a.bc, a.run, a.bc),
+        'bg', if(a.run > a.bc, a.prev, a.bg),
+        'dc', a.dc + if(a.run > 1L, (a.run - 1L) * length(a.prev), 0L))
+    )"""
+
+
+def doc_repetition_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style within-document repetition profile (Rae et al.
+    2021 §A1.1): the standard "is this page machine-generated /
+    boilerplate?" curation signals — the character fraction of the
+    most frequent word 2-gram and 3-gram, and the character mass of
+    repeated 5-gram occurrences. Documents failing these go to the
+    repetition filter before training.
+
+    Exact integer metrics per doc over normalized tokens:
+      top{2,3}gram_ppm = 1e6·count·chars(gram) DIV chars(norm text)
+      dup5_ppm         = 1e6·Σ_{g:c>1}(c−1)·chars(g) DIV chars
+    (dup5 counts repeat occurrences' char mass, overlap NOT unioned —
+    documented simplification of Gopher's interval-union variant).
+    repetitive flag: top2 > 18% or dup5 > 15% (Gopher's thresholds);
+    the top2 arm additionally requires count ≥ 2 — a phrase that
+    occurs ONCE in a short doc can clear 18% by char mass alone, and
+    a single occurrence is by definition not repetition.
+
+    100 TB shape: ZERO shuffle — every metric is a row-local fold:
+    gram arrays via slice/transform, then one linear aggregate() over
+    the array_sort'ed grams (equal grams adjacent → per-gram counts
+    without a groupBy). The whole plan is scan → project; no
+    explode-shuffle on (doc, gram) like the corpus-level ngram ops
+    need. Cost is O(L log L) per row in the sort, bounded by doc
+    length, embarrassingly parallel.
+    """
+    from iceberg_diag_spark.operators.dedup import normalized_text
+
+    base = ensure_parallelism(docs).select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("__t"),
+        F.length(normalized_text(F.col(text_col))).cast("long").alias("__tc"),
+    )
+    for n in (2, 3, 5):
+        base = base.withColumn(
+            f"__g{n}",
+            F.expr(
+                f"array_sort(case when size(__t) >= {n} then "
+                f"transform(sequence(1, size(__t) - {n - 1}), "
+                f"i -> array_join(slice(__t, i, {n}), ' ')) "
+                "else array() end)"
+            ),
+        )
+    stats = base.select(
+        id_col,
+        F.size("__t").cast("long").alias("n_words"),
+        F.col("__tc").alias("n_chars"),
+        F.expr(_gram_run_stats_expr("__g2")).alias("__s2"),
+        F.expr(_gram_run_stats_expr("__g3")).alias("__s3"),
+        F.expr(_gram_run_stats_expr("__g5")).alias("__s5"),
+    )
+    top2_ppm = F.expr(
+        "(1000000 * __s2.bc * length(coalesce(__s2.bg, ''))) "
+        "DIV greatest(n_chars, 1)"
+    )
+    top3_ppm = F.expr(
+        "(1000000 * __s3.bc * length(coalesce(__s3.bg, ''))) "
+        "DIV greatest(n_chars, 1)"
+    )
+    dup5_ppm = F.expr("(1000000 * __s5.dc) DIV greatest(n_chars, 1)")
+    return (
+        stats.select(
+            id_col,
+            "n_words",
+            "n_chars",
+            F.coalesce(F.col("__s2.bg"), F.lit("")).alias("top_bigram"),
+            F.col("__s2.bc").cast("long").alias("top_bigram_cnt"),
+            top2_ppm.cast("long").alias("top_bigram_ppm"),
+            top3_ppm.cast("long").alias("top_trigram_ppm"),
+            dup5_ppm.cast("long").alias("dup5_ppm"),
+            (
+                ((top2_ppm > 180_000) & (F.col("__s2.bc") >= 2))
+                | (dup5_ppm > 150_000)
+            ).alias("repetitive"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def token_zipf_curve(
+    docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf rank-frequency curve head: the top-k corpus tokens with
+    exact occurrence counts, per-million share, and CUMULATIVE share
+    — the one-page vocabulary-concentration audit (how much of the
+    token stream do the k most common types absorb?) that sizes
+    stopword lists and sets BPE vocab expectations.
+
+    100 TB shape: one tokenize+explode scan into a (token) hash
+    aggregate (map-side partial combine absorbs the heavy hitters —
+    exactly the keys that matter here), then TakeOrderedAndProject
+    for the global top-k: per-partition partial top-k, k·p-row merge
+    on the driver side of the exchange, never a full vocab sort. The
+    corpus total re-aggregates the vocab-size counts relation (NOT
+    the corpus): counts is localCheckpointed so the tokenize scan
+    runs once — vocab is orders of magnitude smaller than the
+    corpus, the standard trade (see README scale note on
+    materializing shared subplans). The rank/cumsum window runs over
+    the k survivors only.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        ensure_parallelism(docs)
+        .select(
+            F.explode(tokens(F.col(text_col))).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    total = counts.agg(
+        F.sum("cnt").cast("decimal(38,0)").alias("__total")
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "token",
+            "cnt",
+            F.expr(
+                "cast((cast(cnt as decimal(38,0)) * 1000000)"
+                " DIV __total as long)"
+            ).alias("share_ppm"),
+            F.expr(
+                "cast((sum(cast(cnt as decimal(38,0)))"
+                " over (order by cnt desc, token asc) * 1000000)"
+                " DIV __total as long)"
+            ).alias("cum_share_ppm"),
+        )
+        .orderBy("rank")
+    )

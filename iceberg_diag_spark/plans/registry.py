@@ -8945,6 +8945,270 @@ REGISTRY.update({
     ),
 })
 
+# --------------------------------------------------------------------
+# Round 7b: repetition profile (Gopher filter stats)
+# --------------------------------------------------------------------
+
+def _doc_repetition_profile(spark, sf_dir):
+    return textops.doc_repetition_profile(_t(spark, sf_dir, "documents"))
+
+
+_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split(norm, ' ') AS t,
+         CAST(length(norm) AS BIGINT) AS tc
+  FROM base
+),
+g AS (
+  SELECT toks.doc_id, tc, ns.n,
+         unnest(CASE WHEN len(t) >= ns.n THEN
+            list_transform(generate_series(1, len(t) - ns.n + 1),
+                           i -> array_to_string(t[i:i+ns.n-1], ' '))
+         ELSE [] END) AS g
+  FROM toks CROSS JOIN (SELECT unnest([2, 3, 5]) AS n) ns
+),
+cg AS (SELECT doc_id, tc, n, g, CAST(count(*) AS BIGINT) AS c
+       FROM g GROUP BY ALL),
+tops AS (
+  SELECT doc_id, n, g, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                 ORDER BY c DESC, g) AS rn
+    FROM cg) WHERE rn = 1
+),
+dup5 AS (
+  SELECT doc_id,
+         CAST(COALESCE(sum((c - 1) * length(g)) FILTER (c > 1), 0)
+              AS BIGINT) AS dc
+  FROM cg WHERE n = 5 GROUP BY doc_id
+),
+pd AS (
+  SELECT toks.doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         tc AS n_chars,
+         COALESCE(t2.g, '') AS top_bigram,
+         COALESCE(t2.c, 0) AS top_bigram_cnt,
+         (1000000 * COALESCE(t2.c, 0) * length(COALESCE(t2.g, '')))
+           // greatest(tc, 1) AS top_bigram_ppm,
+         (1000000 * COALESCE(t3.c, 0) * length(COALESCE(t3.g, '')))
+           // greatest(tc, 1) AS top_trigram_ppm,
+         (1000000 * COALESCE(dup5.dc, 0)) // greatest(tc, 1) AS dup5_ppm
+  FROM toks
+  LEFT JOIN tops t2 ON t2.doc_id = toks.doc_id AND t2.n = 2
+  LEFT JOIN tops t3 ON t3.doc_id = toks.doc_id AND t3.n = 3
+  LEFT JOIN dup5 ON dup5.doc_id = toks.doc_id
+)
+SELECT doc_id, n_words, n_chars, top_bigram,
+       CAST(top_bigram_cnt AS BIGINT) AS top_bigram_cnt,
+       CAST(top_bigram_ppm AS BIGINT) AS top_bigram_ppm,
+       CAST(top_trigram_ppm AS BIGINT) AS top_trigram_ppm,
+       CAST(dup5_ppm AS BIGINT) AS dup5_ppm,
+       ((top_bigram_ppm > 180000 AND top_bigram_cnt >= 2)
+        OR dup5_ppm > 150000) AS repetitive
+FROM pd ORDER BY doc_id
+"""
+
+REGISTRY.update({
+    "doc_repetition_profile": QuerySpec(
+        _doc_repetition_profile, _REPETITION_SQL,
+        "Gopher-style within-doc repetition filter stats (top "
+        "2/3-gram char fraction, repeated-5-gram char mass, "
+        "repetitive flag at the published thresholds); ZERO shuffle "
+        "-- per-row sorted-array fold, scan-project plan",
+    ),
+})
+
+def _token_zipf_curve(spark, sf_dir):
+    return textops.token_zipf_curve(_t(spark, sf_dir, "documents"))
+
+
+_ZIPF_SQL = r"""
+WITH tok AS (
+  SELECT unnest(string_split(
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+  FROM documents
+),
+cnts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok WHERE token <> '' GROUP BY token
+),
+tot AS (SELECT CAST(sum(cnt) AS HUGEINT) AS total FROM cnts),
+top AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+         sum(CAST(cnt AS HUGEINT))
+           OVER (ORDER BY cnt DESC, token) AS cum
+  FROM cnts
+  ORDER BY cnt DESC, token LIMIT 50
+)
+SELECT CAST(rank AS BIGINT) AS rank, token, cnt,
+       CAST((CAST(cnt AS HUGEINT) * 1000000) // total AS BIGINT)
+         AS share_ppm,
+       CAST((cum * 1000000) // total AS BIGINT) AS cum_share_ppm
+FROM top CROSS JOIN tot
+ORDER BY rank
+"""
+
+REGISTRY.update({
+    "token_zipf_curve": QuerySpec(
+        _token_zipf_curve, _ZIPF_SQL,
+        "Zipf head: top-50 corpus tokens with exact counts, ppm "
+        "share, cumulative share (vocabulary-concentration audit); "
+        "partial-combine token aggregate + TakeOrderedAndProject, "
+        "rank window over the 50 survivors only",
+    ),
+})
+
+def _ann_recall_eval(spark, sf_dir):
+    return similarity.ann_recall_eval(
+        _t(spark, sf_dir, "embeddings"), query_mod=50
+    )
+
+
+def _ann_recall_sql() -> str:
+    planes = similarity.md5_hyperplanes()
+    values = ", ".join(
+        f"({t},{p},{d},{h})"
+        for t, tp in enumerate(planes)
+        for p, row in enumerate(tp)
+        for d, h in enumerate(row)
+    )
+    return f"""
+WITH planes(t, p, d, h) AS (VALUES {values}),
+ex AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 256.0) AS BIGINT) AS q
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sum(q * q) AS n2 FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT vec_id, t, p, sum(q * h) AS dt
+  FROM ex JOIN planes USING (d) GROUP BY vec_id, t, p
+),
+bks AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN dt > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM bks a JOIN bks b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+pairdots AS (
+  SELECT c.query_id, c.neighbor_id,
+         sum(ea.q * eb.q) AS dd,
+         sum(ea.q * ea.q) AS na2,
+         sum(eb.q * eb.q) AS nb2
+  FROM cand c
+  JOIN ex ea ON ea.vec_id = c.query_id
+  JOIN ex eb ON eb.vec_id = c.neighbor_id AND ea.d = eb.d
+  GROUP BY c.query_id, c.neighbor_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY CAST(floor(1000000.0 * dd / (sqrt(na2) * sqrt(nb2)))
+                      AS BIGINT) DESC, neighbor_id ASC) AS rank
+    FROM pairdots WHERE na2 > 0 AND nb2 > 0
+  ) WHERE rank <= 5 AND query_id % 50 = 0
+),
+bpairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         sum(a.q * b.q) AS dd
+  FROM ex a JOIN ex b ON a.d = b.d AND b.vec_id != a.vec_id
+  WHERE a.vec_id % 50 = 0
+  GROUP BY a.vec_id, b.vec_id
+),
+exact_topk AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT bp.query_id, bp.neighbor_id,
+           row_number() OVER (PARTITION BY bp.query_id
+             ORDER BY CAST(floor(1000000.0 * bp.dd
+                           / (sqrt(nq.n2) * sqrt(nn.n2))) AS BIGINT) DESC,
+                      bp.neighbor_id ASC) AS rank
+    FROM bpairs bp
+    JOIN norms nq ON nq.vec_id = bp.query_id
+    JOIN norms nn ON nn.vec_id = bp.neighbor_id
+    WHERE nq.n2 > 0 AND nn.n2 > 0
+  ) WHERE rank <= 5
+)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST((1000000 * count(a.neighbor_id)) // count(*) AS BIGINT)
+         AS recall_ppm,
+       CAST(COALESCE(min(CASE WHEN a.neighbor_id IS NULL
+                              THEN e.rank END), 0) AS BIGINT)
+         AS first_miss_rank
+FROM exact_topk e
+LEFT JOIN approx a ON a.query_id = e.query_id
+                  AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
+_ANN_RECALL_SQL = _ann_recall_sql()
+
+REGISTRY.update({
+    "ann_recall_eval": QuerySpec(
+        _ann_recall_eval, _ANN_RECALL_SQL,
+        "ANN recall@k audit: sign-LSH top-k vs brute-force ground "
+        "truth under identical integer scoring on a broadcast "
+        "1/50-id query panel; WindowGroupLimit partial top-k, "
+        "recall + first-missed-rank per query",
+    ),
+})
+
+def _media_phash_near_dup(spark, sf_dir):
+    return multimodal.media_phash_near_dup(_media(spark, sf_dir))
+
+
+_MEDIA_PHASH_SQL = r"""
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS L
+  FROM documents
+),
+fps AS (
+  SELECT doc_id,
+         list_sum(list_transform(generate_series(0, 15), i ->
+           CASE WHEN substring(hx, CAST(2*(1 + (i*(L-1))//16) - 1 AS INT), 2)
+                   > substring(hx, CAST(2*(1 + ((i+1)*(L-1))//16) - 1 AS INT), 2)
+                THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS fp
+  FROM p WHERE L >= 16
+),
+bb AS (
+  SELECT doc_id, fp, t, (fp >> (4*t)) & 15 AS b
+  FROM (SELECT doc_id, fp, unnest(generate_series(0, 3)) AS t FROM fps)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.fp AS fa, b.fp AS fb
+  FROM bb a JOIN bb b ON a.t = b.t AND a.b = b.b AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 1
+ORDER BY doc_a, doc_b
+"""
+
+REGISTRY.update({
+    "media_phash_near_dup": QuerySpec(
+        _media_phash_near_dup, _MEDIA_PHASH_SQL,
+        "decoder-free perceptual-hash (dHash-style) media near-dup "
+        "candidates: 16-bit byte-domain difference hash, 4x4-bit "
+        "band buckets, xor+bit_count Hamming verify; payloads never "
+        "shuffle, hex-slice byte access is engine-portable",
+    ),
+})
+
 
 # Evaluation-order hedge: the correctness harness records rows for
 # exactly the first 50 registry entries (confirmed across rounds 1-3).

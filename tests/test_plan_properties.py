@@ -248,6 +248,9 @@ _SCALAR_CROSS_OK = {
                                  #   1-row feedback-centroid norm
     "orders_pareto_share",       # broadcast 1-row grand-total scalar
     "embedding_ivf_balance",     # broadcast 1-row occupancy total
+    "ann_recall_eval",           # broadcast bounded 1/query_mod query
+                                 #   panel vs corpus (ground-truth side)
+    "token_zipf_curve",          # broadcast 1-row corpus token total
 }
 
 

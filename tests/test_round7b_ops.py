@@ -1,0 +1,171 @@
+"""Round-7b operators: repetition profile, Zipf head, ANN recall
+eval, media perceptual-hash near-dup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_repetition_profile_flags_constructed_loop(spark):
+    """A doc that is one phrase repeated must trip both the top-bigram
+    and dup-5gram thresholds; a doc of all-distinct words trips
+    neither and its metrics are exactly computable by hand."""
+    from iceberg_diag_spark.operators.textops import doc_repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "buy now " * 30),            # pure repetition
+            (1, "alpha beta gamma delta epsilon zeta"),  # all distinct
+            (2, "x"),                          # single word: no grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in doc_repetition_profile(docs).collect()}
+    assert rows[0]["repetitive"] and not rows[1]["repetitive"]
+    # doc 0: normalized = "buy now buy now ..." (30x, trailing space
+    # trimmed) → 60 words, top bigram "buy now" occurs 30 times
+    assert rows[0]["n_words"] == 60
+    assert rows[0]["top_bigram"] == "buy now"
+    assert rows[0]["top_bigram_cnt"] == 30
+    # chars = 30*8 - 1 = 239; ppm = 1e6*30*7 // 239
+    assert rows[0]["n_chars"] == 239
+    assert rows[0]["top_bigram_ppm"] == (1_000_000 * 30 * 7) // 239
+    assert rows[0]["dup5_ppm"] > 150_000
+    # doc 1: every bigram unique → top count 1, no dup 5-grams
+    assert rows[1]["top_bigram_cnt"] == 1
+    assert rows[1]["dup5_ppm"] == 0
+    # doc 2: shorter than any gram window → zeros, no crash
+    assert rows[2]["top_bigram_cnt"] == 0
+    assert rows[2]["top_bigram"] == ""
+    assert rows[2]["dup5_ppm"] == 0
+
+
+def test_repetition_profile_tie_breaks_lexically(spark):
+    """Two bigrams with the same max count → the lexically smaller
+    one is reported (array_sort makes the fold order deterministic)."""
+    from iceberg_diag_spark.operators.textops import doc_repetition_profile
+
+    docs = spark.createDataFrame(
+        [(0, "zz yy zz yy aa bb aa bb")],
+        "doc_id long, text string",
+    )
+    r = doc_repetition_profile(docs).collect()[0]
+    # "aa bb" and "zz yy" both occur twice; "aa bb" sorts first
+    assert r["top_bigram"] == "aa bb"
+    assert r["top_bigram_cnt"] == 2
+
+
+def test_repetition_profile_plan_is_shuffle_free(spark):
+    """The per-doc fold must not shuffle: no Exchange beyond the
+    final presentation sort and the parallelism repartition."""
+    from iceberg_diag_spark.operators.textops import doc_repetition_profile
+
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id").cast("string"), F.lit(" x y z w"))
+        .alias("text"),
+    )
+    plan = doc_repetition_profile(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # rangepartitioning for the output sort is the only exchange
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_token_zipf_cumulative_share_is_exact(spark):
+    """Constructed frequencies: token shares and the cumulative sum
+    must be the exact integer DIV values, in rank order."""
+    from iceberg_diag_spark.operators.textops import token_zipf_curve
+
+    # 6×a, 3×b, 1×c → total 10
+    docs = spark.createDataFrame(
+        [(0, "a a a a a a b b b c")], "doc_id long, text string"
+    )
+    rows = token_zipf_curve(docs, k=3).collect()
+    assert [(r["rank"], r["token"], r["cnt"]) for r in rows] == [
+        (1, "a", 6), (2, "b", 3), (3, "c", 1)
+    ]
+    assert [r["share_ppm"] for r in rows] == [600_000, 300_000, 100_000]
+    assert [r["cum_share_ppm"] for r in rows] == [600_000, 900_000, 1_000_000]
+
+
+def test_ann_recall_perfect_when_buckets_capture_everything(spark):
+    """Identical vectors share every bucket, so the LSH candidates
+    contain the full ground truth → recall@k = 1e6 for every query."""
+    from iceberg_diag_spark.operators.similarity import ann_recall_eval
+
+    # 12 copies of one direction (+tiny distinct ids) — every vector
+    # lands in the same bucket in every table, so candidate recall
+    # is total by construction.
+    vecs = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(12)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = ann_recall_eval(emb, k=3, query_mod=6, dim=4).collect()
+    assert {r["query_id"] for r in rows} == {0, 6}
+    for r in rows:
+        assert r["n_exact"] == 3
+        assert r["n_hits"] == 3
+        assert r["recall_ppm"] == 1_000_000
+        assert r["first_miss_rank"] == 0
+
+
+def test_ann_recall_counts_bucket_misses(spark):
+    """A ground-truth neighbor that shares no bucket with the query
+    must be reported missed: recall < 1e6 and first_miss_rank set."""
+    from iceberg_diag_spark.operators.similarity import ann_recall_eval
+
+    # query 0 aligned with vecs 1-2; vec 3 is the orthogonal odd one
+    # out but still lands in SOME bucket — with k=3 and only 3
+    # possible neighbors, n_exact=3; whether 3 is hit depends on
+    # bucket overlap, so assert only the exact bookkeeping identity.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.1, 0.0, 0.0]),
+            (2, [1.0, -0.1, 0.0, 0.0]),
+            (3, [-1.0, 0.0, 5.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = ann_recall_eval(emb, k=3, query_mod=4, dim=4).collect()
+    assert len(rows) == 1 and rows[0]["query_id"] == 0
+    r = rows[0]
+    assert r["n_exact"] == 3
+    assert 0 <= r["n_hits"] <= 3
+    assert r["recall_ppm"] == (1_000_000 * r["n_hits"]) // r["n_exact"]
+    assert (r["first_miss_rank"] == 0) == (r["n_hits"] == r["n_exact"])
+
+
+def test_media_phash_identical_payloads_pair_at_zero(spark):
+    """Byte-identical payloads get identical fingerprints → a pair at
+    hamming 0; a payload shorter than min_bytes never appears."""
+    from iceberg_diag_spark.operators.multimodal import (
+        media_phash_near_dup, with_media,
+    )
+
+    long_a = "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [(0, long_a), (1, long_a), (2, "short")],
+        "doc_id long, text string",
+    )
+    pairs = media_phash_near_dup(with_media(docs)).collect()
+    assert {(p["doc_a"], p["doc_b"]): p["hamming"] for p in pairs} == {
+        (0, 1): 0
+    }
+
+
+def test_media_phash_plan_stays_jvm_and_payload_free(spark):
+    """The pair exchange must carry only (id, fp): no payload column
+    below the join, and no Python anywhere."""
+    from iceberg_diag_spark.operators.multimodal import (
+        media_phash_near_dup, with_media,
+    )
+
+    docs = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("payload text body "), F.col("id").cast("string"),
+                 F.lit(" tail " * 5)).alias("text"),
+    )
+    df = media_phash_near_dup(with_media(docs))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # hamming verify happens above the dedup'd join output
+    assert "bit_count" in plan

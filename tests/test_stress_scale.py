@@ -257,8 +257,10 @@ def test_pmi_bounded_at_1m(spark):
 
 def test_exact_quota_holdout_bounded_at_1m(spark):
     """Largest-remainder holdout at 1M rows: the apportionment acts
-    on the stratum relation (tiny) and membership is one row_number
-    window per stratum — and the total is EXACT at any scale."""
+    on the stratum relation (tiny) and membership ranks in
+    (stratum, md5-digit shard) windows + broadcast offsets (the r7
+    range-shard fix — no whole-stratum task) — and the total is
+    EXACT at any scale."""
     from pyspark.sql import functions as F
 
     from iceberg_diag_spark.operators.sampling import exact_quota_holdout
@@ -294,3 +296,101 @@ def test_quality_dup_matrix_bounded_at_1m(spark):
     # 100 originals are all duplicates
     assert dup_total == N_TEMPLATES * N_COPIES + N_TEMPLATES
     print(f"quality_dup_matrix @1M: {wall:.1f}s")
+
+
+def test_source_quality_calibration_at_1m(spark):
+    """Per-source percentile calibration at 1M docs × 17 sources:
+    ranks must cover 1..n_s per source (the grouped range-shard rank
+    is exact, not approximate) and pct spans [0, 1e6]."""
+    from iceberg_diag_spark.operators.textops import (
+        source_quality_calibration,
+    )
+
+    docs = _corpus(spark).withColumn(
+        "source",
+        F.concat(F.lit("src"), (F.col("doc_id") % 17).cast("string")),
+    )
+    t0 = time.time()
+    out = source_quality_calibration(docs)
+    chk = out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("src_rank").alias("mx"),
+        F.countDistinct("src_rank").alias("nd"),
+        F.min("pct_ppm").alias("plo"),
+        F.max("pct_ppm").alias("phi"),
+    ).collect()
+    wall = time.time() - t0
+    assert len(chk) == 17
+    for r in chk:
+        assert r["mx"] == r["n"], r  # ranks are a permutation of 1..n
+        assert r["nd"] == r["n"], r
+        assert r["plo"] == 0 and r["phi"] == 1_000_000, r
+    print(f"source_quality_calibration @1M: {wall:.1f}s")
+
+
+def test_quality_length_skyline_at_1m(spark):
+    """Skyline at 1M docs: survivors are mutually non-dominating and
+    the corpus folds to the per-ttr histogram before any window."""
+    from iceberg_diag_spark.operators.textops import quality_length_skyline
+
+    docs = _corpus(spark)
+    t0 = time.time()
+    surv = quality_length_skyline(docs).collect()
+    wall = time.time() - t0
+    assert surv
+    pts = [(r["ttr_ppm"], r["chars"]) for r in surv]
+    for i, (t1, c1) in enumerate(pts):
+        for t2, c2 in pts[i + 1:]:
+            assert not (
+                t2 >= t1 and c2 >= c1 and (t2 > t1 or c2 > c1)
+            ) and not (t1 >= t2 and c1 >= c2 and (t1 > t2 or c1 > c2))
+    print(f"quality_length_skyline @1M: {wall:.1f}s ({len(surv)} pts)")
+
+
+def test_bpe_merge_candidates_at_1m(spark):
+    """BPE pair counting at 1M docs: the distinct-word-form trick
+    keeps the pair explode on the vocabulary, and the top-20 comes
+    back with exact positive counts."""
+    from iceberg_diag_spark.operators.textops import bpe_merge_candidates
+
+    docs = _corpus(spark)
+    t0 = time.time()
+    rows = bpe_merge_candidates(docs).collect()
+    wall = time.time() - t0
+    assert len(rows) == 20
+    assert all(len(r["pair"]) == 2 and r["merge_count"] > 0 for r in rows)
+    # descending count, pair tie-break
+    counts = [r["merge_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    print(f"bpe_merge_candidates @1M: {wall:.1f}s (top={rows[0]['pair']})")
+
+
+def test_changepoint_exact_on_10m_constructed_step(spark):
+    """CUSUM changepoint on a 10M-event constructed step: hours
+    0..499 at 5,000 events/hour, hours 500..999 at 15,000 — the
+    argmax must land exactly on the boundary with exact means."""
+    from iceberg_diag_spark.operators.events import changepoint_detect
+
+    n = 10_000_000
+    h_half = 500
+    base_us = 1_700_000_000_000_000
+    cut = n // 4  # 2.5M events over the first 500 hours
+    hour = F.when(
+        F.col("id") < cut, F.col("id") % h_half
+    ).otherwise(h_half + (F.col("id") % h_half))
+    ev = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("event_id"),
+        F.lit("step").alias("event_type"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.timestamp_micros(
+            (F.lit(base_us) + hour * 3_600_000_000).cast("long")
+        ).alias("ts"),
+    )
+    t0 = time.time()
+    r = changepoint_detect(ev).collect()[0]
+    wall = time.time() - t0
+    assert r["n_hours"] == 1000
+    assert r["cp_idx"] == h_half
+    assert r["pre_mean_mppm"] == (cut // h_half) * 1_000_000
+    assert r["post_mean_mppm"] == ((n - cut) // h_half) * 1_000_000
+    print(f"changepoint @10M: {wall:.1f}s")
