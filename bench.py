@@ -189,6 +189,7 @@ HEADLINE = [
     "token_zipf_curve",
     "ann_recall_eval",
     "media_phash_near_dup",
+    "hard_negative_mining",
 ]
 
 

@@ -1663,3 +1663,123 @@ def ann_recall_eval(
         )
         .orderBy("query_id")
     )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    m: int = 3,
+    lo_mppm: int = 300_000,
+    hi_mppm: int = 850_000,
+    n_lists: int = 16,
+    dim: int = 64,
+    scale_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training:
+    per anchor, the m CLOSEST vectors that are still clearly not
+    positives — cosine inside [lo, hi) mppm. Random negatives are
+    too easy (the model separates them immediately); near-duplicates
+    (≥ hi) are presumed positives and poison the loss; the band in
+    between is where the training signal lives. This is the standard
+    in-batch-negatives upgrade every retrieval/embedding pipeline
+    ships.
+
+    Distributed shape mirrors ivf_topk_exact: vectors assign to
+    their nearest md5-centroid cell (argmin of exact integer d² via
+    one array_sort over n_lists structs — row-local), candidate
+    pairs form ONLY within a cell (cell-bounded quadratic, never
+    all-pairs; cells are the same coarse quantizer the ANN index
+    already maintains, so mining rides the existing partitioning),
+    unordered pairs score ONCE by exact integer cosine, then both
+    orientations enter a per-anchor WindowGroupLimit top-m. Output:
+    (anchor_id, negative_id, rank, cos_mppm) — rank 1 = hardest.
+    """
+    from pyspark.sql.window import Window
+
+    from iceberg_diag_spark.functions.parallel import ensure_parallelism
+
+    cents = md5_centroids(dim, n_lists, 1 << scale_bits)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * (1 << scale_bits)).cast("long"),
+    )
+    base = ensure_parallelism(embeddings).select(F.col(id_col), qv.alias("q"))
+    base = base.select(
+        id_col, "q", int_dot(F.col("q"), F.col("q")).alias("n2")
+    )
+
+    def d2_sql(cent: list[int]) -> str:
+        arr = ", ".join(f"{h}L" for h in cent)
+        return (
+            f"aggregate(zip_with(q, array({arr}),"
+            " (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as long), (acc, v) -> acc + v)"
+        )
+
+    cell_structs = ", ".join(
+        f"named_struct('d2', {d2_sql(cents[c])}, 'c', {c})"
+        for c in range(n_lists)
+    )
+    assigned = base.filter(F.col("n2") > 0).select(
+        id_col,
+        "q",
+        "n2",
+        F.expr(f"array_sort(array({cell_structs}))[0].c").alias("list_id"),
+    )
+    a = assigned.select(
+        "list_id",
+        F.col(id_col).alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = assigned.select(
+        "list_id",
+        F.col(id_col).alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    pair_scored = (
+        a.join(b, "list_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.floor(
+                F.lit(1_000_000.0)
+                * int_dot(F.col("qa"), F.col("qb"))
+                / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+            )
+            .cast("long")
+            .alias("cos_mppm"),
+        )
+        .filter(
+            (F.col("cos_mppm") >= lo_mppm) & (F.col("cos_mppm") < hi_mppm)
+        )
+        .localCheckpoint(eager=False)
+    )
+    both = pair_scored.select(
+        F.col("vec_a").alias("anchor_id"),
+        F.col("vec_b").alias("negative_id"),
+        "cos_mppm",
+    ).unionAll(
+        pair_scored.select(
+            F.col("vec_b").alias("anchor_id"),
+            F.col("vec_a").alias("negative_id"),
+            "cos_mppm",
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_mppm"), F.asc("negative_id")
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= m)
+        .select(
+            "anchor_id",
+            "negative_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_mppm",
+        )
+        .orderBy("anchor_id", "rank")
+    )

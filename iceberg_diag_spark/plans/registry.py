@@ -9209,6 +9209,87 @@ REGISTRY.update({
     ),
 })
 
+def _hard_negative_mining(spark, sf_dir):
+    return similarity.hard_negative_mining(
+        _t(spark, sf_dir, "embeddings")
+    )
+
+
+def _hard_negative_sql() -> str:
+    cents = similarity.md5_centroids()
+    values = ", ".join(
+        f"({c},{d},{h})"
+        for c, row in enumerate(cents)
+        for d, h in enumerate(row)
+    )
+    return f"""
+WITH cents(c, d, h) AS (VALUES {values}),
+ex AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 256.0) AS BIGINT) AS q
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sum(q * q) AS n2 FROM ex GROUP BY vec_id),
+dists AS (
+  SELECT vec_id, c, sum((q - h) * (q - h)) AS d2
+  FROM ex JOIN cents USING (d) GROUP BY vec_id, c
+),
+assigned AS (
+  SELECT vec_id, c AS list_id FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+    FROM dists JOIN norms USING (vec_id)
+    WHERE norms.n2 > 0
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT p.vec_a, p.vec_b,
+         CAST(floor(1000000.0 * sum(ea.q * eb.q)
+              / (sqrt(na.n2) * sqrt(nb.n2))) AS BIGINT) AS cos_mppm
+  FROM pairs p
+  JOIN ex ea ON ea.vec_id = p.vec_a
+  JOIN ex eb ON eb.vec_id = p.vec_b AND ea.d = eb.d
+  JOIN norms na ON na.vec_id = p.vec_a
+  JOIN norms nb ON nb.vec_id = p.vec_b
+  GROUP BY p.vec_a, p.vec_b, na.n2, nb.n2
+),
+band AS (
+  SELECT * FROM scored WHERE cos_mppm >= 300000 AND cos_mppm < 850000
+),
+orient AS (
+  SELECT vec_a AS anchor_id, vec_b AS negative_id, cos_mppm FROM band
+  UNION ALL
+  SELECT vec_b AS anchor_id, vec_a AS negative_id, cos_mppm FROM band
+)
+SELECT anchor_id, negative_id, CAST(rank AS BIGINT) AS rank, cos_mppm
+FROM (
+  SELECT anchor_id, negative_id, cos_mppm,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cos_mppm DESC, negative_id) AS rank
+  FROM orient
+) WHERE rank <= 3
+ORDER BY anchor_id, rank
+"""
+
+
+_HARD_NEGATIVE_SQL = _hard_negative_sql()
+
+REGISTRY.update({
+    "hard_negative_mining": QuerySpec(
+        _hard_negative_mining, _HARD_NEGATIVE_SQL,
+        "contrastive-training hard negatives: per anchor the m "
+        "closest vectors inside the [not-random, not-positive) "
+        "cosine band, mined within IVF cells (cell-bounded "
+        "quadratic riding the index partitioning, unordered pairs "
+        "scored once, WindowGroupLimit top-m)",
+    ),
+})
+
 
 # Evaluation-order hedge: the correctness harness records rows for
 # exactly the first 50 registry entries (confirmed across rounds 1-3).

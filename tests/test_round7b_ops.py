@@ -169,3 +169,40 @@ def test_media_phash_plan_stays_jvm_and_payload_free(spark):
     assert "BatchEvalPython" not in plan
     # hamming verify happens above the dedup'd join output
     assert "bit_count" in plan
+
+
+def test_hard_negatives_band_and_rank(spark):
+    """Constructed cell: anchor with a near-duplicate (excluded: too
+    close), a banded hard negative (kept), and an orthogonal easy
+    negative (excluded: below lo). Ranks order by cosine desc."""
+    from iceberg_diag_spark.operators.similarity import hard_negative_mining
+
+    # dim=4 vectors; same IVF cell is guaranteed only for identical
+    # directions, so use colinear-ish vectors and verify band logic
+    # through the produced cosines themselves.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.01, 0.0, 0.0]),   # ~cos 1.0 → too close
+            (2, [1.0, 1.2, 0.0, 0.0]),    # mid-band candidate
+            (3, [0.0, 0.0, 1.0, 0.0]),    # orthogonal → too far
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = hard_negative_mining(emb, dim=4).collect()
+    # every emitted pair is inside the band by contract
+    for r in rows:
+        assert 300_000 <= r["cos_mppm"] < 850_000, r
+    # ranks are 1..k per anchor, ordered by cos desc then id
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    for rs in by_anchor.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        coss = [r["cos_mppm"] for r in rs]
+        assert coss == sorted(coss, reverse=True)
+    # the near-dup pair (0,1) must NOT appear as negatives
+    assert all(
+        {r["anchor_id"], r["negative_id"]} != {0, 1} for r in rows
+    )
