@@ -190,6 +190,8 @@ HEADLINE = [
     "ann_recall_eval",
     "media_phash_near_dup",
     "hard_negative_mining",
+    "embedding_energy_curve",
+    "diag_bloom_advisor",
 ]
 
 

@@ -577,3 +577,79 @@ def file_skew_audit(files: DataFrame) -> DataFrame:
             "CAST((1000000 * max_bytes) DIV total_bytes AS LONG)"
         ).alias("max_share_ppm"),
     )
+
+
+def bloom_advisor(
+    column_values: DataFrame,
+    probe_mod: int = 97,
+    file_col: str = "file_id",
+    value_col: str = "v",
+) -> DataFrame:
+    """Bloom-filter benefit simulator for point lookups — the
+    companion to clustering_advisor's range-skipping story. Min/max
+    bounds prune a file only when the probed value falls OUTSIDE
+    [lo, hi]; an ingest-ordered layout leaves almost every file's
+    range covering almost every key, so point queries read
+    everything. A bloom filter (or Iceberg's bloom write property)
+    prunes by MEMBERSHIP instead. This measures the exact gap on
+    today's layout: for each probed key, how many files min/max
+    pruning admits vs how many genuinely contain the key — the
+    difference is the I/O a bloom filter would save, per probe.
+
+    Probes are the deterministic 1/probe_mod key sample (v % mod =
+    0) — bounded, broadcast. The min/max admission test is a
+    broadcast non-equi join of the PROBE PANEL against the per-file
+    bounds relation (metadata scale × bounded panel — the documented
+    nested-loop exception); true membership is an equi semi-join
+    that pushes the probe set INTO the big scan (exactly the
+    filter a bloom file-skip would perform), then a distinct
+    (file, key) count. The big relation shuffles only its probe-hit
+    subset. Output per probe: (probe_key, minmax_files,
+    actual_files, wasted_files, wasted_ppm), ordered by key.
+    """
+    vals = column_values.select(
+        F.col(file_col).alias("file_id"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    fstats = vals.groupBy("file_id").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    probes = (
+        vals.filter(F.col("v") % probe_mod == 0)
+        .select(F.col("v").alias("probe_key"))
+        .distinct()
+    )
+    mm = (
+        fstats.join(
+            F.broadcast(probes),
+            (F.col("lo") <= F.col("probe_key"))
+            & (F.col("probe_key") <= F.col("hi")),
+        )
+        .groupBy("probe_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("minmax_files"))
+    )
+    act = (
+        vals.join(
+            F.broadcast(probes), F.col("v") == F.col("probe_key")
+        )
+        .select("probe_key", "file_id")
+        .distinct()
+        .groupBy("probe_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("actual_files"))
+    )
+    return (
+        mm.join(act, "probe_key")
+        .select(
+            "probe_key",
+            "minmax_files",
+            "actual_files",
+            (F.col("minmax_files") - F.col("actual_files"))
+            .cast("long")
+            .alias("wasted_files"),
+            F.expr(
+                "(1000000 * (minmax_files - actual_files))"
+                " DIV minmax_files"
+            ).alias("wasted_ppm"),
+        )
+        .orderBy("probe_key")
+    )

@@ -1783,3 +1783,81 @@ def hard_negative_mining(
         )
         .orderBy("anchor_id", "rank")
     )
+
+
+def embedding_energy_curve(
+    embeddings: DataFrame,
+    prefix_dims: tuple[int, ...] = (8, 16, 32, 48, 64),
+    scale_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncation audit: how much of the corpus's
+    embedding energy (squared L2 mass) survives truncating every
+    vector to its first d dimensions? The go/no-go check before
+    serving truncated embeddings (MRL-style) for cheaper ANN — if
+    the first 16 dims hold 95% of the energy, an index on 16 dims is
+    nearly free recall; if they hold 40%, don't.
+
+    Exact integers end-to-end: vectors quantize once (floor(x·2^b)),
+    per-vector prefix energies are row-local array folds over slices,
+    and corpus sums accumulate in DECIMAL(38,0) (int64 would wrap:
+    1e10 vectors × 64 dims × (2^8·|x|)² is ~1e17 per term). One scan,
+    one 5-row aggregate — no shuffle beyond the final 1-task agg.
+    Output per prefix d: (prefix_dim, total_captured_ppm,
+    min_vec_ppm, n_vecs) — min over vectors is the worst case a
+    truncated query could hit.
+    """
+    from iceberg_diag_spark.functions.parallel import ensure_parallelism
+
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * (1 << scale_bits)).cast("long"),
+    )
+    base = ensure_parallelism(embeddings).select(
+        F.col(id_col), qv.alias("q")
+    ).select(
+        id_col, "q", int_dot(F.col("q"), F.col("q")).alias("n2")
+    ).filter(F.col("n2") > 0)
+    for d in prefix_dims:
+        base = base.withColumn(
+            f"__e{d}",
+            F.expr(
+                f"aggregate(slice(q, 1, {int(d)}), cast(0 as long),"
+                " (acc, v) -> acc + v * v)"
+            ),
+        )
+    # ONE aggregate computes every prefix's moments (a per-d agg
+    # would rescan the corpus once per prefix — no cross-branch
+    # exchange reuse), then the 1-row result unpivots to 5 rows.
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_vecs")]
+    for d in prefix_dims:
+        aggs.append(
+            F.expr(
+                f"cast((sum(cast(__e{d} as decimal(38,0))) * 1000000)"
+                " DIV sum(cast(n2 as decimal(38,0))) as long)"
+            ).alias(f"tot{d}")
+        )
+        aggs.append(
+            F.min(F.expr(f"(1000000 * __e{d}) DIV n2"))
+            .cast("long")
+            .alias(f"min{d}")
+        )
+    one = base.agg(*aggs)
+    structs = ", ".join(
+        f"named_struct('prefix_dim', cast({int(d)} as long),"
+        f" 'total_captured_ppm', tot{d}, 'min_vec_ppm', min{d})"
+        for d in prefix_dims
+    )
+    return (
+        one.select(
+            F.explode(F.expr(f"array({structs})")).alias("s"), "n_vecs"
+        )
+        .select(
+            F.col("s.prefix_dim").alias("prefix_dim"),
+            F.col("s.total_captured_ppm").alias("total_captured_ppm"),
+            F.col("s.min_vec_ppm").alias("min_vec_ppm"),
+            "n_vecs",
+        )
+        .orderBy("prefix_dim")
+    )

@@ -9290,6 +9290,117 @@ REGISTRY.update({
     ),
 })
 
+def _embedding_energy_curve(spark, sf_dir):
+    return similarity.embedding_energy_curve(
+        _t(spark, sf_dir, "embeddings")
+    )
+
+
+_ENERGY_CURVE_SQL = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 256.0) AS BIGINT) AS q
+  FROM embeddings
+),
+pv AS (
+  SELECT vec_id,
+         sum(q * q) AS n2,
+         sum(CASE WHEN d <= 8  THEN q * q ELSE 0 END) AS e8,
+         sum(CASE WHEN d <= 16 THEN q * q ELSE 0 END) AS e16,
+         sum(CASE WHEN d <= 32 THEN q * q ELSE 0 END) AS e32,
+         sum(CASE WHEN d <= 48 THEN q * q ELSE 0 END) AS e48,
+         sum(CASE WHEN d <= 64 THEN q * q ELSE 0 END) AS e64
+  FROM ex GROUP BY vec_id
+),
+nz AS (SELECT * FROM pv WHERE n2 > 0),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(CAST(n2 AS HUGEINT)) AS HUGEINT) AS tn2,
+         CAST(sum(CAST(e8  AS HUGEINT)) AS HUGEINT) AS t8,
+         CAST(sum(CAST(e16 AS HUGEINT)) AS HUGEINT) AS t16,
+         CAST(sum(CAST(e32 AS HUGEINT)) AS HUGEINT) AS t32,
+         CAST(sum(CAST(e48 AS HUGEINT)) AS HUGEINT) AS t48,
+         CAST(sum(CAST(e64 AS HUGEINT)) AS HUGEINT) AS t64,
+         CAST(min((1000000 * e8)  // n2) AS BIGINT) AS m8,
+         CAST(min((1000000 * e16) // n2) AS BIGINT) AS m16,
+         CAST(min((1000000 * e32) // n2) AS BIGINT) AS m32,
+         CAST(min((1000000 * e48) // n2) AS BIGINT) AS m48,
+         CAST(min((1000000 * e64) // n2) AS BIGINT) AS m64
+  FROM nz
+)
+SELECT CAST(u.d AS BIGINT) AS prefix_dim,
+       CAST(CASE u.d WHEN 8 THEN (t8 * 1000000) // tn2
+                     WHEN 16 THEN (t16 * 1000000) // tn2
+                     WHEN 32 THEN (t32 * 1000000) // tn2
+                     WHEN 48 THEN (t48 * 1000000) // tn2
+                     ELSE (t64 * 1000000) // tn2 END AS BIGINT)
+         AS total_captured_ppm,
+       CAST(CASE u.d WHEN 8 THEN m8 WHEN 16 THEN m16 WHEN 32 THEN m32
+                     WHEN 48 THEN m48 ELSE m64 END AS BIGINT)
+         AS min_vec_ppm,
+       n_vecs
+FROM agg CROSS JOIN (SELECT unnest([8, 16, 32, 48, 64]) AS d) u
+ORDER BY prefix_dim
+"""
+
+REGISTRY.update({
+    "embedding_energy_curve": QuerySpec(
+        _embedding_energy_curve, _ENERGY_CURVE_SQL,
+        "Matryoshka truncation audit: corpus + worst-vector energy "
+        "share captured by each prefix dimension (8/16/32/48/64); "
+        "one scan, one DECIMAL(38,0) aggregate, row-local slice "
+        "folds",
+    ),
+})
+
+def _diag_bloom_advisor(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.floor(F.col("l_orderkey") / 32).alias("file_id"),
+        F.col("l_partkey").alias("v"),
+    )
+    return maintenance.bloom_advisor(vals)
+
+
+_DIAG_BLOOM_SQL = """
+WITH vals AS (
+  SELECT CAST(floor(l_orderkey / 32) AS BIGINT) AS file_id,
+         CAST(l_partkey AS BIGINT) AS v
+  FROM lineitem
+),
+fstats AS (
+  SELECT file_id, min(v) AS lo, max(v) AS hi FROM vals GROUP BY file_id
+),
+probes AS (SELECT DISTINCT v AS probe_key FROM vals WHERE v % 97 = 0),
+mm AS (
+  SELECT probe_key, CAST(count(*) AS BIGINT) AS minmax_files
+  FROM fstats JOIN probes ON lo <= probe_key AND probe_key <= hi
+  GROUP BY probe_key
+),
+act AS (
+  SELECT probe_key, CAST(count(DISTINCT file_id) AS BIGINT) AS actual_files
+  FROM vals JOIN probes ON v = probe_key
+  GROUP BY probe_key
+)
+SELECT mm.probe_key, minmax_files, actual_files,
+       CAST(minmax_files - actual_files AS BIGINT) AS wasted_files,
+       CAST((1000000 * (minmax_files - actual_files)) // minmax_files
+            AS BIGINT) AS wasted_ppm
+FROM mm JOIN act ON mm.probe_key = act.probe_key
+ORDER BY mm.probe_key
+"""
+
+REGISTRY.update({
+    "diag_bloom_advisor": QuerySpec(
+        _diag_bloom_advisor, _DIAG_BLOOM_SQL,
+        "bloom-filter benefit simulator: per probed key, files "
+        "admitted by min/max bounds vs files truly containing it — "
+        "the exact point-lookup I/O a bloom file-skip would save on "
+        "the current layout; broadcast probe panel, membership via "
+        "pushdown equi-semi-join",
+    ),
+})
+
 
 # Evaluation-order hedge: the correctness harness records rows for
 # exactly the first 50 registry entries (confirmed across rounds 1-3).

@@ -251,6 +251,8 @@ _SCALAR_CROSS_OK = {
     "ann_recall_eval",           # broadcast bounded 1/query_mod query
                                  #   panel vs corpus (ground-truth side)
     "token_zipf_curve",          # broadcast 1-row corpus token total
+    "diag_bloom_advisor",        # broadcast bounded probe panel ×
+                                 #   metadata-scale file bounds
 }
 
 

@@ -206,3 +206,50 @@ def test_hard_negatives_band_and_rank(spark):
     assert all(
         {r["anchor_id"], r["negative_id"]} != {0, 1} for r in rows
     )
+
+
+def test_energy_curve_monotone_and_exact_on_construction(spark):
+    """Vectors with all energy in the first 8 dims → every prefix
+    captures 100%; a vector with energy only in dim 64 drags the
+    min to 0 for every prefix below 64."""
+    from iceberg_diag_spark.operators.similarity import (
+        embedding_energy_curve,
+    )
+
+    front = [(i, [1.0] * 8 + [0.0] * 56) for i in range(4)]
+    tail = [(99, [0.0] * 63 + [1.0])]
+    emb = spark.createDataFrame(
+        front + tail, "vec_id long, embedding array<float>"
+    )
+    rows = {r["prefix_dim"]: r for r in embedding_energy_curve(emb).collect()}
+    assert rows[64]["total_captured_ppm"] == 1_000_000
+    assert rows[64]["min_vec_ppm"] == 1_000_000
+    for d in (8, 16, 32, 48):
+        assert rows[d]["min_vec_ppm"] == 0          # the tail vector
+        # 4 front vectors: 8·256² each; tail: 1·256²
+        assert rows[d]["total_captured_ppm"] == (
+            1_000_000 * (4 * 8 * 256 * 256)
+        ) // (4 * 8 * 256 * 256 + 256 * 256)
+    # monotone non-decreasing in d
+    tots = [rows[d]["total_captured_ppm"] for d in (8, 16, 32, 48, 64)]
+    assert tots == sorted(tots)
+
+
+def test_bloom_advisor_quantifies_minmax_waste(spark):
+    """Constructed layout: every file's [lo, hi] covers the probed
+    key but only one file contains it → minmax admits all files,
+    membership admits 1, waste = n-1."""
+    from iceberg_diag_spark.operators.maintenance import bloom_advisor
+
+    rows = []
+    for f in range(10):
+        rows += [(f, 0), (f, 1000)]        # wide bounds in every file
+    rows.append((7, 97))                    # the probe key, one file
+    vals = spark.createDataFrame(rows, "file_id long, v long")
+    out = {r["probe_key"]: r for r in bloom_advisor(vals).collect()}
+    # probes: 0 (in all 10 files) and 97 (in file 7 only)
+    assert out[97]["minmax_files"] == 10
+    assert out[97]["actual_files"] == 1
+    assert out[97]["wasted_files"] == 9
+    assert out[97]["wasted_ppm"] == 900_000
+    assert out[0]["wasted_files"] == 0

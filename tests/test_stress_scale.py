@@ -338,13 +338,19 @@ def test_quality_length_skyline_at_1m(spark):
     surv = quality_length_skyline(docs).collect()
     wall = time.time() - t0
     assert surv
-    pts = [(r["ttr_ppm"], r["chars"]) for r in surv]
-    for i, (t1, c1) in enumerate(pts):
-        for t2, c2 in pts[i + 1:]:
-            assert not (
-                t2 >= t1 and c2 >= c1 and (t2 > t1 or c2 > c1)
-            ) and not (t1 >= t2 and c1 >= c2 and (t1 > t2 or c1 > c2))
-    print(f"quality_length_skyline @1M: {wall:.1f}s ({len(surv)} pts)")
+    # Ties on both axes are mutually non-dominating, so the 100k hot
+    # template copies can all survive as ONE repeated point — verify
+    # non-domination on the DISTINCT point set, O(n log n): sorted by
+    # ttr ascending, chars must be strictly decreasing (a pairwise
+    # O(n²) python loop here once burned 45 driver-minutes).
+    pts = sorted({(r["ttr_ppm"], r["chars"]) for r in surv})
+    for (t1, c1), (t2, c2) in zip(pts, pts[1:]):
+        assert t2 > t1, (t1, t2)       # distinct points share no ttr
+        assert c2 < c1, ((t1, c1), (t2, c2))
+    print(
+        f"quality_length_skyline @1M: {wall:.1f}s "
+        f"({len(surv)} rows, {len(pts)} distinct pts)"
+    )
 
 
 def test_bpe_merge_candidates_at_1m(spark):
