@@ -192,6 +192,9 @@ HEADLINE = [
     "hard_negative_mining",
     "embedding_energy_curve",
     "diag_bloom_advisor",
+    "dedup_method_agreement",
+    "stream_repetition_gate",
+    "orders_seasonal_naive_eval",
 ]
 
 

@@ -1530,3 +1530,68 @@ def clone_pairs_verified(
         )
         .filter(F.col("dist_ppm") <= max_distance_ppm)
     )
+
+
+def dedup_method_agreement(
+    docs: DataFrame,
+    simhash_max_hamming: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-validation of the two fuzzy dedup families: the Venn
+    counts of MinHash-LSH candidate pairs vs SimHash Hamming pairs
+    over the same corpus. Before trusting EITHER at 100 TB you want
+    to know where they disagree — MinHash sees shingle-set overlap
+    (robust to reordering, blind to char-level edits inside
+    shingles), SimHash sees token-frequency direction (robust to
+    small edits, blind to ordering) — and a large one-sided region
+    means the dedup policy needs both tiers, not one.
+
+    Both pair relations are the production bucketed plans themselves
+    (exact-dup collapse included — both emit collapsed copies as
+    star pairs, so stars land in the intersection by construction).
+    The comparison is one full outer join on the (doc_a, doc_b) pair
+    key — uniform key, pair-relation scale, no text — and one global
+    aggregate. Output (one row): n_minhash, n_simhash, n_both,
+    only_minhash, only_simhash, n_union, overlap_ppm (Jaccard of the
+    pair sets).
+    """
+    mh = minhash_candidate_pairs(
+        docs, text_col=text_col, id_col=id_col
+    ).select("doc_a", "doc_b", F.lit(1).alias("__mh"))
+    sh = simhash_near_dup(
+        docs, max_hamming=simhash_max_hamming,
+        text_col=text_col, id_col=id_col,
+    ).select("doc_a", "doc_b", F.lit(1).alias("__sh"))
+    j = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.sum(F.coalesce(F.col("__mh"), F.lit(0)))
+        .cast("long")
+        .alias("n_minhash"),
+        F.sum(F.coalesce(F.col("__sh"), F.lit(0)))
+        .cast("long")
+        .alias("n_simhash"),
+        F.sum(
+            F.when(F.col("__mh").isNotNull() & F.col("__sh").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_both"),
+        F.sum(
+            F.when(F.col("__mh").isNotNull() & F.col("__sh").isNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("only_minhash"),
+        F.sum(
+            F.when(F.col("__mh").isNull() & F.col("__sh").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("only_simhash"),
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+    ).select(
+        "n_minhash",
+        "n_simhash",
+        "n_both",
+        "only_minhash",
+        "only_simhash",
+        "n_union",
+        F.expr(
+            "(1000000 * n_both) DIV greatest(n_union, 1)"
+        ).alias("overlap_ppm"),
+    )

@@ -809,3 +809,79 @@ def user_activity_gini(events: DataFrame) -> DataFrame:
             " AS LONG)"
         ).alias("gini_ppm"),
     )
+
+
+def seasonal_naive_eval(
+    orders: DataFrame,
+    lag_months: int = 12,
+    date_col: str = "o_orderdate",
+    price_col: str = "o_totalprice",
+) -> DataFrame:
+    """Forecast-baseline backtest: score the seasonal-naive
+    predictor (this month's revenue = the same month last year) over
+    the whole order history. Every forecasting effort starts here —
+    a model that can't beat seasonal-naive is a regression, and the
+    per-month APE (absolute percentage error) table is the honest
+    baseline scorecard.
+
+    Exact integers: revenue in floor-cents, monthly rollup keyed by
+    months-since-epoch (one hash aggregate on a ~tens-of-values key
+    — AQE coalesces), predictions by a lag window over the BOUNDED
+    month relation (|months| rows — metadata scale, the only window;
+    never over orders). Months without a lag-`lag_months`
+    predecessor are excluded (no forecast exists). ape_ppm uses the
+    actual as denominator, guarded for zero-revenue months. Output:
+    (month_idx, year, month, rev_cents, pred_cents, abs_err_cents,
+    ape_ppm), ordered.
+    """
+    from pyspark.sql.window import Window
+
+    from iceberg_diag_spark.functions.parallel import ensure_parallelism
+
+    monthly = (
+        ensure_parallelism(orders)
+        .select(
+            (
+                (F.year(F.col(date_col)) - 1970) * 12
+                + F.month(F.col(date_col))
+                - 1
+            ).cast("long").alias("month_idx"),
+            F.floor(F.col(price_col) * 100).cast("long").alias("__cents"),
+        )
+        .groupBy("month_idx")
+        .agg(F.sum("__cents").cast("long").alias("rev_cents"))
+    )
+    w = Window.orderBy("month_idx")
+    return (
+        monthly.withColumn(
+            "pred_cents", F.lag("rev_cents", lag_months).over(w)
+        )
+        .withColumn(
+            "__gap",
+            F.col("month_idx")
+            - F.lag("month_idx", lag_months).over(w),
+        )
+        # the lag row must be EXACTLY lag_months back on the calendar
+        # (a sparse history would silently misalign the season)
+        .filter(
+            F.col("pred_cents").isNotNull()
+            & (F.col("__gap") == lag_months)
+        )
+        .select(
+            "month_idx",
+            (F.floor(F.col("month_idx") / 12) + 1970)
+            .cast("long")
+            .alias("year"),
+            (F.col("month_idx") % 12 + 1).cast("long").alias("month"),
+            "rev_cents",
+            "pred_cents",
+            F.abs(F.col("rev_cents") - F.col("pred_cents"))
+            .cast("long")
+            .alias("abs_err_cents"),
+            F.expr(
+                "(1000000 * abs(rev_cents - pred_cents))"
+                " DIV greatest(rev_cents, 1)"
+            ).alias("ape_ppm"),
+        )
+        .orderBy("month_idx")
+    )

@@ -2042,6 +2042,64 @@ def doc_repetition_profile(
     )
 
 
+def with_repetitive_flag(
+    df: DataFrame, text_col: str = "text", flag_col: str = "__repetitive"
+) -> DataFrame:
+    """Append the doc_repetition_profile `repetitive` flag as a
+    column without the profile's full output contract — the shared
+    gate both the batch profile consumers and the STREAMING
+    repetition monitor ride, so batch and stream can never disagree
+    about what "repetitive" means. Same thresholds, same one-shot
+    fold expressions (top-bigram arm needs count ≥ 2, dup-5gram arm
+    is pure char mass); row-local, stateless, stream-safe.
+    """
+    from iceberg_diag_spark.operators.dedup import normalized_text
+
+    staged = df.withColumns(
+        {
+            "__rt": tokens(F.col(text_col)),
+            "__rtc": F.length(normalized_text(F.col(text_col))).cast(
+                "long"
+            ),
+        }
+    ).withColumns(
+        {
+            "__rg2": F.expr(
+                "array_sort(case when size(__rt) >= 2 then "
+                "transform(sequence(1, size(__rt) - 1), "
+                "i -> array_join(slice(__rt, i, 2), ' ')) "
+                "else array() end)"
+            ),
+            "__rg5": F.expr(
+                "array_sort(case when size(__rt) >= 5 then "
+                "transform(sequence(1, size(__rt) - 4), "
+                "i -> array_join(slice(__rt, i, 5), ' ')) "
+                "else array() end)"
+            ),
+        }
+    ).withColumns(
+        {
+            "__rs2": F.expr(_gram_run_stats_expr("__rg2")),
+            "__rs5": F.expr(_gram_run_stats_expr("__rg5")),
+        }
+    )
+    flag = (
+        (
+            F.expr(
+                "(1000000 * __rs2.bc * length(coalesce(__rs2.bg, ''))) "
+                "DIV greatest(__rtc, 1)"
+            )
+            > 180_000
+        )
+        & (F.col("__rs2.bc") >= 2)
+    ) | (
+        F.expr("(1000000 * __rs5.dc) DIV greatest(__rtc, 1)") > 150_000
+    )
+    return staged.withColumn(flag_col, flag).drop(
+        "__rt", "__rtc", "__rg2", "__rg5", "__rs2", "__rs5"
+    )
+
+
 def token_zipf_curve(
     docs: DataFrame,
     k: int = 50,

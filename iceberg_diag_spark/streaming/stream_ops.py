@@ -766,3 +766,24 @@ def stream_export_shards(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def repetition_gate_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming ingest-side repetition monitor: running per-source
+    doc and repetitive-doc counts under the Gopher-style gate — the
+    live "did a template spammer start flooding this domain?"
+    dashboard. The flag is textops.with_repetitive_flag, the SAME
+    row-local fold the batch profile uses, so stream and batch can
+    never disagree about what "repetitive" means; per-row work is
+    stateless, state is one row per source (bounded by #domains) —
+    complete-mode aggregation without a watermark is safe at any
+    rate. Output: (source, n_docs, n_repetitive)."""
+    from iceberg_diag_spark.operators import textops
+
+    flagged = textops.with_repetitive_flag(docs_stream)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("__repetitive").cast("int"))
+        .cast("long")
+        .alias("n_repetitive"),
+    )

@@ -253,3 +253,92 @@ def test_bloom_advisor_quantifies_minmax_waste(spark):
     assert out[97]["wasted_files"] == 9
     assert out[97]["wasted_ppm"] == 900_000
     assert out[0]["wasted_files"] == 0
+
+
+def test_dedup_method_agreement_venn_identity(spark):
+    """Exact duplicates land in BOTH pair sets (both collapse to star
+    pairs), so a corpus of pure exact dups has overlap_ppm = 1e6 and
+    the Venn identities hold exactly."""
+    from iceberg_diag_spark.operators.dedup import dedup_method_agreement
+
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(5)], "doc_id long, text string"
+    )
+    r = dedup_method_agreement(docs).collect()[0]
+    # 5 copies → 4 star pairs (rep 0 with each member) on both sides
+    assert r["n_minhash"] == 4 and r["n_simhash"] == 4
+    assert r["n_both"] == 4
+    assert r["only_minhash"] == 0 and r["only_simhash"] == 0
+    assert r["n_union"] == 4
+    assert r["overlap_ppm"] == 1_000_000
+    # the identities the aggregate must preserve
+    assert r["n_union"] == r["n_both"] + r["only_minhash"] + r["only_simhash"]
+
+
+def test_stream_repetition_gate_matches_batch_flag(spark, tmp_path):
+    """The streaming per-source counts must equal the batch profile's
+    flag counts — same expressions, drained once."""
+    import os
+    from iceberg_diag_spark.operators.textops import doc_repetition_profile
+    from iceberg_diag_spark.streaming import stream_ops
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam " * 30, "en", "srcA", 0),
+            (1, "regular words only here thanks", "en", "srcA", 0),
+            (2, "buy now " * 25, "en", "srcB", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    docs.coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    out = stream_ops.run_to_table(
+        stream_ops.repetition_gate_stream(
+            stream_ops.read_documents_stream(spark, sf_dir)
+        ),
+        "complete",
+        "t_stream_rep_gate",
+    )
+    got = {r["source"]: (r["n_docs"], r["n_repetitive"]) for r in out.collect()}
+    prof = doc_repetition_profile(docs).collect()
+    want = {}
+    for r in prof:
+        src = "srcA" if r["doc_id"] in (0, 1) else "srcB"
+        n, k = want.get(src, (0, 0))
+        want[src] = (n + 1, k + int(r["repetitive"]))
+    assert got == want
+    assert got["srcA"] == (2, 1) and got["srcB"] == (1, 1)
+
+
+def test_seasonal_naive_exact_on_constructed_history(spark):
+    """Two years of constructed monthly revenue: every 1993 month is
+    predicted by its 1992 twin; a deliberate gap month breaks the
+    calendar alignment and must drop the misaligned row."""
+    import datetime
+    from iceberg_diag_spark.operators.events import seasonal_naive_eval
+
+    rows = []
+    oid = 0
+    for y in (1992, 1993):
+        for m in range(1, 13):
+            if (y, m) == (1993, 6):
+                continue  # hole in the history
+            rows.append((oid, datetime.date(y, m, 15), float(100 * m + y - 1992)))
+            oid += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    out = {r["month_idx"]: r for r in seasonal_naive_eval(orders).collect()}
+    # months 1993-07..12 shifted by the hole: their lag-12 row is no
+    # longer exactly 12 months back → excluded; 1993-01..05 align.
+    got_months = sorted((r["year"], r["month"]) for r in out.values())
+    assert got_months == [(1993, m) for m in range(1, 6)]
+    for r in out.values():
+        m = r["month"]
+        assert r["rev_cents"] == (100 * m + 1) * 100
+        assert r["pred_cents"] == 100 * m * 100
+        assert r["abs_err_cents"] == 100
+        assert r["ape_ppm"] == (1_000_000 * 100) // r["rev_cents"]
