@@ -195,6 +195,8 @@ HEADLINE = [
     "dedup_method_agreement",
     "stream_repetition_gate",
     "orders_seasonal_naive_eval",
+    "text_artifact_audit",
+    "gdpr_delete_simulation",
 ]
 
 

@@ -885,3 +885,70 @@ def seasonal_naive_eval(
         )
         .orderBy("month_idx")
     )
+
+
+def gdpr_delete_simulation(
+    events: DataFrame,
+    forget_mod: int = 101,
+    rows_per_file: int = 256,
+    id_col: str = "event_id",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Right-to-be-forgotten cost simulator: given a forget-set of
+    users, what does a copy-on-write delete actually cost on the
+    current file layout? Every file containing ANY forgotten row must
+    be fully rewritten, so the real price is write amplification —
+    innocent rows rewritten per deleted row — plus how widely the
+    forget-set smears across files (ingest-ordered layouts smear it
+    everywhere; user-clustered layouts contain it). The number an
+    Iceberg operator needs before choosing copy-on-write vs
+    merge-on-read position deletes.
+
+    The forget-set is the deterministic user_id % forget_mod = 0
+    sample; files are the ingest-order model (id DIV rows_per_file —
+    the diag family's synthetic-file convention). One per-file hash
+    aggregate, one global fold, all exact integers. Output (1 row):
+    n_files, files_touched, touched_ppm, rows_total, rows_deleted,
+    rows_rewritten, write_amplification_ppm (rewritten per deleted,
+    ×1e6; 0 when nothing deletes).
+    """
+    from iceberg_diag_spark.functions.parallel import ensure_parallelism
+
+    per_file = (
+        ensure_parallelism(events)
+        .select(
+            F.floor(F.col(id_col) / rows_per_file).alias("__file"),
+            (F.col(user_col) % forget_mod == 0)
+            .cast("long")
+            .alias("__del"),
+        )
+        .groupBy("__file")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__rows"),
+            F.sum("__del").cast("long").alias("__dels"),
+        )
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum((F.col("__dels") > 0).cast("long"))
+        .cast("long")
+        .alias("files_touched"),
+        F.sum("__rows").cast("long").alias("rows_total"),
+        F.sum("__dels").cast("long").alias("rows_deleted"),
+        F.sum(
+            F.when(F.col("__dels") > 0, F.col("__rows") - F.col("__dels"))
+            .otherwise(0)
+        ).cast("long").alias("rows_rewritten"),
+    ).select(
+        "n_files",
+        "files_touched",
+        F.expr("(1000000 * files_touched) DIV n_files").alias(
+            "touched_ppm"
+        ),
+        "rows_total",
+        "rows_deleted",
+        "rows_rewritten",
+        F.expr(
+            "(1000000 * rows_rewritten) DIV greatest(rows_deleted, 1)"
+        ).alias("write_amplification_ppm"),
+    )

@@ -2158,3 +2158,72 @@ def token_zipf_curve(
         )
         .orderBy("rank")
     )
+
+
+def text_artifact_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Extraction-artifact audit per source: counts of the junk a
+    bad HTML→text extractor leaves behind — entity escapes (&amp;
+    &lt; …), leftover tags (<div …), raw URLs, control characters,
+    and digit-heavy noise. A source whose artifact density jumps
+    after an extractor change is the #1 silent corpus regression;
+    this is the per-source scorecard that catches it at scan speed.
+
+    All counters are JVM regexp_count / length expressions (exact
+    integers, no UDF), folded row-locally, then ONE hash aggregate
+    on the source key. Densities are per million chars with the
+    usual zero guard. Output per source: (source, n_docs,
+    total_chars, entity_hits, tag_hits, url_hits, ctrl_hits,
+    digit_chars, artifact_ppm, digit_ppm).
+    """
+    t = F.col(text_col)
+    per_doc = ensure_parallelism(docs).select(
+        F.col(source_col).alias("source"),
+        F.length(t).cast("long").alias("__chars"),
+        F.regexp_count(t, F.lit(r"&(amp|lt|gt|quot|nbsp|#\d+);"))
+        .cast("long")
+        .alias("__ent"),
+        F.regexp_count(t, F.lit(r"<[a-zA-Z/][^>]*>"))
+        .cast("long")
+        .alias("__tag"),
+        F.regexp_count(t, F.lit(r"https?://[^\s]+"))
+        .cast("long")
+        .alias("__url"),
+        F.regexp_count(t, F.lit(r"[\x00-\x08\x0b\x0c\x0e-\x1f]"))
+        .cast("long")
+        .alias("__ctl"),
+        F.regexp_count(t, F.lit(r"[0-9]")).cast("long").alias("__dig"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__chars").cast("long").alias("total_chars"),
+            F.sum("__ent").cast("long").alias("entity_hits"),
+            F.sum("__tag").cast("long").alias("tag_hits"),
+            F.sum("__url").cast("long").alias("url_hits"),
+            F.sum("__ctl").cast("long").alias("ctrl_hits"),
+            F.sum("__dig").cast("long").alias("digit_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "entity_hits",
+            "tag_hits",
+            "url_hits",
+            "ctrl_hits",
+            "digit_chars",
+            F.expr(
+                "(1000000 * (entity_hits + tag_hits + url_hits"
+                " + ctrl_hits)) DIV greatest(total_chars, 1)"
+            ).alias("artifact_ppm"),
+            F.expr(
+                "(1000000 * digit_chars) DIV greatest(total_chars, 1)"
+            ).alias("digit_ppm"),
+        )
+        .orderBy("source")
+    )

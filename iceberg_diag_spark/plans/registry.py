@@ -9558,6 +9558,88 @@ REGISTRY.update({
     ),
 })
 
+def _text_artifact_audit(spark, sf_dir):
+    return textops.text_artifact_audit(_t(spark, sf_dir, "documents"))
+
+
+_ARTIFACT_AUDIT_SQL = r"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS chars,
+         CAST(len(regexp_extract_all(text, '&(amp|lt|gt|quot|nbsp|#\d+);'))
+              AS BIGINT) AS ent,
+         CAST(len(regexp_extract_all(text, '<[a-zA-Z/][^>]*>'))
+              AS BIGINT) AS tag,
+         CAST(len(regexp_extract_all(text, 'https?://[^\s]+'))
+              AS BIGINT) AS url,
+         CAST(len(regexp_extract_all(text,
+              '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT) AS ctl,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS dig
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST(sum(ent) AS BIGINT) AS entity_hits,
+       CAST(sum(tag) AS BIGINT) AS tag_hits,
+       CAST(sum(url) AS BIGINT) AS url_hits,
+       CAST(sum(ctl) AS BIGINT) AS ctrl_hits,
+       CAST(sum(dig) AS BIGINT) AS digit_chars,
+       CAST((1000000 * (sum(ent) + sum(tag) + sum(url) + sum(ctl)))
+            // greatest(sum(chars), 1) AS BIGINT) AS artifact_ppm,
+       CAST((1000000 * sum(dig)) // greatest(sum(chars), 1) AS BIGINT)
+         AS digit_ppm
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+REGISTRY.update({
+    "text_artifact_audit": QuerySpec(
+        _text_artifact_audit, _ARTIFACT_AUDIT_SQL,
+        "per-source extraction-artifact scorecard (HTML entities, "
+        "leftover tags, raw URLs, control chars, digit noise) as "
+        "exact per-mchar densities; row-local regexp_count folds + "
+        "one source-key aggregate",
+    ),
+})
+
+
+def _gdpr_delete_simulation(spark, sf_dir):
+    return events.gdpr_delete_simulation(_t(spark, sf_dir, "events"))
+
+_GDPR_DELETE_SQL = """
+WITH per_file AS (
+  SELECT CAST(floor(event_id / 256) AS BIGINT) AS f,
+         CAST(count(*) AS BIGINT) AS rows_,
+         CAST(sum(CASE WHEN user_id % 101 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS dels
+  FROM events GROUP BY f
+)
+SELECT CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN dels > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS files_touched,
+       CAST((1000000 * sum(CASE WHEN dels > 0 THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS touched_ppm,
+       CAST(sum(rows_) AS BIGINT) AS rows_total,
+       CAST(sum(dels) AS BIGINT) AS rows_deleted,
+       CAST(sum(CASE WHEN dels > 0 THEN rows_ - dels ELSE 0 END)
+            AS BIGINT) AS rows_rewritten,
+       CAST((1000000 * sum(CASE WHEN dels > 0 THEN rows_ - dels
+                                ELSE 0 END))
+            // greatest(sum(dels), 1) AS BIGINT)
+         AS write_amplification_ppm
+FROM per_file
+"""
+
+REGISTRY.update({
+    "gdpr_delete_simulation": QuerySpec(
+        _gdpr_delete_simulation, _GDPR_DELETE_SQL,
+        "right-to-be-forgotten cost simulator: copy-on-write delete "
+        "of a deterministic forget-set — files touched, rows "
+        "rewritten, write amplification on the current layout; one "
+        "per-file aggregate + one global fold",
+    ),
+})
+
 
 # Evaluation-order hedge: the correctness harness records rows for
 # exactly the first 50 registry entries (confirmed across rounds 1-3).

@@ -342,3 +342,54 @@ def test_seasonal_naive_exact_on_constructed_history(spark):
         assert r["pred_cents"] == 100 * m * 100
         assert r["abs_err_cents"] == 100
         assert r["ape_ppm"] == (1_000_000 * 100) // r["rev_cents"]
+
+
+def test_artifact_audit_counts_constructed_junk(spark):
+    """Constructed artifact-laden docs: every counter verified by
+    hand (the synthetic corpus is clean, so the oracle can only pin
+    the zero path — this pins the counting)."""
+    from iceberg_diag_spark.operators.textops import text_artifact_audit
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a &amp; b &lt; c <div class=x> see http://ex.com/y", "s1"),
+            (1, "clean text only", "s1"),
+            (2, "numbers 123 and 45\x07bell", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in text_artifact_audit(docs).collect()}
+    s1 = out["s1"]
+    assert s1["entity_hits"] == 2          # &amp; &lt;
+    assert s1["tag_hits"] == 1             # <div ...>
+    assert s1["url_hits"] == 1
+    assert s1["ctrl_hits"] == 0
+    assert s1["n_docs"] == 2
+    assert s1["artifact_ppm"] == (1_000_000 * 4) // s1["total_chars"]
+    s2 = out["s2"]
+    assert s2["ctrl_hits"] == 1            # \x07
+    assert s2["digit_chars"] == 5
+    assert s2["digit_ppm"] == (1_000_000 * 5) // s2["total_chars"]
+
+
+def test_gdpr_simulation_accounting_identities(spark):
+    """Constructed layout: users 0 and 101 are forgotten; files
+    without them never count; amplification is exact."""
+    from iceberg_diag_spark.operators.events import gdpr_delete_simulation
+
+    # file = event_id DIV 4; 3 files: file0 has one forgotten row,
+    # file1 none, file2 all forgotten
+    rows = [
+        (0, 0), (1, 5), (2, 7), (3, 9),        # file 0: 1 deleted
+        (4, 3), (5, 11), (6, 13), (7, 17),     # file 1: untouched
+        (8, 101), (9, 202), (10, 0), (11, 303),  # file 2: all deleted
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long")
+    r = gdpr_delete_simulation(ev, forget_mod=101, rows_per_file=4).collect()[0]
+    assert r["n_files"] == 3
+    assert r["files_touched"] == 2
+    assert r["rows_total"] == 12
+    assert r["rows_deleted"] == 5
+    assert r["rows_rewritten"] == 3          # file0: 3; file2: 0
+    assert r["write_amplification_ppm"] == (1_000_000 * 3) // 5
+    assert r["touched_ppm"] == (1_000_000 * 2) // 3
