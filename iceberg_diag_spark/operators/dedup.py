@@ -1595,3 +1595,105 @@ def dedup_method_agreement(
             "(1000000 * n_both) DIV greatest(n_union, 1)"
         ).alias("overlap_ppm"),
     )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): every token whose position
+    is covered by a `span`-token substring that appears verbatim in
+    at least `min_docs` distinct documents is REMOVED, and each doc
+    is rebuilt from its surviving tokens in original order. The
+    remove-the-span production half of `dup_ngram_span_stats` (which
+    only measures coverage); the paper's default span is 50 tokens.
+
+    Relational formulation instead of the paper's suffix array —
+    equivalent for fixed-width spans because a maximal shared run of
+    length >= span is exactly the union of its length-`span` shingles,
+    each of which is independently cross-doc duplicated:
+      1. positioned tokens (posexplode, one shuffle+sort per doc key);
+      2. length-`span` gram hash at every start via lead() over that
+         same sort (whole-stage codegen, no second shuffle);
+      3. duplicated-gram set = gram hashes in >= min_docs distinct
+         docs (one hash-shuffle of the gram relation, partial
+         count_distinct map-side);
+      4. join the flag back on the gram hash (AQE sizes it — the dup
+         set is data-dependent, no broadcast gamble);
+      5. position p is covered iff any dup gram starts in
+         [p-span+1, p]: max() over a bounded ROWS frame on the doc
+         sort — no self-join on spans;
+      6. per-doc rebuild rides the same doc-key partitioning:
+         collect kept (pos, tok) structs, array_sort restores order
+         (bounded by doc length, same idiom as boilerplate_removal).
+
+    Scale shape: three linear shuffles of the one-row-per-token
+    relation (doc sort, gram agg, flag join) — the standard
+    relational alternative to a distributed suffix array; no
+    operator materializes more than a doc's tokens in one state.
+    Gram identity is the full 128-bit md5: at 1e12 corpus positions
+    a 60-bit prefix would birthday-collide and silently delete
+    non-duplicated text, so the wider shuffle key is the correct
+    trade.
+
+    Output: (doc_id, n_tokens, n_removed, cleaned_md5) — cleaned_md5
+    pins the rebuilt text (md5 of space-joined survivors; empty docs
+    pin md5("")).
+    """
+    from pyspark.sql import Window
+
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(normalized_text(F.col(text_col)), " ")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, span)
+    ]
+    base = toks.select(
+        F.col(id_col),
+        "pos",
+        "tok",
+        F.when(
+            F.lead("tok", span - 1).over(w).isNotNull(),
+            F.md5(F.concat_ws(" ", *parts)),
+        ).alias("gh"),
+    )
+    dup = (
+        base.filter(F.col("gh").isNotNull())
+        .groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh", F.lit(1).alias("ds"))
+    )
+    cov_w = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(span - 1), 0)
+    )
+    covered = base.join(dup, "gh", "left").select(
+        F.col(id_col),
+        "pos",
+        "tok",
+        F.max("ds").over(cov_w).alias("cov"),
+    )
+    kept_struct = F.when(
+        F.col("cov").isNull(), F.struct(F.col("pos"), F.col("tok"))
+    )
+    return covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count("cov").alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x.getField("tok"),
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )

@@ -296,7 +296,11 @@ _BOUNDED_COLLECT_OK = {
     "near_dup_rate_by_source",  # same LSH bucket relation as above
     "boilerplate_removal",  # per-doc sentence rebuild, bounded by doc len
     "doc_line_dedup",       # per-doc sentence rebuild, bounded by doc len
+    "doc_substring_dedup",  # per-doc token rebuild, bounded by doc len
     "jaccard_threshold_hist",  # same LSH candidate chain as jaccard
+    "dedup_method_agreement",  # inherits minhash_pairs' LSH bucket
+    #   collect_list (dedup.py:336): exact dups pre-collapsed, each
+    #   bucket holds only near-identical docs — bounded by construction
 }
 
 
@@ -367,3 +371,18 @@ def test_hybrid_retrieval_prunes_embeddings_scan(spark):
     plan = _plan(spark, "hybrid_retrieval_topk")
     assert "Python" not in plan
     assert _op_count(plan, "TakeOrderedAndProject") >= 1  # BM25 top-k
+
+
+def test_substring_dedup_no_span_self_join(spark):
+    # coverage must come from the bounded ROWS-frame window over the
+    # doc sort — never a positions×spans self-join (the quadratic
+    # formulation) — and the whole pipeline stays JVM-side with the
+    # dup-gram flag joined on the gram hash only
+    plan = _plan(spark, "doc_substring_dedup")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    # one gram-agg shuffle + flag join + two doc-sort windows + final
+    # rebuild riding the window partitioning: 5 exchanges, not more
+    assert _exchanges(plan) <= 5
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs, "coverage window missing from plan"

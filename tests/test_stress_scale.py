@@ -400,3 +400,29 @@ def test_changepoint_exact_on_10m_constructed_step(spark):
     assert r["pre_mean_mppm"] == (cut // h_half) * 1_000_000
     assert r["post_mean_mppm"] == ((n - cut) // h_half) * 1_000_000
     print(f"changepoint @10M: {wall:.1f}s")
+
+
+def test_substring_dedup_accounting_at_1m(spark):
+    """Exact-substring dedup over the 1M corpus: the 100 templates ×
+    1,000 hot copies (plus their 100 originals) are 30-token verbatim
+    duplicates, so with span=15 every one of their positions is
+    covered; the 899,900 unique docs share no 15-gram (hashed mixing
+    tokens) and must come through untouched."""
+    from iceberg_diag_spark.operators.dedup import substring_dedup
+
+    docs = _corpus(spark)
+    t0 = time.time()
+    agg = substring_dedup(docs, span=15).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_removed") > 0).cast("long")).alias("touched"),
+        F.sum("n_removed").alias("removed"),
+        F.sum((F.col("n_removed") == F.col("n_tokens")).cast("long"))
+        .alias("emptied"),
+    ).collect()[0]
+    wall = time.time() - t0
+    dup_docs = N_TEMPLATES * N_COPIES + N_TEMPLATES
+    assert agg["n_docs"] == N_DOCS
+    assert agg["touched"] == dup_docs
+    assert agg["emptied"] == dup_docs
+    assert agg["removed"] == dup_docs * 30
+    print(f"substring_dedup @1M: {wall:.1f}s")
