@@ -197,6 +197,9 @@ HEADLINE = [
     "orders_seasonal_naive_eval",
     "text_artifact_audit",
     "gdpr_delete_simulation",
+    # round 8 additions
+    "doc_substring_dedup",
+    "corpus_build_funnel",
 ]
 
 

@@ -1,0 +1,217 @@
+"""Fused end-to-end corpus-build pipeline: the "dataset card" funnel a
+training-data release publishes — per-stage survivor counts for
+  raw → quality gate → exact dedup → near-dup collapse →
+  holdout split → sequence packing
+computed as ONE composed DAG over ONE enriched pass of the corpus,
+not six re-reads.
+
+Composition contract (what this module actually tests, beyond each
+stage's own operator tests): the stages share a single narrow per-doc
+lineage. The enriched projection (content hash, quality signals,
+language pick, token count, holdout order key — ~80 B/doc, no text)
+is computed once and localCheckpointed; every later stage (dedup
+window, near-dup flag join, holdout apportionment + membership, pack
+fold) consumes the checkpoint. Only the near-dup candidate generator
+re-touches text (shingle MinHash needs it), so the corpus is scanned
+at most three times total (enriched pass + the two scans inside the
+exact-collapsed MinHash chain) — asserted in
+tests/test_plan_properties.py.
+
+Stage semantics (each stage filters the previous stage's survivors —
+deterministic, no RNG):
+  1 quality_gate   type-token ratio >= 0.4, alpha ratio >= 0.6, and a
+                   confident (non-'und') stopword language pick — the
+                   corpus_curation gates.
+  2 exact_dedup    survivor = min doc_id among stage-1 docs sharing a
+                   normalized-text sha256.
+  3 near_dup       drop any doc that has a MinHash-LSH candidate
+                   partner with a SMALLER doc_id that survived stage 2
+                   (greedy pairwise collapse: the min of every
+                   candidate pair survives unless an earlier stage or
+                   a still-smaller partner drops it. Conservative vs
+                   full connected-components — a chain a<b<c may drop
+                   both b and c — but deterministic and join-local;
+                   candidates come from the production exact-collapsed
+                   banding plan, dedup.minhash_candidate_pairs).
+  4 train split    exact-quota holdout (largest-remainder per source,
+                   sampling.exact_quota_holdout) carved out of stage-3
+                   survivors; the train side continues.
+  5 packed         fit-before-append sequence packing of the train
+                   set (packing.pack_sequences_from_counts — the pack
+                   stage reuses the checkpointed token counts, it
+                   never re-tokenizes).
+
+Output (6 rows): (stage_id, stage, n_rows, n_tokens) where n_rows is
+documents for stages 0-4 and packed sequences for stage 5; n_tokens
+is whitespace tokens surviving the stage (stage 5's equals stage 4's
+— packing concatenates, it never drops tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from iceberg_diag_spark.functions.parallel import ensure_parallelism
+from iceberg_diag_spark.operators import dedup, packing, sampling, textops
+
+
+def corpus_build_funnel(
+    docs: DataFrame,
+    holdout_ppm: int = 100_000,
+    capacity_tokens: int = 256,
+    n_shards: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    checkpoint: bool = True,
+) -> DataFrame:
+    # checkpoint=False keeps the whole funnel as ONE inspectable plan
+    # (results identical): the plan-property test uses it to count how
+    # many branches would replay the corpus scan if the checkpoints
+    # were ever dropped, pinning the branch structure itself.
+    _ckpt = (
+        (lambda df: df.localCheckpoint(eager=False))
+        if checkpoint
+        else (lambda df: df)
+    )
+    q = textops.quality_exprs(text_col)
+    best = textops.language_best(text_col)
+    enriched = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.col(stratum_col).alias("stratum"),
+        F.size(textops.tokens(F.col(text_col))).cast("long").alias(
+            "n_tokens"
+        ),
+        F.sha2(dedup.normalized_text(F.col(text_col)), 256).alias("__ch"),
+        (
+            (q["type_token_ratio"] >= 0.4)
+            & (q["alpha_ratio"] >= 0.6)
+            & (best["hits"] > 0)
+        ).alias("s1"),
+    )
+    # exact-dedup survivor among stage-1 docs per content hash: one
+    # window shuffle on the uniform 32-byte hash key
+    s2_keep = F.min(F.when(F.col("s1"), F.col(id_col))).over(
+        Window.partitionBy("__ch")
+    )
+    flagged = enriched.select(
+        id_col,
+        "stratum",
+        "n_tokens",
+        "s1",
+        (F.col("s1") & (F.col(id_col) == s2_keep)).alias("s2"),
+    )
+    # narrow per-doc lineage (~60 B/doc, no text) shared by the
+    # near-dup flag join, the holdout, and the pack stage: checkpoint
+    # it so Catalyst's per-branch lineage replay cannot re-run the
+    # quality/hash/language projection (or re-scan the corpus) once
+    # per consumer
+    flagged = _ckpt(flagged)
+
+    # near-dup drop set: docs with a smaller surviving candidate
+    # partner. Pairs come from the production banding plan (exact
+    # dups pre-collapsed; star pairs connect collapsed members
+    # through their representative) — the only text-touching branch.
+    pairs = dedup.minhash_candidate_pairs(
+        docs, text_col=text_col, id_col=id_col
+    )
+    s2_ids = flagged.filter(F.col("s2")).select(F.col(id_col).alias("doc_a"))
+    dropped = (
+        pairs.join(s2_ids, "doc_a", "semi")
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+        .withColumn("__nd", F.lit(1))
+    )
+    staged3 = flagged.join(dropped, id_col, "left").select(
+        id_col,
+        "stratum",
+        "n_tokens",
+        "s1",
+        "s2",
+        (F.col("s2") & F.col("__nd").isNull()).alias("s3"),
+    )
+    staged3 = _ckpt(staged3)
+
+    # holdout apportionment over stage-3 survivors (largest-remainder
+    # exact quotas, range-sharded membership rank — no single-task
+    # window; see sampling.exact_quota_holdout)
+    survivors = staged3.filter(F.col("s3")).select(
+        id_col, F.col("stratum").alias(stratum_col)
+    )
+    holdout = sampling.exact_quota_holdout(
+        survivors,
+        holdout_ppm=holdout_ppm,
+        id_col=id_col,
+        stratum_col=stratum_col,
+    ).select(F.col(id_col), F.lit(1).alias("__ho"))
+    staged4 = staged3.join(holdout, id_col, "left").select(
+        id_col,
+        "stratum",
+        "n_tokens",
+        "s1",
+        "s2",
+        "s3",
+        (F.col("s3") & F.col("__ho").isNull()).alias("s4"),
+    )
+    staged4 = _ckpt(staged4)
+
+    # stages 0-4 in ONE aggregate over the per-doc flag relation,
+    # unpivoted to funnel rows via stack (no per-stage re-aggregation)
+    flags = [F.lit(True), "s1", "s2", "s3", "s4"]
+    agg = staged4.agg(
+        *[
+            F.sum(F.col(f).cast("long") if isinstance(f, str) else f.cast("long"))
+            .cast("long")
+            .alias(f"n{k}")
+            for k, f in enumerate(flags)
+        ],
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(f) if isinstance(f, str) else f,
+                        F.col("n_tokens"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"t{k}")
+            for k, f in enumerate(flags)
+        ],
+    )
+    stage_names = [
+        "raw", "quality_gate", "exact_dedup", "near_dup", "train",
+    ]
+    doc_rows = agg.selectExpr(
+        "stack(5, "
+        + ", ".join(
+            f"{k}L, '{stage_names[k]}', n{k}, t{k}" for k in range(5)
+        )
+        + ") as (stage_id, stage, n_rows, n_tokens)"
+    )
+
+    # pack stage rides the checkpointed counts — never re-tokenizes
+    train_counts = staged4.filter(F.col("s4")).select(
+        F.col("stratum").alias("source"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        "n_tokens",
+    )
+    packed = (
+        packing.pack_sequences_from_counts(train_counts, capacity_tokens)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum("seq_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .select(
+            F.lit(5).cast("long").alias("stage_id"),
+            F.lit("packed").alias("stage"),
+            "n_rows",
+            "n_tokens",
+        )
+    )
+    return doc_rows.unionByName(packed)

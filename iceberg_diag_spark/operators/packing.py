@@ -73,6 +73,17 @@ def pack_sequences(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
     )
+    return pack_sequences_from_counts(base, capacity_tokens)
+
+
+def pack_sequences_from_counts(
+    base: DataFrame, capacity_tokens: int = 256
+) -> DataFrame:
+    """Packing fold over a PRE-COMPUTED (source, shard, doc_id,
+    n_tokens) relation — the entry point for fused pipelines
+    (corpus_build_funnel) whose upstream already carries token counts
+    and must not re-tokenize the corpus for the pack stage. Same
+    grouped-map fold and output schema as pack_sequences."""
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")

@@ -9698,6 +9698,195 @@ REGISTRY.update({
 })
 
 
+# ------------------------------------------------------------------
+# Round 8: fused corpus-build funnel (the release "dataset card")
+# ------------------------------------------------------------------
+
+def _corpus_build_funnel(spark, sf_dir):
+    from iceberg_diag_spark.operators.funnel import corpus_build_funnel
+
+    return corpus_build_funnel(_t(spark, sf_dir, "documents"))
+
+
+# The oracle composes the same stage rules the individual entries
+# already verify one-by-one (corpus_curation gates, minhash_pairs
+# candidates, exact_quota_holdout apportionment, doc_pack_sequences
+# recursion) into one funnel — the composition itself is what this
+# entry tests. The pairs CTE embeds _MINHASH_PAIRS_SQL verbatim as a
+# parenthesized WITH-subquery (DuckDB scopes inner CTE names, so its
+# norm/chash chain cannot collide with the funnel's).
+_FUNNEL_SQL = (
+    r"""
+WITH RECURSIVE fnorm AS (
+  SELECT doc_id, source, text,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+perdoc0 AS (
+  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch,
+         (CAST(len(list_distinct(toks)) AS DOUBLE)
+            / greatest(len(toks), 1) >= 0.4
+          AND CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1) >= 0.6
+          AND greatest(
+                len(list_intersect(toks, """
+    + "{de}"
+    + r""")),
+                len(list_intersect(toks, """
+    + "{en}"
+    + r""")),
+                len(list_intersect(toks, """
+    + "{es}"
+    + r""")),
+                len(list_intersect(toks, """
+    + "{fr}"
+    + r"""))) > 0
+         ) AS s1
+  FROM fnorm
+),
+perdoc AS (
+  SELECT *,
+         (s1 AND doc_id = min(CASE WHEN s1 THEN doc_id END)
+                            OVER (PARTITION BY ch)) AS s2
+  FROM perdoc0
+),
+pairs AS (SELECT * FROM (
+"""
+    + _MINHASH_PAIRS_SQL.strip()
+    + r"""
+)),
+drop3 AS (
+  SELECT DISTINCT p.doc_b AS doc_id
+  FROM pairs p JOIN perdoc s ON s.doc_id = p.doc_a AND s.s2
+),
+p3 AS (
+  SELECT pd.doc_id, pd.source, pd.n_tokens, pd.s1, pd.s2,
+         (pd.s2 AND d.doc_id IS NULL) AS s3
+  FROM perdoc pd LEFT JOIN drop3 d USING (doc_id)
+),
+keyed AS (
+  SELECT doc_id, source AS stratum, md5(CAST(doc_id AS VARCHAR)) AS mh
+  FROM p3 WHERE s3
+),
+counts AS (
+  SELECT stratum, CAST(count(*) AS BIGINT) AS n_s FROM keyed GROUP BY stratum
+),
+totals AS (
+  SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+         CAST(sum((n_s * 100000) // 1000000) AS BIGINT) AS base_total
+  FROM counts
+),
+quotas AS (
+  SELECT stratum,
+         (n_s * 100000) // 1000000
+           + CASE WHEN row_number() OVER (
+                    ORDER BY n_s * 100000
+                             - ((n_s * 100000) // 1000000) * 1000000 DESC,
+                             stratum ASC)
+                    <= (n_total * 100000) // 1000000 - base_total
+             THEN 1 ELSE 0 END AS quota
+  FROM counts CROSS JOIN totals
+),
+picks AS (
+  SELECT k.doc_id
+  FROM (
+    SELECT doc_id, stratum,
+           row_number() OVER (PARTITION BY stratum ORDER BY mh, doc_id) AS rn
+    FROM keyed
+  ) k JOIN quotas USING (stratum)
+  WHERE k.rn <= quota
+),
+p4 AS (
+  SELECT p3.doc_id, p3.source, p3.n_tokens, p3.s1, p3.s2, p3.s3,
+         (p3.s3 AND pk.doc_id IS NULL) AS s4
+  FROM p3 LEFT JOIN picks pk USING (doc_id)
+),
+pdata AS (
+  SELECT source, doc_id % 4 AS shard, doc_id, n_tokens AS sz
+  FROM p4 WHERE s4
+),
+ppre AS (
+  SELECT source, shard, sz,
+         row_number() OVER (PARTITION BY source, shard ORDER BY doc_id) AS rn,
+         sum(sz) OVER (PARTITION BY source, shard ORDER BY doc_id) AS ps
+  FROM pdata
+),
+pbounds AS (
+  SELECT source, shard, 0 AS gid, CAST(1 AS BIGINT) AS srn,
+         CAST(0 AS HUGEINT) AS base
+  FROM (SELECT DISTINCT source, shard FROM pdata)
+  UNION ALL
+  SELECT q.source, q.shard, q.gid + 1,
+         CASE WHEN q.ern = q.srn THEN q.ern + 1 ELSE q.ern END,
+         CASE WHEN q.ern = q.srn THEN q.eps ELSE q.pps END
+  FROM (
+    SELECT b.source, b.shard, b.gid, b.srn,
+           min(p.rn) AS ern, min(p.ps) AS eps,
+           arg_min(p.ps - p.sz, p.rn) AS pps
+    FROM pbounds b
+    JOIN ppre p ON p.source = b.source AND p.shard = b.shard
+              AND p.rn >= b.srn
+              AND p.ps - b.base > 256
+    GROUP BY b.source, b.shard, b.gid, b.srn
+  ) q
+),
+ptot AS (
+  SELECT source, shard, max(rn) AS mx, max(ps) AS total
+  FROM ppre GROUP BY source, shard
+),
+pgrp AS (
+  SELECT b.source, b.shard, b.gid,
+         coalesce(lead(b.base) OVER w, t.total) - b.base AS toks
+  FROM pbounds b
+  JOIN ptot t ON t.source = b.source AND t.shard = b.shard
+            AND b.srn <= t.mx
+  WINDOW w AS (PARTITION BY b.source, b.shard ORDER BY b.gid)
+)
+SELECT CAST(0 AS BIGINT) AS stage_id, 'raw' AS stage,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens
+FROM p4
+UNION ALL
+SELECT 1, 'quality_gate', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+FROM p4 WHERE s1
+UNION ALL
+SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+FROM p4 WHERE s2
+UNION ALL
+SELECT 3, 'near_dup', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+FROM p4 WHERE s3
+UNION ALL
+SELECT 4, 'train', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+FROM p4 WHERE s4
+UNION ALL
+SELECT 5, 'packed', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(toks), 0) AS BIGINT)
+FROM pgrp
+"""
+).format(
+    de=_lang_list_sql("de"),
+    en=_lang_list_sql("en"),
+    es=_lang_list_sql("es"),
+    fr=_lang_list_sql("fr"),
+)
+
+REGISTRY.update({
+    "corpus_build_funnel": QuerySpec(
+        _corpus_build_funnel, _FUNNEL_SQL,
+        "fused corpus-build pipeline as one DAG: quality gate -> "
+        "exact dedup -> near-dup collapse -> exact-quota holdout -> "
+        "sequence packing, emitting the per-stage survivor funnel "
+        "(the release dataset card); one enriched corpus pass + the "
+        "banding chain, stages share a checkpointed narrow lineage",
+    ),
+})
+
+
 # Evaluation-order hedge: the correctness harness records rows for
 # exactly the first 50 registry entries (confirmed across rounds 1-3).
 # With 101 entries, ordering decides which queries get a FRESH

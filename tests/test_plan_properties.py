@@ -386,3 +386,20 @@ def test_substring_dedup_no_span_self_join(spark):
     assert _exchanges(plan) <= 5
     specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
     assert specs, "coverage window missing from plan"
+
+
+def test_corpus_build_funnel_reads_checkpoints_not_corpus(spark):
+    # composition contract: every stage downstream of the enriched
+    # pass consumes a materialized narrow lineage — the final plan
+    # reads NO parquet directly (the corpus is scanned only inside
+    # the three checkpoint lineages: enriched pass + the banding
+    # chain's two) and at most 4 checkpointed relations; packing is
+    # the single pandas stage. Without the checkpoints the same DAG
+    # replays the corpus scan 40× (one per branch) — measured, which
+    # is exactly what this test pins against.
+    plan = _plan(spark, "corpus_build_funnel")
+    assert _op_count(plan, "Scan parquet") == 0
+    assert len(re.findall(r"Scan ExistingRDD", plan)) <= 4
+    assert _op_count(plan, "FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

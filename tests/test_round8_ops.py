@@ -81,3 +81,55 @@ def test_substring_dedup_short_docs_untouched(spark):
     }
     assert got[1]["n_removed"] == 0 and got[2]["n_removed"] == 0
     assert got[1]["cleaned_md5"] == _md5("same tiny doc")
+
+
+def test_corpus_build_funnel_stage_accounting(spark):
+    """Constructed corpus where each stage drops a known doc:
+    doc 5 fails quality (no stopwords/low alpha), doc 2 is an exact
+    dup of doc 1, doc 4 is a near-dup of doc 3, and the holdout takes
+    exactly floor(survivors·ppm/1e6) docs. Checkpointed and
+    plain-lineage builds must agree row-for-row."""
+    from iceberg_diag_spark.operators.funnel import corpus_build_funnel
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and it runs "
+        "for a while in the green field with many other animals"
+    )
+    other = (
+        "yesterday the committee voted to approve the funding for "
+        "the new library and the garden that the town wanted"
+    )
+    near = other.replace("garden", "museum")
+    docs = spark.createDataFrame(
+        [
+            (1, base, "web"),
+            (2, base, "web"),            # exact dup of 1
+            (3, other, "web"),
+            (4, near, "web"),            # near-dup of 3
+            (5, "0101 1010 0011 %%% ###", "web"),         # fails quality
+            (6, "a completely different document about the sea and "
+                "the sky and the stars that is long enough to pass "
+                "the quality gates easily for this test", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["stage"]: (r["n_rows"], r["n_tokens"])
+        for r in corpus_build_funnel(docs, holdout_ppm=250_000).collect()
+    }
+    assert got["raw"][0] == 6
+    assert got["quality_gate"][0] == 5          # doc 5 out
+    assert got["exact_dedup"][0] == 4           # doc 2 out
+    # near-dup stage: docs 2 (star partner of 1) and 4 (partner of 3)
+    # have smaller surviving partners; 2 is already gone, 4 drops now
+    assert got["near_dup"][0] == 3
+    assert got["train"][0] == 3 - (3 * 250_000) // 1_000_000
+    assert got["packed"][1] == got["train"][1]  # packing keeps tokens
+    # checkpoint=False is the same relation
+    plain = {
+        r["stage"]: (r["n_rows"], r["n_tokens"])
+        for r in corpus_build_funnel(
+            docs, holdout_ppm=250_000, checkpoint=False
+        ).collect()
+    }
+    assert plain == got
