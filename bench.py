@@ -200,6 +200,11 @@ HEADLINE = [
     # round 8 additions
     "doc_substring_dedup",
     "corpus_build_funnel",
+    "crossmodal_dedup_agreement",
+    "events_watermark_recommendation",
+    "stream_watermark_advisor",
+    "events_expectations_audit",
+    "shuffle_skew_advisor",
 ]
 
 

@@ -410,6 +410,49 @@ def watermark_advisor(
     )
 
 
+def watermark_recommendation(
+    events: DataFrame,
+    candidates_us: tuple[int, ...] = WATERMARK_CANDIDATES_US,
+    target_ppm: int = 1_000,
+    n_shards: int = 32,
+) -> DataFrame:
+    """The advisor's DECISION: per event type, the smallest candidate
+    watermark delay whose drop rate meets the target (drop_ppm <=
+    target_ppm) — or, when even the largest candidate misses it, that
+    largest candidate flagged meets_target=false (the "fix upstream
+    reordering, don't widen the watermark" signal). Closes the loop
+    on watermark_advisor, which emits the whole sweep and leaves the
+    pick to the reader; the streaming twin
+    (stream_ops.watermark_advisor_stream) emits this same row live
+    from keyed per-type state.
+
+    Cost on top of the advisor sweep: one aggregate over the
+    |types|·|candidates| policy relation (metadata scale). The pick
+    is a conditional struct-min — smallest qualifying delay — with a
+    struct-max fallback, both deterministic.
+
+    Output: (event_type, n_events, recommended_watermark_us,
+    n_dropped, drop_ppm, meets_target).
+    """
+    adv = watermark_advisor(events, candidates_us, n_shards)
+    picked = F.struct("watermark_us", "n_dropped", "drop_ppm")
+    g = adv.groupBy("event_type", "n_events").agg(
+        F.min(
+            F.when(F.col("drop_ppm") <= target_ppm, picked)
+        ).alias("__ok"),
+        F.max(picked).alias("__fb"),
+    )
+    sel = F.coalesce(F.col("__ok"), F.col("__fb"))
+    return g.select(
+        "event_type",
+        "n_events",
+        sel.getField("watermark_us").alias("recommended_watermark_us"),
+        sel.getField("n_dropped").alias("n_dropped"),
+        sel.getField("drop_ppm").alias("drop_ppm"),
+        F.col("__ok").isNotNull().alias("meets_target"),
+    )
+
+
 def user_transition_typicality(events: DataFrame) -> DataFrame:
     """Behavioral-anomaly score per user: how typical are this
     user's event-type transitions under the corpus-wide first-order
@@ -951,4 +994,271 @@ def gdpr_delete_simulation(
         F.expr(
             "(1000000 * rows_rewritten) DIV greatest(rows_deleted, 1)"
         ).alias("write_amplification_ppm"),
+    )
+
+
+def cdc_merge_apply(events: DataFrame) -> DataFrame:
+    """MERGE-semantics change-feed apply: fold the event stream into
+    the final per-user row state, the relational equivalent of
+    `MERGE INTO state USING feed` run over the whole feed at once.
+    The op column derives deterministically from event_type —
+    signup=INSERT, error=DELETE, everything else=UPSERT — and the
+    fold (by event_id order, the feed's commit order) is:
+      - a DELETE tombstones the row: only I/U rows AFTER the last
+        delete survive;
+      - the latest surviving I/U supplies the value;
+      - a user whose feed ends on a delete (or contains only
+        deletes) is emitted with present=false and NULL state — the
+        tombstone ledger a CDC compaction job must keep until
+        downstream consumers acknowledge.
+    Complements events_cdc_dedup (which de-duplicates the feed) and
+    events_scd2_history (which keeps every version): this is the
+    SNAPSHOT materialization a MERGE-based mirror maintains.
+
+    One shuffle on user_id; the fold is two window passes over each
+    user's bounded event history (max-if for the tombstone frontier,
+    then conditional aggregates over the survivors) — no
+    applyInPandas, no sort beyond the per-user window. At 100 TB the
+    shuffle is the unavoidable key-grouping; everything after is
+    row-local within a user partition.
+
+    Output: (user_id, present, n_applied, last_event_id, last_value).
+    """
+    from pyspark.sql.window import Window
+
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    w = Window.partitionBy("user_id")
+    ev = events.select(
+        "user_id", "event_id", "value", op.alias("op")
+    ).withColumn(
+        "last_d",
+        F.max(F.when(F.col("op") == "D", F.col("event_id"))).over(w),
+    )
+    surv = F.col("op").isin("I", "U") & (
+        F.col("event_id") > F.coalesce(F.col("last_d"), F.lit(-1))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(surv.cast("long")).alias("n_applied"),
+            F.max(F.when(surv, F.col("event_id"))).alias("last_event_id"),
+            F.max_by(
+                F.when(surv, F.col("value")),
+                F.when(surv, F.col("event_id")),
+            ).alias("last_value"),
+        )
+        .select(
+            "user_id",
+            (F.col("n_applied") > 0).alias("present"),
+            F.col("n_applied").cast("long").alias("n_applied"),
+            "last_event_id",
+            "last_value",
+        )
+    )
+
+
+def ewma_anomalies(
+    events: DataFrame,
+    shift_bits: int = 10,
+    spike_factor: int = 2,
+    min_count: int = 5,
+) -> DataFrame:
+    """Sequential EWMA spike detector over the hourly event-rate
+    series, per event type: an hour is anomalous when its count more
+    than `spike_factor`-times the exponentially-weighted baseline of
+    the PRECEDING hours (alpha=1/4), with a `min_count` floor so a
+    2-vs-1 blip never fires. The adaptive-baseline complement of
+    events_hourly_anomalies (whose static p90 threshold cannot track
+    load growth) and events_changepoint (which finds ONE level
+    shift; this flags every transient spike against a decaying
+    memory).
+
+    The recursion s_t = (3*s_{t-1} + 2^10*c_t) DIV 4 runs in
+    2^10-scaled integer arithmetic — floor division, no floats — so
+    the fold is bit-exact in any engine (the DuckDB oracle replays
+    it as a recursive CTE). Baseline seeds at the first hour (which
+    can therefore never flag).
+
+    Scale shape: one corpus shuffle to the (type, hour) rollup; the
+    fold is inherently sequential per type, so each type's BOUNDED
+    hourly series (metadata scale: |hours|, not corpus rows)
+    collapses to one sorted array and folds in a single JVM
+    higher-order `aggregate` — the doc_repetition_profile idiom; no
+    Python, no window over corpus rows.
+
+    Output per anomalous hour: (event_type, window_start,
+    event_count, ewma_prev_scaled, spike_ppm).
+    """
+    scale = 1 << shift_bits
+    hourly = events.groupBy(
+        F.col("event_type"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00")
+        .alias("ws"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    series = hourly.groupBy("event_type").agg(
+        F.expr(
+            "array_sort(collect_list(named_struct('ws', ws, 'c', c)))"
+        ).alias("h")
+    )
+    out_t = (
+        "array<struct<ws:string,c:bigint,sp:bigint,spike:bigint>>"
+    )
+    fold = f"""
+    aggregate(
+      h,
+      named_struct('s', cast(-1 as bigint),
+                   'out', cast(array() as {out_t})),
+      (acc, x) -> named_struct(
+        's', CASE WHEN acc.s < 0 THEN {scale} * x.c
+                  ELSE (3 * acc.s + {scale} * x.c) DIV 4 END,
+        'out', CASE
+          WHEN acc.s >= 0 AND {scale} * x.c > {spike_factor} * acc.s
+               AND x.c >= {min_count}
+          THEN array_append(acc.out, named_struct(
+                 'ws', x.ws, 'c', cast(x.c as bigint),
+                 'sp', acc.s,
+                 'spike', ({scale} * 1000000 * x.c)
+                          DIV greatest(acc.s, 1)))
+          ELSE acc.out END),
+      acc -> acc.out)
+    """
+    return series.select(
+        "event_type", F.explode(F.expr(fold)).alias("a")
+    ).select(
+        "event_type",
+        F.col("a.ws").alias("window_start"),
+        F.col("a.c").alias("event_count"),
+        F.col("a.sp").alias("ewma_prev_scaled"),
+        F.col("a.spike").alias("spike_ppm"),
+    )
+
+EXPECTATION_RULES: tuple[tuple[str, str, str], ...] = (
+    # (rule_id, severity, violation predicate as a SQL expression)
+    ("value_range", "drop",
+     "NOT (value IS NOT NULL AND value >= 0 AND value <= 250)"),
+    ("props_k_range", "warn",
+     "NOT coalesce(CAST(get_json_object(props, '$.k') AS BIGINT)"
+     " BETWEEN 0 AND 89, false)"),
+    ("known_event_type", "drop",
+     "NOT coalesce(event_type IN"
+     " ('click','view','purchase','signup','error'), false)"),
+    ("ts_in_window", "drop",
+     "NOT (ts IS NOT NULL AND ts >= TIMESTAMP '2024-01-01 00:00:00'"
+     " AND ts < TIMESTAMP '2026-01-01 00:00:00')"),
+    ("user_id_present", "drop", "user_id IS NULL"),
+)
+
+
+def expectations_audit(events: DataFrame) -> DataFrame:
+    """Declarative data-contract audit (the expectations/constraints
+    pattern of Delta Live Tables and Great Expectations): every rule
+    in EXPECTATION_RULES is evaluated over the full feed in ONE scan
+    and ONE global aggregate — a conditional sum plus a min-violator
+    probe per rule, all computed map-side — then the single
+    aggregated row unpivots via stack() to one output row per rule,
+    plus a synthetic `_quarantine` row counting records that violate
+    ANY drop-severity rule (the rows a contract-enforcing ingest
+    would divert). No shuffle beyond the single-row global agg; at
+    100 TB this is one pass over the feed regardless of rule count.
+
+    Output per rule: (rule_id, severity, n_checked, n_violations,
+    violation_ppm, first_bad_event_id) — first_bad_event_id is the
+    minimum violating event_id (NULL when clean), the deterministic
+    "show me one offender" handle.
+    """
+    aggs = []
+    for rid, _sev, pred in EXPECTATION_RULES:
+        v = F.expr(pred)
+        aggs.append(F.sum(v.cast("long")).alias(f"nv_{rid}"))
+        aggs.append(
+            F.min(F.when(v, F.col("event_id"))).alias(f"fb_{rid}")
+        )
+    drop_preds = " OR ".join(
+        f"({p})" for _r, s, p in EXPECTATION_RULES if s == "drop"
+    )
+    q = F.expr(drop_preds)
+    aggs.append(F.sum(q.cast("long")).alias("nv__quarantine"))
+    aggs.append(F.min(F.when(q, F.col("event_id"))).alias("fb__quarantine"))
+    aggs.append(F.count(F.lit(1)).alias("n_checked"))
+    row = events.agg(*aggs)
+
+    stack_args = []
+    for rid, sev, _p in EXPECTATION_RULES:
+        stack_args.append(f"'{rid}', '{sev}', nv_{rid}, fb_{rid}")
+    stack_args.append("'_quarantine', 'drop', nv__quarantine, fb__quarantine")
+    n = len(stack_args)
+    return row.select(
+        F.expr(
+            f"stack({n}, {', '.join(stack_args)})"
+            " AS (rule_id, severity, n_violations, first_bad_event_id)"
+        ),
+        "n_checked",
+    ).select(
+        "rule_id",
+        "severity",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.expr(
+            "CAST(1000000 * n_violations DIV greatest(n_checked, 1)"
+            " AS BIGINT)"
+        ).alias("violation_ppm"),
+        "first_bad_event_id",
+    )
+
+
+def shuffle_skew_advisor(
+    events: DataFrame,
+    n_partitions: int = 32,
+    key: str = "user_id",
+) -> DataFrame:
+    """Pre-flight shuffle-skew diagnosis for a planned groupBy/join
+    on `key`: simulate hash partitioning into `n_partitions` reduce
+    tasks with a portable hash (md5 of the key's decimal string —
+    identical in any engine, unlike Murmur3 seeds) and report, per
+    simulated partition, the row/key load and the salt factor that
+    would level its heaviest key. Run this BEFORE the real shuffle:
+    at 100 TB it costs one key-cardinality aggregate, and its output
+    is the decision between plain hash partitioning, AQE skew-join,
+    and explicit salting (functions/skew.salted_agg).
+
+    Exact integer arithmetic throughout: fair_share =
+    ceil(total/n_partitions); skew_ppm = 1e6 * partition_rows /
+    fair_share; recommended_salt = ceil(max_key_rows / fair_share)
+    (1 ⇒ no salting needed for that partition's heaviest key).
+
+    Output: (partition_id, n_rows, n_keys, max_key_rows,
+    skew_ppm, recommended_salt), one row per non-empty partition.
+    """
+    per_key = events.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    part = F.expr(
+        "CAST(conv(substring(md5(CAST(k AS STRING)), 1, 15), 16, 10)"
+        f" AS BIGINT) % {n_partitions}"
+    )
+    by_part = per_key.groupBy(part.alias("partition_id")).agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_key_rows"),
+    )
+    total = by_part.agg(F.sum("n_rows").alias("t"))
+    return by_part.join(F.broadcast(total)).select(
+        F.col("partition_id").cast("long").alias("partition_id"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("max_key_rows").cast("long").alias("max_key_rows"),
+        F.expr(
+            f"CAST(1000000 * n_rows DIV (CAST(t + {n_partitions} - 1"
+            f" AS BIGINT) DIV {n_partitions}) AS BIGINT)"
+        ).alias("skew_ppm"),
+        F.expr(
+            f"CAST((max_key_rows + (CAST(t + {n_partitions} - 1"
+            f" AS BIGINT) DIV {n_partitions}) - 1)"
+            f" DIV (CAST(t + {n_partitions} - 1 AS BIGINT)"
+            f" DIV {n_partitions}) AS BIGINT)"
+        ).alias("recommended_salt"),
     )

@@ -504,3 +504,72 @@ def media_phash_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def crossmodal_dedup_agreement(
+    docs: DataFrame,
+    max_hamming: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-MODAL joint-dedup audit for multimodal records (doc +
+    attached media payload): the Venn of TEXT near-dup candidate
+    pairs (production MinHash-LSH banding) vs MEDIA near-dup
+    candidate pairs (decoder-free dHash banding over the payload) on
+    the same corpus. The multimodal counterpart of
+    dedup_method_agreement (which compares two TEXT families): a
+    large only-text region means re-captioned/re-encoded media slips
+    text dedup; a large only-media region means near-identical
+    payloads carry genuinely different text (thumbnails, crops) and
+    a joint policy must decide which modality wins.
+
+    Both pair relations are the production bucketed plans, ids-only
+    on the wire (payloads and text never shuffle past their own
+    fingerprint stages); the comparison is one full outer join on
+    the ordered (doc_a, doc_b) pair key plus one global aggregate —
+    the same scale shape as dedup_method_agreement. Output (one
+    row): n_text, n_media, n_both, only_text, only_media, n_union,
+    overlap_ppm.
+    """
+    from iceberg_diag_spark.operators import dedup
+
+    tx = dedup.minhash_candidate_pairs(
+        docs, text_col=text_col, id_col=id_col
+    ).select("doc_a", "doc_b", F.lit(1).alias("__tx"))
+    md = media_phash_near_dup(
+        with_media(docs, text_col=text_col, id_col=id_col),
+        max_hamming=max_hamming,
+        id_col=id_col,
+    ).select("doc_a", "doc_b", F.lit(1).alias("__md"))
+    j = tx.join(md, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.sum(F.coalesce(F.col("__tx"), F.lit(0)))
+        .cast("long")
+        .alias("n_text"),
+        F.sum(F.coalesce(F.col("__md"), F.lit(0)))
+        .cast("long")
+        .alias("n_media"),
+        F.sum(
+            F.when(F.col("__tx").isNotNull() & F.col("__md").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_both"),
+        F.sum(
+            F.when(F.col("__tx").isNotNull() & F.col("__md").isNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("only_text"),
+        F.sum(
+            F.when(F.col("__tx").isNull() & F.col("__md").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("only_media"),
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+    ).select(
+        "n_text",
+        "n_media",
+        "n_both",
+        "only_text",
+        "only_media",
+        "n_union",
+        F.expr(
+            "(1000000 * n_both) DIV greatest(n_union, 1)"
+        ).alias("overlap_ppm"),
+    )

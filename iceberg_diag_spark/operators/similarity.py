@@ -1861,3 +1861,141 @@ def embedding_energy_curve(
         )
         .orderBy("prefix_dim")
     )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    dim: int = 64,
+    scale_bits: int = 8,
+    shift_bits: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One EXACT Lloyd (k-means) refinement iteration, expressed
+    relationally — the iterative-ML-on-a-DataFrame pattern: seed
+    centroids are the fixed md5-derived integer constants (the
+    ivf_topk_exact coarse quantizer), every vector is assigned to its
+    nearest seed (exact integer squared L2, ties to the lowest cell),
+    centroids are recomputed as the exact floor-scaled member mean,
+    and vectors re-assign under the refined centroids. Per final
+    cluster the audit emits size, how many members arrived by
+    reassignment, and the mean squared distance (the per-cluster
+    inertia a training loop would watch for convergence). MLlib's
+    KMeans keeps its state engine-private; this step is
+    hash-reproducible anywhere, which is what a data-pipeline audit
+    (not a model-training run) needs.
+
+    Exactness: q = floor(v·2^8) once; refined centroid component
+    c1 = floor(2^10·Σq / n) via pmod-subtraction + integral division
+    (truncating division of an exact multiple — identical in Spark
+    DIV and DuckDB //); iteration-2 distances compare 2^10·q against
+    c1, all int64 (|diff| ≤ 2^19, d2 ≤ 64·2^38 < 2^45); per-cluster
+    d2 sums accumulate in DECIMAL(38,0) before the exact integral
+    mean (int64 would wrap past ~2^18 members per cluster).
+
+    Scale shape: assignment passes are zero-shuffle row-local array
+    folds (seed literals inline; refined centroids collapse to ONE
+    k-row broadcast row — collect_list bounded by n_clusters, and the
+    per-cluster coordinate array by the fixed dim). The only
+    shuffles are the k·dim-row centroid update and the final k-row
+    audit aggregate; the corpus is scanned twice (assign, re-assign)
+    and never joined to itself. Empty seed cells drop out of the
+    refinement (standard Lloyd degeneracy), so absent cluster_ids in
+    the output mean dead seeds.
+
+    Output: (cluster_id, n_members, n_reassigned, mean_d2) where
+    mean_d2 is in (2^(8+10))²-scaled squared units.
+    """
+    from iceberg_diag_spark.functions.parallel import ensure_parallelism
+
+    cents = md5_centroids(dim, n_clusters, 1 << scale_bits)
+    scale = 1 << shift_bits
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * (1 << scale_bits)).cast("long"),
+    )
+    base = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("vec_id"), qv.alias("q")
+    )
+
+    def d2_seed_sql(cent: list[int]) -> str:
+        arr = ", ".join(f"{h}L" for h in cent)
+        return (
+            f"aggregate(zip_with(q, array({arr}),"
+            " (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as long), (acc, v) -> acc + v)"
+        )
+
+    seed_structs = ", ".join(
+        f"named_struct('d2', {d2_seed_sql(cents[c])}, 'c', {c})"
+        for c in range(n_clusters)
+    )
+    assigned0 = base.select(
+        "vec_id",
+        "q",
+        F.expr(f"array_sort(array({seed_structs}))[0].c").alias("c0"),
+    )
+    # The update + re-assignment both consume assigned0; checkpoint so
+    # the seed-assignment scan runs once (no cross-branch exchange
+    # reuse in Spark).
+    assigned0 = assigned0.localCheckpoint(eager=False)
+
+    upd = (
+        assigned0.select("c0", F.posexplode("q").alias("pos", "qd"))
+        .groupBy("c0", "pos")
+        .agg(
+            F.sum("qd").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "c0",
+            "pos",
+            # floor(scale·s / n): subtract the positive mod, then the
+            # now-exact multiple divides exactly under truncation
+            F.expr(
+                f"(s * {scale} - pmod(s * {scale}, n)) DIV n"
+            ).alias("c1"),
+        )
+    )
+    cent1 = upd.groupBy("c0").agg(
+        F.expr(
+            # fixed-dim coordinate array, ordered by pos
+            "transform(array_sort(collect_list(named_struct("
+            "'pos', pos, 'v', c1))), s -> s.v)"
+        ).alias("cent")
+    )
+    # k rows -> ONE broadcast row holding every refined centroid
+    cent_row = cent1.agg(
+        F.expr(
+            "array_sort(collect_list(named_struct('c', c0, 'cent', cent)))"
+        ).alias("cents")
+    )
+    re_expr = (
+        "array_sort(transform(cents, s -> named_struct("
+        f"'d2', aggregate(zip_with(q, s.cent, (x, y) ->"
+        f" (x * {scale} - y) * (x * {scale} - y)),"
+        " cast(0 as long), (acc, v) -> acc + v),"
+        " 'c', s.c)))[0]"
+    )
+    re = assigned0.crossJoin(F.broadcast(cent_row)).select(
+        "vec_id",
+        "c0",
+        F.expr(re_expr).alias("pick"),
+    )
+    return (
+        re.groupBy(F.col("pick.c").cast("long").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(
+                F.when(F.col("c0") != F.col("pick.c"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_reassigned"),
+            F.expr(
+                "cast(sum(cast(pick.d2 as decimal(38,0)))"
+                " div count(1) as bigint)"
+            ).alias("mean_d2"),
+        )
+        .select("cluster_id", "n_members", "n_reassigned", "mean_d2")
+    )

@@ -2227,3 +2227,103 @@ def text_artifact_audit(
         )
         .orderBy("source")
     )
+
+
+def source_length_ks(
+    docs: DataFrame,
+    len_col: str = "n_chars",
+    source_col: str = "source",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test, one test per source:
+    is this source's document-length distribution different from the
+    REST of the corpus? The standard pre-mix distribution check a
+    curation pipeline runs when a new crawl/source lands — length is
+    the cheapest strong proxy for extraction and content drift
+    (truncation bugs, boilerplate floods, and format changes all move
+    it first).
+
+    Exact integers end-to-end: with n_s docs in the source, n_r in
+    the rest, and cum_s(v)/cum_r(v) the counts at or below length v,
+    the KS sup-distance numerator is
+        d_num = max over v of |cum_s(v)*n_r - cum_r(v)*n_s|
+    (the true D = d_num/(n_s*n_r); the sup is attained on the global
+    value grid, so ECDFs are evaluated at every distinct length).
+    The 95% rejection uses the asymptotic two-sample threshold
+    c(.05)=1.358: D > c*sqrt((n_s+n_r)/(n_s*n_r)) cross-multiplied
+    into the exact integer comparison
+        1e6 * d_num^2 > 1844164 * (n_s+n_r) * n_s * n_r,
+    evaluated in DECIMAL(38,0) (exact while n_s*n_r < ~1e16 — any
+    real per-source split; int64 would wrap at ~3e9 docs).
+
+    Scale shape: one corpus shuffle to (source, length) counts; all
+    later relations are metadata-scale (|sources| x |distinct
+    lengths|). The global-grid ECDF windows are a single-task sort
+    over <= |distinct lengths| rows (bounded by max document length,
+    not corpus size) and a per-source window over the same bounded
+    grid — the quality_length_skyline bounded-relation idiom.
+
+    Output per source: (source, n_source, n_rest, d_num, d_ppm,
+    reject_95).
+    """
+    from pyspark.sql.window import Window
+
+    sv = (
+        ensure_parallelism(docs)
+        .groupBy(
+            F.col(source_col).alias("source"), F.col(len_col).alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sv = sv.localCheckpoint(eager=False)
+    vals = sv.groupBy("v").agg(F.sum("cnt").alias("gcnt"))
+    vals = vals.withColumn(
+        "cum_g",
+        F.sum("gcnt").over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    srcs = sv.groupBy("source").agg(F.sum("cnt").alias("n_source"))
+    grid = vals.crossJoin(F.broadcast(srcs)).join(
+        sv, ["source", "v"], "left"
+    )
+    w = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ecdf = grid.select(
+        "source",
+        "n_source",
+        "v",
+        "cum_g",
+        F.sum(F.coalesce(F.col("cnt"), F.lit(0))).over(w).alias("cum_s"),
+    )
+    total = sv.agg(F.sum("cnt").alias("n_total"))
+    out = (
+        ecdf.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_source",
+            (F.col("n_total") - F.col("n_source")).alias("n_rest"),
+            F.abs(
+                F.col("cum_s") * (F.col("n_total") - F.col("n_source"))
+                - (F.col("cum_g") - F.col("cum_s")) * F.col("n_source")
+            ).alias("dn"),
+        )
+        .groupBy("source", "n_source", "n_rest")
+        .agg(F.max("dn").alias("d_num"))
+    )
+    return out.select(
+        "source",
+        F.col("n_source").cast("long").alias("n_source"),
+        F.col("n_rest").cast("long").alias("n_rest"),
+        F.col("d_num").cast("long").alias("d_num"),
+        F.expr(
+            "CAST((1000000 * d_num) DIV (n_source * n_rest) AS BIGINT)"
+        ).alias("d_ppm"),
+        F.expr(
+            "CAST(d_num AS DECIMAL(38,0)) * d_num * 1000000"
+            " > CAST(1844164 AS DECIMAL(38,0))"
+            " * (n_source + n_rest) * n_source * n_rest"
+        ).alias("reject_95"),
+    )

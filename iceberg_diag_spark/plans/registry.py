@@ -9875,6 +9875,474 @@ FROM pgrp
     fr=_lang_list_sql("fr"),
 )
 
+# ------------------------------------------------------------------
+# Round 8: watermark recommendation (batch pick + streaming twin)
+# ------------------------------------------------------------------
+
+def _late_tainted_events(ev):
+    """The synthetic feed is perfectly ordered (every advisor drop
+    count is 0), so the recommendation entries inject deterministic
+    per-type disorder: every 20th click arrives 90 s late (only the
+    widest candidates absorb it), every 20th error 30 s late (the
+    60 s candidate suffices), every 20th view 700 s late (beyond
+    even the largest candidate — the meets_target=false branch), and
+    signup/purchase stay in order (smallest candidate wins). The
+    oracle applies the identical CASE to epoch_us(ts)."""
+    delay = (
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("event_id") % 20 == 0),
+            90_000_000,
+        )
+        .when(
+            (F.col("event_type") == "error")
+            & (F.col("event_id") % 20 == 0),
+            30_000_000,
+        )
+        .when(
+            (F.col("event_type") == "view")
+            & (F.col("event_id") % 20 == 0),
+            700_000_000,
+        )
+        .otherwise(0)
+    )
+    return ev.withColumn(
+        "ts", F.timestamp_micros(F.unix_micros(F.col("ts")) - delay)
+    )
+
+
+_LATE_TAINT_CASE = """
+           CASE WHEN event_type = 'click' AND event_id % 20 = 0
+                  THEN 90000000
+                WHEN event_type = 'error' AND event_id % 20 = 0
+                  THEN 30000000
+                WHEN event_type = 'view' AND event_id % 20 = 0
+                  THEN 700000000
+                ELSE 0 END
+"""
+
+
+def _events_watermark_recommendation(spark, sf_dir):
+    return events.watermark_recommendation(
+        _late_tainted_events(_t(spark, sf_dir, "events")), target_ppm=1_000
+    )
+
+
+_WATERMARK_RECOMMENDATION_SQL = f"""
+WITH o AS (
+  SELECT event_type,
+         epoch_us(ts) - {_LATE_TAINT_CASE} AS ts_us,
+         max(epoch_us(ts) - {_LATE_TAINT_CASE}) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS frontier
+  FROM events
+),
+l AS (
+  SELECT event_type,
+         CASE WHEN frontier IS NULL OR frontier < ts_us THEN 0
+              ELSE frontier - ts_us END AS lateness_us
+  FROM o
+),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN lateness_us > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN lateness_us > 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         CAST(sum(CASE WHEN lateness_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+         CAST(sum(CASE WHEN lateness_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS d4
+  FROM l GROUP BY event_type
+),
+u AS (
+  SELECT event_type, CAST(1000000 AS BIGINT) AS watermark_us, n_events, d1 AS n_dropped FROM g
+  UNION ALL SELECT event_type, 10000000, n_events, d2 FROM g
+  UNION ALL SELECT event_type, 60000000, n_events, d3 FROM g
+  UNION ALL SELECT event_type, 600000000, n_events, d4 FROM g
+),
+adv AS (
+  SELECT event_type, watermark_us, n_events, n_dropped,
+         CAST(floor(1000000.0 * n_dropped / n_events) AS BIGINT) AS drop_ppm
+  FROM u
+),
+ok AS (
+  SELECT event_type, min(watermark_us) AS wm
+  FROM adv WHERE drop_ppm <= 1000 GROUP BY event_type
+),
+fb AS (SELECT event_type, max(watermark_us) AS wm FROM adv GROUP BY event_type),
+pick AS (
+  SELECT f.event_type, coalesce(o2.wm, f.wm) AS wm,
+         o2.wm IS NOT NULL AS meets_target
+  FROM fb f LEFT JOIN ok o2 USING (event_type)
+)
+SELECT a.event_type, a.n_events,
+       CAST(a.watermark_us AS BIGINT) AS recommended_watermark_us,
+       a.n_dropped, a.drop_ppm, p.meets_target
+FROM pick p
+JOIN adv a ON a.event_type = p.event_type AND a.watermark_us = p.wm
+"""
+
+
+def _stream_watermark_advisor(spark, sf_dir):
+    ev = _late_tainted_events(
+        stream_ops.read_events_stream(spark, sf_dir)
+    )
+    return stream_ops.run_to_table(
+        stream_ops.watermark_advisor_stream(ev, target_ppm=1_000),
+        "update",
+        "stream_wm_advisor",
+    )
+
+
+# Single availableNow drain = one batch: cumulative state equals the
+# per-type batch computation (the disorder_monitor oracle shape) and
+# the integer // ppm matches the stream's arithmetic exactly.
+_STREAM_WATERMARK_SQL = f"""
+WITH o AS (
+  SELECT event_type,
+         epoch_us(ts) - {_LATE_TAINT_CASE} AS ts_us,
+         max(epoch_us(ts) - {_LATE_TAINT_CASE}) OVER (
+           PARTITION BY event_type ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS frontier
+  FROM events
+),
+l AS (
+  SELECT event_type,
+         CASE WHEN frontier IS NULL OR frontier < ts_us THEN 0
+              ELSE frontier - ts_us END AS lateness_us
+  FROM o
+),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN lateness_us > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN lateness_us > 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         CAST(sum(CASE WHEN lateness_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+         CAST(sum(CASE WHEN lateness_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS d4
+  FROM l GROUP BY event_type
+),
+u AS (
+  SELECT event_type, CAST(1000000 AS BIGINT) AS watermark_us, n_events, d1 AS n_dropped FROM g
+  UNION ALL SELECT event_type, 10000000, n_events, d2 FROM g
+  UNION ALL SELECT event_type, 60000000, n_events, d3 FROM g
+  UNION ALL SELECT event_type, 600000000, n_events, d4 FROM g
+),
+adv AS (
+  SELECT event_type, watermark_us, n_events, n_dropped,
+         (1000000 * n_dropped) // greatest(n_events, 1) AS drop_ppm
+  FROM u
+),
+ok AS (
+  SELECT event_type, min(watermark_us) AS wm
+  FROM adv WHERE drop_ppm <= 1000 GROUP BY event_type
+),
+fb AS (SELECT event_type, max(watermark_us) AS wm FROM adv GROUP BY event_type),
+pick AS (
+  SELECT f.event_type, coalesce(o2.wm, f.wm) AS wm,
+         o2.wm IS NOT NULL AS meets_target
+  FROM fb f LEFT JOIN ok o2 USING (event_type)
+)
+SELECT a.event_type, a.n_events,
+       CAST(a.watermark_us AS BIGINT) AS recommended_watermark_us,
+       a.n_dropped, CAST(a.drop_ppm AS BIGINT) AS drop_ppm,
+       p.meets_target
+FROM pick p
+JOIN adv a ON a.event_type = p.event_type AND a.watermark_us = p.wm
+"""
+
+REGISTRY.update({
+    "events_watermark_recommendation": QuerySpec(
+        _events_watermark_recommendation, _WATERMARK_RECOMMENDATION_SQL,
+        "watermark advisor's decision: per type, the smallest "
+        "candidate delay meeting the drop target (or the largest, "
+        "flagged) over a deterministically disordered feed; sweep + "
+        "struct-min pick, metadata-scale aggregate",
+    ),
+    "stream_watermark_advisor": QuerySpec(
+        _stream_watermark_advisor, _STREAM_WATERMARK_SQL,
+        "streaming self-calibrating watermark recommender: per-type "
+        "keyed state carries frontier + per-candidate cumulative "
+        "would-drop counters, emits the recommended delay each "
+        "batch; single-drain equals the per-type batch pick",
+    ),
+})
+
+
+# ------------------------------------------------------------------
+# Round 8: cross-modal joint dedup (text LSH × media dHash Venn)
+# ------------------------------------------------------------------
+
+def _crossmodal_dedup_agreement(spark, sf_dir):
+    return multimodal.crossmodal_dedup_agreement(
+        _t(spark, sf_dir, "documents")
+    )
+
+
+_CROSSMODAL_AGREEMENT_SQL = f"""
+WITH tx AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+),
+md AS (
+  SELECT doc_a, doc_b FROM ({_MEDIA_PHASH_SQL})
+),
+j AS (
+  SELECT tx.doc_a IS NOT NULL AS in_tx, md.doc_a IS NOT NULL AS in_md
+  FROM tx FULL OUTER JOIN md
+    ON tx.doc_a = md.doc_a AND tx.doc_b = md.doc_b
+)
+SELECT CAST(sum(CASE WHEN in_tx THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+       CAST(sum(CASE WHEN in_md THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+       CAST(sum(CASE WHEN in_tx AND in_md THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both,
+       CAST(sum(CASE WHEN in_tx AND NOT in_md THEN 1 ELSE 0 END) AS BIGINT)
+         AS only_text,
+       CAST(sum(CASE WHEN in_md AND NOT in_tx THEN 1 ELSE 0 END) AS BIGINT)
+         AS only_media,
+       CAST(count(*) AS BIGINT) AS n_union,
+       CAST((1000000 * sum(CASE WHEN in_tx AND in_md THEN 1 ELSE 0 END))
+            // greatest(count(*), 1) AS BIGINT) AS overlap_ppm
+FROM j
+"""
+
+REGISTRY.update({
+    "crossmodal_dedup_agreement": QuerySpec(
+        _crossmodal_dedup_agreement, _CROSSMODAL_AGREEMENT_SQL,
+        "cross-modal joint-dedup Venn: text MinHash-LSH pairs vs "
+        "media dHash pairs over the same multimodal records; both "
+        "production bucketed plans, ids-only pair join, one global "
+        "aggregate",
+    ),
+})
+
+# ------------------------------------------------------------------
+# Round 8: exact relational k-means (one Lloyd refinement iteration)
+# ------------------------------------------------------------------
+
+def _kmeans_lloyd(spark, sf_dir):
+    return similarity.kmeans_lloyd(_t(spark, sf_dir, "embeddings"))
+
+
+def _kmeans_lloyd_sql() -> str:
+    cents = similarity.md5_centroids()
+    values = ", ".join(
+        f"({c},{d},{h})"
+        for c, row in enumerate(cents)
+        for d, h in enumerate(row)
+    )
+    return f"""
+WITH cents(c, d, h) AS (VALUES {values}),
+ex AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 256.0) AS BIGINT) AS q
+  FROM embeddings
+),
+d0 AS (
+  SELECT vec_id, c, sum((q - h) * (q - h)) AS d2
+  FROM ex JOIN cents USING (d) GROUP BY vec_id, c
+),
+a0 AS (
+  SELECT vec_id, c AS c0 FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+upd AS (
+  SELECT c0, d, sum(q) AS s, count(*) AS n
+  FROM ex JOIN a0 USING (vec_id) GROUP BY c0, d
+),
+-- floor(1024*s / n): subtract the POSITIVE mod, then the exact
+-- multiple divides exactly under truncating // (matches Spark DIV)
+c1 AS (
+  SELECT c0, d,
+         (s * 1024 - ((s * 1024 % n) + n) % n) // n AS cc
+  FROM upd
+),
+d1 AS (
+  SELECT ex.vec_id, c1.c0 AS c,
+         sum((q * 1024 - cc) * (q * 1024 - cc)) AS d2
+  FROM ex JOIN c1 USING (d) GROUP BY ex.vec_id, c1.c0
+),
+a1 AS (
+  SELECT vec_id, c, d2 FROM (
+    SELECT vec_id, c, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+    FROM d1
+  ) WHERE rn = 1
+)
+SELECT CAST(a1.c AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN a0.c0 != a1.c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reassigned,
+       CAST(sum(d2) // count(*) AS BIGINT) AS mean_d2
+FROM a1 JOIN a0 USING (vec_id)
+GROUP BY a1.c
+"""
+
+
+_KMEANS_LLOYD_SQL = _kmeans_lloyd_sql()
+
+REGISTRY.update({
+    "kmeans_lloyd": QuerySpec(
+        _kmeans_lloyd, _KMEANS_LLOYD_SQL,
+        "one exact Lloyd refinement iteration done relationally: "
+        "md5-seeded integer assignment, floor-scaled centroid "
+        "update, re-assignment, per-cluster size/churn/inertia; "
+        "zero-shuffle assignment passes, k-row broadcast centroids",
+    ),
+})
+
+# ------------------------------------------------------------------
+# Round 8: per-source two-sample KS drift test on document length
+# ------------------------------------------------------------------
+
+def _source_length_ks(spark, sf_dir):
+    return textops.source_length_ks(_t(spark, sf_dir, "documents"))
+
+
+_SOURCE_LENGTH_KS_SQL = """
+WITH sv AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY source, n_chars
+),
+vals AS (SELECT v, sum(cnt) AS gcnt FROM sv GROUP BY v),
+valc AS (SELECT v, sum(gcnt) OVER (ORDER BY v) AS cum_g FROM vals),
+srcs AS (SELECT source, sum(cnt) AS n_source FROM sv GROUP BY source),
+tot AS (SELECT sum(cnt) AS n_total FROM sv),
+grid AS (
+  SELECT s.source, s.n_source, c.v, c.cum_g, coalesce(sv.cnt, 0) AS cnt
+  FROM srcs s CROSS JOIN valc c
+  LEFT JOIN sv ON sv.source = s.source AND sv.v = c.v
+),
+ecdf AS (
+  SELECT source, n_source, cum_g,
+         sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cum_s
+  FROM grid
+),
+agg AS (
+  SELECT source, n_source,
+         (SELECT n_total FROM tot) - n_source AS n_rest,
+         max(abs(cum_s * ((SELECT n_total FROM tot) - n_source)
+                 - (cum_g - cum_s) * n_source)) AS d_num
+  FROM ecdf GROUP BY source, n_source
+)
+SELECT source,
+       CAST(n_source AS BIGINT) AS n_source,
+       CAST(n_rest AS BIGINT) AS n_rest,
+       CAST(d_num AS BIGINT) AS d_num,
+       CAST((1000000 * d_num) // (n_source * n_rest) AS BIGINT) AS d_ppm,
+       CAST(d_num AS HUGEINT) * d_num * 1000000
+         > CAST(1844164 AS HUGEINT)
+           * (n_source + n_rest) * n_source * n_rest AS reject_95
+FROM agg
+"""
+
+REGISTRY.update({
+    "source_length_ks": QuerySpec(
+        _source_length_ks, _SOURCE_LENGTH_KS_SQL,
+        "per-source two-sample Kolmogorov-Smirnov drift test on "
+        "document length vs the rest of the corpus: exact integer "
+        "sup-distance numerator on the global value grid, "
+        "cross-multiplied 95% rejection in DECIMAL(38,0); one corpus "
+        "shuffle, then metadata-scale grid windows",
+    ),
+})
+
+# ------------------------------------------------------------------
+# Round 8: MERGE-semantics CDC apply (change feed -> final snapshot)
+# ------------------------------------------------------------------
+
+def _events_cdc_merge(spark, sf_dir):
+    return events.cdc_merge_apply(_t(spark, sf_dir, "events"))
+
+
+_EVENTS_CDC_MERGE_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS op
+  FROM events
+),
+fr AS (
+  SELECT user_id, event_id, value, op,
+         max(CASE WHEN op = 'D' THEN event_id END)
+           OVER (PARTITION BY user_id) AS last_d
+  FROM ev
+),
+m AS (
+  SELECT user_id, event_id, value,
+         op IN ('I', 'U')
+           AND event_id > coalesce(last_d, -1) AS surv
+  FROM fr
+)
+SELECT user_id,
+       sum(CASE WHEN surv THEN 1 ELSE 0 END) > 0 AS present,
+       CAST(sum(CASE WHEN surv THEN 1 ELSE 0 END) AS BIGINT) AS n_applied,
+       max(CASE WHEN surv THEN event_id END) AS last_event_id,
+       max_by(CASE WHEN surv THEN value END,
+              CASE WHEN surv THEN event_id END) AS last_value
+FROM m GROUP BY user_id
+"""
+
+REGISTRY.update({
+    "events_cdc_merge": QuerySpec(
+        _events_cdc_merge, _EVENTS_CDC_MERGE_SQL,
+        "MERGE-semantics change-feed apply: derive I/U/D ops, "
+        "tombstone rows at the last delete, materialize the final "
+        "per-user snapshot plus tombstone ledger; one user_id "
+        "shuffle, two row-local window/agg passes",
+    ),
+})
+
+# ------------------------------------------------------------------
+# Round 8: integer-exact EWMA spike detector on hourly event rates
+# ------------------------------------------------------------------
+
+def _events_ewma_anomalies(spark, sf_dir):
+    return events.ewma_anomalies(_t(spark, sf_dir, "events"))
+
+
+# The EWMA recursion s_t = (3*s_{t-1} + 1024*c_t) // 4 replays as a
+# recursive CTE over each type's dense hour index — pure integer
+# floor arithmetic, bit-identical to the Spark higher-order fold.
+_EVENTS_EWMA_SQL = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS ws,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, ws
+),
+idx AS (
+  SELECT event_type, ws, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY ws) AS i
+  FROM hourly
+),
+f AS (
+  SELECT event_type, i, ws, c,
+         CAST(1024 * c AS BIGINT) AS s, CAST(NULL AS BIGINT) AS sp
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT h.event_type, h.i, h.ws, h.c,
+         (3 * f.s + 1024 * h.c) // 4, f.s
+  FROM f JOIN idx h ON h.event_type = f.event_type AND h.i = f.i + 1
+)
+SELECT event_type, ws AS window_start, c AS event_count,
+       sp AS ewma_prev_scaled,
+       CAST((1024 * 1000000 * c) // greatest(sp, 1) AS BIGINT)
+         AS spike_ppm
+FROM f
+WHERE sp IS NOT NULL AND 1024 * c > 2 * sp AND c >= 5
+"""
+
+REGISTRY.update({
+    "events_ewma_anomalies": QuerySpec(
+        _events_ewma_anomalies, _EVENTS_EWMA_SQL,
+        "adaptive-baseline spike detector: per-type hourly counts "
+        "folded through a 2^10-scaled integer EWMA (alpha=1/4), "
+        "flagging hours that double the decayed baseline; one "
+        "rollup shuffle, then a bounded per-type array fold",
+    ),
+})
+
 REGISTRY.update({
     "corpus_build_funnel": QuerySpec(
         _corpus_build_funnel, _FUNNEL_SQL,
@@ -9883,6 +10351,121 @@ REGISTRY.update({
         "sequence packing, emitting the per-stage survivor funnel "
         "(the release dataset card); one enriched corpus pass + the "
         "banding chain, stages share a checkpointed narrow lineage",
+    ),
+})
+
+# ------------------------------------------------------------------
+# Round 8: data-contract expectations audit + shuffle-skew advisor
+# ------------------------------------------------------------------
+
+def _events_expectations_audit(spark, sf_dir):
+    return events.expectations_audit(_t(spark, sf_dir, "events"))
+
+
+def _expectations_sql() -> str:
+    """Mirror events.EXPECTATION_RULES verbatim (single source of
+    truth); the only engine delta is Spark's get_json_object →
+    DuckDB's json_extract_string (same signature, same result)."""
+    agg_cols = ["CAST(count(*) AS BIGINT) AS n_checked"]
+    selects = []
+    for rid, sev, pred in events.EXPECTATION_RULES:
+        dp = pred.replace("get_json_object", "json_extract_string")
+        agg_cols.append(
+            f"CAST(sum(CASE WHEN {dp} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nv_{rid}"
+        )
+        agg_cols.append(
+            f"min(CASE WHEN {dp} THEN event_id END) AS fb_{rid}"
+        )
+        selects.append(
+            f"SELECT '{rid}' AS rule_id, '{sev}' AS severity,"
+            f" n_checked, nv_{rid} AS n_violations,"
+            f" CAST((1000000 * nv_{rid}) // greatest(n_checked, 1)"
+            f" AS BIGINT) AS violation_ppm,"
+            f" fb_{rid} AS first_bad_event_id FROM a"
+        )
+    drop_or = " OR ".join(
+        f"({p.replace('get_json_object', 'json_extract_string')})"
+        for _r, s, p in events.EXPECTATION_RULES
+        if s == "drop"
+    )
+    agg_cols.append(
+        f"CAST(sum(CASE WHEN {drop_or} THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS nv_q"
+    )
+    agg_cols.append(
+        f"min(CASE WHEN {drop_or} THEN event_id END) AS fb_q"
+    )
+    selects.append(
+        "SELECT '_quarantine' AS rule_id, 'drop' AS severity,"
+        " n_checked, nv_q AS n_violations,"
+        " CAST((1000000 * nv_q) // greatest(n_checked, 1) AS BIGINT)"
+        " AS violation_ppm, fb_q AS first_bad_event_id FROM a"
+    )
+    return (
+        "WITH a AS (SELECT "
+        + ", ".join(agg_cols)
+        + " FROM events) "
+        + " UNION ALL ".join(selects)
+    )
+
+
+_EXPECTATIONS_SQL = _expectations_sql()
+
+
+def _shuffle_skew_advisor(spark, sf_dir):
+    return events.shuffle_skew_advisor(
+        _t(spark, sf_dir, "events"), n_partitions=32
+    )
+
+
+# fair share = ceil(total/32); the md5-hex-prefix hash is engine-
+# portable (Spark conv(hex,16,10) ≡ DuckDB CAST('0x'||hex AS BIGINT)
+# for the 60-bit prefix, both non-negative).
+_SHUFFLE_SKEW_SQL = """
+WITH pk AS (
+  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+pp AS (
+  SELECT
+    CAST('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+      % 32 AS partition_id,
+    c
+  FROM pk
+),
+bp AS (
+  SELECT partition_id,
+         CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(c) AS BIGINT) AS max_key_rows
+  FROM pp GROUP BY partition_id
+),
+t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM bp)
+SELECT partition_id, n_rows, n_keys, max_key_rows,
+       CAST((1000000 * n_rows) // ((total + 31) // 32) AS BIGINT)
+         AS skew_ppm,
+       CAST((max_key_rows + (total + 31) // 32 - 1)
+            // ((total + 31) // 32) AS BIGINT) AS recommended_salt
+FROM bp, t
+"""
+
+REGISTRY.update({
+    "events_expectations_audit": QuerySpec(
+        _events_expectations_audit, _EXPECTATIONS_SQL,
+        "declarative data-contract audit (DLT/Great-Expectations "
+        "pattern): every rule a conditional sum + min-violator probe "
+        "in ONE scan and ONE map-side global aggregate, unpivoted "
+        "via stack() to a per-rule relation plus the any-drop-rule "
+        "quarantine row; zero corpus shuffle",
+    ),
+    "shuffle_skew_advisor": QuerySpec(
+        _shuffle_skew_advisor, _SHUFFLE_SKEW_SQL,
+        "pre-flight shuffle-skew diagnosis: per-key counts hashed "
+        "into 32 simulated reduce tasks with an engine-portable md5 "
+        "hash; per-partition load, skew ppm vs fair share, and the "
+        "salt factor that levels the heaviest key — the decision "
+        "input for plain hash vs AQE skew-join vs explicit salting",
     ),
 })
 

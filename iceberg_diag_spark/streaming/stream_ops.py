@@ -787,3 +787,99 @@ def repetition_gate_stream(docs_stream: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_repetitive"),
     )
+
+
+def watermark_advisor_stream(
+    events: DataFrame,
+    candidates_us: tuple[int, ...] = (
+        1_000_000, 10_000_000, 60_000_000, 600_000_000,
+    ),
+    target_ppm: int = 1_000,
+) -> DataFrame:
+    """Streaming twin of events.watermark_recommendation — the
+    monitor that RECOMMENDS the watermark delay live instead of just
+    counting violations (closing the disorder_monitor loop): per
+    event-type keyed state carries the running event-time frontier
+    plus one cumulative would-drop counter per candidate delay; each
+    micro-batch re-evaluates the smallest candidate whose cumulative
+    drop rate meets the target and emits the updated recommendation
+    row. Pointing a production job's withWatermark at this output
+    makes the delay self-calibrating (subject to the operator's
+    restart-the-query deployment model — Spark watermarks are fixed
+    per query run).
+
+    Semantics: frontier and fold are per event type (keyed state
+    shards by the group key; the batch advisor's GLOBAL arrival
+    frontier has no scalable per-key streaming equivalent — the same
+    documented delta as disorder_monitor), rows fold in event_id
+    order within each batch via the vectorized running-max, and
+    counters accumulate across batches. Over a single availableNow
+    batch of a single-type feed this equals the batch
+    watermark_recommendation row exactly (pinned in
+    tests/test_streaming_watermark.py).
+
+    Output per type per batch: (event_type, n_events,
+    recommended_watermark_us, n_dropped, drop_ppm, meets_target).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cands = tuple(int(c) for c in candidates_us)
+    out_schema = (
+        "event_type string, n_events long, recommended_watermark_us"
+        " long, n_dropped long, drop_ppm long, meets_target boolean"
+    )
+    state_schema = "frontier long, n long, " + ", ".join(
+        f"d{k} long" for k in range(len(cands))
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            frontier, n, *drops = state.get
+            drops = list(drops)
+        else:
+            frontier, n, drops = -1, 0, [0] * len(cands)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values("event_id")
+            ts_us = (batch["ts"].astype("int64") // 1000).to_numpy()
+            cm = np.maximum.accumulate(ts_us)
+            prev = np.concatenate(([frontier], cm[:-1]))
+            prev = np.maximum(prev, frontier)
+            late = np.maximum(0, prev - ts_us)
+            n += len(ts_us)
+            for k, c in enumerate(cands):
+                drops[k] += int((late > c).sum())
+            frontier = max(frontier, int(ts_us.max()))
+        state.update(
+            (int(frontier), int(n), *[int(d) for d in drops])
+        )
+        # smallest candidate meeting the target on CUMULATIVE counts;
+        # largest candidate (flagged) when none does — the exact
+        # batch watermark_recommendation pick
+        ppms = [1_000_000 * d // max(n, 1) for d in drops]
+        pick = next(
+            (k for k in range(len(cands)) if ppms[k] <= target_ppm),
+            None,
+        )
+        meets = pick is not None
+        k = pick if meets else len(cands) - 1
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [int(n)],
+                "recommended_watermark_us": [cands[k]],
+                "n_dropped": [int(drops[k])],
+                "drop_ppm": [int(ppms[k])],
+                "meets_target": [meets],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -233,6 +233,15 @@ _SCALAR_CROSS_OK = {
                                  #   percentile-edge scalars
     "events_watermark_advisor",  # broadcast 1-row shard-edge scalar
                                  #   (shared _lateness core)
+    "events_watermark_recommendation",  # same shared _lateness core
+    "corpus_build_funnel",       # exact_quota_holdout's broadcast
+                                 #   1-row apportionment totals inside
+                                 #   the fused holdout stage
+    "kmeans_lloyd",              # broadcast 1-row refined-centroid
+                                 #   array (collect bounded by k)
+    "source_length_ks",          # ECDF grid: broadcast |sources| panel
+                                 #   × |distinct lengths| values + 1-row
+                                 #   corpus total — both metadata-scale
     "part_affinity",             # broadcast 1-row order-count scalar
     "dsir_logratio",             # broadcast 1-row (N_t, N_r, V)
                                  #   vocabulary-total scalars
@@ -253,6 +262,8 @@ _SCALAR_CROSS_OK = {
     "token_zipf_curve",          # broadcast 1-row corpus token total
     "diag_bloom_advisor",        # broadcast bounded probe panel ×
                                  #   metadata-scale file bounds
+    "shuffle_skew_advisor",      # broadcast 1-row total-rows scalar
+                                 #   over the 32-partition relation
 }
 
 
@@ -301,6 +312,12 @@ _BOUNDED_COLLECT_OK = {
     "dedup_method_agreement",  # inherits minhash_pairs' LSH bucket
     #   collect_list (dedup.py:336): exact dups pre-collapsed, each
     #   bucket holds only near-identical docs — bounded by construction
+    "crossmodal_dedup_agreement",  # same inherited LSH bucket collect
+    "kmeans_lloyd",  # centroid collects bounded by k (clusters) and
+    #   the fixed embedding dim — never corpus-cardinality
+    "events_ewma_anomalies",  # per-type hourly rollup collect: list
+    #   length = |distinct hours| (metadata scale, events.py:1102),
+    #   the doc_repetition_profile sorted-array fold idiom
 }
 
 

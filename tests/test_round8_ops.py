@@ -133,3 +133,123 @@ def test_corpus_build_funnel_stage_accounting(spark):
         ).collect()
     }
     assert plain == got
+
+
+def test_crossmodal_agreement_exact_dups_land_in_both(spark):
+    """Exact text duplicates are detected by BOTH modalities (star
+    pair in the text LSH, hamming-0 payload pair in the media dHash)
+    and the Venn identities must hold."""
+    from iceberg_diag_spark.operators.multimodal import (
+        crossmodal_dedup_agreement,
+    )
+
+    text = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "keeps on running through the field toward the river"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, text),
+            (2, text),  # exact dup: both modalities must pair (1,2)
+            (3, "a completely different short document about stars"),
+        ],
+        "doc_id long, text string",
+    )
+    r = crossmodal_dedup_agreement(docs).collect()[0]
+    assert r["n_both"] >= 1
+    assert r["n_union"] == r["n_both"] + r["only_text"] + r["only_media"]
+    assert r["n_text"] == r["n_both"] + r["only_text"]
+    assert r["n_media"] == r["n_both"] + r["only_media"]
+
+
+def test_expectations_audit_constructed_violations(spark):
+    """Feed with one violator per rule class: row 10 breaks the value
+    range, row 20 an unknown event type, row 30 a k outside [0,90),
+    row 40 a NULL user — counts, ppm, and first-offender handles must
+    be exact, and the quarantine row must count DISTINCT drop-rule
+    violators (not double-count a row breaking two drop rules)."""
+    from iceberg_diag_spark.operators.events import expectations_audit
+
+    rows = []
+    for i in range(1, 101):
+        rows.append(
+            (
+                i,
+                "2024-03-01 00:00:00",
+                None if i == 40 else i % 7,
+                "bogus" if i == 20 else "click",
+                500.0 if i in (10, 20) else 5.0,  # 20 breaks two rules
+                '{"k": 95}' if i == 30 else '{"k": 5}',
+            )
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    got = {r["rule_id"]: r for r in expectations_audit(ev).collect()}
+    assert got["value_range"]["n_violations"] == 2
+    assert got["value_range"]["first_bad_event_id"] == 10
+    assert got["value_range"]["violation_ppm"] == 20_000
+    assert got["known_event_type"]["n_violations"] == 1
+    assert got["known_event_type"]["first_bad_event_id"] == 20
+    assert got["props_k_range"]["n_violations"] == 1
+    assert got["props_k_range"]["severity"] == "warn"
+    assert got["user_id_present"]["n_violations"] == 1
+    assert got["ts_in_window"]["n_violations"] == 0
+    assert got["ts_in_window"]["first_bad_event_id"] is None
+    # distinct drop violators: rows 10, 20, 40 (20 counted once)
+    assert got["_quarantine"]["n_violations"] == 3
+    assert got["_quarantine"]["first_bad_event_id"] == 10
+    assert all(r["n_checked"] == 100 for r in got.values())
+
+
+def test_expectations_audit_single_scan_no_shuffle(spark):
+    """The audit must stay one scan + one partial-agg pair: no
+    Exchange with hashpartitioning (global agg is a single-partition
+    exchange), no Python, and exactly one parquet/localtablescan."""
+    from iceberg_diag_spark.operators.events import expectations_audit
+
+    ev = spark.createDataFrame(
+        [(1, None, 1, "click", 1.0, '{"k": 1}')],
+        "event_id long, ts timestamp, user_id long, event_type"
+        " string, value double, props string",
+    )
+    plan = expectations_audit(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert "Python" not in plan
+    assert plan.count("LocalTableScan") <= 1
+
+
+def test_shuffle_skew_advisor_conservation_and_salt(spark):
+    """Simulated partition loads must conserve totals, and a key
+    holding ~90% of rows must land in some partition whose
+    recommended salt factor is ~ its share of the fair share."""
+    from iceberg_diag_spark.operators.events import shuffle_skew_advisor
+
+    n = 10_000
+    ev = spark.range(1, n + 1).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.col("id") % 50 + 100)
+        .alias("user_id"),
+    )
+    out = shuffle_skew_advisor(ev, n_partitions=8).collect()
+    assert sum(r["n_rows"] for r in out) == n
+    # cold ids all end in 9 → id % 50 ∈ {9,19,29,39,49}: 5 cold keys
+    assert sum(r["n_keys"] for r in out) == 6
+    fair = (n + 7) // 8
+    hot = max(out, key=lambda r: r["max_key_rows"])
+    assert hot["max_key_rows"] == 9_000
+    assert hot["recommended_salt"] == -(-9_000 // fair)
+    # every cold partition needs no salting
+    for r in out:
+        if r["max_key_rows"] <= fair:
+            assert r["recommended_salt"] == 1

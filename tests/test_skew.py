@@ -85,3 +85,85 @@ def test_join_cardinality_exact_vs_real_join(spark):
     assert row.join_rows == real == 7  # 2*3 + 1*1
     assert row.worst_key_repr == "1" and row.worst_key_rows == 6
     assert row.n_left == 4 and row.n_right == 5 and row.n_join_keys == 2
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Runtime-skew evidence: with AQE skew-join enabled, a sort-merge
+    join whose left side piles ~99% of rows onto one key must show
+    split skewed partitions (`skew=true` on the SMJ) in the FINAL
+    adaptive plan — the mechanism that replaces manual salting for
+    joins at 100 TB. Thresholds are lowered so test-scale bytes
+    qualify; production keeps the defaults."""
+    keys = (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+    )
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin."
+            "skewedPartitionThresholdInBytes",
+            "65536",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # the aggregate downstream requires the join's partitioning;
+        # splitting skewed partitions adds a shuffle, which AQE only
+        # does when forced — production pipelines set this when the
+        # skew save outweighs one extra exchange
+        spark.conf.set(
+            "spark.sql.adaptive.forceOptimizeSkewedJoin", "true"
+        )
+
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            # data-dependent pad: a constant would fold away and the
+            # column pruner would empty the skewed shuffle
+            F.concat(
+                F.repeat(F.lit("x"), 100), F.col("id").cast("string")
+            ).alias("pad"),
+        )
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), F.lit(1).alias("v")
+        )
+        # max(pad) keeps the padding column alive through the join
+        # shuffle (else column pruning shrinks the skewed partition
+        # below the byte threshold at test scale)
+        joined = (
+            left.join(right, "k")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("pad").alias("p"))
+        )
+        assert len(joined.collect()) > 0  # same QE → AQE finalizes
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -114,3 +114,55 @@ def test_stream_parquet_sink_roundtrip(spark, tmp_path_factory):
     # so all three W1 events (incl. 10:45) are on time here
     rows = {r.window_start: r.event_count for r in back.collect()}
     assert rows == {"2024-01-01 10:00:00": 3}
+
+
+def test_watermark_advisor_stream_escalates_across_batches(
+    spark, tmp_path_factory
+):
+    """Two-batch recommendation escalation: batch 1 is perfectly
+    ordered (the monitor recommends the smallest candidate), batch 2
+    delivers a 90 s-late row — the cumulative drop rate at the 1 s /
+    10 s / 60 s candidates blows past the target and the SAME keyed
+    state must re-recommend 600 s, still meeting the target."""
+    root = str(tmp_path_factory.mktemp("wm_rec"))
+    base = root + "/events.parquet"
+    os.makedirs(base)
+    f1 = [
+        (i, f"2024-01-01 10:00:{10 + i:02d}", 1, "click", 1.0, "{}")
+        for i in range(1, 11)
+    ]
+    _write_file(spark, base, "f1.parquet", f1)
+
+    ev = so.read_events_stream(spark, root)
+    mon = so.watermark_advisor_stream(ev, target_ppm=1_000)
+    q = (
+        mon.writeStream.format("memory")
+        .queryName("wm_rec")
+        .outputMode("update")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        f2 = [
+            (11, "2024-01-01 10:10:00", 1, "click", 1.0, "{}"),
+            (12, "2024-01-01 10:08:30", 1, "click", 1.0, "{}"),  # 90 s late
+        ]
+        _write_file(spark, base, "f2.parquet", f2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = sorted(
+        spark.table("wm_rec").collect(), key=lambda r: r.n_events
+    )
+    assert [r.n_events for r in rows] == [10, 12]
+    first, second = rows
+    # ordered batch: smallest candidate, clean
+    assert first.recommended_watermark_us == 1_000_000
+    assert first.meets_target and first.n_dropped == 0
+    # after the late row: 1/12 would drop at every candidate below
+    # 600 s (83,333 ppm >> 1,000) — recommendation escalates
+    assert second.recommended_watermark_us == 600_000_000
+    assert second.meets_target and second.n_dropped == 0
+    assert second.drop_ppm == 0
