@@ -205,6 +205,7 @@ HEADLINE = [
     "stream_watermark_advisor",
     "events_expectations_audit",
     "shuffle_skew_advisor",
+    "embedding_pca_power",
 ]
 
 

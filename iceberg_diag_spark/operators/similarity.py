@@ -1999,3 +1999,197 @@ def kmeans_lloyd(
         )
         .select("cluster_id", "n_members", "n_reassigned", "mean_d2")
     )
+
+
+def pca_power(
+    emb: DataFrame,
+    dim: int = 64,
+    scale_bits: int = 12,
+    iters: int = 8,
+) -> DataFrame:
+    """Top principal component of the embedding cloud by integer-
+    exact power iteration — the anisotropy audit behind "is this
+    embedding space collapsing onto one direction?" (a dominant
+    component share means cosine similarity degenerates and ANN
+    bucketing loses discrimination; complements dim_variance_audit,
+    which sees only per-coordinate spread, not cross-coordinate
+    structure).
+
+    Exactness strategy: components quantize to q = floor(val·2^12);
+    each vector is augmented with a constant 2^12 slot so ONE
+    explode + ONE hash aggregate yields the full augmented Gram
+    G(i,j) = Σ q_i q_j, from which the (scaled, mean-centered)
+    scatter matrix M'_ij = G(d,d)·G(i,j) − G(i,d)·G(j,d)
+    = 2^24·(n·Σq_iq_j − Σq_i·Σq_j) follows in pure integer
+    arithmetic (M' ∝ n²·covariance — positive semidefinite, same
+    eigenvectors). M' is then rescaled onto a 2^20 grid (uniform
+    scaling changes neither eigenvectors nor the rayleigh/trace
+    share) and power iteration runs on the ≤dim² matrix RELATION:
+    w = M·v (join + agg), renormalized to max|v| = 2^12 by
+    sign-aware truncating division (floor-equal on both engines
+    because the operand is non-negative) — every iterate is a
+    DECIMAL(38,0) integer, so Spark and the DuckDB oracle agree
+    bit-for-bit; the all-ones seed makes the eigenvector sign
+    deterministic. Overflow headroom: M'·2^20 must fit
+    DECIMAL(38,0) ⇒ exact to n ≈ 4·10⁹ vectors at scale_bits=12
+    (drop scale_bits beyond that).
+
+    Scale shape: the corpus pass is the explode + map-side-combined
+    hash aggregate into (dim+1)² groups — the same one-pass Gramian
+    any distributed PCA computes; everything after operates on the
+    dim²-row matrix relation (metadata scale), localCheckpointed
+    once because all `iters` multiplies branch from it.
+
+    Output per dimension: (pos, v_q, eig_share_ppm) — v_q the final
+    eigenvector component at 2^12 scale, eig_share_ppm =
+    floor(1e6 · rayleigh(v) / trace(M)): the top component's share
+    of total variance (1e6/dim ⇒ isotropic; → 1e6 ⇒ collapsed).
+    """
+    S = 1 << scale_bits
+    qa = emb.select(
+        F.expr(
+            f"array_append(transform(embedding, x ->"
+            f" CAST(floor(CAST(x AS DOUBLE) * {S}) AS LONG)),"
+            f" CAST({S} AS LONG))"
+        ).alias("qa")
+    )
+    # Upper triangle only: the second explode slices the array tail,
+    # halving generated rows (G is symmetric); products and sums stay
+    # LONG inside the codegen'd hash agg — exact to n ≈ 5·10¹¹ rows
+    # since |q_i·q_j| ≤ 2^24 — and widen to decimal only at the edge.
+    ex = qa.select(
+        F.posexplode("qa").alias("i", "qi"), F.col("qa")
+    ).select(
+        "i",
+        "qi",
+        F.posexplode(
+            F.expr("slice(qa, i + 1, size(qa) - i)")
+        ).alias("dj", "qj"),
+    )
+    gram_ut = (
+        ex.groupBy("i", (F.col("i") + F.col("dj")).alias("j"))
+        .agg(
+            F.sum(F.col("qi") * F.col("qj"))
+            .cast("decimal(38,0)")
+            .alias("g")
+        )
+        # localCheckpoint: the Gram feeds four branches of the
+        # scatter-matrix build plus the trace — without truncation
+        # each branch replays the corpus explode (no cross-branch
+        # reuse)
+        .localCheckpoint()
+    )
+    gram = gram_ut.unionAll(
+        gram_ut.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    )
+    gdd = gram.filter(
+        (F.col("i") == dim) & (F.col("j") == dim)
+    ).select(F.col("g").alias("gdd"))
+    gid = gram.filter(
+        (F.col("j") == dim) & (F.col("i") < dim)
+    ).select(F.col("i").alias("gi"), F.col("g").alias("gd"))
+    m = (
+        gram.filter((F.col("i") < dim) & (F.col("j") < dim))
+        .join(F.broadcast(gdd))
+        .join(F.broadcast(gid).withColumnRenamed("gi", "i_"), F.col("i") == F.col("i_"))
+        .join(
+            F.broadcast(gid.select(F.col("gi").alias("j_"), F.col("gd").alias("gd2"))),
+            F.col("j") == F.col("j_"),
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.col("gdd") * F.col("g") - F.col("gd") * F.col("gd2")
+            ).alias("mr"),
+        )
+    )
+    # Rescale the scatter matrix onto a 2^20 grid before iterating:
+    # uniform scaling preserves eigenvectors and the rayleigh/trace
+    # share exactly, and it keeps every later DIV quotient inside
+    # int64 (Spark's decimal DIV returns LONG) — without this, n²·S⁴
+    # magnitudes overflow the integral divide around n ≈ 10⁶.
+    mmax = m.agg(
+        F.greatest(
+            F.max(F.abs(F.col("mr"))), F.lit(1).cast("decimal(38,0)")
+        ).alias("mmax")
+    )
+    m = (
+        m.join(F.broadcast(mmax))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "CAST(CASE WHEN mr < 0 THEN -((-mr * 1048576) DIV mmax)"
+                " ELSE (mr * 1048576) DIV mmax END AS DECIMAL(38,0))"
+            ).alias("m"),
+        )
+        .localCheckpoint()
+    )
+    v = m.select("j").distinct().select(
+        "j", F.lit(S).cast("decimal(38,0)").alias("v")
+    )
+    from pyspark.sql.window import Window
+
+    # The renormalizing max comes from an unpartitioned window over
+    # the ≤dim-row iterate (bounded relation, SCALING.md §5) — one
+    # relation, so each iteration needs exactly ONE localCheckpoint.
+    # The checkpoint is load-bearing: w feeds both the max and the
+    # rescale, and v feeds the next multiply — without truncation the
+    # logical plan doubles per iteration (2^iters subtree copies; no
+    # cross-branch reuse).
+    wall = Window.partitionBy()
+    for _ in range(iters):
+        w = (
+            m.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("m") * F.col("v")).alias("w"))
+        )
+        v = (
+            w.withColumn(
+                "mx",
+                F.greatest(
+                    F.max(F.abs(F.col("w"))).over(wall),
+                    F.lit(1).cast("decimal(38,0)"),
+                ),
+            )
+            .select(
+                F.col("i").alias("j"),
+                F.expr(
+                    f"CAST(CASE WHEN w < 0 THEN -((-w * {S}) DIV mx)"
+                    f" ELSE (w * {S}) DIV mx END AS DECIMAL(38,0))"
+                ).alias("v"),
+            )
+            .localCheckpoint()
+        )
+    w_fin = (
+        m.join(v, "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("m") * F.col("v")).alias("w"))
+    )
+    stats = (
+        w_fin.join(v.select(F.col("j").alias("i"), "v"), "i")
+        .agg(
+            F.sum(F.col("v") * F.col("w")).alias("num"),
+            F.sum(F.col("v") * F.col("v")).alias("den"),
+        )
+    )
+    tr = m.filter(F.col("i") == F.col("j")).agg(
+        F.sum("m").alias("tr")
+    )
+    share = stats.join(F.broadcast(tr)).select(
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * num)"
+            " DIV (den * tr) AS LONG)"
+        ).alias("eig_share_ppm")
+    )
+    return (
+        v.join(F.broadcast(share))
+        .select(
+            F.col("j").cast("int").alias("pos"),
+            F.col("v").cast("long").alias("v_q"),
+            "eig_share_ppm",
+        )
+    )

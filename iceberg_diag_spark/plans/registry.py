@@ -10450,6 +10450,110 @@ SELECT partition_id, n_rows, n_keys, max_key_rows,
 FROM bp, t
 """
 
+# ------------------------------------------------------------------
+# Round 8: integer-exact top principal component (power iteration)
+# ------------------------------------------------------------------
+
+def _pca_power(spark, sf_dir):
+    return similarity.pca_power(_t(spark, sf_dir, "embeddings"))
+
+
+def _pca_sql(dim: int = 64, scale_bits: int = 12, iters: int = 8) -> str:
+    """Chained-CTE replay of similarity.pca_power: augmented Gram →
+    rescaled scatter matrix → `iters` HUGEINT power iterations with
+    the identical sign-aware floor normalization."""
+    s = 1 << scale_bits
+    d1 = dim + 1
+    ctes = [
+        f"""q  AS MATERIALIZED (
+  SELECT list_append(list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {s}) AS BIGINT)),
+         CAST({s} AS BIGINT)) AS qa
+  FROM embeddings
+)""",
+        f"""gram  AS MATERIALIZED (
+  SELECT t1.i AS i, t2.j AS j,
+         CAST(sum(CAST(qa[t1.i + 1] AS HUGEINT) * qa[t2.j + 1])
+              AS HUGEINT) AS g
+  FROM q, range(0, {d1}) t1(i), range(0, {d1}) t2(j)
+  GROUP BY 1, 2
+)""",
+        f"""mr  AS MATERIALIZED (
+  SELECT a.i, a.j, d.g * a.g - ri.g * rj.g AS mr
+  FROM gram a
+  JOIN gram d  ON d.i = {dim} AND d.j = {dim}
+  JOIN gram ri ON ri.i = a.i AND ri.j = {dim}
+  JOIN gram rj ON rj.i = a.j AND rj.j = {dim}
+  WHERE a.i < {dim} AND a.j < {dim}
+)""",
+        """mm  AS MATERIALIZED (
+  SELECT greatest(max(abs(mr)), CAST(1 AS HUGEINT)) AS mmax FROM mr
+)""",
+        """m  AS MATERIALIZED (
+  SELECT i, j,
+         CASE WHEN mr < 0 THEN -((-mr * 1048576) // mmax)
+              ELSE (mr * 1048576) // mmax END AS m
+  FROM mr, mm
+)""",
+        f"""v0  AS MATERIALIZED (
+  SELECT t.j AS j, CAST({s} AS HUGEINT) AS v FROM range(0, {dim}) t(j)
+)""",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT m.i, sum(m.m * v.v) AS w FROM m JOIN v{k-1} v ON v.j = m.j
+  GROUP BY m.i
+)"""
+        )
+        ctes.append(
+            f"""v{k} AS MATERIALIZED (
+  SELECT w{k}.i AS j,
+         CASE WHEN w < 0 THEN -((-w * {s}) // mx)
+              ELSE (w * {s}) // mx END AS v
+  FROM w{k},
+       (SELECT greatest(max(abs(w)), CAST(1 AS HUGEINT)) AS mx
+        FROM w{k}) s{k}
+)"""
+        )
+    ctes.append(
+        f"""wf AS MATERIALIZED (
+  SELECT m.i, sum(m.m * v.v) AS w FROM m JOIN v{iters} v ON v.j = m.j
+  GROUP BY m.i
+)"""
+    )
+    ctes.append(
+        f"""st AS (
+  SELECT sum(v.v * wf.w) AS num, sum(v.v * v.v) AS den
+  FROM wf JOIN v{iters} v ON v.j = wf.i
+)"""
+    )
+    ctes.append("t AS (SELECT sum(m) AS tr FROM m WHERE i = j)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(v.j AS INTEGER) AS pos, CAST(v.v AS BIGINT) AS v_q,
+       CAST((CAST(1000000 AS HUGEINT) * num) // (den * tr) AS BIGINT)
+         AS eig_share_ppm
+FROM v{iters} v, st, t
+"""
+    )
+
+
+_PCA_POWER_SQL = _pca_sql()
+
+REGISTRY.update({
+    "embedding_pca_power": QuerySpec(
+        _pca_power, _PCA_POWER_SQL,
+        "top principal component by integer-exact power iteration: "
+        "one augmented-Gram corpus pass (explode + map-side-combined "
+        "hash agg), then 8 matrix-relation multiplies at metadata "
+        "scale; emits the eigenvector and its variance share — the "
+        "embedding-collapse / anisotropy audit",
+    ),
+})
+
 REGISTRY.update({
     "events_expectations_audit": QuerySpec(
         _events_expectations_audit, _EXPECTATIONS_SQL,

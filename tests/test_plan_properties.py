@@ -264,6 +264,9 @@ _SCALAR_CROSS_OK = {
                                  #   metadata-scale file bounds
     "shuffle_skew_advisor",      # broadcast 1-row total-rows scalar
                                  #   over the 32-partition relation
+    "embedding_pca_power",       # broadcast 1-row Gram scalars / max
+                                 #   / share over the dim²-row matrix
+                                 #   relation (metadata scale)
 }
 
 

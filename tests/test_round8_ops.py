@@ -253,3 +253,30 @@ def test_shuffle_skew_advisor_conservation_and_salt(spark):
     for r in out:
         if r["max_key_rows"] <= fair:
             assert r["recommended_salt"] == 1
+
+
+def test_pca_power_recovers_planted_direction(spark):
+    """Embeddings planted on the line t·(0.6, 0.8, 0, …): the top
+    component must align with (3,4)/5 — max|v| hits the 2^12 grid on
+    dim 1 and dim 0 lands at ~3/4 of it — and the variance share must
+    be ≈ 1e6 (rank-one cloud; only quantization noise leaks out)."""
+    from iceberg_diag_spark.operators.similarity import pca_power
+
+    rows = []
+    for k in range(200):
+        t = (k - 100) / 100.0
+        vec = [0.6 * t, 0.8 * t] + [0.0] * 62
+        rows.append((k, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["pos"]: r for r in pca_power(emb).collect()}
+    assert len(got) == 64
+    v0, v1 = got[0]["v_q"], got[1]["v_q"]
+    assert abs(v1) == 4096
+    # same sign, 3:4 ratio within quantization slack
+    assert v0 * v1 > 0
+    assert abs(abs(v0) - 3072) <= 8
+    share = got[0]["eig_share_ppm"]
+    assert all(r["eig_share_ppm"] == share for r in got.values())
+    assert share >= 990_000
+    # off-plane dims carry no signal
+    assert all(abs(got[p]["v_q"]) <= 8 for p in range(2, 64))
