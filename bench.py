@@ -206,6 +206,8 @@ HEADLINE = [
     "events_expectations_audit",
     "shuffle_skew_advisor",
     "embedding_pca_power",
+    "stream_expectations_gate",
+    "retrieval_rank_eval",
 ]
 
 

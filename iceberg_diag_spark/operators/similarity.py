@@ -2193,3 +2193,105 @@ def pca_power(
             "eig_share_ppm",
         )
     )
+
+
+def retrieval_rank_eval(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_mod: int = 50,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    scale_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ranking-quality metrics of the sign-LSH index, the companion
+    to ann_recall_eval: recall asks "did the true neighbors make the
+    candidate list at all?", this asks "did they surface at the TOP
+    of the ranked list the application actually consumes?". Per
+    sampled query, against the exact brute-force top-k as the
+    relevant set: reciprocal rank of the first relevant retrieved
+    item (MRR numerator), precision@k, and hit@1 — the metrics a
+    retrieval deployment tracks per release. All integer-exact:
+    rr_ppm = 1e6 DIV first-relevant-rank (0 when the index surfaces
+    no true neighbor), so no transcendental (NDCG's log2) ever
+    enters the hash comparison.
+
+    Scale contract is ann_recall_eval's, unchanged: bounded
+    1/query_mod broadcast query panel vs the full corpus on the
+    ground-truth side, production bucket plan on the approx side,
+    WindowGroupLimit top-k. Queries whose buckets yield no candidate
+    at all still emit a row (zeros) — a silent disappearance would
+    overstate every averaged metric downstream.
+
+    Output per query: (query_id, n_retrieved, rr_ppm,
+    precision_ppm, hit_at_1).
+    """
+    from pyspark.sql.window import Window
+
+    base, _ = _exact_bucketed(
+        embeddings, n_planes, n_tables, dim, scale_bits, id_col, vec_col
+    )
+    base = base.localCheckpoint(eager=False)
+    q = base.filter(
+        (F.col(id_col) % query_mod == 0) & (F.col("n2") > 0)
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    pairs = (
+        base.filter(F.col("n2") > 0)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.floor(
+                F.lit(1_000_000.0)
+                * int_dot(F.col("q"), F.col("qq"))
+                / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2")))
+            )
+            .cast("long")
+            .alias("cos_mppm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_mppm"), F.asc("neighbor_id")
+    )
+    relevant = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.lit(1).alias("__rel"))
+    )
+    approx = lsh_topk_exact(
+        embeddings, k, n_planes, n_tables, dim, scale_bits, id_col, vec_col
+    ).filter(F.col("query_id") % query_mod == 0)
+    scored = (
+        approx.join(relevant, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+            F.expr(
+                "coalesce(1000000 DIV min(CASE WHEN __rel = 1"
+                " THEN rank END), 0)"
+            ).cast("long").alias("rr_ppm"),
+            F.expr(
+                f"CAST((1000000 * sum(coalesce(__rel, 0))) DIV {k}"
+                " AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "max(CASE WHEN rank = 1 AND __rel = 1 THEN 1"
+                " ELSE 0 END) = 1"
+            ).alias("hit_at_1"),
+        )
+    )
+    panel = relevant.select("query_id").distinct()
+    return panel.join(scored, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_retrieved"), F.lit(0)).cast("long").alias("n_retrieved"),
+        F.coalesce(F.col("rr_ppm"), F.lit(0)).cast("long").alias("rr_ppm"),
+        F.coalesce(F.col("precision_ppm"), F.lit(0)).cast("long").alias("precision_ppm"),
+        F.coalesce(F.col("hit_at_1"), F.lit(False)).alias("hit_at_1"),
+    )

@@ -9156,6 +9156,122 @@ ORDER BY e.query_id
 
 _ANN_RECALL_SQL = _ann_recall_sql()
 
+
+def _retrieval_rank_eval(spark, sf_dir):
+    return similarity.retrieval_rank_eval(
+        _t(spark, sf_dir, "embeddings")
+    )
+
+
+def _retrieval_rank_sql() -> str:
+    """Same LSH/bucket/ground-truth scaffolding as _ann_recall_sql,
+    flipped to score the RANKED approx list: MRR / precision@k /
+    hit@1 per panel query, zeros for candidate-less queries."""
+    planes = similarity.md5_hyperplanes()
+    values = ", ".join(
+        f"({t},{p},{d},{h})"
+        for t, tp in enumerate(planes)
+        for p, row in enumerate(tp)
+        for d, h in enumerate(row)
+    )
+    return f"""
+WITH planes(t, p, d, h) AS (VALUES {values}),
+ex AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 256.0) AS BIGINT) AS q
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sum(q * q) AS n2 FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT vec_id, t, p, sum(q * h) AS dt
+  FROM ex JOIN planes USING (d) GROUP BY vec_id, t, p
+),
+bks AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN dt > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM bks a JOIN bks b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+pairdots AS (
+  SELECT c.query_id, c.neighbor_id,
+         sum(ea.q * eb.q) AS dd,
+         sum(ea.q * ea.q) AS na2,
+         sum(eb.q * eb.q) AS nb2
+  FROM cand c
+  JOIN ex ea ON ea.vec_id = c.query_id
+  JOIN ex eb ON eb.vec_id = c.neighbor_id AND ea.d = eb.d
+  GROUP BY c.query_id, c.neighbor_id
+),
+approx AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY CAST(floor(1000000.0 * dd / (sqrt(na2) * sqrt(nb2)))
+                      AS BIGINT) DESC, neighbor_id ASC) AS rank
+    FROM pairdots WHERE na2 > 0 AND nb2 > 0
+  ) WHERE rank <= 5 AND query_id % 50 = 0
+),
+bpairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         sum(a.q * b.q) AS dd
+  FROM ex a JOIN ex b ON a.d = b.d AND b.vec_id != a.vec_id
+  WHERE a.vec_id % 50 = 0
+  GROUP BY a.vec_id, b.vec_id
+),
+exact_topk AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT bp.query_id, bp.neighbor_id,
+           row_number() OVER (PARTITION BY bp.query_id
+             ORDER BY CAST(floor(1000000.0 * bp.dd
+                           / (sqrt(nq.n2) * sqrt(nn.n2))) AS BIGINT) DESC,
+                      bp.neighbor_id ASC) AS rank
+    FROM bpairs bp
+    JOIN norms nq ON nq.vec_id = bp.query_id
+    JOIN norms nn ON nn.vec_id = bp.neighbor_id
+    WHERE nq.n2 > 0 AND nn.n2 > 0
+  ) WHERE rank <= 5
+),
+scored AS (
+  SELECT a.query_id,
+         CAST(count(*) AS BIGINT) AS n_retrieved,
+         CAST(coalesce(1000000 // min(CASE WHEN r.neighbor_id IS NOT NULL
+                                      THEN a.rank END), 0) AS BIGINT)
+           AS rr_ppm,
+         CAST((1000000 * count(r.neighbor_id)) // 5 AS BIGINT)
+           AS precision_ppm,
+         max(CASE WHEN a.rank = 1 AND r.neighbor_id IS NOT NULL
+                  THEN 1 ELSE 0 END) = 1 AS hit_at_1
+  FROM approx a
+  LEFT JOIN exact_topk r ON r.query_id = a.query_id
+                        AND r.neighbor_id = a.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT p.query_id,
+       CAST(coalesce(s.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+       CAST(coalesce(s.rr_ppm, 0) AS BIGINT) AS rr_ppm,
+       CAST(coalesce(s.precision_ppm, 0) AS BIGINT) AS precision_ppm,
+       coalesce(s.hit_at_1, false) AS hit_at_1
+FROM (SELECT DISTINCT query_id FROM exact_topk) p
+LEFT JOIN scored s ON s.query_id = p.query_id
+"""
+
+
+_RETRIEVAL_RANK_SQL = _retrieval_rank_sql()
+
+REGISTRY.update({
+    "retrieval_rank_eval": QuerySpec(
+        _retrieval_rank_eval, _RETRIEVAL_RANK_SQL,
+        "LSH ranking-quality audit: MRR (integer reciprocal-rank "
+        "ppm), precision@k, and hit@1 of the production bucket plan "
+        "vs brute-force ground truth on the broadcast query panel; "
+        "candidate-less queries emit zero rows explicitly",
+    ),
+})
+
 REGISTRY.update({
     "ann_recall_eval": QuerySpec(
         _ann_recall_eval, _ANN_RECALL_SQL,
@@ -10562,6 +10678,20 @@ REGISTRY.update({
         "in ONE scan and ONE map-side global aggregate, unpivoted "
         "via stack() to a per-rule relation plus the any-drop-rule "
         "quarantine row; zero corpus shuffle",
+    ),
+    "stream_expectations_gate": QuerySpec(
+        lambda spark, sf_dir: stream_ops.run_to_table(
+            stream_ops.expectations_gate_stream(
+                stream_ops.read_events_stream(spark, sf_dir)
+            ),
+            "complete",
+            "stream_expectations_gate",
+        ),
+        _EXPECTATIONS_SQL,
+        "streaming data-contract gate: per-row rules expand "
+        "statelessly BEFORE the aggregation, so state is one row per "
+        "rule (bounded by the contract); same predicate strings as "
+        "the batch audit, one availableNow drain equals it exactly",
     ),
     "shuffle_skew_advisor": QuerySpec(
         _shuffle_skew_advisor, _SHUFFLE_SKEW_SQL,

@@ -883,3 +883,63 @@ def watermark_advisor_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def expectations_gate_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of events.expectations_audit — the live data-
+    contract dashboard an ingest pipeline keeps next to the feed.
+    Each row expands STATELESSLY into one (rule, violated?) record
+    per EXPECTATION_RULES entry (plus the any-drop-rule quarantine
+    record) BEFORE the aggregation, so the streaming state is one row
+    per rule — bounded by the contract, not the feed — and
+    complete-mode aggregation without a watermark is safe at any
+    rate. The rule predicates are the SAME SQL strings the batch
+    audit compiles, so stream and batch can never disagree about
+    what violates the contract; one availableNow drain over the full
+    feed equals the batch relation exactly (shared DuckDB oracle).
+
+    Output per rule: (rule_id, severity, n_checked, n_violations,
+    violation_ppm, first_bad_event_id)."""
+    from iceberg_diag_spark.operators.events import EXPECTATION_RULES
+
+    entries = []
+    for rid, sev, pred in EXPECTATION_RULES:
+        entries.append(
+            f"named_struct('rule_id', '{rid}', 'severity', '{sev}',"
+            f" 'viol', ({pred}))"
+        )
+    drop_or = " OR ".join(
+        f"({p})" for _r, s, p in EXPECTATION_RULES if s == "drop"
+    )
+    entries.append(
+        "named_struct('rule_id', '_quarantine', 'severity', 'drop',"
+        f" 'viol', ({drop_or}))"
+    )
+    ex = events.select(
+        "event_id",
+        F.explode(F.expr(f"array({', '.join(entries)})")).alias("r"),
+    )
+    return (
+        ex.groupBy(
+            F.col("r.rule_id").alias("rule_id"),
+            F.col("r.severity").alias("severity"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            F.sum(F.col("r.viol").cast("long")).alias("n_violations"),
+            F.min(
+                F.when(F.col("r.viol"), F.col("event_id"))
+            ).alias("first_bad_event_id"),
+        )
+        .select(
+            "rule_id",
+            "severity",
+            "n_checked",
+            F.col("n_violations").cast("long").alias("n_violations"),
+            F.expr(
+                "CAST(1000000 * n_violations"
+                " DIV greatest(n_checked, 1) AS BIGINT)"
+            ).alias("violation_ppm"),
+            "first_bad_event_id",
+        )
+    )

@@ -259,6 +259,7 @@ _SCALAR_CROSS_OK = {
     "embedding_ivf_balance",     # broadcast 1-row occupancy total
     "ann_recall_eval",           # broadcast bounded 1/query_mod query
                                  #   panel vs corpus (ground-truth side)
+    "retrieval_rank_eval",       # same bounded panel, ranked-list view
     "token_zipf_curve",          # broadcast 1-row corpus token total
     "diag_bloom_advisor",        # broadcast bounded probe panel ×
                                  #   metadata-scale file bounds

@@ -280,3 +280,31 @@ def test_pca_power_recovers_planted_direction(spark):
     assert share >= 990_000
     # off-plane dims carry no signal
     assert all(abs(got[p]["v_q"]) <= 8 for p in range(2, 64))
+
+
+def test_retrieval_rank_eval_identities(spark):
+    """Rank-metric identities on the real table: rr_ppm = 0 iff no
+    relevant item was retrieved; precision ≤ recall-compatible bound
+    (n_retrieved ≤ k); hit@1 ⇒ rr_ppm = 1e6; every panel query from
+    the recall audit appears here too (no silent disappearance)."""
+    from iceberg_diag_spark.operators.similarity import (
+        ann_recall_eval,
+        retrieval_rank_eval,
+    )
+    from iceberg_diag_spark.sources.tpch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = {r["query_id"]: r for r in retrieval_rank_eval(emb, query_mod=50).collect()}
+    recall_panel = {
+        r["query_id"] for r in ann_recall_eval(emb, query_mod=50).collect()
+    }
+    assert set(got) == recall_panel
+    for r in got.values():
+        assert 0 <= r["n_retrieved"] <= 5
+        assert 0 <= r["precision_ppm"] <= 1_000_000
+        if r["hit_at_1"]:
+            assert r["rr_ppm"] == 1_000_000
+        if r["rr_ppm"] == 0:
+            assert r["precision_ppm"] == 0
+        if r["precision_ppm"] == 0:
+            assert r["rr_ppm"] == 0 and not r["hit_at_1"]

@@ -166,3 +166,57 @@ def test_watermark_advisor_stream_escalates_across_batches(
     assert second.recommended_watermark_us == 600_000_000
     assert second.meets_target and second.n_dropped == 0
     assert second.drop_ppm == 0
+
+
+def test_expectations_gate_stream_accumulates_across_batches(
+    spark, tmp_path_factory
+):
+    """Two-batch contract monitoring: batch 1 is clean (every rule at
+    zero violations), batch 2 delivers one value-range violator — the
+    complete-mode state must show cumulative counts over BOTH batches
+    and the first-offender handle must point at the new row."""
+    root = str(tmp_path_factory.mktemp("exp_gate"))
+    base = root + "/events.parquet"
+    os.makedirs(base)
+    f1 = [
+        (i, f"2024-01-01 10:00:{10 + i:02d}", 1, "click", 5.0, '{"k": 5}')
+        for i in range(1, 11)
+    ]
+    _write_file(spark, base, "f1.parquet", f1)
+
+    ev = so.read_events_stream(spark, root)
+    gate = so.expectations_gate_stream(ev)
+    q = (
+        gate.writeStream.format("memory")
+        .queryName("exp_gate")
+        .outputMode("complete")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        clean = {
+            r.rule_id: r for r in spark.table("exp_gate").collect()
+        }
+        assert len(clean) == 6
+        assert all(r.n_checked == 10 for r in clean.values())
+        assert all(r.n_violations == 0 for r in clean.values())
+        assert all(
+            r.first_bad_event_id is None for r in clean.values()
+        )
+        f2 = [
+            (11, "2024-01-01 10:10:00", 1, "click", 5.0, '{"k": 5}'),
+            (12, "2024-01-01 10:10:01", 1, "click", 500.0, '{"k": 5}'),
+        ]
+        _write_file(spark, base, "f2.parquet", f2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.rule_id: r for r in spark.table("exp_gate").collect()}
+    assert all(r.n_checked == 12 for r in got.values())
+    assert got["value_range"].n_violations == 1
+    assert got["value_range"].first_bad_event_id == 12
+    assert got["value_range"].violation_ppm == 83_333
+    assert got["_quarantine"].n_violations == 1
+    assert got["props_k_range"].n_violations == 0
