@@ -208,6 +208,7 @@ HEADLINE = [
     "embedding_pca_power",
     "stream_expectations_gate",
     "retrieval_rank_eval",
+    "lineitem_return_survival",
 ]
 
 

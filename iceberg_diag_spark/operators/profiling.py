@@ -276,3 +276,89 @@ def benford_audit(
             "delta_ppm", F.col("observed_ppm") - F.col("expected_ppm")
         )
     )
+
+
+def return_survival(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Kaplan-Meier survival curve of return risk over fulfillment
+    latency — survival analysis with right-censoring, the estimator
+    behind "does a slower-to-ship item come back more often?". Each
+    line item enters the risk set at order time and leaves when it
+    ships (t = shipdate − orderdate days): a RETURNED item
+    (l_returnflag = 'R') is the terminal event at its t; a kept item
+    is right-censored there (it stops being observable, it did not
+    survive less). S(t) = Π_{u≤t} (1 − d_u/n_u) with d_u returns at
+    latency day u and n_u the at-risk count (ship day ≥ u) — the
+    textbook product-limit estimator with ties handled per
+    convention (deaths before censors at the same t).
+
+    Integer-exact fold: survival compounds in ppm scale as
+    s_t = (s_{t−1} · (n_t − d_t)) DIV n_t starting from 1e6 — floor
+    each step, bit-identical in any engine (the oracle replays it as
+    a recursive CTE; s·n ≤ 1e6·|corpus| fits a 64-bit long to
+    ~9·10¹² rows). The day grid is BOUNDED (|distinct transit days|
+    ≈ thousands — metadata scale), so the at-risk suffix sum, the sorted
+    array fold, and the window all operate on a tiny relation; the
+    corpus contributes exactly one hash aggregate.
+
+    The orderkey equi-join is the standard co-partitioned fact join
+    (same shape as TPC-H q3/q10); everything after it is one hash
+    aggregate into the bounded day grid.
+
+    Output per distinct latency day: (latency_days, n_at_risk,
+    n_returned, n_censored, hazard_ppm, survival_ppm).
+    """
+    per_day = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+        )
+        .select(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("t"),
+            (F.col("l_returnflag") == "R").cast("long").alias("r"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum("r").alias("d"),
+            F.sum(F.lit(1) - F.col("r")).alias("c"),
+        )
+    )
+    series = per_day.groupBy().agg(
+        F.expr(
+            "array_sort(collect_list(named_struct("
+            "'t', t, 'd', cast(d as bigint), 'c', cast(c as bigint))))"
+        ).alias("h")
+    )
+    out_t = (
+        "array<struct<t:bigint,d:bigint,c:bigint,n:bigint,s:bigint>>"
+    )
+    # total at-risk pool, then walk days in order: n_t is the pool
+    # not yet shipped; survival compounds by the floor rule above
+    fold = f"""
+    aggregate(
+      h,
+      named_struct(
+        'n', aggregate(h, cast(0 as bigint), (a, x) -> a + x.d + x.c),
+        's', cast(1000000 as bigint),
+        'out', cast(array() as {out_t})),
+      (acc, x) -> named_struct(
+        'n', acc.n - x.d - x.c,
+        's', (acc.s * (acc.n - x.d)) DIV acc.n,
+        'out', array_append(acc.out, named_struct(
+          't', x.t, 'd', x.d, 'c', x.c, 'n', acc.n,
+          's', (acc.s * (acc.n - x.d)) DIV acc.n))),
+      acc -> acc.out)
+    """
+    return series.select(
+        F.explode(F.expr(fold)).alias("a")
+    ).select(
+        F.col("a.t").alias("latency_days"),
+        F.col("a.n").alias("n_at_risk"),
+        F.col("a.d").alias("n_returned"),
+        F.col("a.c").alias("n_censored"),
+        F.expr("CAST(1000000 * a.d DIV a.n AS BIGINT)").alias(
+            "hazard_ppm"
+        ),
+        F.col("a.s").alias("survival_ppm"),
+    )

@@ -10567,6 +10567,61 @@ FROM bp, t
 """
 
 # ------------------------------------------------------------------
+# Round 8: Kaplan-Meier return-risk survival over transit time
+# ------------------------------------------------------------------
+
+def _return_survival(spark, sf_dir):
+    return profiling.return_survival(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+# Product-limit fold replayed as a recursive CTE over the bounded
+# transit-day grid — floor-compounded ppm survival, bit-identical to
+# the Spark higher-order fold (profiling.py:return_survival).
+_RETURN_SURVIVAL_SQL = """
+WITH RECURSIVE per AS (
+  SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS t,
+         CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS d,
+         CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 0 ELSE 1 END)
+              AS BIGINT) AS c
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1
+),
+idx AS (
+  SELECT t, d, c, row_number() OVER (ORDER BY t) AS i FROM per
+),
+tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n0 FROM per),
+f AS (
+  SELECT idx.i, idx.t, idx.d, idx.c, tot.n0 AS n,
+         (1000000 * (tot.n0 - idx.d)) // tot.n0 AS s
+  FROM idx, tot WHERE idx.i = 1
+  UNION ALL
+  SELECT h.i, h.t, h.d, h.c,
+         f.n - f.d - f.c,
+         (f.s * ((f.n - f.d - f.c) - h.d)) // (f.n - f.d - f.c)
+  FROM f JOIN idx h ON h.i = f.i + 1
+)
+SELECT t AS latency_days, n AS n_at_risk, d AS n_returned,
+       c AS n_censored,
+       CAST((1000000 * d) // n AS BIGINT) AS hazard_ppm,
+       CAST(s AS BIGINT) AS survival_ppm
+FROM f
+"""
+
+REGISTRY.update({
+    "lineitem_return_survival": QuerySpec(
+        _return_survival, _RETURN_SURVIVAL_SQL,
+        "Kaplan-Meier product-limit estimator with right-censoring: "
+        "return risk over fulfillment-latency days (kept items "
+        "censor at ship); one fact join + one hash aggregate to the bounded day "
+        "grid, then an integer ppm fold — survival analysis as a "
+        "first-class relational operator",
+    ),
+})
+
+# ------------------------------------------------------------------
 # Round 8: integer-exact top principal component (power iteration)
 # ------------------------------------------------------------------
 

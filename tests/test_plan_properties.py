@@ -319,6 +319,9 @@ _BOUNDED_COLLECT_OK = {
     "crossmodal_dedup_agreement",  # same inherited LSH bucket collect
     "kmeans_lloyd",  # centroid collects bounded by k (clusters) and
     #   the fixed embedding dim — never corpus-cardinality
+    "lineitem_return_survival",  # day-grid collect: list length =
+    #   |distinct latency days| (metadata scale), the sorted-array
+    #   product-limit fold
     "events_ewma_anomalies",  # per-type hourly rollup collect: list
     #   length = |distinct hours| (metadata scale, events.py:1102),
     #   the doc_repetition_profile sorted-array fold idiom

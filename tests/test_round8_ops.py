@@ -308,3 +308,48 @@ def test_retrieval_rank_eval_identities(spark):
             assert r["precision_ppm"] == 0
         if r["precision_ppm"] == 0:
             assert r["rr_ppm"] == 0 and not r["hit_at_1"]
+
+
+def test_return_survival_hand_computed_km(spark):
+    """Textbook K-M check: 10 items, day 1 = {2 returns, 1 censor} of
+    10 at risk, day 2 = {1 return} of 7, day 3 = {6 censors}. Hand
+    product-limit: S(1) = floor(1e6·8/10) = 800000,
+    S(2) = floor(800000·6/7) = 685714, S(3) unchanged (no event)."""
+    from iceberg_diag_spark.operators.profiling import return_survival
+
+    rows = []
+    # (orderkey, days-to-ship, returned?)
+    spec = (
+        [(1, "R"), (1, "R"), (1, "N")]
+        + [(2, "R")]
+        + [(3, "N")] * 6
+    )
+    for i, (day, flag) in enumerate(spec):
+        rows.append((i, i, day, flag))
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, x long, day long, l_returnflag string"
+    ).select(
+        "l_orderkey",
+        F.expr("date_add(DATE '2024-01-01', CAST(day AS INT))").alias(
+            "l_shipdate"
+        ),
+        "l_returnflag",
+    )
+    orders = spark.createDataFrame(
+        [(i,) for i in range(len(spec))], "o_orderkey long"
+    ).select(
+        "o_orderkey", F.lit("2024-01-01").cast("date").alias("o_orderdate")
+    )
+    got = {
+        r["latency_days"]: r for r in return_survival(li, orders).collect()
+    }
+    # day 2 row: l_orderkey joins 1:1 here (orderkey == row index)
+    assert got[1]["n_at_risk"] == 10
+    assert got[1]["n_returned"] == 2 and got[1]["n_censored"] == 1
+    assert got[1]["hazard_ppm"] == 200_000
+    assert got[1]["survival_ppm"] == 800_000
+    assert got[2]["n_at_risk"] == 7
+    assert got[2]["survival_ppm"] == 685_714
+    assert got[3]["n_at_risk"] == 6
+    assert got[3]["n_returned"] == 0
+    assert got[3]["survival_ppm"] == 685_714
