@@ -209,6 +209,7 @@ HEADLINE = [
     "stream_expectations_gate",
     "retrieval_rank_eval",
     "lineitem_return_survival",
+    "stream_cdc_merge",
 ]
 
 

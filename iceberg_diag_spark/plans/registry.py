@@ -10409,6 +10409,36 @@ REGISTRY.update({
     ),
 })
 
+# The stream twin shares the batch MERGE oracle; disorder_seen is
+# identically 0 under the oracle's single availableNow drain (no row
+# can arrive behind a prior batch's per-user frontier when there is
+# only one batch).
+_STREAM_CDC_MERGE_SQL = _EVENTS_CDC_MERGE_SQL.replace(
+    "       max_by(CASE WHEN surv THEN value END,\n"
+    "              CASE WHEN surv THEN event_id END) AS last_value",
+    "       max_by(CASE WHEN surv THEN value END,\n"
+    "              CASE WHEN surv THEN event_id END) AS last_value,\n"
+    "       CAST(0 AS BIGINT) AS disorder_seen",
+)
+
+REGISTRY.update({
+    "stream_cdc_merge": QuerySpec(
+        lambda spark, sf_dir: stream_ops.run_to_table(
+            stream_ops.cdc_merge_stream(
+                stream_ops.read_events_stream(spark, sf_dir)
+            ),
+            "update",
+            "stream_cdc_merge",
+        ),
+        _STREAM_CDC_MERGE_SQL,
+        "streaming MERGE mirror: per-user keyed state (tombstone "
+        "frontier + surviving count + latest value) re-emits the "
+        "snapshot row per batch; late deletes degrade to an explicit "
+        "disorder_seen counter, never a silent guess; one "
+        "availableNow drain equals the batch MERGE relation",
+    ),
+})
+
 # ------------------------------------------------------------------
 # Round 8: integer-exact EWMA spike detector on hourly event rates
 # ------------------------------------------------------------------

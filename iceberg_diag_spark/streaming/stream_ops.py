@@ -943,3 +943,102 @@ def expectations_gate_stream(events: DataFrame) -> DataFrame:
             "first_bad_event_id",
         )
     )
+
+
+def cdc_merge_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of events.cdc_merge_apply — the MERGE-based
+    mirror maintained live: per-user keyed state carries the
+    tombstone frontier (max delete event_id), the surviving-row
+    count, and the latest surviving (event_id, value); each
+    micro-batch folds in event_id order and re-emits the user's
+    snapshot row. Ops derive from event_type exactly as in batch
+    (signup=INSERT, error=DELETE, else UPSERT).
+
+    Disorder contract (the scd2_stream idiom): a DELETE that arrives
+    BEHIND the user's id frontier cannot retract exactly — the count
+    of previously-applied rows below it is no longer in state — so
+    it tombstones only rows beyond the new frontier and increments
+    `disorder_seen` instead of silently guessing. Late UPSERTs are
+    exact (append + conditional latest). Over a single availableNow
+    drain no row is behind a prior batch's frontier, so the output
+    equals the batch MERGE relation exactly (shared oracle with
+    disorder_seen ≡ 0).
+
+    Output per user per batch: (user_id, present, n_applied,
+    last_event_id, last_value, disorder_seen).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, present boolean, n_applied long,"
+        " last_event_id long, last_value double, disorder_seen long"
+    )
+    state_schema = (
+        "last_d long, n_applied long, last_eid long,"
+        " last_val double, frontier long, disorder long"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            last_d, n_applied, last_eid, last_val, frontier, dis = (
+                state.get
+            )
+        else:
+            last_d, n_applied, last_eid, last_val, frontier, dis = (
+                -1, 0, None, None, -1, 0,
+            )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values("event_id")
+            ops = batch["event_type"].map(
+                lambda t: "I" if t == "signup"
+                else ("D" if t == "error" else "U")
+            )
+            dels = batch.loc[ops == "D", "event_id"]
+            if len(dels):
+                dis += int((dels < frontier).sum())
+                new_last_d = max(last_d, int(dels.max()))
+                if new_last_d > last_d and new_last_d >= frontier:
+                    # in-order delete: every previously applied id is
+                    # ≤ frontier ≤ the new tombstone → exact reset
+                    n_applied, last_eid, last_val = 0, None, None
+                last_d = new_last_d
+            iu = batch.loc[
+                ops.isin(("I", "U")) & (batch["event_id"] > last_d)
+            ]
+            n_applied += len(iu)
+            if len(iu):
+                top = iu.iloc[-1]
+                if last_eid is None or int(top["event_id"]) > last_eid:
+                    last_eid = int(top["event_id"])
+                    last_val = float(top["value"])
+            frontier = max(frontier, int(batch["event_id"].max()))
+        state.update(
+            (
+                int(last_d),
+                int(n_applied),
+                None if last_eid is None else int(last_eid),
+                None if last_val is None else float(last_val),
+                int(frontier),
+                int(dis),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "present": [n_applied > 0],
+                "n_applied": [int(n_applied)],
+                "last_event_id": [last_eid],
+                "last_value": [last_val],
+                "disorder_seen": [int(dis)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -220,3 +220,58 @@ def test_expectations_gate_stream_accumulates_across_batches(
     assert got["value_range"].violation_ppm == 83_333
     assert got["_quarantine"].n_violations == 1
     assert got["props_k_range"].n_violations == 0
+
+
+def test_cdc_merge_stream_tombstone_and_disorder(spark, tmp_path_factory):
+    """Two-batch MERGE mirror: batch 1 applies two upserts per user;
+    batch 2 sends user 1 an IN-ORDER delete (exact reset, then one
+    re-insert survives) and user 2 a DISORDERED delete (event_id
+    behind the frontier — tombstones nothing already applied, but
+    disorder_seen must say so)."""
+    root = str(tmp_path_factory.mktemp("cdc_merge"))
+    base = root + "/events.parquet"
+    os.makedirs(base)
+    f1 = [
+        (10, "2024-01-01 10:00:10", 1, "view", 1.5, "{}"),
+        (11, "2024-01-01 10:00:11", 1, "view", 2.5, "{}"),
+        (20, "2024-01-01 10:00:12", 2, "view", 7.0, "{}"),
+        (21, "2024-01-01 10:00:13", 2, "view", 8.0, "{}"),
+    ]
+    _write_file(spark, base, "f1.parquet", f1)
+    ev = so.read_events_stream(spark, root)
+    q = (
+        so.cdc_merge_stream(ev)
+        .writeStream.format("memory")
+        .queryName("cdc_merge")
+        .outputMode("update")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r.user_id: r for r in spark.table("cdc_merge").collect()
+        }
+        assert first[1].n_applied == 2 and first[1].last_value == 2.5
+        assert first[2].n_applied == 2 and first[2].disorder_seen == 0
+        f2 = [
+            (30, "2024-01-01 10:01:00", 1, "error", 0.0, "{}"),  # delete
+            (31, "2024-01-01 10:01:01", 1, "view", 9.0, "{}"),   # re-insert
+            (15, "2024-01-01 10:01:02", 2, "error", 0.0, "{}"),  # behind 21!
+        ]
+        _write_file(spark, base, "f2.parquet", f2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("cdc_merge").collect()
+    # update mode: take the LAST emission per user
+    got = {}
+    for r in rows:
+        got[r.user_id] = r
+    u1, u2 = got[1], got[2]
+    assert u1.n_applied == 1 and u1.last_event_id == 31
+    assert u1.last_value == 9.0 and u1.present and u1.disorder_seen == 0
+    # disordered delete: frontier rule keeps both applied rows, but
+    # the degradation is explicit
+    assert u2.n_applied == 2 and u2.last_event_id == 21
+    assert u2.disorder_seen == 1
