@@ -210,6 +210,7 @@ HEADLINE = [
     "retrieval_rank_eval",
     "lineitem_return_survival",
     "stream_cdc_merge",
+    "events_markov_attribution",
 ]
 
 

@@ -10597,6 +10597,128 @@ FROM bp, t
 """
 
 # ------------------------------------------------------------------
+# Round 8: Markov removal-effect attribution
+# ------------------------------------------------------------------
+
+def _markov_attribution(spark, sf_dir):
+    return events.markov_attribution(_t(spark, sf_dir, "events"))
+
+
+def _markov_sql(iters: int = 24) -> str:
+    """Replay events.markov_attribution: journey edges → 1-row count
+    pivot → ppm transition matrix → `iters` chained-CTE Jacobi steps
+    for the base chain and each removal chain, floor-identical to
+    the Spark higher-order fold."""
+    chans = events.MARKOV_CHANNELS
+    states = ("START",) + chans
+    piv_cols, p_cols = [], []
+    for i, s in enumerate(states):
+        piv_cols.append(
+            f"sum(CASE WHEN src = '{s}' THEN n END) AS t{i}"
+        )
+        for j, d in enumerate(states):
+            if j == 0:
+                continue
+            piv_cols.append(
+                f"sum(CASE WHEN src = '{s}' AND dst = '{d}' THEN n END)"
+                f" AS n{i}_{j}"
+            )
+        piv_cols.append(
+            f"sum(CASE WHEN src = '{s}' AND dst = 'CONV' THEN n END)"
+            f" AS nc{i}"
+        )
+        for j in range(1, len(states)):
+            p_cols.append(
+                f"(1000000 * coalesce(n{i}_{j}, 0))"
+                f" // greatest(coalesce(t{i}, 0), 1) AS p{i}_{j}"
+            )
+        p_cols.append(
+            f"(1000000 * coalesce(nc{i}, 0))"
+            f" // greatest(coalesce(t{i}, 0), 1) AS pc{i}"
+        )
+    n_states = len(states)
+    pnames = [
+        f"p{i}_{j}" for i in range(n_states) for j in range(1, n_states)
+    ] + [f"pc{i}" for i in range(n_states)]
+    ctes = [
+        """seq AS (
+  SELECT user_id, event_id, event_type AS cur,
+         lag(event_type) OVER w AS prev,
+         lead(event_type) OVER w AS nxt
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)""",
+        """hops AS (
+  SELECT CASE WHEN prev IS NULL OR prev = 'purchase'
+              THEN 'START' ELSE prev END AS src,
+         CASE WHEN cur = 'purchase' THEN 'CONV' ELSE cur END AS dst
+  FROM seq
+  UNION ALL
+  SELECT cur, 'END' FROM seq WHERE cur != 'purchase' AND nxt IS NULL
+)""",
+        "edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n"
+        " FROM hops GROUP BY 1, 2)",
+        "piv AS (SELECT " + ", ".join(piv_cols) + " FROM edges)",
+        "p AS (SELECT " + ", ".join(p_cols) + " FROM piv)",
+    ]
+    # chain 0 = base; chain c (1-based channel index) = channel c
+    # removed (its incoming mass leaks to END)
+    zeros = ", ".join(
+        f"CAST(0 AS BIGINT) AS c{ch}_{i}"
+        for ch in range(len(chans) + 1)
+        for i in range(n_states)
+    )
+    ctes.append(f"x0 AS (SELECT {zeros}, {', '.join(pnames)} FROM p)")
+    for k in range(1, iters + 1):
+        cols = []
+        for ch in range(len(chans) + 1):
+            for i in range(n_states):
+                parts = [f"1000000 * pc{i}"]
+                for j in range(1, n_states):
+                    if ch != 0 and j == ch:
+                        continue
+                    parts.append(f"p{i}_{j} * c{ch}_{j}")
+                cols.append(
+                    f"({' + '.join(parts)}) // 1000000 AS c{ch}_{i}"
+                )
+        ctes.append(
+            f"x{k} AS (SELECT {', '.join(cols)},"
+            f" {', '.join(pnames)} FROM x{k-1})"
+        )
+    effs = " + ".join(
+        f"greatest(c0_0 - c{ch}_0, 0)" for ch in range(1, len(chans) + 1)
+    )
+    ctes.append(f"fin AS (SELECT *, {effs} AS tot FROM x{iters})")
+    selects = []
+    for ch, name in enumerate(chans, start=1):
+        selects.append(
+            f"SELECT '{name}' AS channel,"
+            " CAST(c0_0 AS BIGINT) AS base_conv_ppm,"
+            f" CAST(c{ch}_0 AS BIGINT) AS removed_conv_ppm,"
+            f" CAST(greatest(c0_0 - c{ch}_0, 0) AS BIGINT)"
+            " AS removal_effect_ppm,"
+            f" CAST((1000000 * greatest(c0_0 - c{ch}_0, 0))"
+            " // greatest(tot, 1) AS BIGINT) AS attribution_ppm"
+            " FROM fin"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    )
+
+
+_MARKOV_ATTRIBUTION_SQL = _markov_sql()
+
+REGISTRY.update({
+    "events_markov_attribution": QuerySpec(
+        _markov_attribution, _MARKOV_ATTRIBUTION_SQL,
+        "Markov removal-effect attribution: journeys -> absorbing "
+        "chain (one lag-window corpus pass), conversion probability "
+        "solved by 24 ppm-integer Jacobi steps on a 1-row matrix "
+        "pivot, per-channel credit = conversion drop when the "
+        "channel's edges leak to null",
+    ),
+})
+
+# ------------------------------------------------------------------
 # Round 8: Kaplan-Meier return-risk survival over transit time
 # ------------------------------------------------------------------
 

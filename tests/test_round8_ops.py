@@ -353,3 +353,30 @@ def test_return_survival_hand_computed_km(spark):
     assert got[3]["n_at_risk"] == 6
     assert got[3]["n_returned"] == 0
     assert got[3]["survival_ppm"] == 685_714
+
+
+def test_markov_attribution_gateway_channel_gets_full_credit(spark):
+    """Hand-solvable chain: click is the only gateway to conversion
+    (2 of 3 journeys: START→click→purchase; 1: START→view→end), so
+    base conversion = floor(2/3 ·1e6) ppm, removing click zeroes it
+    (full attribution), and removing any other channel changes
+    nothing."""
+    from iceberg_diag_spark.operators.events import markov_attribution
+
+    rows = [
+        (1, 1, "click"), (2, 1, "purchase"),
+        (3, 2, "click"), (4, 2, "purchase"),
+        (5, 3, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    )
+    got = {r["channel"]: r for r in markov_attribution(ev).collect()}
+    assert set(got) == {"click", "error", "signup", "view"}
+    assert all(r["base_conv_ppm"] == 666666 for r in got.values())
+    assert got["click"]["removed_conv_ppm"] == 0
+    assert got["click"]["removal_effect_ppm"] == 666666
+    assert got["click"]["attribution_ppm"] == 1_000_000
+    for c in ("view", "signup", "error"):
+        assert got[c]["removal_effect_ppm"] == 0
+        assert got[c]["attribution_ppm"] == 0
