@@ -211,6 +211,7 @@ HEADLINE = [
     "lineitem_return_survival",
     "stream_cdc_merge",
     "events_markov_attribution",
+    "embedding_pq_codebook",
 ]
 
 

@@ -2295,3 +2295,155 @@ def retrieval_rank_eval(
         F.coalesce(F.col("precision_ppm"), F.lit(0)).cast("long").alias("precision_ppm"),
         F.coalesce(F.col("hit_at_1"), F.lit(False)).alias("hit_at_1"),
     )
+
+
+def md5_pq_codebook(
+    n_sub: int = 8,
+    n_codes: int = 16,
+    sub_dim: int = 8,
+    half_range: int = 256,
+) -> list[list[list[int]]]:
+    """Integer PQ codewords derived from md5 — engine-independent
+    CONSTANTS (component = md5("pq_{m}_{c}_{d}") first 16 bits mod
+    (2·half_range+1), shifted to [−half_range, half_range], the same
+    grid as q = floor(v·256)), reproducible anywhere, literals
+    included in the DuckDB oracle. Returns codebook[m][c][d]."""
+    import hashlib
+
+    mod = 2 * half_range + 1
+    return [
+        [
+            [
+                int(
+                    hashlib.md5(f"pq_{m}_{c}_{d}".encode()).hexdigest()[:4],
+                    16,
+                )
+                % mod
+                - half_range
+                for d in range(sub_dim)
+            ]
+            for c in range(n_codes)
+        ]
+        for m in range(n_sub)
+    ]
+
+
+def pq_codebook_audit(
+    embeddings: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    scale_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebook audit — the pre-flight check
+    before committing a corpus to PQ-compressed vector search (the
+    memory-bound scale path: a 64-dim float vector collapses to
+    n_sub code bytes). Vectors split into n_sub subspaces; each
+    subvector assigns to its nearest md5-seeded codeword (exact
+    integer squared L2, ties to the lowest code). Per (subspace,
+    code) cell the audit reports occupancy (a skewed cell means the
+    codebook wastes bits — compare embedding_ivf_balance) and TWO
+    distortions: under the seed codeword, and under the
+    one-Lloyd-step refined codeword. The refined figure needs NO
+    second corpus pass: with membership fixed, the post-update
+    squared distortion is the member variance, recovered exactly
+    from (n, Σq, Σq²) per coordinate — n·Σq² − (Σq)² over n².
+
+    One corpus scan total: assignment is a row-local fold over
+    literal codewords (zero shuffle), then ONE hash aggregate into
+    the n_sub·n_codes·sub_dim coordinate grid; everything after is
+    metadata scale (the per-subspace totals come from a window over
+    the n_codes-row bounded relation, SCALING.md §5).
+
+    Output per cell: (subspace, code, n_assigned, occupancy_ppm,
+    mean_seed_d2, mean_refined_d2) — d2 in 2^(2·scale_bits)-scaled
+    squared units; refined ≤ seed always (Lloyd monotonicity), and
+    the gap is the payoff of training the codebook on this corpus.
+    Codes no subvector chose are absent (dead codewords — the same
+    Lloyd degeneracy kmeans_lloyd documents): 128 output rows means
+    every bit of the code budget is earning its keep.
+    """
+    from pyspark.sql.window import Window
+
+    sub_dim = dim // n_sub
+    book = md5_pq_codebook(n_sub, n_codes, sub_dim)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * (1 << scale_bits)).cast("long"),
+    )
+    base = embeddings.select(F.col(id_col).alias("vec_id"), qv.alias("q"))
+
+    def d2_sql(m: int, c: int) -> str:
+        arr = ", ".join(f"{h}L" for h in book[m][c])
+        return (
+            f"aggregate(zip_with(slice(q, {m * sub_dim + 1}, {sub_dim}),"
+            f" array({arr}), (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as long), (acc, v) -> acc + v)"
+        )
+
+    sub_structs = ", ".join(
+        "named_struct('m', {m}, 'a', array_sort(array({cands}))[0])".format(
+            m=m,
+            cands=", ".join(
+                f"named_struct('d2', {d2_sql(m, c)}, 'c', {c})"
+                for c in range(n_codes)
+            ),
+        )
+        for m in range(n_sub)
+    )
+    assigned = base.select(
+        "q",
+        F.explode(F.expr(f"array({sub_structs})")).alias("s"),
+    ).select(
+        F.col("s.m").alias("m"),
+        F.col("s.a.c").alias("c"),
+        F.col("s.a.d2").alias("d2"),
+        "q",
+    )
+    coords = assigned.select(
+        "m",
+        "c",
+        "d2",
+        F.posexplode(
+            F.expr(
+                f"slice(q, m * {sub_dim} + 1, {sub_dim})"
+            )
+        ).alias("pos", "qd"),
+    )
+    per_coord = coords.groupBy("m", "c", "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qd").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("qd") * F.col("qd")).cast("decimal(38,0)").alias("ss"),
+        F.sum("d2").cast("decimal(38,0)").alias("sd2"),
+    )
+    per_cell = per_coord.groupBy("m", "c").agg(
+        F.max("n").alias("n_assigned"),
+        # d2 was replicated once per coordinate: divide back exactly
+        F.expr(f"CAST(sum(sd2) DIV {sub_dim} AS DECIMAL(38,0))").alias(
+            "seed_d2_sum"
+        ),
+        F.sum(
+            F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+        ).alias("var_num"),
+    )
+    wsub = Window.partitionBy("m")
+    return per_cell.withColumn(
+        "n_sub_total", F.sum("n_assigned").over(wsub)
+    ).select(
+        F.col("m").cast("int").alias("subspace"),
+        F.col("c").cast("int").alias("code"),
+        F.col("n_assigned").cast("long").alias("n_assigned"),
+        F.expr(
+            "CAST(1000000 * n_assigned DIV greatest(n_sub_total, 1)"
+            " AS BIGINT)"
+        ).alias("occupancy_ppm"),
+        F.expr(
+            "CAST(seed_d2_sum DIV n_assigned AS BIGINT)"
+        ).alias("mean_seed_d2"),
+        F.expr(
+            "CAST(var_num DIV (CAST(n_assigned AS DECIMAL(38,0))"
+            " * n_assigned) AS BIGINT)"
+        ).alias("mean_refined_d2"),
+    )

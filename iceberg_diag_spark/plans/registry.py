@@ -10597,6 +10597,93 @@ FROM bp, t
 """
 
 # ------------------------------------------------------------------
+# Round 8: product-quantization codebook audit
+# ------------------------------------------------------------------
+
+def _pq_codebook_audit(spark, sf_dir):
+    return similarity.pq_codebook_audit(_t(spark, sf_dir, "embeddings"))
+
+
+def _pq_codebook_sql(
+    n_sub: int = 8, n_codes: int = 16, sub_dim: int = 8
+) -> str:
+    book = similarity.md5_pq_codebook(n_sub, n_codes, sub_dim)
+    values = ", ".join(
+        f"({m},{c},{d},{h})"
+        for m, mc in enumerate(book)
+        for c, row in enumerate(mc)
+        for d, h in enumerate(row)
+    )
+    return f"""
+WITH book(m, c, d, h) AS (VALUES {values}),
+q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 256.0) AS BIGINT)) AS q
+  FROM embeddings
+),
+d2 AS MATERIALIZED (
+  SELECT q.vec_id, b.m, b.c,
+         sum((q.q[b.m * {sub_dim} + b.d + 1] - b.h)
+             * (q.q[b.m * {sub_dim} + b.d + 1] - b.h)) AS d2
+  FROM q, book b GROUP BY 1, 2, 3
+),
+asg AS MATERIALIZED (
+  SELECT vec_id, m, c, d2 FROM (
+    SELECT vec_id, m, c, d2,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2, c) AS rk
+    FROM d2
+  ) WHERE rk = 1
+),
+coords AS (
+  SELECT a.m, a.c, t.pos, q.q[a.m * {sub_dim} + t.pos + 1] AS qd, a.d2
+  FROM asg a JOIN q ON q.vec_id = a.vec_id, range(0, {sub_dim}) t(pos)
+),
+pc AS (
+  SELECT m, c, pos, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qd) AS HUGEINT) AS s,
+         CAST(sum(qd * qd) AS HUGEINT) AS ss,
+         CAST(sum(d2) AS HUGEINT) AS sd2
+  FROM coords GROUP BY 1, 2, 3
+),
+cell AS (
+  SELECT m, c, max(n) AS n_assigned,
+         (sum(sd2) // {sub_dim}) AS seed_d2_sum,
+         sum(n * ss - s * s) AS var_num
+  FROM pc GROUP BY 1, 2
+),
+tot AS (
+  SELECT m, c, n_assigned, seed_d2_sum, var_num,
+         sum(n_assigned) OVER (PARTITION BY m) AS nt
+  FROM cell
+)
+SELECT CAST(m AS INTEGER) AS subspace, CAST(c AS INTEGER) AS code,
+       CAST(n_assigned AS BIGINT) AS n_assigned,
+       CAST((1000000 * n_assigned) // greatest(nt, 1) AS BIGINT)
+         AS occupancy_ppm,
+       CAST(seed_d2_sum // n_assigned AS BIGINT) AS mean_seed_d2,
+       CAST(var_num // (CAST(n_assigned AS HUGEINT) * n_assigned)
+            AS BIGINT) AS mean_refined_d2
+FROM tot
+"""
+
+
+_PQ_CODEBOOK_SQL = _pq_codebook_sql()
+
+REGISTRY.update({
+    "embedding_pq_codebook": QuerySpec(
+        _pq_codebook_audit, _PQ_CODEBOOK_SQL,
+        "product-quantization codebook audit: subvectors assign to "
+        "md5-seeded codewords row-locally (zero-shuffle fold), one "
+        "hash aggregate to the subspace-code-coordinate grid; per "
+        "cell occupancy plus seed AND one-Lloyd-step distortion (the "
+        "refined figure via exact variance decomposition, no second "
+        "corpus pass)",
+    ),
+})
+
+# ------------------------------------------------------------------
 # Round 8: Markov removal-effect attribution
 # ------------------------------------------------------------------
 

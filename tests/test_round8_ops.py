@@ -380,3 +380,48 @@ def test_markov_attribution_gateway_channel_gets_full_credit(spark):
     for c in ("view", "signup", "error"):
         assert got[c]["removal_effect_ppm"] == 0
         assert got[c]["attribution_ppm"] == 0
+
+
+def test_pq_codebook_invariants_on_real_table(spark):
+    """On the real embeddings: refined distortion never exceeds seed
+    distortion (Lloyd monotonicity), per-subspace occupancy sums to
+    ~1e6 ppm, and every subspace's members add up to the corpus."""
+    from iceberg_diag_spark.operators.similarity import pq_codebook_audit
+    from iceberg_diag_spark.sources.tpch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    rows = pq_codebook_audit(emb).collect()
+    assert rows
+    by_sub = {}
+    for r in rows:
+        assert r["mean_refined_d2"] <= r["mean_seed_d2"]
+        assert r["mean_refined_d2"] >= 0
+        by_sub.setdefault(r["subspace"], []).append(r)
+    assert set(by_sub) == set(range(8))
+    for m, cells in by_sub.items():
+        assert sum(r["n_assigned"] for r in cells) == n, m
+        occ = sum(r["occupancy_ppm"] for r in cells)
+        assert 1_000_000 - len(cells) <= occ <= 1_000_000
+
+
+def test_pq_codebook_planted_cluster_lands_in_one_cell(spark):
+    """Vectors equal to a known codeword (subspace 0's code 3,
+    zero-padded elsewhere) must all land in cell (0, 3) with zero
+    seed distortion in that subspace."""
+    from iceberg_diag_spark.operators.similarity import (
+        md5_pq_codebook,
+        pq_codebook_audit,
+    )
+
+    book = md5_pq_codebook()
+    target = [h / 256.0 for h in book[0][3]]
+    vecs = [(i, target + [0.0] * 56) for i in range(20)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        (r["subspace"], r["code"]): r for r in pq_codebook_audit(emb).collect()
+    }
+    cell = got[(0, 3)]
+    assert cell["n_assigned"] == 20
+    assert cell["occupancy_ppm"] == 1_000_000
+    assert cell["mean_seed_d2"] == 0 and cell["mean_refined_d2"] == 0
