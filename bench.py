@@ -212,6 +212,7 @@ HEADLINE = [
     "stream_cdc_merge",
     "events_markov_attribution",
     "embedding_pq_codebook",
+    "bigram_kneser_ney",
 ]
 
 

@@ -2327,3 +2327,80 @@ def source_length_ks(
             " * (n_source + n_rest) * n_source * n_rest"
         ).alias("reject_95"),
     )
+
+
+def bigram_kneser_ney(
+    docs: DataFrame,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the smoothing
+    every serious n-gram LM ships (and the quality bar for "is this
+    corpus's bigram table usable as a cheap perplexity scorer"):
+    P_KN(w2|w1) = max(c(w1w2) − d, 0)/c(w1·)
+                + d·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··),
+    with discount d = 3/4 and the characteristic CONTINUATION
+    distribution (how many distinct left contexts a word follows —
+    "San Francisco" keeps "Francisco" from looking generally
+    probable). The MLE column sits alongside so the smoothing shift
+    is visible per bigram.
+
+    Integer-exact: d = 3/4 works in quarters (4c − 3 ≥ 1 for every
+    observed bigram, so the max() never binds), each of the two
+    terms floors once to ppm — term1 = 1e6·(4c−3) DIV (4·c(w1·)),
+    term2 = 1e6·3·N1+(w1·)·N1+(·w2) DIV (4·c(w1·)·N1+(··)), the
+    second in DECIMAL(38,0) (vocabulary-squared numerators pass
+    int64 around |V| ≈ 10⁵·√3). Deterministic both engines.
+
+    Scale: bigram and context counts are hash aggregates on uniform
+    keys off the codegen shingle path; the distinct-bigram total is
+    a broadcast 1-row scalar; output is the top_k bigram rows by
+    count (TakeOrderedAndProject — map-side partial top-k, count
+    then gram as the deterministic tie-break).
+
+    Output: (gram, n_pair, n_left_total, mle_ppm, kn_ppm).
+    """
+    from iceberg_diag_spark.operators.dedup import word_ngram_rows
+
+    bg = word_ngram_rows(docs, text_col, id_col, n=2)
+    c2 = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    # get() instead of [i]: Catalyst reorders this deterministic
+    # projection below the shingle source's last-position filter, so
+    # under ANSI an indexed access explodes on the one-token gram a
+    # filtered-out row still carries (the documented inferred-
+    # predicate gotcha); get() returns NULL there and the row never
+    # survives anyway
+    c2 = c2.select(
+        "gram",
+        "c2",
+        F.expr("get(split(gram, ' '), 0)").alias("w1"),
+        F.expr("get(split(gram, ' '), 1)").alias("w2"),
+    )
+    left = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1w"),
+        F.count(F.lit(1)).alias("n1p_w1"),
+    )
+    right = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_w2"))
+    ntot = c2.agg(F.count(F.lit(1)).alias("ntot"))
+    return (
+        c2.join(left, "w1")
+        .join(right, "w2")
+        .join(F.broadcast(ntot))
+        .select(
+            "gram",
+            F.col("c2").cast("long").alias("n_pair"),
+            F.col("c1w").cast("long").alias("n_left_total"),
+            F.expr("CAST(1000000 * c2 DIV c1w AS BIGINT)").alias(
+                "mle_ppm"
+            ),
+            F.expr(
+                "CAST(1000000 * (4 * c2 - 3) DIV (4 * c1w)"
+                " + CAST(3000000 AS DECIMAL(38,0)) * n1p_w1 * n1p_w2"
+                "   DIV (CAST(4 AS DECIMAL(38,0)) * c1w * ntot)"
+                " AS BIGINT)"
+            ).alias("kn_ppm"),
+        )
+        .orderBy(F.desc("n_pair"), F.asc("gram"))
+        .limit(top_k)
+    )

@@ -10597,6 +10597,64 @@ FROM bp, t
 """
 
 # ------------------------------------------------------------------
+# Round 8: interpolated Kneser-Ney bigram table
+# ------------------------------------------------------------------
+
+def _bigram_kneser_ney(spark, sf_dir):
+    return textops.bigram_kneser_ney(_t(spark, sf_dir, "documents"))
+
+
+_BIGRAM_KN_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+           list_transform(generate_series(0, len(toks) - 2),
+                          i -> toks[i + 1] || ' ' || toks[i + 2])
+         ELSE [] END) AS gram
+  FROM norm
+),
+c2 AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS c2,
+         string_split(gram, ' ')[1] AS w1,
+         string_split(gram, ' ')[2] AS w2
+  FROM bg GROUP BY gram
+),
+lft AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1w,
+         CAST(count(*) AS BIGINT) AS n1p_w1
+  FROM c2 GROUP BY w1
+),
+rgt AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1p_w2 FROM c2 GROUP BY w2
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM c2)
+SELECT gram, c2 AS n_pair, c1w AS n_left_total,
+       CAST((1000000 * c2) // c1w AS BIGINT) AS mle_ppm,
+       CAST((1000000 * (4 * c2 - 3)) // (4 * c1w)
+            + (CAST(3000000 AS HUGEINT) * n1p_w1 * n1p_w2)
+              // (CAST(4 AS HUGEINT) * c1w * ntot)
+            AS BIGINT) AS kn_ppm
+FROM c2 JOIN lft USING (w1) JOIN rgt USING (w2), tot
+ORDER BY n_pair DESC, gram ASC
+LIMIT 100
+"""
+
+REGISTRY.update({
+    "bigram_kneser_ney": QuerySpec(
+        _bigram_kneser_ney, _BIGRAM_KN_SQL,
+        "interpolated Kneser-Ney bigram table (d=3/4, continuation "
+        "distribution): two hash aggregates on uniform keys + "
+        "broadcast 1-row bigram total, top-k via "
+        "TakeOrderedAndProject; two ppm floors, DECIMAL-exact "
+        "vocabulary-squared numerator",
+    ),
+})
+
+# ------------------------------------------------------------------
 # Round 8: product-quantization codebook audit
 # ------------------------------------------------------------------
 

@@ -260,6 +260,7 @@ _SCALAR_CROSS_OK = {
     "ann_recall_eval",           # broadcast bounded 1/query_mod query
                                  #   panel vs corpus (ground-truth side)
     "retrieval_rank_eval",       # same bounded panel, ranked-list view
+    "bigram_kneser_ney",         # broadcast 1-row distinct-bigram total
     "token_zipf_curve",          # broadcast 1-row corpus token total
     "diag_bloom_advisor",        # broadcast bounded probe panel ×
                                  #   metadata-scale file bounds

@@ -425,3 +425,24 @@ def test_pq_codebook_planted_cluster_lands_in_one_cell(spark):
     assert cell["n_assigned"] == 20
     assert cell["occupancy_ppm"] == 1_000_000
     assert cell["mean_seed_d2"] == 0 and cell["mean_refined_d2"] == 0
+
+
+def test_kneser_ney_hand_computed(spark):
+    """Corpus 'a b a b a c': c(a b)=2, c(b a)=2, c(a c)=1; left
+    totals a·=3, b·=2; continuations N1+(a·)=2, N1+(b·)=1,
+    N1+(·b)=N1+(·a)=N1+(·c)=1; N1+(··)=3. Hand KN (d=3/4):
+    P(b|a)=5/12+6/36=583332 ppm (two floors), P(a|b)=5/8+3/24=750000,
+    P(c|a)=1/12+6/36=249999."""
+    from iceberg_diag_spark.operators.textops import bigram_kneser_ney
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c")], "doc_id long, text string"
+    )
+    got = {r["gram"]: r for r in bigram_kneser_ney(docs).collect()}
+    assert set(got) == {"a b", "b a", "a c"}
+    assert got["a b"]["n_pair"] == 2 and got["a b"]["n_left_total"] == 3
+    assert got["a b"]["mle_ppm"] == 666666
+    assert got["a b"]["kn_ppm"] == 416666 + 166666
+    assert got["b a"]["mle_ppm"] == 1_000_000
+    assert got["b a"]["kn_ppm"] == 625_000 + 125_000
+    assert got["a c"]["kn_ppm"] == 83333 + 166666
