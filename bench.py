@@ -213,6 +213,7 @@ HEADLINE = [
     "events_markov_attribution",
     "embedding_pq_codebook",
     "bigram_kneser_ney",
+    "data_mixing_plan",
 ]
 
 

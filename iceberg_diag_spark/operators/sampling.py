@@ -469,3 +469,72 @@ def exact_quota_holdout(
         .filter(F.col("pick_rank") <= F.col("quota"))
         .select(id_col, "stratum", "pick_rank")
     )
+
+
+def data_mixing_plan(
+    df: DataFrame,
+    budget_num: int = 1,
+    budget_den: int = 2,
+    alpha: float = 0.5,
+    max_epochs_ppm: int = 4_000_000,
+    strata_col: str = "source",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """The release artifact a training run actually consumes: turn
+    the temperature-weighted mixture (source_mixture_weights) into a
+    concrete PER-SOURCE TOKEN PLAN for a fixed budget — here
+    budget = total_mass · budget_num/budget_den — and audit each
+    source's implied epoch count against the repeating-data rule
+    (up-sampling a small domain past ~4 epochs stops helping and
+    starts memorizing, hence the over_repeat flag; the planner's
+    move is then to cap that source and re-spread the remainder —
+    compare token_budget_waterfill, which is that capping rule).
+
+    tokens_alloc_s = floor(budget · mass_s^α / Σ mass^α);
+    epochs_ppm_s = floor(1e6 · tokens_alloc_s / mass_s). The α-power
+    shares use the same double pow + single floor as
+    source_mixture_weights (cross-engine stable there since r4); all
+    downstream arithmetic is integer.
+
+    One groupBy to the #sources relation; windows run over that
+    bounded aggregate (SCALING.md §5). Output per source: (source,
+    mass, tokens_alloc, sample_share_ppm, epochs_ppm, over_repeat).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(strata_col).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("mass")
+    )
+    everything = Window.partitionBy()
+    w_raw = F.pow(F.col("mass").cast("double"), F.lit(alpha))
+    budget = F.expr(
+        f"CAST(sum(mass) OVER () * {budget_num} DIV {budget_den}"
+        " AS BIGINT)"
+    )
+    planned = counts.select(
+        F.col(strata_col),
+        "mass",
+        budget.alias("budget"),
+        F.floor(
+            budget.cast("double")
+            * w_raw
+            / F.sum(w_raw).over(everything)
+        ).cast("long").alias("tokens_alloc"),
+        F.floor(
+            F.lit(1_000_000.0) * w_raw / F.sum(w_raw).over(everything)
+        ).cast("long").alias("sample_share_ppm"),
+    )
+    return planned.select(
+        strata_col,
+        "mass",
+        "tokens_alloc",
+        "sample_share_ppm",
+        F.expr(
+            "CAST(1000000 * tokens_alloc DIV greatest(mass, 1)"
+            " AS BIGINT)"
+        ).alias("epochs_ppm"),
+        F.expr(
+            f"CAST(1000000 * tokens_alloc DIV greatest(mass, 1)"
+            f" AS BIGINT) > {max_epochs_ppm}"
+        ).alias("over_repeat"),
+    )

@@ -10597,6 +10597,49 @@ FROM bp, t
 """
 
 # ------------------------------------------------------------------
+# Round 8: token-budget mixing plan with the repeating-data audit
+# ------------------------------------------------------------------
+
+def _data_mixing_plan(spark, sf_dir):
+    return sampling.data_mixing_plan(_t(spark, sf_dir, "documents"))
+
+
+_DATA_MIXING_SQL = """
+WITH m AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+  FROM documents GROUP BY source
+),
+p AS (
+  SELECT source, mass,
+         (sum(mass) OVER () * 1) // 2 AS budget,
+         CAST(FLOOR(CAST((sum(mass) OVER () * 1) // 2 AS DOUBLE)
+                    * pow(CAST(mass AS DOUBLE), 0.5)
+                    / sum(pow(CAST(mass AS DOUBLE), 0.5)) OVER ())
+              AS BIGINT) AS tokens_alloc,
+         CAST(FLOOR(1000000.0 * pow(CAST(mass AS DOUBLE), 0.5)
+                    / sum(pow(CAST(mass AS DOUBLE), 0.5)) OVER ())
+              AS BIGINT) AS sample_share_ppm
+  FROM m
+)
+SELECT source, mass, tokens_alloc, sample_share_ppm,
+       CAST((1000000 * tokens_alloc) // greatest(mass, 1) AS BIGINT)
+         AS epochs_ppm,
+       (1000000 * tokens_alloc) // greatest(mass, 1) > 4000000
+         AS over_repeat
+FROM p
+"""
+
+REGISTRY.update({
+    "data_mixing_plan": QuerySpec(
+        _data_mixing_plan, _DATA_MIXING_SQL,
+        "per-source token plan for a half-corpus training budget "
+        "under temperature sampling (alpha=0.5), with the implied "
+        "epoch count audited against the ~4-epoch repeating-data "
+        "rule; one groupBy to the #sources relation, bounded windows",
+    ),
+})
+
+# ------------------------------------------------------------------
 # Round 8: interpolated Kneser-Ney bigram table
 # ------------------------------------------------------------------
 

@@ -446,3 +446,30 @@ def test_kneser_ney_hand_computed(spark):
     assert got["b a"]["mle_ppm"] == 1_000_000
     assert got["b a"]["kn_ppm"] == 625_000 + 125_000
     assert got["a c"]["kn_ppm"] == 83333 + 166666
+
+
+def test_data_mixing_plan_flags_over_repeated_small_source(spark):
+    """A 10000:1 mass imbalance under alpha=0.5: the tiny source's
+    alpha-boosted allocation implies ~50 epochs — far past the
+    4-epoch rule — while the big source stays under one epoch; the
+    plan must flag exactly the tiny one and conserve the budget."""
+    from iceberg_diag_spark.operators.sampling import data_mixing_plan
+
+    rows = [(i, "big", 1000) for i in range(1000)] + [
+        (9000, "tiny", 100)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+    got = {r["source"]: r for r in data_mixing_plan(docs).collect()}
+    assert got["big"]["mass"] == 1_000_000 and got["tiny"]["mass"] == 100
+    total = got["big"]["mass"] + got["tiny"]["mass"]
+    budget = total // 2
+    alloc = got["big"]["tokens_alloc"] + got["tiny"]["tokens_alloc"]
+    assert budget - 2 <= alloc <= budget
+    assert got["big"]["epochs_ppm"] < 1_000_000
+    assert not got["big"]["over_repeat"]
+    assert got["tiny"]["epochs_ppm"] > 4_000_000
+    assert got["tiny"]["over_repeat"]
+    share = got["big"]["sample_share_ppm"] + got["tiny"]["sample_share_ppm"]
+    assert 999_998 <= share <= 1_000_000
