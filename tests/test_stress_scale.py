@@ -426,3 +426,66 @@ def test_substring_dedup_accounting_at_1m(spark):
     assert agg["emptied"] == dup_docs
     assert agg["removed"] == dup_docs * 30
     print(f"substring_dedup @1M: {wall:.1f}s")
+
+
+def test_pca_power_at_1m_vectors(spark):
+    """1M expression-generated 64-dim vectors with a planted dominant
+    direction (component 0 carries ~10× the variance of the hash
+    noise): the Gramian pass must survive the 65²-key explode at 65M
+    generated rows, and the recovered top component must point at
+    dim 0 with a dominant variance share."""
+    t0 = time.time()
+    dims = []
+    for d in range(64):
+        if d == 0:
+            dims.append(
+                ((F.pmod(F.xxhash64(F.col("id")), 2001) - 1000) / 1000.0)
+                .cast("float")
+            )
+        else:
+            dims.append(
+                (
+                    (F.pmod(F.xxhash64(F.col("id"), F.lit(d)), 201) - 100)
+                    / 1000.0
+                ).cast("float")
+            )
+    emb = spark.range(1_000_000).select(
+        F.col("id").alias("vec_id"), F.array(*dims).alias("embedding")
+    )
+    from iceberg_diag_spark.operators.similarity import pca_power
+
+    got = {r["pos"]: r for r in pca_power(emb).collect()}
+    assert len(got) == 64
+    assert abs(got[0]["v_q"]) == 4096  # dominant direction is dim 0
+    assert all(abs(got[p]["v_q"]) < 2048 for p in range(1, 64))
+    share = got[0]["eig_share_ppm"]
+    # planted variance: dim0 var ≈ 1e6/3 vs 63 dims at ~1e4/3 each
+    assert share > 500_000
+    print(f"pca_power 1M vecs: {time.time() - t0:.1f}s share={share}")
+
+
+def test_pq_codebook_at_1m_vectors(spark):
+    """Same 1M-vector corpus through the PQ audit: one corpus scan,
+    membership conserved per subspace, Lloyd monotonicity holds at
+    scale."""
+    t0 = time.time()
+    dims = [
+        (
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(d)), 513) - 256) / 256.0
+        ).cast("float")
+        for d in range(64)
+    ]
+    emb = spark.range(1_000_000).select(
+        F.col("id").alias("vec_id"), F.array(*dims).alias("embedding")
+    )
+    from iceberg_diag_spark.operators.similarity import pq_codebook_audit
+
+    rows = pq_codebook_audit(emb).collect()
+    by_sub = {}
+    for r in rows:
+        assert r["mean_refined_d2"] <= r["mean_seed_d2"]
+        by_sub.setdefault(r["subspace"], 0)
+        by_sub[r["subspace"]] += r["n_assigned"]
+    assert set(by_sub) == set(range(8))
+    assert all(v == 1_000_000 for v in by_sub.values())
+    print(f"pq_codebook 1M vecs: {time.time() - t0:.1f}s cells={len(rows)}")
