@@ -214,6 +214,7 @@ HEADLINE = [
     "embedding_pq_codebook",
     "bigram_kneser_ney",
     "data_mixing_plan",
+    "quality_psi_drift",
 ]
 
 

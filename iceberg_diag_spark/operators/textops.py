@@ -2404,3 +2404,79 @@ def bigram_kneser_ney(
         .orderBy(F.desc("n_pair"), F.asc("gram"))
         .limit(top_k)
     )
+
+
+def quality_psi_drift(
+    docs_old: DataFrame,
+    docs_new: DataFrame,
+    bucket_micro: int = 500_000,
+    shift_micro: int = 20_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Population Stability Index of the quality-classifier score
+    between two corpus releases — the standard "did the curation
+    signal's distribution move?" gate (PSI < 0.1 stable, > 0.25 act)
+    run before trusting a threshold tuned on the previous release.
+    PSI = Σ_b (p_new − p_old)·ln(p_new/p_old) over fixed score
+    buckets, Laplace-smoothed (+1 per observed bucket) so an empty
+    cell contributes a finite penalty instead of ±∞.
+
+    Determinism: buckets are fixed-grid integers — z_micro shifts
+    non-negative BEFORE the integral divide, so truncation equals
+    floor on both engines (negative DIV truncates toward zero in
+    Spark but floors in DuckDB); shares divide exact integer counts
+    as doubles and each bucket's PSI term floors once to micro-units
+    (the bigram_logprob ln-floor precedent). Both snapshots are one
+    zero-shuffle scoring scan plus a bucket-cardinality aggregate;
+    the join and windows run on the ≤|grid| bucket relation
+    (SCALING.md §5).
+
+    Output per bucket: (bucket, n_old, n_new, psi_micro) — total PSI
+    is the column sum; bucket = (z_micro + shift) DIV bucket_micro.
+    """
+    from pyspark.sql.window import Window
+
+    def bucketed(docs, side):
+        return (
+            quality_classifier_score(docs, text_col, id_col)
+            .select(
+                F.expr(
+                    f"CAST((z_micro + {shift_micro}) DIV {bucket_micro}"
+                    " AS BIGINT)"
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"n_{side}"))
+        )
+    old_b = bucketed(docs_old, "old")
+    new_b = bucketed(docs_new, "new")
+    j = old_b.join(new_b, "bucket", "full").select(
+        "bucket",
+        F.coalesce(F.col("n_old"), F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+    )
+    wall = Window.partitionBy()
+    smoothed = j.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        (
+            (F.col("n_old") + 1).cast("double")
+            / (F.sum("n_old").over(wall) + F.count(F.lit(1)).over(wall))
+        ).alias("p_old"),
+        (
+            (F.col("n_new") + 1).cast("double")
+            / (F.sum("n_new").over(wall) + F.count(F.lit(1)).over(wall))
+        ).alias("p_new"),
+    )
+    return smoothed.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        F.floor(
+            (F.col("p_new") - F.col("p_old"))
+            * F.log(F.col("p_new") / F.col("p_old"))
+            * F.lit(1_000_000.0)
+        ).cast("long").alias("psi_micro"),
+    )

@@ -10597,6 +10597,67 @@ FROM bp, t
 """
 
 # ------------------------------------------------------------------
+# Round 8: PSI drift of the quality-score distribution
+# ------------------------------------------------------------------
+
+def _quality_psi_drift(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    # the snapshot_diff release convention: thirds 1,2 = old, 2,0 =
+    # new — third 2 carries over, so the score distribution genuinely
+    # overlaps and PSI measures the release-to-release shift
+    return textops.quality_psi_drift(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 3 != 1),
+    )
+
+
+# The classifier oracle is reused verbatim per side, with the
+# snapshot filter applied at its scan.
+def _psi_side_sql(pred: str) -> str:
+    body = _QUALITY_CLASSIFIER_SQL.replace(
+        "FROM documents", f"FROM documents WHERE {pred}"
+    )
+    return f"""
+  SELECT CAST((z_micro + 20000000) // 500000 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ({body}) GROUP BY 1
+"""
+
+
+_QUALITY_PSI_SQL = f"""
+WITH ob AS ({_psi_side_sql("doc_id % 3 <> 0")}),
+nb AS ({_psi_side_sql("doc_id % 3 <> 1")}),
+j AS (
+  SELECT coalesce(ob.bucket, nb.bucket) AS bucket,
+         coalesce(ob.n, 0) AS n_old, coalesce(nb.n, 0) AS n_new
+  FROM ob FULL OUTER JOIN nb ON ob.bucket = nb.bucket
+),
+s AS (
+  SELECT bucket, n_old, n_new,
+         CAST(n_old + 1 AS DOUBLE)
+           / (sum(n_old) OVER () + count(*) OVER ()) AS p_old,
+         CAST(n_new + 1 AS DOUBLE)
+           / (sum(n_new) OVER () + count(*) OVER ()) AS p_new
+  FROM j
+)
+SELECT bucket, n_old, n_new,
+       CAST(FLOOR((p_new - p_old) * ln(p_new / p_old) * 1000000.0)
+            AS BIGINT) AS psi_micro
+FROM s
+"""
+
+REGISTRY.update({
+    "quality_psi_drift": QuerySpec(
+        _quality_psi_drift, _QUALITY_PSI_SQL,
+        "Population Stability Index of the quality-classifier score "
+        "between releases: fixed-grid buckets (shift-then-divide so "
+        "truncation = floor on both engines), Laplace-smoothed "
+        "shares, one ln-floor per bucket; drift gate before reusing "
+        "a tuned threshold",
+    ),
+})
+
+# ------------------------------------------------------------------
 # Round 8: token-budget mixing plan with the repeating-data audit
 # ------------------------------------------------------------------
 

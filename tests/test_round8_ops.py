@@ -473,3 +473,49 @@ def test_data_mixing_plan_flags_over_repeated_small_source(spark):
     assert got["tiny"]["over_repeat"]
     share = got["big"]["sample_share_ppm"] + got["tiny"]["sample_share_ppm"]
     assert 999_998 <= share <= 1_000_000
+
+
+def test_quality_psi_identical_snapshots_is_zero(spark):
+    """PSI of a distribution against itself is exactly 0 in every
+    bucket (smoothed shares equal, ln(1) = 0, floor keeps 0)."""
+    from iceberg_diag_spark.operators.textops import quality_psi_drift
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "a committee voted to approve the funding for a library"),
+            (3, "%%% 0101 ### noise junk 1010 %%%"),
+        ],
+        "doc_id long, text string",
+    )
+    out = quality_psi_drift(docs, docs).collect()
+    assert out
+    assert all(r["psi_micro"] == 0 for r in out)
+    assert all(r["n_old"] == r["n_new"] for r in out)
+
+
+def test_quality_psi_detects_planted_shift(spark):
+    """Old snapshot is clean prose; the new one replaces half of it
+    with junk — total PSI must be decisively positive (the smoothed
+    per-bucket terms are each ≥ some positive mass where shares
+    moved), and the junk bucket must gain members."""
+    from iceberg_diag_spark.operators.textops import quality_psi_drift
+
+    clean = [
+        (i, "the quick brown fox jumps over the lazy dog and then "
+            "it runs through the field for a while with friends")
+        for i in range(20)
+    ]
+    junk = [
+        (100 + i, "%%% ### 0101 1010 @@@ $$$ !!! ??? ^^^ &&&")
+        for i in range(10)
+    ]
+    old = spark.createDataFrame(clean, "doc_id long, text string")
+    new = spark.createDataFrame(
+        clean[:10] + junk, "doc_id long, text string"
+    )
+    out = quality_psi_drift(old, new).collect()
+    total = sum(r["psi_micro"] for r in out)
+    # PSI > 0.25 is the standard "act" threshold; a half-junk swap
+    # blows far past it
+    assert total > 250_000
