@@ -215,6 +215,7 @@ HEADLINE = [
     "bigram_kneser_ney",
     "data_mixing_plan",
     "quality_psi_drift",
+    "customer_cohort_ltv",
 ]
 
 

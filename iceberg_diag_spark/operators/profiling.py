@@ -362,3 +362,70 @@ def return_survival(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         ),
         F.col("a.s").alias("survival_ppm"),
     )
+
+
+def cohort_ltv(orders: DataFrame) -> DataFrame:
+    """Customer-lifetime-value curves by acquisition cohort — the
+    retention economics table behind "are newer cohorts monetizing
+    faster?": customers cohort by their FIRST order month, and each
+    cohort accumulates order revenue across month offsets, normalized
+    per cohort member. The revenue-weighted complement of
+    user_retention_cohorts (which counts activity, not value).
+
+    Integer-exact: months are y·12+m integers (no date subtraction
+    ambiguity), money is floor-cents summed exactly, and the
+    per-customer normalization floors once. Two hash aggregates share
+    the o_custkey shuffle (first-month, then cohort rollup); the
+    cumulative window runs over the bounded cohort × offset grid
+    (SCALING.md §5), partitioned BY cohort so no single-task funnel.
+
+    Output: (cohort_month, month_offset, n_active, revenue_cents,
+    cum_revenue_cents, cum_ltv_cents) — cohort_month as 'yyyy-MM',
+    n_active = distinct buyers that offset, cum_ltv_cents =
+    cumulative revenue DIV cohort size.
+    """
+    from pyspark.sql.window import Window
+
+    mnum = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    ).cast("long")
+    o = orders.select(
+        "o_custkey",
+        mnum.alias("m"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    cohort_sizes = first.groupBy("m0").agg(
+        F.countDistinct("o_custkey").alias("cohort_size")
+    )
+    per_cell = (
+        o.join(first, "o_custkey")
+        .groupBy("m0", (F.col("m") - F.col("m0")).alias("month_offset"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("m0")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_cell.join(F.broadcast(cohort_sizes), "m0")
+        .withColumn("cum", F.sum("revenue_cents").over(w))
+        .select(
+            F.concat_ws(
+                "-",
+                F.lpad((F.col("m0") / 12).cast("long").cast("string"), 4, "0"),
+                F.lpad((F.col("m0") % 12 + 1).cast("string"), 2, "0"),
+            ).alias("cohort_month"),
+            F.col("month_offset").cast("long").alias("month_offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("revenue_cents").cast("long").alias("revenue_cents"),
+            F.col("cum").cast("long").alias("cum_revenue_cents"),
+            F.expr(
+                "CAST(cum DIV cohort_size AS BIGINT)"
+            ).alias("cum_ltv_cents"),
+        )
+    )

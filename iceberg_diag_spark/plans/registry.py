@@ -10597,6 +10597,58 @@ FROM bp, t
 """
 
 # ------------------------------------------------------------------
+# Round 8: cohort LTV curves
+# ------------------------------------------------------------------
+
+def _cohort_ltv(spark, sf_dir):
+    return profiling.cohort_ltv(_t(spark, sf_dir, "orders"))
+
+
+_COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+              AS BIGINT) AS m,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY o_custkey),
+cs AS (SELECT m0, CAST(count(DISTINCT o_custkey) AS BIGINT)
+              AS cohort_size FROM f GROUP BY m0),
+cell AS (
+  SELECT f.m0, o.m - f.m0 AS month_offset,
+         CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+         CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+  FROM o JOIN f USING (o_custkey)
+  GROUP BY f.m0, o.m - f.m0
+),
+cum AS (
+  SELECT m0, month_offset, n_active, revenue_cents,
+         CAST(sum(revenue_cents) OVER (PARTITION BY m0
+           ORDER BY month_offset ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) AS BIGINT) AS cum
+  FROM cell
+)
+SELECT lpad(CAST(m0 // 12 AS VARCHAR), 4, '0') || '-' ||
+         lpad(CAST(m0 % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+       CAST(month_offset AS BIGINT) AS month_offset, n_active,
+       revenue_cents, cum AS cum_revenue_cents,
+       CAST(cum // cohort_size AS BIGINT) AS cum_ltv_cents
+FROM cum JOIN cs USING (m0)
+"""
+
+REGISTRY.update({
+    "customer_cohort_ltv": QuerySpec(
+        _cohort_ltv, _COHORT_LTV_SQL,
+        "cohort lifetime-value curves: customers cohort by first "
+        "order month, revenue accumulates per cohort across month "
+        "offsets (floor-cents exact), normalized per member; two "
+        "aggregates sharing the custkey shuffle + a bounded-grid "
+        "cumulative window",
+    ),
+})
+
+# ------------------------------------------------------------------
 # Round 8: PSI drift of the quality-score distribution
 # ------------------------------------------------------------------
 

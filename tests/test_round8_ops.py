@@ -519,3 +519,39 @@ def test_quality_psi_detects_planted_shift(spark):
     # PSI > 0.25 is the standard "act" threshold; a half-junk swap
     # blows far past it
     assert total > 250_000
+
+
+def test_cohort_ltv_hand_computed(spark):
+    """Two cohorts: customer 1 (Jan, $10 then $20 in Feb) and
+    customers 2+3 (Feb, $30 and $50 same month). Cumulative LTV per
+    member must be exact floor-cents at every offset."""
+    from iceberg_diag_spark.operators.profiling import cohort_ltv
+
+    orders = spark.createDataFrame(
+        [
+            (101, 1, "2024-01-15", 10.0),
+            (102, 1, "2024-02-20", 20.0),
+            (103, 2, "2024-02-05", 30.0),
+            (104, 3, "2024-02-06", 50.0),
+        ],
+        "o_orderkey long, o_custkey long, d string, o_totalprice double",
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.col("d").cast("date").alias("o_orderdate"), "o_totalprice",
+    )
+    got = {
+        (r["cohort_month"], r["month_offset"]): r
+        for r in cohort_ltv(orders).collect()
+    }
+    jan0 = got[("2024-01", 0)]
+    assert jan0["n_active"] == 1 and jan0["revenue_cents"] == 1000
+    assert jan0["cum_ltv_cents"] == 1000
+    jan1 = got[("2024-01", 1)]
+    assert jan1["revenue_cents"] == 2000
+    assert jan1["cum_revenue_cents"] == 3000
+    assert jan1["cum_ltv_cents"] == 3000  # cohort of one
+    feb0 = got[("2024-02", 0)]
+    assert feb0["n_active"] == 2
+    assert feb0["cum_revenue_cents"] == 8000
+    assert feb0["cum_ltv_cents"] == 4000  # 8000 over 2 members
+    assert len(got) == 3
