@@ -216,6 +216,7 @@ HEADLINE = [
     "data_mixing_plan",
     "quality_psi_drift",
     "customer_cohort_ltv",
+    "events_session_funnel",
 ]
 
 

@@ -1424,3 +1424,110 @@ def markov_attribution(events: DataFrame) -> DataFrame:
             ).alias("attribution_ppm"),
         )
     )
+
+
+SESSION_FUNNEL_STEPS: tuple[str, ...] = ("view", "click", "purchase")
+
+
+def session_funnel(
+    events: DataFrame,
+    gap_minutes: int = SESSION_GAP_MINUTES,
+) -> DataFrame:
+    """Ordered conversion funnel WITHIN sessions — the per-visit
+    variant of events_funnel (which scopes steps to the whole user
+    history, so a view on Monday "converts" a purchase on Friday):
+    a session reaches step k only if the steps occur IN ORDER inside
+    that session (first view, then a click strictly after it, then a
+    purchase strictly after that — ties broken by event_id, the
+    sessionize ordering). The difference between the two funnels IS
+    the session-scoping effect an analyst is usually asking about.
+
+    One user_id shuffle shared by the gap-rule sessionization window
+    and the per-session step windows; the staged mins are three
+    window/conditional-min passes, all row-local within a (user,
+    session) partition. Final rollup is one bounded aggregate.
+
+    Output per step: (step_index, step, n_sessions,
+    conversion_ppm) — conversion_ppm relative to ALL sessions.
+    """
+    s1, s2, s3 = SESSION_FUNNEL_STEPS
+    gap_us = gap_minutes * 60 * 1_000_000
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_us.alias("us"),
+        F.when(
+            (ts_us - F.lag(ts_us).over(w)).isNull()
+            | ((ts_us - F.lag(ts_us).over(w)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    # the cumsum window re-orders by the materialized `us` column
+    # (the lag window's `ts` no longer exists after the select)
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("is_start").over(
+            Window.partitionBy("user_id")
+            .orderBy("us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # a per-session positional index collapses the (us, event_id)
+    # order into ONE comparable scalar — min/comparisons on it are
+    # engine-portable where struct mins are not
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "session_seq").orderBy(
+            "us", "event_id"
+        )
+    )
+    sess = sess.withColumn("rn", rn)
+    ws = Window.partitionBy("user_id", "session_seq")
+    t1 = F.min(F.when(F.col("event_type") == s1, F.col("rn"))).over(ws)
+    staged = sess.withColumn("t1", t1).withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == s2) & (F.col("rn") > F.col("t1")),
+                F.col("rn"),
+            )
+        ).over(ws),
+    )
+    per_sess = staged.groupBy("user_id", "session_seq").agg(
+        F.max(F.col("t1").isNotNull()).alias("r1"),
+        F.max(F.col("t2").isNotNull()).alias("r2"),
+        F.max(
+            (F.col("event_type") == s3) & (F.col("rn") > F.col("t2"))
+        ).alias("r3"),
+    )
+    tot = per_sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.coalesce(F.sum(F.col("r1").cast("long")), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum(F.col("r2").cast("long")), F.lit(0)).alias("n2"),
+        # r3 is NULL (not false) for a session whose only rows are
+        # purchases with no prior staged click — skipped by sum, and
+        # the coalesce covers the all-NULL degenerate corpus
+        F.coalesce(F.sum(F.col("r3").cast("long")), F.lit(0)).alias("n3"),
+    )
+    steps = ", ".join(
+        f"{i + 1}, '{s}', n{i + 1}"
+        for i, s in enumerate(SESSION_FUNNEL_STEPS)
+    )
+    return tot.select(
+        F.expr(
+            f"stack(3, {steps}) AS (step_index, step, n_reached)"
+        ),
+        "n_sessions",
+    ).select(
+        F.col("step_index").cast("long").alias("step_index"),
+        "step",
+        F.col("n_reached").cast("long").alias("n_sessions"),
+        F.expr(
+            "CAST(1000000 * n_reached DIV greatest(n_sessions, 1)"
+            " AS BIGINT)"
+        ).alias("conversion_ppm"),
+    )

@@ -10597,6 +10597,83 @@ FROM bp, t
 """
 
 # ------------------------------------------------------------------
+# Round 8: in-session ordered conversion funnel
+# ------------------------------------------------------------------
+
+def _session_funnel(spark, sf_dir):
+    return events.session_funnel(_t(spark, sf_dir, "events"))
+
+
+_SESSION_FUNNEL_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id, event_id, event_type, us,
+         sum(is_start) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+rn AS (
+  SELECT user_id, session_seq, event_type,
+         row_number() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY us, event_id) AS rn
+  FROM sess
+),
+st AS (
+  SELECT user_id, session_seq, event_type, rn,
+         min(CASE WHEN event_type = 'view' THEN rn END)
+           OVER (PARTITION BY user_id, session_seq) AS t1
+  FROM rn
+),
+st2 AS (
+  SELECT user_id, session_seq, event_type, rn, t1,
+         min(CASE WHEN event_type = 'click' AND rn > t1 THEN rn END)
+           OVER (PARTITION BY user_id, session_seq) AS t2
+  FROM st
+),
+ps AS (
+  SELECT user_id, session_seq,
+         bool_or(t1 IS NOT NULL) AS r1,
+         bool_or(t2 IS NOT NULL) AS r2,
+         bool_or(event_type = 'purchase' AND rn > t2) AS r3
+  FROM st2 GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM ps
+)
+SELECT CAST(s.i AS BIGINT) AS step_index, s.step,
+       CAST(s.n AS BIGINT) AS n_sessions,
+       CAST((1000000 * s.n) // greatest(t.n_sessions, 1) AS BIGINT)
+         AS conversion_ppm
+FROM tot t, LATERAL (
+  SELECT 1 AS i, 'view' AS step, t.n1 AS n
+  UNION ALL SELECT 2, 'click', t.n2
+  UNION ALL SELECT 3, 'purchase', t.n3
+) s
+"""
+
+REGISTRY.update({
+    "events_session_funnel": QuerySpec(
+        _session_funnel, _SESSION_FUNNEL_SQL,
+        "ordered conversion funnel scoped to 30-min sessions "
+        "(view -> click strictly after -> purchase strictly after): "
+        "one user_id shuffle shared by the gap windows, staged mins "
+        "on a per-session positional index, bounded final rollup",
+    ),
+})
+
+# ------------------------------------------------------------------
 # Round 8: cohort LTV curves
 # ------------------------------------------------------------------
 

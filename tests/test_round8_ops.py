@@ -555,3 +555,39 @@ def test_cohort_ltv_hand_computed(spark):
     assert feb0["cum_revenue_cents"] == 8000
     assert feb0["cum_ltv_cents"] == 4000  # 8000 over 2 members
     assert len(got) == 3
+
+
+def test_session_funnel_ordered_within_session_only(spark):
+    """Three users: user 1 has an in-session ordered view→click→
+    purchase (all steps count); user 2 has them REVERSED (only the
+    view counts); user 3 splits view and click across two sessions
+    (view counts in s1, but the click lacks a prior in-session view
+    — and the two sessions both enter the denominator)."""
+    from iceberg_diag_spark.operators.events import session_funnel
+
+    rows = [
+        # user 1: one session, ordered
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:01:00", 1, "click"),
+        (3, "2024-01-01 10:02:00", 1, "purchase"),
+        # user 2: one session, reversed
+        (4, "2024-01-01 11:00:00", 2, "purchase"),
+        (5, "2024-01-01 11:01:00", 2, "click"),
+        (6, "2024-01-01 11:02:00", 2, "view"),
+        # user 3: view, then a click 2 hours later (new session)
+        (7, "2024-01-01 12:00:00", 3, "view"),
+        (8, "2024-01-01 14:30:00", 3, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, t string, user_id long, event_type string"
+    ).select(
+        "event_id", F.col("t").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    got = {r["step"]: r for r in session_funnel(ev).collect()}
+    # sessions: u1×1, u2×1, u3×2 = 4
+    assert got["view"]["n_sessions"] == 3       # u1, u2, u3-s1
+    assert got["view"]["conversion_ppm"] == 750_000
+    assert got["click"]["n_sessions"] == 1      # only u1 (ordered)
+    assert got["purchase"]["n_sessions"] == 1   # only u1
+    assert got["purchase"]["conversion_ppm"] == 250_000
