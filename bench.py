@@ -217,6 +217,7 @@ HEADLINE = [
     "quality_psi_drift",
     "customer_cohort_ltv",
     "events_session_funnel",
+    "lsh_param_advisor",
 ]
 
 

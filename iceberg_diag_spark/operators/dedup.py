@@ -1697,3 +1697,92 @@ def substring_dedup(
             )
         ).alias("cleaned_md5"),
     )
+
+
+LSH_PARAM_CONFIGS: tuple[tuple[int, int], ...] = (
+    (16, 1), (8, 2), (4, 4), (2, 8), (1, 16),
+)
+
+
+def lsh_param_advisor(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding-parameter advisor — the design decision behind
+    every MinHash deployment: with a 16-hash signature split into b
+    bands of r rows, a pair of similarity s collides with
+    probability 1 − (1 − s^r)^b, and the (b, r) choice moves the
+    S-curve's knee. This advisor evaluates every b·r = 16 split
+    against the CORPUS'S OWN observed pair-similarity histogram
+    (jaccard_threshold_histogram — the production candidate chain,
+    not a synthetic prior), so the recall trade-off is read off real
+    mass, plus the analytic catch probability at s = 0.5/0.7/0.9 for
+    interpretation. Expected counts are RELATIVE (the histogram only
+    sees pairs the current banding surfaced — stated bias); the
+    relative ordering across configs is what the decision needs.
+
+    Integer-exact: similarities live in ppm and every power is a
+    floored ppm-multiply fold (aggregate over sequence — exponents
+    are data, so no unrolling), one floor per multiply, identical in
+    the generated DuckDB chains. All post-histogram relations are
+    ≤ |buckets| × |configs| (metadata scale).
+
+    Output per config: (bands, rows_per_band,
+    expected_caught_pairs, catch_at_50_ppm, catch_at_70_ppm,
+    catch_at_90_ppm).
+    """
+    hist = jaccard_threshold_histogram(docs, text_col, id_col)
+    cfg = F.expr(
+        "explode(array({}))".format(
+            ", ".join(
+                f"named_struct('b', {b}L, 'r', {r}L)"
+                for b, r in LSH_PARAM_CONFIGS
+            )
+        )
+    )
+    s_mid = F.expr(
+        "CAST(CASE WHEN bucket_ppm >= 1000000 THEN 1000000"
+        " ELSE bucket_ppm + 50000 END AS BIGINT)"
+    )
+
+    def catch(s_expr: str) -> str:
+        p1 = (
+            f"aggregate(sequence(1, c.r), CAST(1000000 AS BIGINT),"
+            f" (acc, k) -> (acc * {s_expr}) DIV 1000000)"
+        )
+        miss = (
+            f"aggregate(sequence(1, c.b), CAST(1000000 AS BIGINT),"
+            f" (acc, k) -> (acc * (1000000 - {p1})) DIV 1000000)"
+        )
+        return f"CAST(1000000 - {miss} AS BIGINT)"
+
+    scored = (
+        hist.select(s_mid.alias("s"), "n_pairs")
+        .select("s", "n_pairs", cfg.alias("c"))
+        .select(
+            F.col("c.b").alias("bands"),
+            F.col("c.r").alias("rows_per_band"),
+            (F.col("n_pairs") * F.expr(catch("s"))).alias("w"),
+        )
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.expr("CAST(sum(w) DIV 1000000 AS BIGINT)").alias(
+                "expected_caught_pairs"
+            )
+        )
+    )
+    analytic = scored.select(
+        "bands",
+        "rows_per_band",
+        "expected_caught_pairs",
+        *[
+            F.expr(
+                catch(str(s)).replace("c.r", "rows_per_band").replace(
+                    "c.b", "bands"
+                )
+            ).alias(f"catch_at_{lbl}_ppm")
+            for s, lbl in ((500_000, "50"), (700_000, "70"), (900_000, "90"))
+        ],
+    )
+    return analytic

@@ -10597,6 +10597,76 @@ FROM bp, t
 """
 
 # ------------------------------------------------------------------
+# Round 8: LSH banding-parameter advisor
+# ------------------------------------------------------------------
+
+def _lsh_param_advisor(spark, sf_dir):
+    return dedup.lsh_param_advisor(_t(spark, sf_dir, "documents"))
+
+
+def _ppm_pow(base_expr: str, exp: int) -> str:
+    """Unrolled floored ppm-power chain, identical to the Spark
+    aggregate-over-sequence fold (one floor per multiply)."""
+    e = "1000000"
+    for _ in range(exp):
+        e = f"(({e}) * ({base_expr})) // 1000000"
+    return e
+
+
+def _ppm_catch_const(s_ppm: int, r: int, b: int) -> int:
+    p1 = 1_000_000
+    for _ in range(r):
+        p1 = (p1 * s_ppm) // 1_000_000
+    miss = 1_000_000
+    for _ in range(b):
+        miss = (miss * (1_000_000 - p1)) // 1_000_000
+    return 1_000_000 - miss
+
+
+def _lsh_param_sql() -> str:
+    branches = []
+    for i, (b, r) in enumerate(dedup.LSH_PARAM_CONFIGS):
+        p1 = _ppm_pow("s", r)
+        miss = _ppm_pow("(1000000 - p1)", b)
+        c50 = _ppm_catch_const(500_000, r, b)
+        c70 = _ppm_catch_const(700_000, r, b)
+        c90 = _ppm_catch_const(900_000, r, b)
+        branches.append(f"""
+SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
+       CAST(sum(n_pairs * (1000000 - ({miss}))) // 1000000 AS BIGINT)
+         AS expected_caught_pairs,
+       CAST({c50} AS BIGINT) AS catch_at_50_ppm,
+       CAST({c70} AS BIGINT) AS catch_at_70_ppm,
+       CAST({c90} AS BIGINT) AS catch_at_90_ppm
+FROM (SELECT s, n_pairs, {p1} AS p1 FROM hm) c{i}""")
+    return (
+        """
+WITH hm AS (
+  SELECT CAST(CASE WHEN bucket_ppm >= 1000000 THEN 1000000
+              ELSE bucket_ppm + 50000 END AS BIGINT) AS s, n_pairs
+  FROM ("""
+        + _JACCARD_HIST_SQL
+        + """) h
+)"""
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
+_LSH_PARAM_SQL = _lsh_param_sql()
+
+REGISTRY.update({
+    "lsh_param_advisor": QuerySpec(
+        _lsh_param_advisor, _LSH_PARAM_SQL,
+        "MinHash banding design advisor: every b*r=16 split scored "
+        "by the analytic S-curve 1-(1-s^r)^b against the corpus's "
+        "observed pair-similarity histogram (floored ppm-power "
+        "folds, integer-exact), plus catch probability at fixed "
+        "similarity levels; everything post-histogram is "
+        "buckets*configs metadata scale",
+    ),
+})
+
+# ------------------------------------------------------------------
 # Round 8: in-session ordered conversion funnel
 # ------------------------------------------------------------------
 

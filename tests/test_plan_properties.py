@@ -314,6 +314,7 @@ _BOUNDED_COLLECT_OK = {
     "doc_line_dedup",       # per-doc sentence rebuild, bounded by doc len
     "doc_substring_dedup",  # per-doc token rebuild, bounded by doc len
     "jaccard_threshold_hist",  # same LSH candidate chain as jaccard
+    "lsh_param_advisor",       # rides the same histogram chain
     "dedup_method_agreement",  # inherits minhash_pairs' LSH bucket
     #   collect_list (dedup.py:336): exact dups pre-collapsed, each
     #   bucket holds only near-identical docs — bounded by construction

@@ -591,3 +591,37 @@ def test_session_funnel_ordered_within_session_only(spark):
     assert got["click"]["n_sessions"] == 1      # only u1 (ordered)
     assert got["purchase"]["n_sessions"] == 1   # only u1
     assert got["purchase"]["conversion_ppm"] == 250_000
+
+
+def test_lsh_param_advisor_s_curve_identities(spark):
+    """Analytic S-curve checks: (16,1) at s=0.5 is 1 − (1−s)^16 =
+    999985 ppm exactly under the floored fold; catch is monotone in
+    similarity for every config, and at fixed s more bands (smaller
+    r) never catch less; expected counts conserve ≤ total pairs."""
+    from iceberg_diag_spark.operators.dedup import (
+        jaccard_threshold_histogram,
+        lsh_param_advisor,
+    )
+    from iceberg_diag_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in lsh_param_advisor(docs).collect()
+    }
+    assert set(rows) == {(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)}
+    assert rows[(16, 1)]["catch_at_50_ppm"] == 999_985
+    total_pairs = sum(
+        r["n_pairs"] for r in jaccard_threshold_histogram(docs).collect()
+    )
+    by_bands = sorted(rows)  # ascending bands
+    for k, r in rows.items():
+        assert (
+            r["catch_at_50_ppm"]
+            <= r["catch_at_70_ppm"]
+            <= r["catch_at_90_ppm"]
+        )
+        assert 0 <= r["expected_caught_pairs"] <= total_pairs
+    for s_col in ("catch_at_50_ppm", "catch_at_70_ppm", "catch_at_90_ppm"):
+        vals = [rows[k][s_col] for k in by_bands]
+        assert vals == sorted(vals)  # more bands -> never worse
