@@ -103,3 +103,70 @@ def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path_factory):
     ev3 = so.read_events_stream(spark, root)
     _drain_to_parquet(so.dedup_keys_stream(ev3), sink, checkpoint)
     assert len(spark.read.parquet(sink).collect()) == len(rows)
+
+
+def test_cdc_merge_state_survives_restart(spark, tmp_path_factory):
+    """Keyed CDC-merge state is durable: drain batch 1 (two upserts
+    for user 1), STOP the query, deliver batch 2 (one more upsert +
+    a delete for user 2), and restart a NEW query from the SAME
+    checkpoint. The restarted query must resume the state store —
+    user 1 shows the cumulative count 3 (a stateless restart would
+    show 1) and user 2's in-order delete tombstones the row."""
+    root = str(tmp_path_factory.mktemp("cdc_rec"))
+    base = root + "/events.parquet"
+    ckpt = root + "/ckpt"
+    os.makedirs(base)
+    _write_file(spark, base, "f1.parquet", [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:00:01", 1, "view", 2.0, "{}"),
+        (3, "2024-01-01 10:00:02", 2, "view", 9.0, "{}"),
+    ])
+
+    sink = root + "/out"
+
+    def start():
+        # memory sinks cannot recover from a checkpoint; foreachBatch
+        # + parquet is the durable update-mode pattern
+        def write(batch_df, batch_id):
+            batch_df.withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(sink)
+
+        return (
+            so.cdc_merge_stream(so.read_events_stream(spark, root))
+            .writeStream.foreachBatch(write)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def latest_rows():
+        df = spark.read.parquet(sink)
+        w_max = df.groupBy("user_id").agg(
+            F.max("batch_id").alias("batch_id")
+        )
+        return {
+            r.user_id: r
+            for r in df.join(w_max, ["user_id", "batch_id"]).collect()
+        }
+
+    q1 = start()
+    assert q1.awaitTermination(120)
+    q1.stop()
+    got1 = latest_rows()
+    assert got1[1].n_applied == 2 and got1[1].last_value == 2.0
+
+    _write_file(spark, base, "f2.parquet", [
+        (4, "2024-01-01 10:05:00", 1, "view", 5.0, "{}"),
+        (5, "2024-01-01 10:05:01", 2, "error", 0.0, "{}"),  # delete
+    ])
+    q2 = start()
+    assert q2.awaitTermination(120)
+    q2.stop()
+    got2 = latest_rows()
+    # only batch-2 keys re-emit; state carried the batch-1 history
+    assert got2[1].n_applied == 3 and got2[1].last_value == 5.0
+    assert got2[1].last_event_id == 4
+    assert not got2[2].present and got2[2].n_applied == 0
+    assert got2[2].disorder_seen == 0
