@@ -218,6 +218,7 @@ HEADLINE = [
     "customer_cohort_ltv",
     "events_session_funnel",
     "lsh_param_advisor",
+    "events_dau_mau",
 ]
 
 

@@ -10597,6 +10597,47 @@ FROM bp, t
 """
 
 # ------------------------------------------------------------------
+# Round 8: DAU/MAU with exact rolling distinct
+# ------------------------------------------------------------------
+
+def _events_dau_mau(spark, sf_dir):
+    return events.dau_mau(_t(spark, sf_dir, "events"))
+
+
+_DAU_MAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+),
+cover AS (
+  SELECT DISTINCT user_id, CAST(c.d AS DATE) AS day
+  FROM ud, unnest(generate_series(CAST(ud.day AS TIMESTAMP),
+                                  CAST(ud.day AS TIMESTAMP)
+                                    + INTERVAL 29 DAY,
+                                  INTERVAL 1 DAY)) c(d)
+),
+mau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS mau FROM cover GROUP BY day
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+       CAST((1000000 * dau.dau) // greatest(mau.mau, 1) AS BIGINT)
+         AS stickiness_ppm
+FROM dau JOIN mau ON mau.day = dau.day
+"""
+
+REGISTRY.update({
+    "events_dau_mau": QuerySpec(
+        _events_dau_mau, _DAU_MAU_SQL,
+        "DAU/MAU stickiness with EXACT rolling 30-day distinct "
+        "users: sliding COUNT(DISTINCT) decomposed into user-day "
+        "dedup + bounded coverage explode + plain distinct count — "
+        "two hash aggregates, uniform 12-byte shuffle rows",
+    ),
+})
+
+# ------------------------------------------------------------------
 # Round 8: LSH banding-parameter advisor
 # ------------------------------------------------------------------
 

@@ -625,3 +625,36 @@ def test_lsh_param_advisor_s_curve_identities(spark):
     for s_col in ("catch_at_50_ppm", "catch_at_70_ppm", "catch_at_90_ppm"):
         vals = [rows[k][s_col] for k in by_bands]
         assert vals == sorted(vals)  # more bands -> never worse
+
+
+def test_dau_mau_hand_computed_rolling_window(spark):
+    """Three users across three days, one far future day: day 3's
+    trailing-30 MAU sees all three users while its DAU is 1; a day
+    40 days out starts a fresh window (MAU = 1). Same-day duplicate
+    events dedup before counting."""
+    from iceberg_diag_spark.operators.events import dau_mau
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 11:00:00", 1, "view"),   # same user-day dup
+        (3, "2024-01-01 12:00:00", 2, "view"),
+        (4, "2024-01-02 10:00:00", 3, "view"),
+        (5, "2024-01-03 10:00:00", 1, "view"),
+        (6, "2024-02-15 10:00:00", 2, "view"),   # new window
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, t string, user_id long, event_type string"
+    ).select(
+        "event_id", F.col("t").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    got = {r["day"]: r for r in dau_mau(ev).collect()}
+    assert got["2024-01-01"]["dau"] == 2 and got["2024-01-01"]["mau"] == 2
+    assert got["2024-01-02"]["dau"] == 1 and got["2024-01-02"]["mau"] == 3
+    assert got["2024-01-03"]["dau"] == 1 and got["2024-01-03"]["mau"] == 3
+    assert got["2024-01-03"]["stickiness_ppm"] == 333_333
+    assert got["2024-02-15"]["dau"] == 1 and got["2024-02-15"]["mau"] == 1
+    assert got["2024-02-15"]["stickiness_ppm"] == 1_000_000
+    assert set(got) == {
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-02-15"
+    }
