@@ -11661,47 +11661,84 @@ _R7_GREEN = {
 # round.
 _MODIFIED_R8: set[str] = set()
 
+# Names with a green hash row in CORRECTNESS_r08.json (50/50 green:
+# all 25 round-8 additions, the full diag family, and the r3-stale
+# rotation cohort; freshest evidence, rides the tail this round).
+_R8_GREEN = {
+    'ann_cosine_topk', 'bigram_kneser_ney', 'corpus_build_funnel',
+    'crossmodal_dedup_agreement', 'customer_cohort_ltv',
+    'data_mixing_plan', 'diag_binpack_groups', 'diag_metrics',
+    'diag_metrics_multi_table', 'diag_partition_stats',
+    'diag_table_stats', 'doc_chunks', 'doc_hash_sample',
+    'doc_length_deciles', 'doc_pack_sequences', 'doc_substring_dedup',
+    'doc_token_histogram', 'embedding_centroid_stats',
+    'embedding_pca_power', 'embedding_pq_codebook', 'epoch_shuffle',
+    'events_cdc_merge', 'events_dau_mau', 'events_ewma_anomalies',
+    'events_expectations_audit', 'events_hourly',
+    'events_markov_attribution', 'events_session_funnel',
+    'events_sessionize', 'events_watermark_recommendation',
+    'kmeans_lloyd', 'lineitem_return_survival', 'lsh_param_advisor',
+    'media_catalog', 'orders_monthly', 'part_name_fuzzy',
+    'pii_redaction', 'q13_customer_distribution', 'q1_pricing_summary',
+    'q3_shipping_priority', 'q4_order_priority_semi',
+    'q5_local_supplier_volume', 'quality_psi_drift',
+    'retrieval_rank_eval', 'shuffle_skew_advisor', 'source_length_ks',
+    'stream_cdc_merge', 'stream_expectations_gate',
+    'stream_watermark_advisor', 'top_orders_per_customer',
+}
+
+# Entries whose builder or oracle changed in round 9 — their old green
+# row no longer vouches for the current code, so they re-score this
+# round: the funnel stage-3 greedy→connected-components swap (oracle
+# updated to the CC survivor count).
+_MODIFIED_R9: set[str] = {
+    "corpus_build_funnel",
+}
+
 
 def _eval_order(item: tuple[str, QuerySpec]) -> float:
     """Driver scores the FIRST 50 registry entries; order by evidence
     staleness so every oracled entry's latest green row stays at most
-    ~three rounds old under the 50-slot window. Round-8 tiers:
+    ~four rounds old under the 50-slot window. Round-9 tiers:
       0     builder/oracle modified this round or oracled-but-never-
-            green (new round-8 queries) — must (re-)score
-      1     latest green in r3 (five rounds stale — the 11-entry
-            cohort all fits)
-      2     latest green in r4 (four rounds stale) — the oldest of
-            these fill the remaining slots
+            green (new round-9 queries) — must (re-)score
+      1     latest green in r4 (five rounds stale — the 32-entry
+            cohort; with the round-9 additions this fills most of the
+            window)
+      2     latest green in r5 — the oldest fill any remaining slots
       3     rows-only (no oracle exists; weaker signal either way)
-      4     latest green in r5
-      5     latest green in r6
-      6     fresh r7 green — ride the tail where truncation costs
+      4     latest green in r6
+      5     latest green in r7
+      6     fresh r8 green — ride the tail where truncation costs
             least
     """
     name, spec = item
     ever_green = (
         name in _R2_GREEN or name in _R3_GREEN or name in _R4_GREEN
         or name in _R5_GREEN or name in _R6_GREEN or name in _R7_GREEN
+        or name in _R8_GREEN
     )
     if (
-        name in _MODIFIED_R8
+        name in _MODIFIED_R9
         or (spec.oracle is not None and not ever_green)
     ):
         return 0
     if spec.oracle is None:
         return 3
     # Latest green row wins; older evidence = earlier slot.
-    if name in _R7_GREEN:
+    if name in _R8_GREEN:
         return 6
-    if name in _R6_GREEN:
+    if name in _R7_GREEN:
         return 5
-    if name in _R5_GREEN:
+    if name in _R6_GREEN:
         return 4
-    if name in _R4_GREEN:
+    if name in _R5_GREEN:
         return 2
-    if name in _R3_GREEN:
+    if name in _R4_GREEN:
         return 1
-    return 0.75  # green only in r2 — six rounds stale, must re-score
+    # Green only in r2/r3 — should be empty after the r7/r8 rotations;
+    # anything left here is maximally stale and must re-score.
+    return 0.5
 
 
 REGISTRY = dict(

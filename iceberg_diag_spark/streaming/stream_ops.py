@@ -31,6 +31,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
+from iceberg_diag_spark.operators.events import WATERMARK_CANDIDATES_US
 from iceberg_diag_spark.sources.tpch import normalize_event_ts
 
 SESSION_GAP = "30 minutes"
@@ -791,9 +792,10 @@ def repetition_gate_stream(docs_stream: DataFrame) -> DataFrame:
 
 def watermark_advisor_stream(
     events: DataFrame,
-    candidates_us: tuple[int, ...] = (
-        1_000_000, 10_000_000, 60_000_000, 600_000_000,
-    ),
+    # Shared with the batch advisor (events.WATERMARK_CANDIDATES_US)
+    # so the "single drain equals batch pick" contract can't silently
+    # diverge if the candidate sweep changes.
+    candidates_us: tuple[int, ...] = WATERMARK_CANDIDATES_US,
     target_ppm: int = 1_000,
 ) -> DataFrame:
     """Streaming twin of events.watermark_recommendation — the
