@@ -235,6 +235,26 @@ def _warmup_sf_dir(sf_dir: str) -> str:
     return sf_dir
 
 
+def _headline() -> list[str]:
+    """HEADLINE, optionally restricted via SPARK_GRAFT_BENCH_QUERIES
+    (comma-separated names, or @/path/to/file with one name per
+    line) — used for A/B isolation runs; the full suite is default."""
+    spec = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").strip()
+    if not spec:
+        return HEADLINE
+    if spec.startswith("@"):
+        with open(spec[1:]) as f:
+            wanted = {ln.strip() for ln in f if ln.strip()}
+    else:
+        wanted = {s.strip() for s in spec.split(",") if s.strip()}
+    unknown = wanted - set(HEADLINE)
+    if unknown:
+        raise SystemExit(f"unknown bench queries: {sorted(unknown)}")
+    # Preserve HEADLINE order so subset runs see the same preceding
+    # workload prefix as the full suite.
+    return [n for n in HEADLINE if n in wanted]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -269,7 +289,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in _headline():
         runs = []
         n_rows = 0
         for _ in range(n_runs):

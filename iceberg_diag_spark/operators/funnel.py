@@ -24,15 +24,19 @@ deterministic, no RNG):
                    corpus_curation gates.
   2 exact_dedup    survivor = min doc_id among stage-1 docs sharing a
                    normalized-text sha256.
-  3 near_dup       drop any doc that has a MinHash-LSH candidate
-                   partner with a SMALLER doc_id that survived stage 2
-                   (greedy pairwise collapse: the min of every
-                   candidate pair survives unless an earlier stage or
-                   a still-smaller partner drops it. Conservative vs
-                   full connected-components — a chain a<b<c may drop
-                   both b and c — but deterministic and join-local;
-                   candidates come from the production exact-collapsed
-                   banding plan, dedup.minhash_candidate_pairs).
+  3 near_dup       connected-components collapse over the candidate
+                   pairs restricted to stage-2 survivors: survivor =
+                   the component's minimum doc_id — the production
+                   near_dup_clusters semantics, reusing
+                   dedup.connected_components min-label propagation,
+                   so the funnel's stage-3 count equals the CC
+                   collapse instead of the (over-dropping) greedy
+                   pairwise rule a<b<c chains suffer. Edges with an
+                   endpoint that died at stage 1/2 are dropped before
+                   the propagation, so a duplicate of filtered-out
+                   content is judged only against surviving docs.
+                   Candidates come from the production exact-collapsed
+                   banding plan, dedup.minhash_candidate_pairs.
   4 train split    exact-quota holdout (largest-remainder per source,
                    sampling.exact_quota_holdout) carved out of stage-3
                    survivors; the train side continues.
@@ -109,18 +113,29 @@ def corpus_build_funnel(
     # per consumer
     flagged = _ckpt(flagged)
 
-    # near-dup drop set: docs with a smaller surviving candidate
-    # partner. Pairs come from the production banding plan (exact
-    # dups pre-collapsed; star pairs connect collapsed members
-    # through their representative) — the only text-touching branch.
+    # near-dup drop set: connected-components collapse over the
+    # candidate pairs restricted to stage-2 survivors — survivor =
+    # component min id, exactly the production near_dup_clusters
+    # semantics (a<b<c chains keep a and drop {b, c}; the former
+    # greedy pairwise rule could also drop nodes whose only link to
+    # the minimum runs through a larger intermediate). Pairs come
+    # from the production banding plan (exact dups pre-collapsed;
+    # star pairs connect collapsed members through their
+    # representative) — the only text-touching branch. The min-label
+    # propagation eager-checkpoints its per-round state, so the
+    # banding chain's two corpus scans run once here and the final
+    # funnel plan consumes only the label checkpoint.
     pairs = dedup.minhash_candidate_pairs(
         docs, text_col=text_col, id_col=id_col
     )
-    s2_ids = flagged.filter(F.col("s2")).select(F.col(id_col).alias("doc_a"))
+    s2_nodes = flagged.filter(F.col("s2")).select(id_col)
+    fpairs = pairs.join(
+        s2_nodes.withColumnRenamed(id_col, "doc_a"), "doc_a", "semi"
+    ).join(s2_nodes.withColumnRenamed(id_col, "doc_b"), "doc_b", "semi")
+    labels = dedup.connected_components(s2_nodes, fpairs, id_col=id_col)
     dropped = (
-        pairs.join(s2_ids, "doc_a", "semi")
-        .select(F.col("doc_b").alias(id_col))
-        .distinct()
+        labels.filter(F.col("cluster_id") != F.col(id_col))
+        .select(id_col)
         .withColumn("__nd", F.lit(1))
     )
     staged3 = flagged.join(dropped, id_col, "left").select(

@@ -2406,6 +2406,214 @@ def bigram_kneser_ney(
     )
 
 
+def doc_kn_nll(
+    docs: DataFrame,
+    min_pair: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-document negative log-likelihood against the corpus's own
+    interpolated Kneser-Ney bigram table — the CCNet quality filter's
+    scoring step (Wenzek et al.: rank documents by LM perplexity,
+    keep/drop by per-source bands). The shipped LM table is PRUNED at
+    `min_pair` occurrences (real n-gram tables drop singletons), so a
+    document full of never-repeated bigrams pays the unseen-bigram
+    backoff on every position and lands in the worst band — exactly
+    the word-salad signal the filter exists for.
+
+    Per-bigram probability, all in ppm:
+      seen  (corpus count ≥ min_pair): the bigram_kneser_ney P_KN
+             (d = 3/4 discount + continuation interpolation);
+      unseen (pruned): the discounted continuation-unigram backoff
+             d·P_cont(w2) = (3·N1+(·w2)) / (4·N1+(··)),
+    floored at 1 ppm so ln never sees zero. Because the table is
+    trained on the scored corpus itself, "in the table" is exactly
+    "corpus count ≥ min_pair" — the CASE needs no membership join.
+
+    Scale: bigram and context counts are the bigram_kneser_ney hash
+    aggregates (uniform keys, map-side combine); per-distinct-gram
+    scores are computed once and joined back to the (doc, gram)
+    occurrence relation on the uniform gram key — the bigram_logprob
+    shuffle shape, linear in corpus tokens. NLL floors once per
+    position to micro-nats; per-doc sums and the DIV average are
+    exact integers. Docs with fewer than two tokens emit no bigrams
+    and are absent (shingle-source contract).
+
+    Output: (doc_id, source, n_bigrams, nll_micro, avg_nll_micro).
+    """
+    from iceberg_diag_spark.operators.dedup import word_ngram_rows
+
+    bg = word_ngram_rows(docs, text_col, id_col, n=2)
+    c2 = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    # get() not [i]: the inferred-not-null reorder gotcha (see
+    # bigram_kneser_ney)
+    c2 = c2.select(
+        "gram",
+        "c2",
+        F.expr("get(split(gram, ' '), 0)").alias("w1"),
+        F.expr("get(split(gram, ' '), 1)").alias("w2"),
+    )
+    left = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1w"),
+        F.count(F.lit(1)).alias("n1p_w1"),
+    )
+    right = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_w2"))
+    ntot = c2.agg(F.count(F.lit(1)).alias("ntot"))
+    gram_scores = (
+        c2.join(left, "w1")
+        .join(right, "w2")
+        .join(F.broadcast(ntot))
+        .select(
+            "gram",
+            F.expr(
+                f"greatest(CAST(1 AS BIGINT), CASE WHEN c2 >= {min_pair}"
+                " THEN CAST(1000000 * (4 * c2 - 3) DIV (4 * c1w)"
+                "   + CAST(3000000 AS DECIMAL(38,0)) * n1p_w1 * n1p_w2"
+                "     DIV (CAST(4 AS DECIMAL(38,0)) * c1w * ntot)"
+                "   AS BIGINT)"
+                " ELSE CAST(3000000 * n1p_w2 DIV (4 * ntot) AS BIGINT)"
+                " END)"
+            ).alias("p_ppm"),
+        )
+        .select(
+            "gram",
+            F.floor(
+                -F.log(F.col("p_ppm") / F.lit(1_000_000.0))
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    per_doc = (
+        bg.join(gram_scores, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("nll_micro").cast("long").alias("nll_micro"),
+        )
+    )
+    return (
+        per_doc.join(
+            docs.select(F.col(id_col), F.col(source_col).alias("source")),
+            id_col,
+        )
+        .select(
+            id_col,
+            "source",
+            "n_bigrams",
+            "nll_micro",
+            F.expr("nll_micro DIV n_bigrams").cast("long").alias(
+                "avg_nll_micro"
+            ),
+        )
+    )
+
+
+def doc_kn_perplexity(
+    docs: DataFrame,
+    n_bands: int = 10,
+    min_pair: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Per-source perplexity bands over doc_kn_nll — the CCNet
+    keep/drop decision table: documents ranked by average per-bigram
+    NLL within their source and cut into `n_bands` equal-population
+    bands (band 1 = most fluent / head, band n = worst tail; CCNet
+    keeps head+middle and drops the tail). Banding WITHIN source
+    matters because NLL is not comparable across domains — the
+    source_quality_calibration argument.
+
+    Distributed shape: the per-source ranking uses the grouped
+    global_rank idiom (approx-percentile range shards per source —
+    accuracy affects only load balance — exact within-shard windows,
+    broadcast cumulative offsets), never a one-task-per-source
+    window. Band assignment replicates NTILE exactly from (rank, n_s)
+    arithmetic: the first n_s mod k bands hold ceil(n_s/k) docs —
+    integer-exact, so the oracle's plain ntile() hash-matches.
+
+    Output per (source, band): (source, band, n_docs,
+    lo_avg_nll_micro, hi_avg_nll_micro).
+    """
+    from pyspark.sql.window import Window
+
+    scored = doc_kn_nll(docs, min_pair, text_col, id_col, source_col)
+    probs = [i / n_shards for i in range(1, n_shards)]
+    edges = scored.groupBy("source").agg(
+        F.percentile_approx("avg_nll_micro", probs, 10_000).alias("__edges")
+    )
+    base = (
+        scored.join(F.broadcast(edges), "source")
+        .withColumn(
+            "__shard",
+            F.aggregate(
+                "__edges",
+                F.lit(0),
+                lambda acc, e: acc
+                + F.when(F.col("avg_nll_micro") > e, 1).otherwise(0),
+            ),
+        )
+        .drop("__edges")
+    )
+    w = Window.partitionBy("source", "__shard").orderBy(
+        "avg_nll_micro", id_col
+    )
+    sizes = base.groupBy("source", "__shard").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "source",
+        "__shard",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt")
+        .over(
+            Window.partitionBy("source").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__n_s"),
+    )
+    k = n_bands
+    ranked = (
+        base.withColumn("__rk", F.row_number().over(w))
+        .join(F.broadcast(offsets), ["source", "__shard"])
+        .select(
+            "source",
+            "avg_nll_micro",
+            (F.col("__off") + F.col("__rk")).alias("rnk"),
+            F.col("__n_s").alias("n_s"),
+        )
+    )
+    # exact NTILE(k): sz = n DIV k, rem = n % k; the first rem bands
+    # take sz+1 rows. When n < k, sz = 0 and cut = n, so every rank
+    # stays in the WHEN branch — no division by zero.
+    band = F.expr(
+        f"CASE WHEN rnk <= (n_s % {k}) * (n_s DIV {k} + 1)"
+        f" THEN (rnk - 1) DIV (n_s DIV {k} + 1) + 1"
+        f" ELSE (n_s % {k})"
+        f"   + (rnk - 1 - (n_s % {k}) * (n_s DIV {k} + 1)) DIV (n_s DIV {k})"
+        f"   + 1 END"
+    )
+    return (
+        ranked.select("source", "avg_nll_micro", band.cast("long").alias("band"))
+        .groupBy("source", "band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("avg_nll_micro").cast("long").alias("lo_avg_nll_micro"),
+            F.max("avg_nll_micro").cast("long").alias("hi_avg_nll_micro"),
+        )
+    )
+
+
 def quality_psi_drift(
     docs_old: DataFrame,
     docs_new: DataFrame,

@@ -9826,9 +9826,10 @@ def _corpus_build_funnel(spark, sf_dir):
 
 # The oracle composes the same stage rules the individual entries
 # already verify one-by-one (corpus_curation gates, minhash_pairs
-# candidates, exact_quota_holdout apportionment, doc_pack_sequences
-# recursion) into one funnel — the composition itself is what this
-# entry tests. The pairs CTE embeds _MINHASH_PAIRS_SQL verbatim as a
+# candidates, near_dup_clusters' recursive-CTE connected components
+# restricted to stage-2 survivors, exact_quota_holdout apportionment,
+# doc_pack_sequences recursion) into one funnel — the composition
+# itself is what this entry tests. The pairs CTE embeds _MINHASH_PAIRS_SQL verbatim as a
 # parenthesized WITH-subquery (DuckDB scopes inner CTE names, so its
 # norm/chash chain cannot collide with the funnel's).
 _FUNNEL_SQL = (
@@ -9872,14 +9873,30 @@ pairs AS (SELECT * FROM (
     + _MINHASH_PAIRS_SQL.strip()
     + r"""
 )),
-drop3 AS (
-  SELECT DISTINCT p.doc_b AS doc_id
-  FROM pairs p JOIN perdoc s ON s.doc_id = p.doc_a AND s.s2
+fpairs AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN perdoc sa ON sa.doc_id = p.doc_a AND sa.s2
+  JOIN perdoc sb ON sb.doc_id = p.doc_b AND sb.s2
+),
+fedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM fpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM fpairs
+),
+freach(node, label) AS (
+    SELECT doc_id, doc_id FROM perdoc WHERE s2
+  UNION
+    SELECT e.src, r.label FROM fedges e JOIN freach r ON r.node = e.dst
+),
+fcc AS (
+  SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+  FROM freach GROUP BY node
 ),
 p3 AS (
   SELECT pd.doc_id, pd.source, pd.n_tokens, pd.s1, pd.s2,
-         (pd.s2 AND d.doc_id IS NULL) AS s3
-  FROM perdoc pd LEFT JOIN drop3 d USING (doc_id)
+         (pd.s2 AND coalesce(c.cluster_id, pd.doc_id) = pd.doc_id) AS s3
+  FROM perdoc pd LEFT JOIN fcc c USING (doc_id)
 ),
 keyed AS (
   SELECT doc_id, source AS stratum, md5(CAST(doc_id AS VARCHAR)) AS mh
@@ -10493,10 +10510,12 @@ REGISTRY.update({
     "corpus_build_funnel": QuerySpec(
         _corpus_build_funnel, _FUNNEL_SQL,
         "fused corpus-build pipeline as one DAG: quality gate -> "
-        "exact dedup -> near-dup collapse -> exact-quota holdout -> "
-        "sequence packing, emitting the per-stage survivor funnel "
-        "(the release dataset card); one enriched corpus pass + the "
-        "banding chain, stages share a checkpointed narrow lineage",
+        "exact dedup -> connected-components near-dup collapse "
+        "(component-min survivor, the production near_dup_clusters "
+        "semantics) -> exact-quota holdout -> sequence packing, "
+        "emitting the per-stage survivor funnel (the release dataset "
+        "card); one enriched corpus pass + the banding chain, stages "
+        "share a checkpointed narrow lineage",
     ),
 })
 

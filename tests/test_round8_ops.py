@@ -120,8 +120,9 @@ def test_corpus_build_funnel_stage_accounting(spark):
     assert got["raw"][0] == 6
     assert got["quality_gate"][0] == 5          # doc 5 out
     assert got["exact_dedup"][0] == 4           # doc 2 out
-    # near-dup stage: docs 2 (star partner of 1) and 4 (partner of 3)
-    # have smaller surviving partners; 2 is already gone, 4 drops now
+    # near-dup stage (CC collapse): components among stage-2
+    # survivors are {3, 4} (4 is not its component min and drops)
+    # and singletons {1}, {6}; doc 2 already died at stage 2
     assert got["near_dup"][0] == 3
     assert got["train"][0] == 3 - (3 * 250_000) // 1_000_000
     assert got["packed"][1] == got["train"][1]  # packing keeps tokens
