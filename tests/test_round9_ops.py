@@ -67,3 +67,58 @@ def test_funnel_stage3_equals_cc_collapse(spark):
     assert (1, 2) in edge_rows and (2, 3) in edge_rows
     assert survivors == 2  # {1,2,3} -> 1, {4} -> 4
     assert got["near_dup"] == 2
+
+
+def _kn_corpus(spark, n_fluent=22):
+    """Fluent docs cycle a tiny vocabulary (every bigram repeats far
+    beyond the pruning floor); doc 999 is word-salad whose bigrams
+    occur once each — pruned from the table, scored via the
+    continuation backoff."""
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, fluent, "web") for i in range(1, n_fluent + 1)]
+    gibberish = " ".join(f"zx{i}q wv{i}j" for i in range(12))
+    rows.append((999, gibberish, "web"))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def test_kn_gibberish_lands_in_worst_band(spark):
+    """The CCNet contract: a planted word-salad document must carry
+    the corpus-max average NLL and land in the worst (highest)
+    perplexity band of its source."""
+    from iceberg_diag_spark.operators.textops import (
+        doc_kn_nll,
+        doc_kn_perplexity,
+    )
+
+    docs = _kn_corpus(spark)
+    scored = {r["doc_id"]: r for r in doc_kn_nll(docs).collect()}
+    worst = max(scored.values(), key=lambda r: r["avg_nll_micro"])
+    assert worst["doc_id"] == 999
+    # strict separation, not a tie: backoff ppm for once-seen bigrams
+    # is orders of magnitude below the fluent bigrams' KN mass
+    fluent_max = max(
+        r["avg_nll_micro"] for r in scored.values() if r["doc_id"] != 999
+    )
+    assert worst["avg_nll_micro"] > 2 * fluent_max
+
+    bands = doc_kn_perplexity(docs).collect()
+    top_band = max(r["band"] for r in bands)
+    top = next(r for r in bands if r["band"] == top_band)
+    assert top["hi_avg_nll_micro"] == worst["avg_nll_micro"]
+
+
+def test_kn_band_assignment_is_exact_ntile(spark):
+    """23 docs in one source with 10 bands: NTILE gives the first
+    n%k = 3 bands 3 docs and the rest 2 — the arithmetic band formula
+    must reproduce that population exactly (the oracle uses plain
+    ntile())."""
+    from iceberg_diag_spark.operators.textops import doc_kn_perplexity
+
+    docs = _kn_corpus(spark, n_fluent=22)  # 23 docs total
+    bands = sorted(
+        (r["band"], r["n_docs"])
+        for r in doc_kn_perplexity(docs).collect()
+    )
+    assert bands == [(b, 3 if b <= 3 else 2) for b in range(1, 11)]
