@@ -1704,6 +1704,116 @@ LSH_PARAM_CONFIGS: tuple[tuple[int, int], ...] = (
 )
 
 
+def lsh_near_dup_tuned(
+    docs: DataFrame,
+    recall_floor_ppm: int = 950_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """Advisor-EXECUTING banding — closes the lsh_param_advisor loop
+    the way sorted_rewrite closes the maintenance advisors': the
+    S-curve recommendation is computed, picked, and run inside one
+    plan, so the emitted near-dup pairs are produced under the tuned
+    (bands, rows_per_band) rather than the static default.
+
+    Decision rule (deterministic, 5-row relation): among the b·r = 16
+    splits, take the CHEAPEST config whose analytic catch probability
+    at s = 0.7 meets `recall_floor_ppm` — minimal
+    expected_caught_pairs ≈ minimal candidate-verification volume —
+    falling back to the max-recall config if none qualifies; ties
+    break on bands ascending. The pick stays a broadcast 1-row
+    relation (the watermark_recommendation struct-pick precedent),
+    never a driver round-trip.
+
+    Execution under the pick: the production exact-collapsed pipeline
+    (content_rep_marks collapse, star pairs through the
+    representative) with band keys built from ONE wide-signature pass
+    for ALL five configs and filtered by a broadcast join on the
+    picked (bands, rows_per_band). Building the 31 candidate keys and
+    keeping ~b costs bounded per-row string concats — far cheaper
+    than either a second signature pass or an extra 16-rows/doc
+    shuffle of the long-form signature, and the bucket shuffle (the
+    scale cost) carries ONLY the picked config's keys.
+
+    Sub-band guarantee: configs with smaller r are band-refinements
+    of larger-r configs over the same seeds, so any pair the 4×4
+    default surfaces is also surfaced at 8×2 or 16×1 — tuning toward
+    the recall floor never loses a default-caught pair (pinned in
+    tests/test_round9_ops.py).
+
+    Output: (doc_a, doc_b, n_shared_bands, bands, rows_per_band).
+    """
+    adv = lsh_param_advisor(docs, text_col, id_col)
+    pick = (
+        adv.orderBy(
+            F.expr(f"catch_at_70_ppm >= {recall_floor_ppm}").desc(),
+            F.expr(
+                f"CASE WHEN catch_at_70_ppm >= {recall_floor_ppm}"
+                " THEN expected_caught_pairs ELSE -catch_at_70_ppm END"
+            ).asc(),
+            F.col("bands").asc(),
+        )
+        .limit(1)
+        .select("bands", "rows_per_band")
+    )
+
+    marked = content_rep_marks(docs, text_col, id_col)
+    star = marked.filter(F.col(id_col) != F.col("__keep")).select(
+        F.col("__keep").alias("doc_a"), F.col(id_col).alias("doc_b")
+    )
+    keep_ids = marked.filter(F.col(id_col) == F.col("__keep")).select(id_col)
+    wide = minhash_signatures_wide(
+        docs, text_col, id_col, num_hashes, ngram
+    ).join(keep_ids, id_col, "semi")
+    key_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"h{band * r + i}") for i in range(r)]
+                ).alias("band_key"),
+            )
+            for b, r in LSH_PARAM_CONFIGS
+            for band in range(b)
+        ]
+    )
+    keys = (
+        wide.select(F.col(id_col), F.explode(key_structs).alias("k"))
+        .select(id_col, "k.bands", "k.rows_per_band", "k.band", "k.band_key")
+        .join(F.broadcast(pick), ["bands", "rows_per_band"])
+    )
+    buckets = (
+        keys.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    )
+    star_pairs = star.crossJoin(F.broadcast(pick)).select(
+        "doc_a",
+        "doc_b",
+        F.col("bands").cast("long").alias("n_shared_bands"),
+    )
+    # broadcast 1-row scalar attach (never a data×data product)
+    return pairs.unionByName(star_pairs).crossJoin(F.broadcast(pick))
+
+
 def lsh_param_advisor(
     docs: DataFrame,
     text_col: str = "text",

@@ -11532,6 +11532,107 @@ REGISTRY.update({
     ),
 })
 
+# ------------------------------------------------------------------
+# Round 9: advisor-executing LSH banding (the sorted_rewrite pattern)
+# ------------------------------------------------------------------
+
+def _lsh_near_dup_tuned(spark, sf_dir):
+    return dedup.lsh_near_dup_tuned(_t(spark, sf_dir, "documents"))
+
+
+# Pick rule mirrored verbatim from dedup.lsh_near_dup_tuned: cheapest
+# config meeting the 0.7-recall floor, else max recall; ties on bands
+# ascending. The advisor subquery is _LSH_PARAM_SQL verbatim (DuckDB
+# scopes its inner WITH), the signature chain is the production
+# exact-collapsed one, and the tuned keys group seeds by
+# seed // picked rows_per_band.
+_LSH_TUNED_SQL = (
+    r"""
+WITH
+"""
+    + _EXACT_COLLAPSE_CTE.strip()
+    + r""",
+norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM rdocs
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(
+             generate_series(0, greatest(len(toks) - 3, 0)),
+             i -> array_to_string(toks[i + 1 : i + 3], ' ')))
+         ELSE [] END AS grams
+  FROM norm
+),
+eg AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
+hh AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(gram), 1, 8))::BIGINT AS g1,
+         ('0x' || substring(md5(gram), 9, 8))::BIGINT AS g2
+  FROM eg
+),
+sig AS (
+  SELECT doc_id, seed, min((g1 + seed * g2) % 4294967296) AS minhash
+  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, seed
+),
+adv AS (SELECT * FROM (
+"""
+    + _LSH_PARAM_SQL.strip()
+    + r"""
+)),
+pick AS (
+  SELECT bands, rows_per_band FROM adv
+  ORDER BY (catch_at_70_ppm >= 950000) DESC,
+           CASE WHEN catch_at_70_ppm >= 950000
+                THEN expected_caught_pairs
+                ELSE -catch_at_70_ppm END ASC,
+           bands ASC
+  LIMIT 1
+),
+tk0 AS (
+  SELECT doc_id, CAST(seed // p.rows_per_band AS INTEGER) AS band,
+         seed, minhash
+  FROM sig CROSS JOIN pick p
+),
+tkeys AS (
+  SELECT doc_id, band,
+         array_to_string(list(minhash ORDER BY seed), '|') AS band_key
+  FROM tk0 GROUP BY doc_id, band
+),
+tpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared_bands
+  FROM tkeys a
+  JOIN tkeys b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+),
+allp AS (
+  SELECT doc_a, doc_b, n_shared_bands FROM tpairs
+  UNION ALL
+  SELECT star.doc_a, star.doc_b, CAST(p.bands AS BIGINT)
+  FROM star CROSS JOIN pick p
+)
+SELECT ap.doc_a, ap.doc_b, ap.n_shared_bands, p.bands, p.rows_per_band
+FROM allp ap CROSS JOIN pick p
+"""
+)
+
+REGISTRY.update({
+    "lsh_near_dup_tuned": QuerySpec(
+        _lsh_near_dup_tuned, _LSH_TUNED_SQL,
+        "advisor-executing LSH banding: the S-curve pick (cheapest "
+        "b*r=16 split meeting a 0.95 catch floor at s=0.7, else max "
+        "recall) stays a broadcast 1-row relation and parameterizes "
+        "the production exact-collapsed banding in the same plan; "
+        "all-config band keys from ONE wide-signature pass, bucket "
+        "shuffle carries only the picked config's keys",
+    ),
+})
+
 # Evaluation-order hedge: the correctness harness records rows for
 # exactly the first 50 registry entries (confirmed across rounds 1-3).
 # With 101 entries, ordering decides which queries get a FRESH

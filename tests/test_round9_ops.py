@@ -122,3 +122,56 @@ def test_kn_band_assignment_is_exact_ntile(spark):
         for r in doc_kn_perplexity(docs).collect()
     )
     assert bands == [(b, 3 if b <= 3 else 2) for b in range(1, 11)]
+
+
+def test_lsh_tuned_recall_ordering(spark):
+    """The S-curve ordering the advisor predicts, observed on real
+    pairs: with 16 hashes, analytic catch at s=0.7 is ~0.9954 for
+    8x2 vs ~0.6666 for the 4x4 default, and only {16x1, 8x2} meet
+    the 0.95 floor, of which 8x2 expects fewer candidates — so the
+    tuned run must pick (8, 2), surface a SUPERSET of the default's
+    pairs (8x2 bands are refinements of 4x4 bands over the same
+    seeds), and on a moderate-similarity corpus catch strictly more
+    near-dup pairs than the default."""
+    from iceberg_diag_spark.operators.dedup import (
+        lsh_near_dup_tuned,
+        lsh_param_advisor,
+        minhash_candidate_pairs,
+    )
+
+    vocab = [f"w{j}" for j in range(40)]
+    rows = []
+    for i in range(20):
+        a = " ".join(f"p{i}{t}" for t in vocab)
+        # replace a 12-word run -> shingle jaccard well below the 4x4
+        # knee (~0.707) but above the 8x2 knee (~0.354)
+        b_toks = [
+            f"p{i}x{j}" if 14 <= j < 26 else f"p{i}{vocab[j]}"
+            for j in range(40)
+        ]
+        rows.append((2 * i, a, "web"))
+        rows.append((2 * i + 1, " ".join(b_toks), "web"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+    adv = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in lsh_param_advisor(docs).collect()
+    }
+    assert adv[(8, 2)]["catch_at_70_ppm"] > adv[(4, 4)]["catch_at_70_ppm"]
+    assert adv[(8, 2)]["catch_at_70_ppm"] >= 950_000
+    assert adv[(4, 4)]["catch_at_70_ppm"] < 950_000
+
+    tuned_rows = lsh_near_dup_tuned(docs).collect()
+    assert all(
+        (r["bands"], r["rows_per_band"]) == (8, 2) for r in tuned_rows
+    )
+    tuned = {(r["doc_a"], r["doc_b"]) for r in tuned_rows}
+    default = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidate_pairs(docs).collect()
+    }
+    assert default <= tuned  # refinement superset, never loses a pair
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert len(planted & tuned) > len(planted & default)
