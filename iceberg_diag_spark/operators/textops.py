@@ -1528,6 +1528,135 @@ def bpe_merge_candidates(
     )
 
 
+# Symbol-boundary separator for the BPE trainer's wrapped-string word
+# representation: U+001F (unit separator) — not regex-\s, so the
+# whitespace tokenizer never produces it; word forms containing it are
+# excluded (mirrored in the oracle), keeping replace() boundary-exact.
+BPE_SEP = "\x1f"
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Iterated BPE training — the actual tokenizer-training inner
+    loop, k merges deep (bpe_merge_candidates computes only the first
+    iteration's statistics): repeatedly pick the corpus-frequency-max
+    adjacent symbol pair and replace it left-to-right non-overlapping
+    in every word form, exactly the Sennrich et al. procedure.
+
+    Relational shape (the classic BPE optimization, now iterated):
+    the TOKEN STREAM is touched exactly once — the initial word-count
+    aggregate — and every merge iteration runs on the distinct
+    word-form relation (Heaps-sublinear in corpus size). Each word is
+    a wrapped string "␟c₁␟␟c₂␟…" (every symbol in its own BPE_SEP
+    fence), which makes the merge application a plain string
+    replace(): the pattern "␟a␟␟b␟" can only match whole adjacent
+    symbols, and both engines' replace() scans left-to-right
+    non-overlapping and continues AFTER the replacement — the
+    Sennrich application order ("aaa" + merge(a,a) → ["aa","a"]) for
+    free, with no regex and no per-row sequential fold.
+
+    Per iteration: one pair-count aggregate over the word relation
+    (uniform keys, map-side combine), a map-side top-1
+    (TakeOrderedAndProject — ONE row to the driver, the bounded
+    decision-scalar precedent), one narrow replace projection,
+    localCheckpoint to truncate the k-deep lineage (the iterative-
+    algorithm pattern). Merge identity is deterministic: count DESC,
+    then (left, right) lexicographic.
+
+    Output, one row per step (step 0 = pre-merge baseline): (step,
+    left_sym, right_sym, merge_count, corpus_symbols, fertility_ppm)
+    — corpus_symbols shrinks by exactly merge_count each step, and
+    fertility_ppm (symbols per whitespace word, the
+    tokenizer_fertility metric) falls from the all-characters
+    baseline toward the trained vocabulary's fertility.
+
+    Raises ValueError if the corpus runs out of adjacent pairs before
+    k merges (degenerate inputs only).
+    """
+    from functools import reduce
+
+    sep = BPE_SEP
+    words = (
+        ensure_parallelism(docs)
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter((F.col("w") != "") & (~F.col("w").contains(sep)))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    w_rel = words.select(
+        "w",
+        "wc",
+        F.regexp_replace("w", "(.)", sep + "$1" + sep).alias("s"),
+    ).localCheckpoint(eager=True)
+    # total word occurrences: the constant fertility denominator
+    # (one bounded scalar to the driver; oracle recomputes it)
+    wtot = w_rel.agg(F.sum("wc")).collect()[0][0] or 1
+
+    sym_count = F.expr(
+        "(length(s) - length(replace(s, chr(31), ''))) DIV 2"
+    )
+
+    def stats(step: int, lft: str, rgt: str, cnt: int) -> DataFrame:
+        return w_rel.agg(
+            F.sum(F.col("wc") * sym_count).alias("ts")
+        ).select(
+            F.lit(step).cast("long").alias("step"),
+            F.lit(lft).alias("left_sym"),
+            F.lit(rgt).alias("right_sym"),
+            F.lit(cnt).cast("long").alias("merge_count"),
+            F.col("ts").cast("long").alias("corpus_symbols"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * ts"
+                f" DIV {wtot} AS BIGINT)"
+            ).alias("fertility_ppm"),
+        )
+
+    out = [stats(0, "", "", 0)]
+    for i in range(1, k + 1):
+        syms = F.split(
+            F.expr("trim(BOTH chr(31) FROM s)"), sep + sep
+        )
+        top = (
+            w_rel.select("wc", syms.alias("syms"))
+            .filter(F.size("syms") >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), j -> "
+                        "struct(element_at(syms, j) AS lft, "
+                        "element_at(syms, j + 1) AS rgt))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lft", "p.rgt")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("lft"), F.asc("rgt"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            raise ValueError(
+                f"corpus exhausted adjacent symbol pairs after {i - 1} "
+                f"merges; lower k (requested {k})"
+            )
+        lft, rgt, cnt = top[0]["lft"], top[0]["rgt"], top[0]["cnt"]
+        w_rel = w_rel.select(
+            "w",
+            "wc",
+            F.replace(
+                F.col("s"),
+                F.lit(sep + lft + sep + sep + rgt + sep),
+                F.lit(sep + lft + rgt + sep),
+            ).alias("s"),
+        ).localCheckpoint(eager=True)
+        out.append(stats(i, lft, rgt, int(cnt)))
+    return reduce(lambda a, b: a.unionByName(b), out)
+
+
 def source_quality_calibration(
     docs: DataFrame,
     text_col: str = "text",

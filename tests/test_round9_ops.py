@@ -175,3 +175,40 @@ def test_lsh_tuned_recall_ordering(spark):
     assert default <= tuned  # refinement superset, never loses a pair
     planted = {(2 * i, 2 * i + 1) for i in range(20)}
     assert len(planted & tuned) > len(planted & default)
+
+
+def test_bpe_train_merges_hand_computed(spark):
+    """Sennrich toy corpus, merges hand-verified: word counts are
+    low:4 lower:2 lowest:1 newer:3 newest:1 new:1 wider:1 wide:2, so
+    the merge order is (l,o):7, (lo,w):7, (e,r):6, (e,w):5 — the
+    (e,w) count only exists BECAUSE (e,r) merged first (newer =
+    n·e·w·er), i.e. the test fails if iterations don't feed forward.
+    corpus_symbols must drop by exactly merge_count each step."""
+    from iceberg_diag_spark.operators.textops import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low newer newest new", "w"),
+            (2, "low lower newer newer wider wide wide", "w"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["step"]: r for r in bpe_train_merges(docs, k=4).collect()}
+    merges = [
+        (rows[i]["left_sym"], rows[i]["right_sym"], rows[i]["merge_count"])
+        for i in range(1, 5)
+    ]
+    assert merges == [
+        ("l", "o", 7), ("lo", "w", 7), ("e", "r", 6), ("e", "w", 5),
+    ]
+    for i in range(1, 5):
+        assert (
+            rows[i]["corpus_symbols"]
+            == rows[i - 1]["corpus_symbols"] - rows[i]["merge_count"]
+        )
+    # fertility audit rides the same rows: baseline = chars per word
+    total_words = 15
+    assert rows[0]["fertility_ppm"] == (
+        1_000_000 * rows[0]["corpus_symbols"] // total_words
+    )
+    assert rows[4]["fertility_ppm"] < rows[0]["fertility_ppm"]
