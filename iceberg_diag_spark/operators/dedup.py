@@ -1896,3 +1896,100 @@ def lsh_param_advisor(
         ],
     )
     return analytic
+
+
+def minhash_estimator_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """Estimator-calibration audit for the MinHash pipeline: for every
+    candidate pair the production banding surfaces, the SKETCHED
+    Jaccard (matching signature coordinates ÷ num_hashes — the
+    unbiased MinHash estimate) side by side with the EXACT
+    distinct-shingle Jaccard, plus the signed error. This is the
+    "can I trust the 16-hash sketch at my similarity threshold"
+    measurement that sizes num_hashes before a corpus-wide dedup run
+    — the estimator's ±1/16 quantization and its variance
+    √(s(1−s)/16) become visible as err_ppm spread.
+
+    Scale: the audited relation is BOUNDED by the banding's candidate
+    pairs (never all pairs); the estimate joins the wide signature
+    (one row/doc) twice on uniform id keys; the exact side joins the
+    distinct-shingle relation per pair id the ngram_containment way.
+    Exact-duplicate star pairs (empty-or-equal shingle sets) land at
+    exact = est = 1e6 by definition.
+
+    Output: (doc_a, doc_b, n_shared_bands, est_jaccard_ppm,
+    exact_jaccard_ppm, err_ppm).
+    """
+    pairs = minhash_candidate_pairs(
+        docs, text_col, id_col, num_hashes, bands=4, ngram=ngram
+    )
+    wide = minhash_signatures_wide(docs, text_col, id_col, num_hashes, ngram)
+    wa = wide.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(num_hashes)],
+    )
+    wb = wide.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(num_hashes)],
+    )
+    matches_sql = " + ".join(
+        f"(CASE WHEN a{s} = b{s} THEN 1 ELSE 0 END)"
+        for s in range(num_hashes)
+    )
+    est = (
+        pairs.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            F.expr(f"1000000 * ({matches_sql}) DIV {num_hashes}")
+            .cast("long")
+            .alias("est_jaccard_ppm"),
+        )
+    )
+    grams = word_ngram_rows(docs, text_col, id_col, ngram).distinct()
+    sizes = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    ga = grams.select(F.col(id_col).alias("doc_a"), "gram")
+    gb = grams.select(F.col(id_col).alias("doc_b"), "gram")
+    inter = (
+        pairs.select("doc_a", "doc_b")
+        .join(ga, "doc_a")
+        .join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    exact = (
+        pairs.select("doc_a", "doc_b")
+        .join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_grams", "sa"), "doc_a", "left")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_grams", "sb"), "doc_b", "left")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CASE WHEN coalesce(sa, 0) + coalesce(sb, 0) = 0"
+                " THEN CAST(1000000 AS BIGINT)"
+                " ELSE CAST(1000000 * coalesce(n_inter, 0) DIV"
+                " (coalesce(sa, 0) + coalesce(sb, 0)"
+                "  - coalesce(n_inter, 0)) AS BIGINT) END"
+            ).alias("exact_jaccard_ppm"),
+        )
+    )
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "n_shared_bands",
+        "est_jaccard_ppm",
+        "exact_jaccard_ppm",
+        (F.col("est_jaccard_ppm") - F.col("exact_jaccard_ppm"))
+        .cast("long")
+        .alias("err_ppm"),
+    )

@@ -1577,3 +1577,101 @@ def dau_mau(events: DataFrame, window_days: int = 30) -> DataFrame:
             "CAST(1000000 * dau DIV greatest(mau, 1) AS BIGINT)"
         ).alias("stickiness_ppm"),
     )
+
+
+# Error budget for a 99% availability SLO, in ppm of requests — the
+# burn-rate denominators below are multiples of this budget.
+SLO_BUDGET_PPM = 10_000
+
+
+def sli_burn_rate(events: DataFrame) -> DataFrame:
+    """Multi-window SLO burn-rate audit (the Google SRE workbook
+    alerting pattern, adapted to hourly grain): treat 'error' events
+    as SLI failures against a 99% success objective, compute the
+    error rate over trailing 1 h / 6 h / 24 h windows, express each
+    as a burn-rate multiple of the error budget (rate ÷ 1%), and
+    flag paging conditions — fast burn (≥ 14.4× over 1 h: budget
+    gone in ~2 days) and slow burn (≥ 6× over both 1 h and 6 h: the
+    long window confirms, the short window proves it's still
+    burning).
+
+    Scale shape: ONE corpus shuffle to the hourly (n, errors)
+    rollup; the trailing windows are RANGE frames over the
+    hour-epoch ORDER on that rollup — a metadata-scale relation
+    (|hours|, the ewma_anomalies bound), so the partition-less
+    ordered window is bounded by construction, never corpus rows.
+    All rates are integer ppm (floor); burn multiples in centi-x
+    (100 = 1×) via exact integer DIV.
+
+    Output per hour: (hour_epoch, window_start, n_events, n_errors,
+    err_ppm_1h, err_ppm_6h, err_ppm_24h, burn_1h_centi,
+    burn_6h_centi, page_fast, page_slow).
+    """
+    hour_us = F.unix_micros(F.date_trunc("hour", F.col("ts")))
+    hourly = (
+        events.groupBy(
+            (hour_us / F.lit(3_600_000_000)).cast("long").alias("hour_epoch"),
+            # rendered alongside the epoch key (1:1) so no epoch →
+            # timestamp round-trip ever meets the session time zone
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00"
+            ).alias("window_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_errors"),
+        )
+    )
+    w6 = (
+        Window.orderBy("hour_epoch").rangeBetween(-5, 0)
+    )
+    w24 = (
+        Window.orderBy("hour_epoch").rangeBetween(-23, 0)
+    )
+    framed = hourly.select(
+        "hour_epoch",
+        "window_start",
+        "n_events",
+        "n_errors",
+        F.sum("n_events").over(w6).alias("n_6h"),
+        F.sum("n_errors").over(w6).alias("e_6h"),
+        F.sum("n_events").over(w24).alias("n_24h"),
+        F.sum("n_errors").over(w24).alias("e_24h"),
+    )
+    return framed.select(
+        "hour_epoch",
+        "window_start",
+        "n_events",
+        "n_errors",
+        F.expr("1000000 * n_errors DIV n_events").cast("long").alias(
+            "err_ppm_1h"
+        ),
+        F.expr("1000000 * e_6h DIV n_6h").cast("long").alias("err_ppm_6h"),
+        F.expr("1000000 * e_24h DIV n_24h").cast("long").alias(
+            "err_ppm_24h"
+        ),
+        F.expr(
+            f"(100 * (1000000 * n_errors DIV n_events))"
+            f" DIV {SLO_BUDGET_PPM}"
+        )
+        .cast("long")
+        .alias("burn_1h_centi"),
+        F.expr(
+            f"(100 * (1000000 * e_6h DIV n_6h)) DIV {SLO_BUDGET_PPM}"
+        )
+        .cast("long")
+        .alias("burn_6h_centi"),
+        F.expr(
+            f"(1000000 * n_errors DIV n_events) >= {144 * SLO_BUDGET_PPM // 10}"
+        ).alias("page_fast"),
+        (
+            F.expr(f"(1000000 * e_6h DIV n_6h) >= {6 * SLO_BUDGET_PPM}")
+            & F.expr(
+                f"(1000000 * n_errors DIV n_events) >= {6 * SLO_BUDGET_PPM}"
+            )
+        ).alias("page_slow"),
+    )

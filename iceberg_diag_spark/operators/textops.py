@@ -1528,6 +1528,134 @@ def bpe_merge_candidates(
     )
 
 
+# The 8-word stopword panel Gopher's "has ≥2 stop words" rule checks
+# (Rae et al. 2021, §A1.1) — deliberately NOT the full STOPWORDS list.
+GOPHER_STOP_PANEL = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021, §A1.1) — the
+    published heuristic filter stack MassiveText shipped, as a
+    per-source pass-rate audit. The five rules this corpus exercises,
+    all integer-exact (ratios as cross-multiplies, never floats):
+
+      word_count     50 ≤ tokens ≤ 100 000
+      mean_word_len  3 ≤ Σ token chars / tokens ≤ 10
+                     (3·n ≤ Σlen ≤ 10·n)
+      alpha_words    ≥ 80% of tokens contain an alphabetic char
+                     (10·hits ≥ 8·n)
+      stop_panel     ≥ 2 distinct hits on the 8-word Gopher panel
+      dup_trigrams   duplicate-trigram mass ≤ 30% of trigrams
+                     (10·dup ≤ 3·total; empty trigram set passes)
+
+    Scale: every rule is a row-local projection over ONE corpus scan
+    (token array built once and shared), then one map-side-combined
+    aggregate to the |sources| relation — the expectations_audit
+    shape. Output per source: (source, n_docs, n_pass_word_count,
+    n_pass_mean_word_len, n_pass_alpha_words, n_pass_stop_panel,
+    n_pass_dup_trigrams, n_pass_all, pass_all_ppm).
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    sum_len = F.aggregate(
+        t, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    alpha_hits = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+    panel = F.array(*[F.lit(w) for w in GOPHER_STOP_PANEL])
+    panel_hits = F.size(F.array_intersect(t, panel))
+    trigrams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.array_join(F.slice(t, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_tri = F.size(trigrams) - F.size(F.array_distinct(trigrams))
+    rules = {
+        "word_count": (n >= 50) & (n <= 100_000),
+        "mean_word_len": (sum_len >= 3 * n) & (sum_len <= 10 * n),
+        "alpha_words": alpha_hits * 10 >= n * 8,
+        "stop_panel": panel_hits >= 2,
+        "dup_trigrams": dup_tri * 10 <= F.size(trigrams) * 3,
+    }
+    flagged = ensure_parallelism(docs).select(
+        F.col(source_col).alias("source"),
+        *[c.alias(f"r_{k}") for k, c in rules.items()],
+    )
+    all_pass = F.lit(True)
+    for k in rules:
+        all_pass = all_pass & F.col(f"r_{k}")
+    return (
+        flagged.withColumn("r_all", all_pass)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            *[
+                F.sum(F.col(f"r_{k}").cast("long"))
+                .cast("long")
+                .alias(f"n_pass_{k}")
+                for k in rules
+            ],
+            F.sum(F.col("r_all").cast("long")).cast("long").alias(
+                "n_pass_all"
+            ),
+        )
+        .withColumn(
+            "pass_all_ppm",
+            F.expr("1000000 * n_pass_all DIV n_docs").cast("long"),
+        )
+    )
+
+
+def lang_id_confusion(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Confusion matrix of the stopword-voting language detector
+    against the corpus's labeled `lang` column — the detector-quality
+    audit run before trusting language gates in curation: which
+    labeled languages leak into which predictions (a label outside
+    the detector's stopword inventory, e.g. zh here, must show up as
+    'und' or systematic confusion, not silently vanish).
+
+    One scan (the voting exprs ride the projection — language_id's
+    zero-shuffle shape), one aggregate to the ≤ |labels|·|langs+1|
+    relation, then label-share via a window on that bounded matrix.
+    Output: (lang, pred_lang, n_docs, label_share_ppm).
+    """
+    from pyspark.sql.window import Window
+
+    best = language_best(text_col)
+    cells = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(lang_col).alias("lang"),
+            F.when(best["hits"] > 0, best["lang"])
+            .otherwise(F.lit("und"))
+            .alias("pred_lang"),
+        )
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return (
+        cells.withColumn("__tot", F.sum("n_docs").over(w))
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.expr("1000000 * n_docs DIV __tot").cast("long").alias(
+                "label_share_ppm"
+            ),
+        )
+    )
+
+
 # Symbol-boundary separator for the BPE trainer's wrapped-string word
 # representation: U+001F (unit separator) — not regex-\s, so the
 # whitespace tokenizer never produces it; word forms containing it are
@@ -1655,6 +1783,80 @@ def bpe_train_merges(
         ).localCheckpoint(eager=True)
         out.append(stats(i, lft, rgt, int(cnt)))
     return reduce(lambda a, b: a.unionByName(b), out)
+
+
+def zipf_fit_audit(
+    docs: DataFrame,
+    k: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law goodness-of-fit: the OLS slope of ln(frequency) on
+    ln(rank) over the top-k vocabulary — the one-number "is this
+    corpus natural language or template spam" audit (natural text
+    fits slope ≈ −1; machine-generated / boilerplate corpora flatten
+    or step). Consumes the same top-k head token_zipf_curve renders,
+    adding the regression the curve only eyeballs.
+
+    Integer-exact determinism: x = ⌊ln(rank)·10⁶⌋ and
+    y = ⌊ln(count)·10⁶⌋ floor ONCE per term, then all regression
+    sums run in DECIMAL(38,0)/HUGEINT. Because frequency is
+    non-increasing in rank BY CONSTRUCTION, cov(x, y) ≤ 0 always —
+    so the slope is computed on the flipped ordinate y' = C − y
+    (C cancels in the covariance), keeping every division
+    non-negative where Spark's truncating DIV and DuckDB's flooring
+    // agree. slope_micro = −(n·Σxy' − Σx·Σy')·10⁶ DIV
+    (n·Σx² − (Σx)²); intercept_micro follows from the floored slope
+    and the exact sums.
+
+    Scale: one tokenize+explode scan into the token hash aggregate,
+    TakeOrderedAndProject for the global top-k (map-side partial
+    top-k, never a vocab sort), then a k-row bounded window and one
+    1-row aggregate. Output (one row): (n_terms, zipf_slope_micro,
+    intercept_micro).
+    """
+    from pyspark.sql.window import Window
+
+    c_flip = 64_000_000  # > ln(2^63)·1e6 — any int64 count flips positive
+    counts = (
+        ensure_parallelism(docs)
+        .select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))  # bounded: k rows
+    xy = counts.select(
+        F.row_number().over(w).alias("rnk"), "cnt"
+    ).select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 1e6)
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1e6)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("x") * (F.lit(c_flip) - F.col("y"))).alias("sxyf"),
+        F.sum(F.lit(c_flip) - F.col("y")).alias("syf"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.expr(
+            "CAST(-((n * sxyf - sx * syf) * 1000000"
+            " DIV (n * sx2 - sx * sx)) AS BIGINT)"
+        ).alias("zipf_slope_micro"),
+        F.expr(
+            "CAST((sy * 1000000"
+            " + ((n * sxyf - sx * syf) * 1000000 DIV (n * sx2 - sx * sx))"
+            "   * sx) DIV (n * 1000000) AS BIGINT)"
+        ).alias("intercept_micro"),
+    )
 
 
 def source_quality_calibration(

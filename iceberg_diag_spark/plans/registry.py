@@ -11717,6 +11717,301 @@ REGISTRY.update({
     ),
 })
 
+# ------------------------------------------------------------------
+# Round 9: Gopher rule battery, detector confusion, Zipf OLS fit,
+# SLO burn rate, MinHash estimator calibration
+# ------------------------------------------------------------------
+
+def _gopher_rules_audit(spark, sf_dir):
+    return textops.gopher_rules_audit(_t(spark, sf_dir, "documents"))
+
+
+_GOPHER_PANEL_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+_GOPHER_RULES_SQL = rf"""
+WITH norm AS (
+  SELECT source,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+per AS (
+  SELECT source,
+         len(toks) AS n,
+         list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS sum_len,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_hits,
+         len(list_distinct(list_intersect(toks, {_GOPHER_PANEL_SQL}))) AS panel_hits,
+         CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END AS tri_n,
+         CASE WHEN len(toks) >= 3 THEN
+           len(toks) - 2 - len(list_distinct(list_transform(
+             generate_series(0, len(toks) - 3),
+             i -> array_to_string(toks[i + 1 : i + 3], ' '))))
+         ELSE 0 END AS tri_dup
+  FROM norm
+),
+flags AS (
+  SELECT source,
+         (n >= 50 AND n <= 100000) AS r_word_count,
+         (sum_len >= 3 * n AND sum_len <= 10 * n) AS r_mean_word_len,
+         (alpha_hits * 10 >= n * 8) AS r_alpha_words,
+         (panel_hits >= 2) AS r_stop_panel,
+         (tri_dup * 10 <= tri_n * 3) AS r_dup_trigrams
+  FROM per
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN r_word_count THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_word_count,
+       CAST(sum(CASE WHEN r_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_mean_word_len,
+       CAST(sum(CASE WHEN r_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_alpha_words,
+       CAST(sum(CASE WHEN r_stop_panel THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_stop_panel,
+       CAST(sum(CASE WHEN r_dup_trigrams THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_dup_trigrams,
+       CAST(sum(CASE WHEN r_word_count AND r_mean_word_len AND r_alpha_words
+                      AND r_stop_panel AND r_dup_trigrams THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pass_all,
+       CAST((1000000 * sum(CASE WHEN r_word_count AND r_mean_word_len
+                                 AND r_alpha_words AND r_stop_panel
+                                 AND r_dup_trigrams THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS pass_all_ppm
+FROM flags GROUP BY source
+"""
+
+
+def _lang_id_confusion(spark, sf_dir):
+    return textops.lang_id_confusion(_t(spark, sf_dir, "documents"))
+
+
+_LANG_CONFUSION_SQL = rf"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+scores AS (
+  SELECT doc_id, lang, 'de' AS cand, len(list_intersect(toks, {{de}})) AS hits FROM norm
+  UNION ALL
+  SELECT doc_id, lang, 'en', len(list_intersect(toks, {{en}})) FROM norm
+  UNION ALL
+  SELECT doc_id, lang, 'es', len(list_intersect(toks, {{es}})) FROM norm
+  UNION ALL
+  SELECT doc_id, lang, 'fr', len(list_intersect(toks, {{fr}})) FROM norm
+),
+best AS (
+  SELECT doc_id, lang, cand, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand DESC) AS rn
+  FROM scores
+),
+cells AS (
+  SELECT lang, CASE WHEN hits > 0 THEN cand ELSE 'und' END AS pred_lang,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM best WHERE rn = 1 GROUP BY 1, 2
+)
+SELECT lang, pred_lang, n_docs,
+       CAST((1000000 * n_docs) // sum(n_docs) OVER (PARTITION BY lang)
+            AS BIGINT) AS label_share_ppm
+FROM cells
+""".format(
+    de=_lang_list_sql("de"),
+    en=_lang_list_sql("en"),
+    es=_lang_list_sql("es"),
+    fr=_lang_list_sql("fr"),
+)
+
+
+def _zipf_fit_audit(spark, sf_dir):
+    return textops.zipf_fit_audit(_t(spark, sf_dir, "documents"))
+
+
+_ZIPF_FIT_SQL = r"""
+WITH counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+  GROUP BY tok
+  ORDER BY cnt DESC, tok
+  LIMIT 1000
+),
+xy AS (
+  SELECT CAST(floor(ln(rnk) * 1000000) AS HUGEINT) AS x,
+         CAST(floor(ln(cnt) * 1000000) AS HUGEINT) AS y
+  FROM (SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+        FROM counts)
+),
+a AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sx2,
+         sum(x * (64000000 - y)) AS sxyf, sum(64000000 - y) AS syf
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       CAST(-((n * sxyf - sx * syf) * 1000000 // (n * sx2 - sx * sx))
+            AS BIGINT) AS zipf_slope_micro,
+       CAST((sy * 1000000
+             + ((n * sxyf - sx * syf) * 1000000 // (n * sx2 - sx * sx)) * sx)
+            // (n * 1000000) AS BIGINT) AS intercept_micro
+FROM a
+"""
+
+
+def _events_sli_burn_rate(spark, sf_dir):
+    return events.sli_burn_rate(_t(spark, sf_dir, "events"))
+
+
+_SLI_BURN_SQL = """
+WITH hourly AS (
+  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hour_epoch,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY 1, 2
+),
+framed AS (
+  SELECT hour_epoch, window_start, n_events, n_errors,
+         sum(n_events) OVER w6 AS n_6h, sum(n_errors) OVER w6 AS e_6h,
+         sum(n_events) OVER w24 AS n_24h, sum(n_errors) OVER w24 AS e_24h
+  FROM hourly
+  WINDOW w6 AS (ORDER BY hour_epoch RANGE BETWEEN 5 PRECEDING AND CURRENT ROW),
+         w24 AS (ORDER BY hour_epoch RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT hour_epoch, window_start, n_events, n_errors,
+       CAST((1000000 * n_errors) // n_events AS BIGINT) AS err_ppm_1h,
+       CAST((1000000 * e_6h) // n_6h AS BIGINT) AS err_ppm_6h,
+       CAST((1000000 * e_24h) // n_24h AS BIGINT) AS err_ppm_24h,
+       CAST((100 * ((1000000 * n_errors) // n_events)) // 10000 AS BIGINT)
+         AS burn_1h_centi,
+       CAST((100 * ((1000000 * e_6h) // n_6h)) // 10000 AS BIGINT)
+         AS burn_6h_centi,
+       ((1000000 * n_errors) // n_events) >= 144000 AS page_fast,
+       (((1000000 * e_6h) // n_6h) >= 60000
+        AND ((1000000 * n_errors) // n_events) >= 60000) AS page_slow
+FROM framed
+"""
+
+
+def _minhash_estimator_audit(spark, sf_dir):
+    return dedup.minhash_estimator_audit(_t(spark, sf_dir, "documents"))
+
+
+# Pairs CTE = _MINHASH_PAIRS_SQL verbatim (production banding, exact
+# collapse + star); signatures and distinct shingles re-derived over
+# ALL documents so collapsed star members score too.
+_MINHASH_ESTIMATOR_SQL = (
+    r"""
+WITH pairs AS (SELECT * FROM (
+"""
+    + _MINHASH_PAIRS_SQL.strip()
+    + r"""
+)),
+anorm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+agrams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 3 THEN
+             list_transform(generate_series(0, len(toks) - 3),
+                            i -> array_to_string(toks[i + 1 : i + 3], ' '))
+           ELSE [] END) AS gram
+    FROM anorm
+  )
+),
+ahh AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(gram), 1, 8))::BIGINT AS g1,
+         ('0x' || substring(md5(gram), 9, 8))::BIGINT AS g2
+  FROM agrams
+),
+asig AS (
+  SELECT doc_id, seed, min((g1 + seed * g2) % 4294967296) AS minhash
+  FROM ahh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, seed
+),
+est AS (
+  SELECT p.doc_a, p.doc_b, p.n_shared_bands,
+         CAST((1000000 * sum(CASE WHEN sa.minhash = sb.minhash
+                                  THEN 1 ELSE 0 END)) // 16 AS BIGINT)
+           AS est_jaccard_ppm
+  FROM pairs p
+  JOIN asig sa ON sa.doc_id = p.doc_a
+  JOIN asig sb ON sb.doc_id = p.doc_b AND sb.seed = sa.seed
+  GROUP BY 1, 2, 3
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+  FROM agrams GROUP BY doc_id
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN agrams ga ON ga.doc_id = p.doc_a
+  JOIN agrams gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT p.doc_a, p.doc_b,
+         CASE WHEN coalesce(za.n_grams, 0) + coalesce(zb.n_grams, 0) = 0
+              THEN CAST(1000000 AS BIGINT)
+              ELSE CAST((1000000 * coalesce(i.n_inter, 0))
+                        // (coalesce(za.n_grams, 0) + coalesce(zb.n_grams, 0)
+                            - coalesce(i.n_inter, 0)) AS BIGINT) END
+           AS exact_jaccard_ppm
+  FROM pairs p
+  LEFT JOIN sizes za ON za.doc_id = p.doc_a
+  LEFT JOIN sizes zb ON zb.doc_id = p.doc_b
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.n_shared_bands, e.est_jaccard_ppm,
+       x.exact_jaccard_ppm,
+       CAST(e.est_jaccard_ppm - x.exact_jaccard_ppm AS BIGINT) AS err_ppm
+FROM est e JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+"""
+)
+
+REGISTRY.update({
+    "gopher_rules_audit": QuerySpec(
+        _gopher_rules_audit, _GOPHER_RULES_SQL,
+        "Gopher (Rae et al. 2021) quality-rule battery as a "
+        "per-source pass-rate audit: five published heuristics as "
+        "integer cross-multiplies riding ONE corpus scan + one "
+        "map-side aggregate to the sources relation",
+    ),
+    "lang_id_confusion": QuerySpec(
+        _lang_id_confusion, _LANG_CONFUSION_SQL,
+        "confusion matrix of the stopword-voting detector vs the "
+        "labeled lang column: zero-shuffle voting projection, one "
+        "aggregate to the bounded label*prediction matrix, "
+        "label-share window on that matrix only",
+    ),
+    "zipf_fit_audit": QuerySpec(
+        _zipf_fit_audit, _ZIPF_FIT_SQL,
+        "OLS fit of ln(freq) on ln(rank) over the top-1000 "
+        "vocabulary: token hash-agg + TakeOrderedAndProject top-k, "
+        "k-row bounded rank window, one DECIMAL-exact regression "
+        "aggregate (flipped ordinate keeps every floor-division "
+        "non-negative where Spark DIV and DuckDB // agree)",
+    ),
+    "events_sli_burn_rate": QuerySpec(
+        _events_sli_burn_rate, _SLI_BURN_SQL,
+        "multi-window SLO burn-rate audit (SRE workbook pattern at "
+        "hourly grain): one shuffle to the hourly rollup, trailing "
+        "6h/24h RANGE frames on the metadata-scale hour relation, "
+        "integer ppm rates + centi-x burn multiples + fast/slow "
+        "paging flags against a 99% objective",
+    ),
+    "minhash_estimator_audit": QuerySpec(
+        _minhash_estimator_audit, _MINHASH_ESTIMATOR_SQL,
+        "MinHash estimator calibration on the production candidate "
+        "pairs: sketched Jaccard (matching signature coordinates/16) "
+        "vs exact distinct-shingle Jaccard with signed error; "
+        "bounded by the banding's pairs, signature joined twice on "
+        "uniform ids, shingle intersection via the containment-join "
+        "shape",
+    ),
+})
+
 # Evaluation-order hedge: the correctness harness records rows for
 # exactly the first 50 registry entries (confirmed across rounds 1-3).
 # With 101 entries, ordering decides which queries get a FRESH

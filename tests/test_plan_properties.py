@@ -269,6 +269,12 @@ _SCALAR_CROSS_OK = {
     "embedding_pca_power",       # broadcast 1-row Gram scalars / max
                                  #   / share over the dim²-row matrix
                                  #   relation (metadata scale)
+    "doc_kn_nll",                # broadcast 1-row distinct-bigram
+                                 #   total (the bigram_kneser_ney CTEs)
+    "doc_kn_perplexity",         # same shared KN scoring core
+    "lsh_near_dup_tuned",        # broadcast 1-row advisor pick
+                                 #   (bands, rows_per_band) attached to
+                                 #   keys / star / output relations
 }
 
 

@@ -212,3 +212,141 @@ def test_bpe_train_merges_hand_computed(spark):
         1_000_000 * rows[0]["corpus_symbols"] // total_words
     )
     assert rows[4]["fertility_ppm"] < rows[0]["fertility_ppm"]
+
+
+def test_gopher_rules_planted_failures(spark):
+    """One doc per rule violation, one clean doc — each rule's pass
+    count must miss exactly its violator."""
+    from iceberg_diag_spark.operators.textops import gopher_rules_audit
+
+    # every doc violates EXACTLY one rule (all tokens distinct unless
+    # the repetition rule itself is the target)
+    clean = "the and " + " ".join(f"word{i:02d}" for i in range(58))
+    short = "the and of words here"  # 5 tokens < 50 -> word_count fails
+    longtok = "the and " + " ".join(
+        f"extraordinarilylongword{i:02d}" for i in range(58)
+    )  # mean word length (6 + 58*25)/60 ~ 24 > 10
+    numeric = "the and " + " ".join(
+        f"{i:02d}999" for i in range(58)
+    )  # 2/60 alphabetic tokens < 80%
+    nostop = " ".join(
+        f"wrd{i:02d}" for i in range(60)
+    )  # 60 tokens, mean len 5, zero panel hits
+    repeat = " ".join(
+        ["the cat and dog run"] * 12
+    )  # dup-trigram heavy; mean len exactly 3.0 still passes
+    docs = spark.createDataFrame(
+        [
+            (1, clean, "s"),
+            (2, short, "s"),
+            (3, longtok, "s"),
+            (4, numeric, "s"),
+            (5, nostop, "s"),
+            (6, repeat, "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    r = gopher_rules_audit(docs).collect()[0]
+    assert r["n_docs"] == 6
+    assert r["n_pass_word_count"] == 5       # doc 2 out
+    assert r["n_pass_mean_word_len"] == 5    # doc 3 out
+    assert r["n_pass_alpha_words"] == 5      # doc 4 out
+    assert r["n_pass_stop_panel"] == 5       # doc 5 out
+    assert r["n_pass_dup_trigrams"] == 5     # doc 6 out
+    assert r["n_pass_all"] == 1
+    assert r["pass_all_ppm"] == 1_000_000 // 6
+
+
+def test_sli_burn_rate_planted_burst(spark):
+    """Hour 3 is a full outage (all errors): page_fast fires there
+    (err rate 1e6 >= 144000 ppm) and the 6h window carries elevated
+    error mass into later hours; a clean hour pages nothing."""
+    from iceberg_diag_spark.operators.events import sli_burn_rate
+
+    rows = []
+    eid = 0
+    for h in range(8):
+        for i in range(100):
+            eid += 1
+            etype = "error" if (h == 3) else ("error" if i < 1 else "view")
+            rows.append(
+                (eid, f"2024-01-01 {h:02d}:{i % 60:02d}:00", 1, etype, 1.0)
+            )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["hour_epoch"] % 24: r for r in sli_burn_rate(ev).collect()}
+    burst = out[3]
+    assert burst["err_ppm_1h"] == 1_000_000
+    assert burst["page_fast"] and burst["page_slow"]
+    assert burst["burn_1h_centi"] == 10_000  # 100x budget
+    clean = out[1]
+    assert clean["err_ppm_1h"] == 10_000  # 1% baseline
+    assert not clean["page_fast"] and not clean["page_slow"]
+    # trailing 6h window still sees the burst at hour 5
+    assert out[5]["err_ppm_6h"] > 100_000
+    assert not out[5]["page_fast"]
+
+
+def test_minhash_estimator_exact_dup_calibration(spark):
+    """An exact-duplicate star pair must score est = exact = 1e6 with
+    zero error; a moderate near-dup pair's estimate quantizes to
+    sixteenths with the exact value inside the estimator's reach."""
+    from iceberg_diag_spark.operators.dedup import minhash_estimator_audit
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(
+        f"tok{i}" if i >= 8 else f"alt{i}" for i in range(40)
+    )
+    docs = spark.createDataFrame(
+        [(1, base, "s"), (2, base, "s"), (3, near, "s")],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r
+            for r in minhash_estimator_audit(docs).collect()}
+    star = rows[(1, 2)]
+    assert star["est_jaccard_ppm"] == 1_000_000
+    assert star["exact_jaccard_ppm"] == 1_000_000
+    assert star["err_ppm"] == 0
+    if (1, 3) in rows:
+        nd = rows[(1, 3)]
+        assert nd["est_jaccard_ppm"] % 62_500 == 0  # sixteenths
+        assert 0 < nd["exact_jaccard_ppm"] < 1_000_000
+
+
+def test_zipf_fit_slope_near_minus_one_on_zipf_corpus(spark):
+    """A corpus built with freq(rank r) = 240 // r follows Zipf with
+    exponent 1, so the fitted slope must sit near -1e6 micro."""
+    from iceberg_diag_spark.operators.textops import zipf_fit_audit
+
+    toks = []
+    for r in range(1, 41):
+        toks += [f"t{r:03d}"] * (240 // r)
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks), "s")], "doc_id long, text string, source string"
+    )
+    row = zipf_fit_audit(docs, k=40).collect()[0]
+    assert row["n_terms"] == 40
+    assert -1_100_000 < row["zipf_slope_micro"] < -900_000
+    # intercept ~ ln(240)*1e6 ~ 5.48e6
+    assert 5_000_000 < row["intercept_micro"] < 6_000_000
+
+
+def test_lang_confusion_unknown_label_maps_to_und_or_leaks(spark):
+    """A labeled language outside the detector inventory (zh) must
+    appear in the matrix — never silently vanish — and clean English
+    rows must land on the (en, en) diagonal with full label share."""
+    from iceberg_diag_spark.operators.textops import lang_id_confusion
+
+    en = "the cat and the dog have been to the house with many others"
+    zh_fake = "zh1 zh2 zh3 zh4 zh5 zh6 zh7 zh8"
+    docs = spark.createDataFrame(
+        [(1, en, "en"), (2, en, "en"), (3, zh_fake, "zh")],
+        "doc_id long, text string, lang string",
+    ).withColumn("source", F.lit("s"))
+    cells = {(r["lang"], r["pred_lang"]): r
+             for r in lang_id_confusion(docs).collect()}
+    assert cells[("en", "en")]["n_docs"] == 2
+    assert cells[("en", "en")]["label_share_ppm"] == 1_000_000
+    assert cells[("zh", "und")]["n_docs"] == 1
