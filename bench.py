@@ -219,6 +219,16 @@ HEADLINE = [
     "events_session_funnel",
     "lsh_param_advisor",
     "events_dau_mau",
+    # round 9 additions
+    "doc_kn_nll",
+    "doc_kn_perplexity",
+    "lsh_near_dup_tuned",
+    "bpe_train_merges",
+    "gopher_rules_audit",
+    "lang_id_confusion",
+    "zipf_fit_audit",
+    "events_sli_burn_rate",
+    "minhash_estimator_audit",
 ]
 
 

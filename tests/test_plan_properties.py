@@ -313,6 +313,12 @@ _BOUNDED_COLLECT_OK = {
     "source_overlap",       # collect_set(src) bounded by #sources
     "user_event_paths",     # per-user path, truncated to first k events
     "minhash_pairs",        # LSH bucket ids: exact dups pre-collapsed,
+    "lsh_near_dup_tuned",   #   same bucket relation under the tuned
+                            #   (bands, rows) pick — still exact-
+                            #   collapsed, near-identical docs only
+    "minhash_estimator_audit",  # audits the same candidate-pair
+                                #   bucket relation (production chain
+                                #   embedded verbatim)
     "ngram_jaccard",        #   bucket = near-identical docs only
     "ngram_containment",    #   same LSH candidate chain as jaccard
     "near_dup_rate_by_source",  # same LSH bucket relation as above
