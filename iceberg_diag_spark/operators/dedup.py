@@ -1746,6 +1746,9 @@ def lsh_near_dup_tuned(
     Output: (doc_a, doc_b, n_shared_bands, bands, rows_per_band).
     """
     adv = lsh_param_advisor(docs, text_col, id_col)
+    # the 1-row pick is broadcast to three consumers; checkpoint it so
+    # each does NOT replay the advisor's full histogram chain (the
+    # no-cross-branch-reuse gotcha — 3x the advisor cost unchecked)
     pick = (
         adv.orderBy(
             F.expr(f"catch_at_70_ppm >= {recall_floor_ppm}").desc(),
@@ -1757,9 +1760,13 @@ def lsh_near_dup_tuned(
         )
         .limit(1)
         .select("bands", "rows_per_band")
+        .localCheckpoint(eager=False)
     )
 
-    marked = content_rep_marks(docs, text_col, id_col)
+    # narrow per-doc mark relation, consumed by star AND keep filter
+    marked = content_rep_marks(docs, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     star = marked.filter(F.col(id_col) != F.col("__keep")).select(
         F.col("__keep").alias("doc_a"), F.col(id_col).alias("doc_b")
     )
@@ -1925,10 +1932,17 @@ def minhash_estimator_audit(
     Output: (doc_a, doc_b, n_shared_bands, est_jaccard_ppm,
     exact_jaccard_ppm, err_ppm).
     """
+    # three consumers each for the pair set and the shingle relation,
+    # two for the wide signature — checkpoint all three so no branch
+    # replays the banding / signature / shingle lineage (measured 18
+    # parquet scans unchecked; the funnel's materialize-vs-rescan
+    # argument, and pairs/wide are tiny)
     pairs = minhash_candidate_pairs(
         docs, text_col, id_col, num_hashes, bands=4, ngram=ngram
-    )
-    wide = minhash_signatures_wide(docs, text_col, id_col, num_hashes, ngram)
+    ).localCheckpoint(eager=False)
+    wide = minhash_signatures_wide(
+        docs, text_col, id_col, num_hashes, ngram
+    ).localCheckpoint(eager=False)
     wa = wide.select(
         F.col(id_col).alias("doc_a"),
         *[F.col(f"h{s}").alias(f"a{s}") for s in range(num_hashes)],
@@ -1953,7 +1967,11 @@ def minhash_estimator_audit(
             .alias("est_jaccard_ppm"),
         )
     )
-    grams = word_ngram_rows(docs, text_col, id_col, ngram).distinct()
+    grams = (
+        word_ngram_rows(docs, text_col, id_col, ngram)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sizes = grams.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_grams")
     )

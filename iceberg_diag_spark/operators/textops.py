@@ -2785,6 +2785,13 @@ def doc_kn_nll(
         F.expr("get(split(gram, ' '), 0)").alias("w1"),
         F.expr("get(split(gram, ' '), 1)").alias("w2"),
     )
+    # Four branches (left/right/ntot/scores) consume c2; without a
+    # checkpoint each replays the corpus tokenize+aggregate lineage
+    # (no cross-branch reuse — measured 12 parquet scans in this one
+    # plan). The checkpointed relation is vocabulary-scale
+    # (distinct bigrams, Heaps-sublinear), the cheap side of the
+    # materialize-vs-rescan trade.
+    c2 = c2.localCheckpoint(eager=False)
     left = c2.groupBy("w1").agg(
         F.sum("c2").alias("c1w"),
         F.count(F.lit(1)).alias("n1p_w1"),
@@ -2872,7 +2879,12 @@ def doc_kn_perplexity(
     """
     from pyspark.sql.window import Window
 
-    scored = doc_kn_nll(docs, min_pair, text_col, id_col, source_col)
+    # per-doc relation (~40 B/doc) consumed by the edge sketch, the
+    # shard assignment, and the size/offset branches — checkpoint so
+    # none of them replays the full KN scoring lineage
+    scored = doc_kn_nll(
+        docs, min_pair, text_col, id_col, source_col
+    ).localCheckpoint(eager=False)
     probs = [i / n_shards for i in range(1, n_shards)]
     edges = scored.groupBy("source").agg(
         F.percentile_approx("avg_nll_micro", probs, 10_000).alias("__edges")
