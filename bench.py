@@ -229,6 +229,9 @@ HEADLINE = [
     "zipf_fit_audit",
     "events_sli_burn_rate",
     "minhash_estimator_audit",
+    "bpe_vocab_coverage",
+    "neardup_source_modularity",
+    "events_holt_forecast",
 ]
 
 

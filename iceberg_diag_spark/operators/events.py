@@ -1675,3 +1675,86 @@ def sli_burn_rate(events: DataFrame) -> DataFrame:
             )
         ).alias("page_slow"),
     )
+
+
+def holt_forecast(events: DataFrame) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over the per-type
+    hourly count series — the trend-aware upgrade of ewma_anomalies'
+    level-only baseline and the model-quality complement of
+    seasonal_naive_eval: one-step-ahead forecasts are scored as the
+    fold runs (MAE over all predicted hours), and the final
+    level+trend state yields the next-hour forecast.
+
+        l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})      α = 1/4
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}      β = 1/4
+
+    Integer exactness with SIGNED state: the trend (and transiently
+    the level sum) can be negative, where Spark's truncating DIV and
+    DuckDB's flooring // disagree — so every /4 is computed as
+    (x − pmod(x, 4)) DIV 4 (subtract the non-negative remainder
+    first; the division is then exact, and exact division is
+    engine-independent). All state is 2^10-scaled.
+
+    Scale shape: the ewma_anomalies contract — one corpus shuffle to
+    the (type, hour) rollup, then each type's BOUNDED hourly series
+    collapses to a sorted array and folds in one JVM higher-order
+    aggregate; the oracle replays the identical recursion as a
+    recursive CTE. Initialization: l seeds at the first hour,
+    b at 0; forecasting starts at the second hour.
+
+    Output per type: (event_type, n_hours, n_predicted, mae_milli,
+    level_final_scaled, trend_final_scaled, forecast_next_scaled).
+    """
+    scale = 1 << 10
+    hourly = events.groupBy(
+        F.col("event_type"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00")
+        .alias("ws"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    series = hourly.groupBy("event_type").agg(
+        F.expr(
+            "array_sort(collect_list(named_struct('ws', ws, 'c', c)))"
+        ).alias("h")
+    )
+
+    def fdiv4(x: str) -> str:
+        return f"(({x}) - pmod({x}, 4)) DIV 4"
+
+    lsum = f"({scale} * x.c + 3 * (acc.l + acc.b))"
+    lnew = fdiv4(lsum)
+    bsum = f"(({lnew}) - acc.l + 3 * acc.b)"
+    bnew = fdiv4(bsum)
+    fold = f"""
+    aggregate(
+      h,
+      named_struct('l', cast(-1 as bigint), 'b', cast(0 as bigint),
+                   'n', cast(0 as bigint), 'sae', cast(0 as bigint)),
+      (acc, x) -> CASE WHEN acc.l < 0 THEN
+          named_struct('l', {scale} * x.c, 'b', cast(0 as bigint),
+                       'n', cast(0 as bigint), 'sae', cast(0 as bigint))
+        ELSE named_struct(
+          'l', {lnew},
+          'b', {bnew},
+          'n', acc.n + 1,
+          'sae', acc.sae + abs({scale} * x.c - (acc.l + acc.b)))
+        END,
+      acc -> acc)
+    """
+    return series.select(
+        "event_type",
+        F.size("h").cast("long").alias("n_hours"),
+        F.expr(fold).alias("st"),
+    ).select(
+        "event_type",
+        "n_hours",
+        F.col("st.n").cast("long").alias("n_predicted"),
+        F.expr(
+            f"CASE WHEN st.n = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE CAST(1000 * st.sae DIV ({scale} * st.n) AS BIGINT) END"
+        ).alias("mae_milli"),
+        F.col("st.l").cast("long").alias("level_final_scaled"),
+        F.col("st.b").cast("long").alias("trend_final_scaled"),
+        (F.col("st.l") + F.col("st.b")).cast("long").alias(
+            "forecast_next_scaled"
+        ),
+    )

@@ -173,3 +173,96 @@ def kcore(
             "`rounds` for graphs beyond the near-dup regime"
         )
     return final.select(F.col("src").alias(id_col), "core_degree")
+
+
+def source_modularity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Newman modularity of the SOURCE partition over the near-dup
+    candidate graph — the one-number answer to "is duplication
+    source-assortative?": intra-site boilerplate drives Q toward the
+    partition maximum, cross-source syndication/plagiarism drives it
+    toward (and below) zero. Per-source contributions localize which
+    domains dominate either regime.
+
+        Q = Σ_c [ m_c/m − (d_c / 2m)² ]
+
+    with m = candidate edges, m_c = intra-source edges, d_c = endpoint
+    degree mass of source c. Unlike the connected-components collapse
+    (whose partition makes every edge intra-cluster by construction),
+    the source labels are an EXTERNAL partition, so Q is informative.
+
+    Scale: one production banding pass for the pairs, two uniform-id
+    joins to label endpoints, then everything aggregates to the
+    |sources| relation; the edge total is a broadcast 1-row scalar.
+    Per-source terms can be negative, so the integer division uses
+    the shift trick ((X + K·Y) DIV Y − K) where Spark's truncating
+    DIV and DuckDB's flooring // agree; all products in
+    DECIMAL(38,0) (m² passes int64 only to m ≈ 3e9 edges).
+
+    Output per source with ≥1 labeled endpoint: (source, degree_sum,
+    intra_edges, q_contrib_micro); Q_micro = Σ q_contrib_micro.
+    """
+    from iceberg_diag_spark.operators.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(
+        docs, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=False)
+    lab = docs.select(F.col(id_col), F.col(source_col).alias("src"))
+    e = (
+        pairs.select("doc_a", "doc_b")
+        .join(
+            lab.withColumnRenamed(id_col, "doc_a").withColumnRenamed(
+                "src", "src_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            lab.withColumnRenamed(id_col, "doc_b").withColumnRenamed(
+                "src", "src_b"
+            ),
+            "doc_b",
+        )
+        .localCheckpoint(eager=False)  # consumed by m / intra / degrees
+    )
+    m_rel = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    intra = (
+        e.filter(F.col("src_a") == F.col("src_b"))
+        .groupBy(F.col("src_a").alias("source"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    deg = (
+        e.select(F.col("src_a").alias("source"))
+        .unionByName(e.select(F.col("src_b").alias("source")))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree_sum"))
+    )
+    return (
+        deg.join(intra, "source", "left")
+        .select(
+            "source",
+            "degree_sum",
+            F.coalesce(F.col("intra_edges"), F.lit(0))
+            .cast("long")
+            .alias("intra_edges"),
+        )
+        .crossJoin(F.broadcast(m_rel))
+        .select(
+            "source",
+            "degree_sum",
+            "intra_edges",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                "        * (4 * CAST(m AS DECIMAL(38,0)) * intra_edges"
+                "           - CAST(degree_sum AS DECIMAL(38,0))"
+                "             * degree_sum)"
+                "      + CAST(1000000 AS DECIMAL(38,0))"
+                "        * (4 * CAST(m AS DECIMAL(38,0)) * m))"
+                " DIV (4 * CAST(m AS DECIMAL(38,0)) * m)"
+                " - 1000000 AS BIGINT)"
+            ).alias("q_contrib_micro"),
+        )
+    )

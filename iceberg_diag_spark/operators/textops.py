@@ -1706,6 +1706,39 @@ def bpe_train_merges(
     """
     from functools import reduce
 
+    w_rels, merges, wtot = _bpe_train(docs, k, text_col)
+    sym_count = F.expr(
+        "(length(s) - length(replace(s, chr(31), ''))) DIV 2"
+    )
+
+    def stats(step: int, lft: str, rgt: str, cnt: int) -> DataFrame:
+        return w_rels[step].agg(
+            F.sum(F.col("wc") * sym_count).alias("ts")
+        ).select(
+            F.lit(step).cast("long").alias("step"),
+            F.lit(lft).alias("left_sym"),
+            F.lit(rgt).alias("right_sym"),
+            F.lit(cnt).cast("long").alias("merge_count"),
+            F.col("ts").cast("long").alias("corpus_symbols"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * ts"
+                f" DIV {wtot} AS BIGINT)"
+            ).alias("fertility_ppm"),
+        )
+
+    out = [stats(0, "", "", 0)] + [
+        stats(i, lft, rgt, cnt)
+        for i, (lft, rgt, cnt) in enumerate(merges, 1)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), out)
+
+
+def _bpe_train(docs, k, text_col):
+    """Shared BPE training loop (see bpe_train_merges for the
+    relational contract). Returns (w_rels, merges, wtot): w_rels[i]
+    is the eager-checkpointed wrapped word relation after i merges,
+    merges is [(left, right, count)] in application order, wtot the
+    total word occurrences (fertility denominator)."""
     sep = BPE_SEP
     words = (
         ensure_parallelism(docs)
@@ -1722,27 +1755,8 @@ def bpe_train_merges(
     # total word occurrences: the constant fertility denominator
     # (one bounded scalar to the driver; oracle recomputes it)
     wtot = w_rel.agg(F.sum("wc")).collect()[0][0] or 1
-
-    sym_count = F.expr(
-        "(length(s) - length(replace(s, chr(31), ''))) DIV 2"
-    )
-
-    def stats(step: int, lft: str, rgt: str, cnt: int) -> DataFrame:
-        return w_rel.agg(
-            F.sum(F.col("wc") * sym_count).alias("ts")
-        ).select(
-            F.lit(step).cast("long").alias("step"),
-            F.lit(lft).alias("left_sym"),
-            F.lit(rgt).alias("right_sym"),
-            F.lit(cnt).cast("long").alias("merge_count"),
-            F.col("ts").cast("long").alias("corpus_symbols"),
-            F.expr(
-                "CAST(CAST(1000000 AS DECIMAL(38,0)) * ts"
-                f" DIV {wtot} AS BIGINT)"
-            ).alias("fertility_ppm"),
-        )
-
-    out = [stats(0, "", "", 0)]
+    w_rels = [w_rel]
+    merges: list[tuple[str, str, int]] = []
     for i in range(1, k + 1):
         syms = F.split(
             F.expr("trim(BOTH chr(31) FROM s)"), sep + sep
@@ -1771,7 +1785,7 @@ def bpe_train_merges(
                 f"corpus exhausted adjacent symbol pairs after {i - 1} "
                 f"merges; lower k (requested {k})"
             )
-        lft, rgt, cnt = top[0]["lft"], top[0]["rgt"], top[0]["cnt"]
+        lft, rgt, cnt = top[0]["lft"], top[0]["rgt"], int(top[0]["cnt"])
         w_rel = w_rel.select(
             "w",
             "wc",
@@ -1781,8 +1795,96 @@ def bpe_train_merges(
                 F.lit(sep + lft + rgt + sep),
             ).alias("s"),
         ).localCheckpoint(eager=True)
-        out.append(stats(i, lft, rgt, int(cnt)))
-    return reduce(lambda a, b: a.unionByName(b), out)
+        w_rels.append(w_rel)
+        merges.append((lft, rgt, cnt))
+    return w_rels, merges, wtot
+
+
+def bpe_vocab_coverage(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Apply the trained BPE merge table to the corpus and audit the
+    resulting tokenizer PER SOURCE — the deployment half of
+    bpe_train_merges (train on the pooled corpus, then ask which
+    domains the learned vocabulary actually serves): subwords per
+    word (fertility) under the trained tokenizer vs the
+    all-characters baseline, and what share of emitted symbols are
+    merged multi-character units (merge coverage — a domain the
+    merges ignore stays at character soup).
+
+    Shape: training touches the token stream once (the _bpe_train
+    contract); application is FREE — the trained word-form relation
+    IS the encoded corpus — so the only additions are one
+    (source, word) count aggregate and a vocabulary-scale join of
+    per-source counts onto the encoded forms. Per-word symbol splits
+    are row-local bounded array ops.
+
+    Output per source: (source, words, chars, subwords,
+    merged_subwords, fertility_ppm, baseline_fertility_ppm,
+    merged_share_ppm).
+    """
+    sep = BPE_SEP
+    w_rels, _merges, _wtot = _bpe_train(docs, k, text_col)
+    encoded = w_rels[-1]
+    per_source = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        )
+        .filter((F.col("w") != "") & (~F.col("w").contains(sep)))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc_s"))
+    )
+    syms = F.split(F.expr("trim(BOTH chr(31) FROM s)"), sep + sep)
+    enc = encoded.select(
+        "w",
+        F.expr(
+            "(length(s) - length(replace(s, chr(31), ''))) DIV 2"
+        ).alias("n_sub"),
+        F.size(F.filter(syms, lambda x: F.length(x) > 1)).alias("n_merged"),
+        F.length("w").alias("n_chars"),
+    )
+    return (
+        per_source.join(enc, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("wc_s").cast("long").alias("words"),
+            F.sum(F.col("wc_s") * F.col("n_chars")).cast("long").alias(
+                "chars"
+            ),
+            F.sum(F.col("wc_s") * F.col("n_sub")).cast("long").alias(
+                "subwords"
+            ),
+            F.sum(F.col("wc_s") * F.col("n_merged")).cast("long").alias(
+                "merged_subwords"
+            ),
+        )
+        .select(
+            "source",
+            "words",
+            "chars",
+            "subwords",
+            "merged_subwords",
+            # DECIMAL numerators: 10^6 x corpus-char counts pass int64
+            # only to ~9e12 chars/source — too tight at 100 TB
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * subwords"
+                " DIV words AS BIGINT)"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * chars"
+                " DIV words AS BIGINT)"
+            ).alias("baseline_fertility_ppm"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * merged_subwords"
+                " DIV subwords AS BIGINT)"
+            ).alias("merged_share_ppm"),
+        )
+    )
 
 
 def zipf_fit_audit(

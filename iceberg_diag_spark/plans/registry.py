@@ -11704,7 +11704,67 @@ FROM w{i}""")
 
 _BPE_TRAIN_SQL = _bpe_train_sql(8)
 
+
+def _bpe_coverage_sql(k: int = 8) -> str:
+    """Same unrolled merge chain as _bpe_train_sql, finishing with the
+    per-source application audit: per-source word counts joined onto
+    the trained (encoded) word-form relation, DECIMAL ppm ratios."""
+    train = _bpe_train_sql(k)
+    blocks = train.split("\nSELECT CAST(0 AS BIGINT) AS step,")[0]
+    return blocks + rf""",
+psrc AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS wc_s
+  FROM (SELECT source, unnest(string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        FROM documents)
+  WHERE w <> '' AND w NOT LIKE '%' || chr(31) || '%'
+  GROUP BY source, w
+),
+enc AS (
+  SELECT w,
+         (length(s) - length(replace(s, chr(31), ''))) // 2 AS n_sub,
+         len(list_filter(string_split(trim(s, chr(31)),
+                                      chr(31) || chr(31)),
+                         x -> length(x) > 1)) AS n_merged,
+         length(w) AS n_chars
+  FROM w{k}
+),
+cov AS (
+  SELECT source,
+         CAST(sum(wc_s) AS BIGINT) AS words,
+         CAST(sum(wc_s * n_chars) AS BIGINT) AS chars,
+         CAST(sum(wc_s * n_sub) AS BIGINT) AS subwords,
+         CAST(sum(wc_s * n_merged) AS BIGINT) AS merged_subwords
+  FROM psrc JOIN enc USING (w)
+  GROUP BY source
+)
+SELECT source, words, chars, subwords, merged_subwords,
+       CAST((CAST(1000000 AS HUGEINT) * subwords) // words AS BIGINT)
+         AS fertility_ppm,
+       CAST((CAST(1000000 AS HUGEINT) * chars) // words AS BIGINT)
+         AS baseline_fertility_ppm,
+       CAST((CAST(1000000 AS HUGEINT) * merged_subwords) // subwords
+            AS BIGINT) AS merged_share_ppm
+FROM cov
+"""
+
+
+_BPE_COVERAGE_SQL = _bpe_coverage_sql(8)
+
+def _bpe_vocab_coverage(spark, sf_dir):
+    return textops.bpe_vocab_coverage(_t(spark, sf_dir, "documents"), k=8)
+
+
 REGISTRY.update({
+    "bpe_vocab_coverage": QuerySpec(
+        _bpe_vocab_coverage, _BPE_COVERAGE_SQL,
+        "deployment half of the BPE trainer: the trained word-form "
+        "relation IS the encoded corpus, so application is free — "
+        "one (source, word) count aggregate joins onto it at "
+        "vocabulary scale, emitting per-source fertility vs the "
+        "all-characters baseline and the merged-symbol coverage "
+        "share (which domains the pooled merges actually serve)",
+    ),
     "bpe_train_merges": QuerySpec(
         _bpe_train_merges, _BPE_TRAIN_SQL,
         "iterated BPE tokenizer training, 8 merges deep: the token "
@@ -12009,6 +12069,128 @@ REGISTRY.update({
         "bounded by the banding's pairs, signature joined twice on "
         "uniform ids, shingle intersection via the containment-join "
         "shape",
+    ),
+})
+
+# ------------------------------------------------------------------
+# Round 9: near-dup source modularity + Holt trend forecast
+# ------------------------------------------------------------------
+
+def _neardup_source_modularity(spark, sf_dir):
+    from iceberg_diag_spark.operators.graph import source_modularity
+
+    return source_modularity(_t(spark, sf_dir, "documents"))
+
+
+_SOURCE_MODULARITY_SQL = (
+    r"""
+WITH pairs AS (SELECT * FROM (
+"""
+    + _MINHASH_PAIRS_SQL.strip()
+    + r"""
+)),
+lab AS (SELECT doc_id, source AS src FROM documents),
+e AS (
+  SELECT la.src AS src_a, lb.src AS src_b
+  FROM pairs p
+  JOIN lab la ON la.doc_id = p.doc_a
+  JOIN lab lb ON lb.doc_id = p.doc_b
+),
+mt AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e),
+intra AS (
+  SELECT src_a AS source, CAST(count(*) AS BIGINT) AS intra_edges
+  FROM e WHERE src_a = src_b GROUP BY src_a
+),
+deg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS degree_sum
+  FROM (SELECT src_a AS source FROM e
+        UNION ALL SELECT src_b FROM e)
+  GROUP BY source
+)
+SELECT d.source, d.degree_sum,
+       coalesce(i.intra_edges, 0) AS intra_edges,
+       CAST((CAST(1000000 AS HUGEINT)
+               * (4 * mt.m * coalesce(i.intra_edges, 0)
+                  - CAST(d.degree_sum AS HUGEINT) * d.degree_sum)
+             + CAST(1000000 AS HUGEINT) * (4 * mt.m * mt.m))
+            // (4 * mt.m * mt.m) - 1000000 AS BIGINT) AS q_contrib_micro
+FROM deg d LEFT JOIN intra i USING (source) CROSS JOIN mt
+"""
+)
+
+
+def _events_holt_forecast(spark, sf_dir):
+    return events.holt_forecast(_t(spark, sf_dir, "events"))
+
+
+def _fdiv4_sql(x: str) -> str:
+    """Floor /4 for signed ints, identical in both engines: subtract
+    the non-negative remainder, then divide exactly."""
+    return f"(({x}) - ((({x}) % 4 + 4) % 4)) // 4"
+
+
+_HOLT_LSUM = "(1024 * h.c + 3 * (f.l + f.b))"
+_HOLT_LNEW = _fdiv4_sql(_HOLT_LSUM)
+_HOLT_BSUM = f"(({_HOLT_LNEW}) - f.l + 3 * f.b)"
+_HOLT_BNEW = _fdiv4_sql(_HOLT_BSUM)
+
+_HOLT_SQL = f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS ws,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, ws
+),
+idx AS (
+  SELECT event_type, ws, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY ws) AS i
+  FROM hourly
+),
+tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours
+  FROM idx GROUP BY event_type
+),
+f AS (
+  SELECT event_type, i,
+         CAST(1024 * c AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+         CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS sae
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT h.event_type, h.i,
+         {_HOLT_LNEW},
+         {_HOLT_BNEW},
+         f.n + 1,
+         f.sae + abs(1024 * h.c - (f.l + f.b))
+  FROM f JOIN idx h ON h.event_type = f.event_type AND h.i = f.i + 1
+)
+SELECT f.event_type, t.n_hours, f.n AS n_predicted,
+       CASE WHEN f.n = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000 * f.sae) // (1024 * f.n) AS BIGINT) END
+         AS mae_milli,
+       f.l AS level_final_scaled,
+       f.b AS trend_final_scaled,
+       CAST(f.l + f.b AS BIGINT) AS forecast_next_scaled
+FROM f JOIN tot t USING (event_type)
+WHERE f.i = t.n_hours
+"""
+
+REGISTRY.update({
+    "neardup_source_modularity": QuerySpec(
+        _neardup_source_modularity, _SOURCE_MODULARITY_SQL,
+        "Newman modularity of the source partition over the near-dup "
+        "candidate graph (is duplication source-assortative?): "
+        "production banding pairs + two uniform-id label joins, then "
+        "|sources|-scale aggregates; per-source signed contributions "
+        "via the shift-DIV trick, DECIMAL-exact m^2 terms",
+    ),
+    "events_holt_forecast": QuerySpec(
+        _events_holt_forecast, _HOLT_SQL,
+        "Holt linear double-exponential smoothing per event type "
+        "(alpha=beta=1/4, 2^10-scaled signed integer state, floor-/4 "
+        "via remainder subtraction so both engines agree on "
+        "negatives): one rollup shuffle + bounded per-type array "
+        "fold, one-step-ahead MAE scored in-fold, next-hour forecast "
+        "from the final level+trend",
     ),
 })
 

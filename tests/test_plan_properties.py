@@ -275,6 +275,8 @@ _SCALAR_CROSS_OK = {
     "lsh_near_dup_tuned",        # broadcast 1-row advisor pick
                                  #   (bands, rows_per_band) attached to
                                  #   keys / star / output relations
+    "neardup_source_modularity",  # broadcast 1-row edge-total scalar
+                                  #   over the |sources| relation
 }
 
 
@@ -319,6 +321,8 @@ _BOUNDED_COLLECT_OK = {
     "minhash_estimator_audit",  # audits the same candidate-pair
                                 #   bucket relation (production chain
                                 #   embedded verbatim)
+    "neardup_source_modularity",  # same banding bucket collect under
+                                  #   the source-label joins
     "ngram_jaccard",        #   bucket = near-identical docs only
     "ngram_containment",    #   same LSH candidate chain as jaccard
     "near_dup_rate_by_source",  # same LSH bucket relation as above
@@ -339,6 +343,8 @@ _BOUNDED_COLLECT_OK = {
     "events_ewma_anomalies",  # per-type hourly rollup collect: list
     #   length = |distinct hours| (metadata scale, events.py:1102),
     #   the doc_repetition_profile sorted-array fold idiom
+    "events_holt_forecast",   # same per-type hourly series collect
+    #   (metadata scale), Holt level+trend fold
 }
 
 

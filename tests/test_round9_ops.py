@@ -350,3 +350,76 @@ def test_lang_confusion_unknown_label_maps_to_und_or_leaks(spark):
     assert cells[("en", "en")]["n_docs"] == 2
     assert cells[("en", "en")]["label_share_ppm"] == 1_000_000
     assert cells[("zh", "und")]["n_docs"] == 1
+
+
+def test_bpe_vocab_coverage_hand_computed(spark):
+    """Same Sennrich toy corpus as the trainer test; after the four
+    merges (l,o)(lo,w)(e,r)(e,w) the encoded corpus is hand-countable:
+    15 words, 65 chars, 40 subwords of which 18 are merged units."""
+    from iceberg_diag_spark.operators.textops import bpe_vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low newer newest new", "w"),
+            (2, "low lower newer newer wider wide wide", "w"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    r = bpe_vocab_coverage(docs, k=4).collect()[0]
+    assert (r["words"], r["chars"], r["subwords"], r["merged_subwords"]) \
+        == (15, 65, 40, 18)
+    assert r["fertility_ppm"] == 1_000_000 * 40 // 15
+    assert r["baseline_fertility_ppm"] == 1_000_000 * 65 // 15
+    assert r["merged_share_ppm"] == 450_000
+
+
+def test_source_modularity_assortative_partition(spark):
+    """Two exact-dup pairs, each inside its own source: the star
+    edges are all intra-source, so each source contributes
+    1e6*(1/2 - (2/4)^2) = 250000 and total Q = 0.5."""
+    from iceberg_diag_spark.operators.graph import source_modularity
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    text_b = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, text_a, "sA"), (2, text_a, "sA"),
+         (3, text_b, "sB"), (4, text_b, "sB")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in source_modularity(docs).collect()}
+    for s in ("sA", "sB"):
+        assert rows[s]["degree_sum"] == 2
+        assert rows[s]["intra_edges"] == 1
+        assert rows[s]["q_contrib_micro"] == 250_000
+    assert sum(r["q_contrib_micro"] for r in rows.values()) == 500_000
+
+
+def test_holt_forecast_constant_and_ramp(spark):
+    """Constant series: level locks to the value, trend stays 0, MAE
+    0, forecast = value. Linear ramp: trend goes positive and the
+    forecast exceeds the last observation."""
+    from iceberg_diag_spark.operators.events import holt_forecast
+
+    rows = []
+    eid = 0
+    for h in range(12):
+        for _ in range(50):  # constant 50/hour
+            eid += 1
+            rows.append((eid, f"2024-01-01 {h:02d}:00:00", 1, "view", 1.0))
+        for _ in range(10 * (h + 1)):  # ramp 10,20,...,120/hour
+            eid += 1
+            rows.append((eid, f"2024-01-01 {h:02d}:00:00", 1, "click", 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["event_type"]: r for r in holt_forecast(ev).collect()}
+    const = out["view"]
+    assert const["trend_final_scaled"] == 0
+    assert const["level_final_scaled"] == 1024 * 50
+    assert const["mae_milli"] == 0
+    assert const["forecast_next_scaled"] == 1024 * 50
+    ramp = out["click"]
+    assert ramp["trend_final_scaled"] > 0
+    assert ramp["forecast_next_scaled"] > 1024 * 120 - 10 * 1024
+    assert ramp["n_predicted"] == 11
