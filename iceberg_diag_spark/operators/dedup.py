@@ -273,6 +273,33 @@ def minhash_band_keys(
     )
 
 
+def _bucket_pairs(band_keys: DataFrame, id_col: str) -> DataFrame:
+    """Shared bucket → candidate-pair expansion: group (band,
+    band_key) buckets, emit all ordered in-bucket pairs via the
+    row-local slice/transform explode (never a band-key self-join —
+    the signature pipeline is evaluated once), count shared bands per
+    pair. Bucket contents are near-identical docs only (exact dups
+    pre-collapsed by the callers), so the expansion is linear in true
+    near-dups. Output: (doc_a, doc_b, n_shared_bands)."""
+    buckets = (
+        band_keys.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_shared_bands")
+    )
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -331,23 +358,7 @@ def minhash_candidate_pairs(
     )
     if keep_ids is not None:
         band_keys = band_keys.join(keep_ids, id_col, "semi")
-    buckets = (
-        band_keys.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), "
-                "y -> struct(x AS doc_a, y AS doc_b))))"
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
-    out = pairs.groupBy("doc_a", "doc_b").agg(
-        F.count("*").alias("n_shared_bands")
-    )
+    out = _bucket_pairs(band_keys, id_col)
     if star is not None:
         out = out.unionByName(
             star.select(
@@ -1739,9 +1750,12 @@ def lsh_near_dup_tuned(
 
     Sub-band guarantee: configs with smaller r are band-refinements
     of larger-r configs over the same seeds, so any pair the 4×4
-    default surfaces is also surfaced at 8×2 or 16×1 — tuning toward
-    the recall floor never loses a default-caught pair (pinned in
-    tests/test_round9_ops.py).
+    default surfaces is also surfaced at 8×2 or 16×1 — at the DEFAULT
+    floor (0.95, which only those refinement configs can meet) tuning
+    never loses a default-caught pair (pinned in
+    tests/test_round9_ops.py). A caller-supplied floor low enough to
+    qualify a COARSER config (2×8, 1×16) trades that superset
+    property away for precision — intended, but worth knowing.
 
     Output: (doc_a, doc_b, n_shared_bands, bands, rows_per_band).
     """
@@ -1764,9 +1778,8 @@ def lsh_near_dup_tuned(
     )
 
     # narrow per-doc mark relation, consumed by star AND keep filter
-    marked = content_rep_marks(docs, text_col, id_col).localCheckpoint(
-        eager=False
-    )
+    # (content_rep_marks localCheckpoints internally)
+    marked = content_rep_marks(docs, text_col, id_col)
     star = marked.filter(F.col(id_col) != F.col("__keep")).select(
         F.col("__keep").alias("doc_a"), F.col(id_col).alias("doc_b")
     )
@@ -1793,25 +1806,7 @@ def lsh_near_dup_tuned(
         .select(id_col, "k.bands", "k.rows_per_band", "k.band", "k.band_key")
         .join(F.broadcast(pick), ["bands", "rows_per_band"])
     )
-    buckets = (
-        keys.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "y -> struct(x AS doc_a, y AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("n_shared_bands"))
-    )
+    pairs = _bucket_pairs(keys, id_col)
     star_pairs = star.crossJoin(F.broadcast(pick)).select(
         "doc_a",
         "doc_b",
@@ -1955,14 +1950,23 @@ def minhash_estimator_audit(
         f"(CASE WHEN a{s} = b{s} THEN 1 ELSE 0 END)"
         for s in range(num_hashes)
     )
+    # LEFT joins: a star pair of byte-identical sub-shingle-length
+    # docs has no signature rows at all — by definition its sketch
+    # agrees completely, so it scores 1e6 instead of vanishing (and
+    # one-sided absence cannot occur: star partners are identical,
+    # banding pairs require signatures on both sides)
     est = (
-        pairs.join(wa, "doc_a")
-        .join(wb, "doc_b")
+        pairs.join(wa, "doc_a", "left")
+        .join(wb, "doc_b", "left")
         .select(
             "doc_a",
             "doc_b",
             "n_shared_bands",
-            F.expr(f"1000000 * ({matches_sql}) DIV {num_hashes}")
+            F.expr(
+                f"CASE WHEN a0 IS NULL OR b0 IS NULL"
+                f" THEN CAST(1000000 AS BIGINT)"
+                f" ELSE 1000000 * ({matches_sql}) DIV {num_hashes} END"
+            )
             .cast("long")
             .alias("est_jaccard_ppm"),
         )

@@ -1642,7 +1642,9 @@ def sli_burn_rate(events: DataFrame) -> DataFrame:
         F.sum("n_events").over(w24).alias("n_24h"),
         F.sum("n_errors").over(w24).alias("e_24h"),
     )
-    return framed.select(
+    # rates once, burn/page flags derived from the rate columns —
+    # one copy of each rate definition to keep in step with the oracle
+    rates = framed.select(
         "hour_epoch",
         "window_start",
         "n_events",
@@ -1654,25 +1656,21 @@ def sli_burn_rate(events: DataFrame) -> DataFrame:
         F.expr("1000000 * e_24h DIV n_24h").cast("long").alias(
             "err_ppm_24h"
         ),
-        F.expr(
-            f"(100 * (1000000 * n_errors DIV n_events))"
-            f" DIV {SLO_BUDGET_PPM}"
-        )
+    )
+    return rates.select(
+        "*",
+        F.expr(f"(100 * err_ppm_1h) DIV {SLO_BUDGET_PPM}")
         .cast("long")
         .alias("burn_1h_centi"),
-        F.expr(
-            f"(100 * (1000000 * e_6h DIV n_6h)) DIV {SLO_BUDGET_PPM}"
-        )
+        F.expr(f"(100 * err_ppm_6h) DIV {SLO_BUDGET_PPM}")
         .cast("long")
         .alias("burn_6h_centi"),
         F.expr(
-            f"(1000000 * n_errors DIV n_events) >= {144 * SLO_BUDGET_PPM // 10}"
+            f"err_ppm_1h >= {144 * SLO_BUDGET_PPM // 10}"
         ).alias("page_fast"),
-        (
-            F.expr(f"(1000000 * e_6h DIV n_6h) >= {6 * SLO_BUDGET_PPM}")
-            & F.expr(
-                f"(1000000 * n_errors DIV n_events) >= {6 * SLO_BUDGET_PPM}"
-            )
+        F.expr(
+            f"err_ppm_6h >= {6 * SLO_BUDGET_PPM}"
+            f" AND err_ppm_1h >= {6 * SLO_BUDGET_PPM}"
         ).alias("page_slow"),
     )
 
@@ -1724,15 +1722,22 @@ def holt_forecast(events: DataFrame) -> DataFrame:
     lnew = fdiv4(lsum)
     bsum = f"(({lnew}) - acc.l + 3 * acc.b)"
     bnew = fdiv4(bsum)
+    # explicit init flag: a "l < 0" sentinel would collide with a
+    # legitimately negative level on steeply declining series and
+    # silently reset the fold mid-stream (diverging from the oracle's
+    # recursion, which has no sentinel)
     fold = f"""
     aggregate(
       h,
-      named_struct('l', cast(-1 as bigint), 'b', cast(0 as bigint),
+      named_struct('ok', false,
+                   'l', cast(0 as bigint), 'b', cast(0 as bigint),
                    'n', cast(0 as bigint), 'sae', cast(0 as bigint)),
-      (acc, x) -> CASE WHEN acc.l < 0 THEN
-          named_struct('l', {scale} * x.c, 'b', cast(0 as bigint),
+      (acc, x) -> CASE WHEN NOT acc.ok THEN
+          named_struct('ok', true,
+                       'l', {scale} * x.c, 'b', cast(0 as bigint),
                        'n', cast(0 as bigint), 'sae', cast(0 as bigint))
         ELSE named_struct(
+          'ok', true,
           'l', {lnew},
           'b', {bnew},
           'n', acc.n + 1,

@@ -1947,16 +1947,20 @@ def zipf_fit_audit(
         F.sum(F.col("x") * (F.lit(c_flip) - F.col("y"))).alias("sxyf"),
         F.sum(F.lit(c_flip) - F.col("y")).alias("syf"),
     )
+    # zero x-variance (a single distinct token) yields NULL in both
+    # engines instead of an ANSI divide-by-zero crash / NULL mismatch
     return agg.select(
         F.col("n").cast("long").alias("n_terms"),
         F.expr(
-            "CAST(-((n * sxyf - sx * syf) * 1000000"
-            " DIV (n * sx2 - sx * sx)) AS BIGINT)"
+            "CAST(CASE WHEN n * sx2 - sx * sx = 0 THEN NULL"
+            " ELSE -((n * sxyf - sx * syf) * 1000000"
+            " DIV (n * sx2 - sx * sx)) END AS BIGINT)"
         ).alias("zipf_slope_micro"),
         F.expr(
-            "CAST((sy * 1000000"
+            "CAST(CASE WHEN n * sx2 - sx * sx = 0 THEN NULL"
+            " ELSE (sy * 1000000"
             " + ((n * sxyf - sx * syf) * 1000000 DIV (n * sx2 - sx * sx))"
-            "   * sx) DIV (n * 1000000) AS BIGINT)"
+            "   * sx) DIV (n * 1000000) END AS BIGINT)"
         ).alias("intercept_micro"),
     )
 

@@ -11904,11 +11904,14 @@ a AS (
   FROM xy
 )
 SELECT CAST(n AS BIGINT) AS n_terms,
-       CAST(-((n * sxyf - sx * syf) * 1000000 // (n * sx2 - sx * sx))
-            AS BIGINT) AS zipf_slope_micro,
-       CAST((sy * 1000000
-             + ((n * sxyf - sx * syf) * 1000000 // (n * sx2 - sx * sx)) * sx)
-            // (n * 1000000) AS BIGINT) AS intercept_micro
+       CAST(CASE WHEN n * sx2 - sx * sx = 0 THEN NULL
+            ELSE -((n * sxyf - sx * syf) * 1000000 // (n * sx2 - sx * sx))
+            END AS BIGINT) AS zipf_slope_micro,
+       CAST(CASE WHEN n * sx2 - sx * sx = 0 THEN NULL
+            ELSE (sy * 1000000
+                  + ((n * sxyf - sx * syf) * 1000000
+                     // (n * sx2 - sx * sx)) * sx)
+                 // (n * 1000000) END AS BIGINT) AS intercept_micro
 FROM a
 """
 
@@ -11991,12 +11994,14 @@ asig AS (
 ),
 est AS (
   SELECT p.doc_a, p.doc_b, p.n_shared_bands,
-         CAST((1000000 * sum(CASE WHEN sa.minhash = sb.minhash
-                                  THEN 1 ELSE 0 END)) // 16 AS BIGINT)
-           AS est_jaccard_ppm
+         CASE WHEN max(sa.doc_id) IS NULL OR max(sb.doc_id) IS NULL
+              THEN CAST(1000000 AS BIGINT)
+              ELSE CAST((1000000 * sum(CASE WHEN sa.minhash = sb.minhash
+                                            THEN 1 ELSE 0 END)) // 16
+                        AS BIGINT) END AS est_jaccard_ppm
   FROM pairs p
-  JOIN asig sa ON sa.doc_id = p.doc_a
-  JOIN asig sb ON sb.doc_id = p.doc_b AND sb.seed = sa.seed
+  LEFT JOIN asig sa ON sa.doc_id = p.doc_a
+  LEFT JOIN asig sb ON sb.doc_id = p.doc_b AND sb.seed = sa.seed
   GROUP BY 1, 2, 3
 ),
 sizes AS (

@@ -423,3 +423,74 @@ def test_holt_forecast_constant_and_ramp(spark):
     assert ramp["trend_final_scaled"] > 0
     assert ramp["forecast_next_scaled"] > 1024 * 120 - 10 * 1024
     assert ramp["n_predicted"] == 11
+
+
+def test_holt_forecast_negative_level_no_reset(spark):
+    """Regression (review finding): a steeply declining series drives
+    the Holt LEVEL itself negative; an l<0 init sentinel would reset
+    the fold mid-series and diverge from the oracle's recursion. The
+    fold must keep folding: n_predicted covers every hour after the
+    first and the final state replays the hand recursion."""
+    from iceberg_diag_spark.operators.events import holt_forecast
+
+    counts = [4096] + [1] * 9
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, f"2024-01-01 {h:02d}:00:00", 1, "view", 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    r = holt_forecast(ev).collect()[0]
+    assert r["n_predicted"] == 9
+
+    def fdiv4(x):
+        return (x - (x % 4 + 4) % 4) // 4
+
+    l, b, n, sae = 1024 * counts[0], 0, 0, 0
+    for c in counts[1:]:
+        sae += abs(1024 * c - (l + b))
+        lnew = fdiv4(1024 * c + 3 * (l + b))
+        b = fdiv4(lnew - l + 3 * b)
+        l = lnew
+        n += 1
+    assert l < 0  # the fixture genuinely exercises a negative level
+    assert (r["level_final_scaled"], r["trend_final_scaled"]) == (l, b)
+    assert r["mae_milli"] == 1000 * sae // (1024 * n)
+
+
+def test_zipf_degenerate_single_token_is_null(spark):
+    """Regression (review finding): one distinct token gives zero
+    x-variance; the fit must return NULLs, not an ANSI
+    divide-by-zero."""
+    from iceberg_diag_spark.operators.textops import zipf_fit_audit
+
+    docs = spark.createDataFrame(
+        [(1, "same same same same", "s")],
+        "doc_id long, text string, source string",
+    )
+    r = zipf_fit_audit(docs).collect()[0]
+    assert r["n_terms"] == 1
+    assert r["zipf_slope_micro"] is None
+    assert r["intercept_micro"] is None
+
+
+def test_minhash_estimator_short_exact_dup_scores_full(spark):
+    """Regression (review finding): a star pair of byte-identical
+    docs SHORTER than the shingle width has no signatures; it must
+    still appear with est = exact = 1e6 instead of being dropped by
+    the signature join."""
+    from iceberg_diag_spark.operators.dedup import minhash_estimator_audit
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc", "s"), (2, "tiny doc", "s")],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r
+            for r in minhash_estimator_audit(docs).collect()}
+    assert rows[(1, 2)]["est_jaccard_ppm"] == 1_000_000
+    assert rows[(1, 2)]["exact_jaccard_ppm"] == 1_000_000
+    assert rows[(1, 2)]["err_ppm"] == 0
