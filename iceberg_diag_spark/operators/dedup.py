@@ -247,15 +247,23 @@ def minhash_band_keys(
     num_hashes: int = 16,
     bands: int = 4,
     ngram: int = 3,
+    wide: DataFrame | None = None,
 ) -> DataFrame:
     """LSH band keys per document: the wide signature split into
     `bands` bands of consecutive seeds, each concatenated into one
     bucket key. The shared building block of candidate-pair banding
     (self-bucketing) and incremental dedup (semi-join of a new
-    batch's keys against a corpus's keys). Output: (id_col, band,
-    band_key) — `bands` rows per doc."""
+    batch's keys against a corpus's keys). Pass `wide` (a
+    minhash_signatures_wide relation, typically checkpointed) to
+    share ONE signature pass across several consumers — the shingle
+    explode + hash + min-aggregate is the expensive stage, and
+    cross-branch lineage replays it per consumer otherwise.
+    Output: (id_col, band, band_key) — `bands` rows per doc."""
     rows_per_band = num_hashes // bands
-    wide = minhash_signatures_wide(docs, text_col, id_col, num_hashes, ngram)
+    if wide is None:
+        wide = minhash_signatures_wide(
+            docs, text_col, id_col, num_hashes, ngram
+        )
     band_structs = F.array(
         *[
             F.struct(
@@ -308,6 +316,7 @@ def minhash_candidate_pairs(
     bands: int = 4,
     ngram: int = 3,
     collapse_exact: bool = True,
+    wide: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into `bands` bands of
     num_hashes/bands consecutive seeds, concatenate each band into a
@@ -354,7 +363,7 @@ def minhash_candidate_pairs(
             F.col(id_col) == F.col("__keep")
         ).select(id_col)
     band_keys = minhash_band_keys(
-        docs, text_col, id_col, num_hashes, bands, ngram
+        docs, text_col, id_col, num_hashes, bands, ngram, wide=wide
     )
     if keep_ids is not None:
         band_keys = band_keys.join(keep_ids, id_col, "semi")
@@ -1333,6 +1342,7 @@ def jaccard_threshold_histogram(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    wide: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup threshold calibration curve: bucket every LSH
     candidate pair's exact n-gram Jaccard into deciles and report
@@ -1347,7 +1357,9 @@ def jaccard_threshold_histogram(
     Output: (bucket_ppm, n_pairs) where bucket_ppm is the decile
     floor (0, 100000, ..., 1000000 for exact-dup star edges).
     """
-    cands = minhash_candidate_pairs(docs, text_col=text_col, id_col=id_col)
+    cands = minhash_candidate_pairs(
+        docs, text_col=text_col, id_col=id_col, wide=wide
+    )
     pairs = ngram_jaccard_pairs(
         docs, cands.select("doc_a", "doc_b"), text_col, id_col
     )
@@ -1759,7 +1771,14 @@ def lsh_near_dup_tuned(
 
     Output: (doc_a, doc_b, n_shared_bands, bands, rows_per_band).
     """
-    adv = lsh_param_advisor(docs, text_col, id_col)
+    # ONE signature pass shared by the advisor's candidate chain and
+    # the tuned key construction below (one row/doc, ~150 B — the
+    # cheap side of the materialize-vs-rescan trade; without it the
+    # shingle+hash+min-agg stage runs twice)
+    shared_wide = minhash_signatures_wide(
+        docs, text_col, id_col, num_hashes, ngram
+    ).localCheckpoint(eager=False)
+    adv = lsh_param_advisor(docs, text_col, id_col, wide=shared_wide)
     # the 1-row pick is broadcast to three consumers; checkpoint it so
     # each does NOT replay the advisor's full histogram chain (the
     # no-cross-branch-reuse gotcha — 3x the advisor cost unchecked)
@@ -1784,9 +1803,7 @@ def lsh_near_dup_tuned(
         F.col("__keep").alias("doc_a"), F.col(id_col).alias("doc_b")
     )
     keep_ids = marked.filter(F.col(id_col) == F.col("__keep")).select(id_col)
-    wide = minhash_signatures_wide(
-        docs, text_col, id_col, num_hashes, ngram
-    ).join(keep_ids, id_col, "semi")
+    wide = shared_wide.join(keep_ids, id_col, "semi")
     key_structs = F.array(
         *[
             F.struct(
@@ -1820,6 +1837,7 @@ def lsh_param_advisor(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    wide: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding-parameter advisor — the design decision behind
     every MinHash deployment: with a 16-hash signature split into b
@@ -1844,7 +1862,7 @@ def lsh_param_advisor(
     expected_caught_pairs, catch_at_50_ppm, catch_at_70_ppm,
     catch_at_90_ppm).
     """
-    hist = jaccard_threshold_histogram(docs, text_col, id_col)
+    hist = jaccard_threshold_histogram(docs, text_col, id_col, wide=wide)
     cfg = F.expr(
         "explode(array({}))".format(
             ", ".join(
