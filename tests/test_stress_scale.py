@@ -489,3 +489,76 @@ def test_pq_codebook_at_1m_vectors(spark):
     assert set(by_sub) == set(range(8))
     assert all(v == 1_000_000 for v in by_sub.values())
     print(f"pq_codebook 1M vecs: {time.time() - t0:.1f}s cells={len(rows)}")
+
+
+def test_doc_kn_nll_bounded_at_1m(spark):
+    """KN perplexity scoring at 1M docs: the per-distinct-gram score
+    relation stays vocabulary-scale (the corpus is expression-
+    generated from a 512-token vocab, so distinct bigrams are
+    bounded), every doc comes back scored, and the hot-spot template
+    copies — whose bigrams all repeat ≥1000× and clear the pruning
+    floor — score strictly more fluent than the corpus median."""
+    from iceberg_diag_spark.operators.textops import doc_kn_nll
+
+    docs = _corpus(spark).withColumn("source", F.lit("s"))
+    t0 = time.time()
+    scored = doc_kn_nll(docs).localCheckpoint()
+    n = scored.count()
+    wall = time.time() - t0
+    assert n == N_DOCS
+    dup_cut = N_DOCS - N_TEMPLATES * N_COPIES
+    med_all = scored.agg(
+        F.expr("percentile_approx(avg_nll_micro, 0.5)").alias("m")
+    ).collect()[0]["m"]
+    med_hot = (
+        scored.filter(F.col("doc_id") >= dup_cut)
+        .agg(F.expr("percentile_approx(avg_nll_micro, 0.5)").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert med_hot < med_all
+    print(f"doc_kn_nll @1M: {wall:.1f}s (median {med_all}, hot {med_hot})")
+
+
+def test_bpe_train_merges_at_1m(spark):
+    """Iterated BPE training at 1M docs: 4 merges over the
+    vocabulary-scale word relation; the merge table is monotone in
+    count and the corpus-symbol ledger balances step over step."""
+    from iceberg_diag_spark.operators.textops import bpe_train_merges
+
+    docs = _corpus(spark)
+    t0 = time.time()
+    rows = {r["step"]: r for r in bpe_train_merges(docs, k=4).collect()}
+    wall = time.time() - t0
+    assert len(rows) == 5
+    counts = [rows[i]["merge_count"] for i in range(1, 5)]
+    assert counts == sorted(counts, reverse=True)
+    for i in range(1, 5):
+        assert (
+            rows[i]["corpus_symbols"]
+            == rows[i - 1]["corpus_symbols"] - rows[i]["merge_count"]
+        )
+    print(f"bpe_train_merges k=4 @1M: {wall:.1f}s (top={counts[0]})")
+
+
+def test_lsh_near_dup_tuned_bounded_at_1m(spark):
+    """Advisor-executing banding at 1M docs with the exact-dup hot
+    spot: the pick stays a refinement config (the 0.95 floor only
+    admits 16x1/8x2), exact dups are pre-collapsed so the output is
+    star pairs + a bounded near-dup candidate set — never the
+    n²-bucket pathology."""
+    from iceberg_diag_spark.operators.dedup import lsh_near_dup_tuned
+
+    docs = _corpus(spark)
+    t0 = time.time()
+    out = lsh_near_dup_tuned(docs).localCheckpoint()
+    n_pairs = out.count()
+    wall = time.time() - t0
+    cfg = out.select("bands", "rows_per_band").distinct().collect()
+    assert len(cfg) == 1 and (cfg[0]["bands"], cfg[0]["rows_per_band"]) in (
+        (16, 1), (8, 2),
+    )
+    n_star = N_TEMPLATES * N_COPIES  # one star edge per hot copy
+    assert n_pairs >= n_star
+    # bounded: star edges + tuned candidates, not quadratic blowup
+    assert n_pairs < n_star + 2_000_000
+    print(f"lsh_near_dup_tuned @1M: {wall:.1f}s ({n_pairs} pairs)")
