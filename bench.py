@@ -232,6 +232,7 @@ HEADLINE = [
     "bpe_vocab_coverage",
     "neardup_source_modularity",
     "events_holt_forecast",
+    "stream_sli_burn_rate",
 ]
 
 

@@ -1607,8 +1607,16 @@ def sli_burn_rate(events: DataFrame) -> DataFrame:
     err_ppm_1h, err_ppm_6h, err_ppm_24h, burn_1h_centi,
     burn_6h_centi, page_fast, page_slow).
     """
+    return sli_frames(hourly_sli_rollup(events))
+
+
+def hourly_sli_rollup(events: DataFrame) -> DataFrame:
+    """The (hour_epoch, window_start, n_events, n_errors) hourly SLI
+    rollup — sli_burn_rate's corpus pass, shared with the streaming
+    twin (which accumulates per-batch partial rollups and re-sums
+    them; partial sums compose exactly)."""
     hour_us = F.unix_micros(F.date_trunc("hour", F.col("ts")))
-    hourly = (
+    return (
         events.groupBy(
             (hour_us / F.lit(3_600_000_000)).cast("long").alias("hour_epoch"),
             # rendered alongside the epoch key (1:1) so no epoch →
@@ -1626,6 +1634,13 @@ def sli_burn_rate(events: DataFrame) -> DataFrame:
             .alias("n_errors"),
         )
     )
+
+
+def sli_frames(hourly: DataFrame) -> DataFrame:
+    """Trailing 6h/24h RANGE frames + rates + paging flags over an
+    hourly SLI rollup (see sli_burn_rate for semantics; the rollup
+    relation is metadata-scale, so the ordered window is bounded by
+    construction)."""
     w6 = (
         Window.orderBy("hour_epoch").rangeBetween(-5, 0)
     )

@@ -12188,6 +12188,19 @@ REGISTRY.update({
         "|sources|-scale aggregates; per-source signed contributions "
         "via the shift-DIV trick, DECIMAL-exact m^2 terms",
     ),
+    "stream_sli_burn_rate": QuerySpec(
+        lambda spark, sf_dir: stream_ops.run_sli_burn_rate_stream(
+            spark, sf_dir
+        ),
+        _SLI_BURN_SQL,
+        "streaming burn-rate twin via the accumulated-rollup idiom: "
+        "each micro-batch folds into a persistent hourly rollup "
+        "(idempotent batch=<id> overwrite), the multi-window burn "
+        "table re-frames from the re-summed rollup with the batch "
+        "operator's own logic — trailing windows need cross-hour "
+        "reads no keyed state can serve; one availableNow drain "
+        "equals the batch relation exactly",
+    ),
     "events_holt_forecast": QuerySpec(
         _events_holt_forecast, _HOLT_SQL,
         "Holt linear double-exponential smoothing per event type "

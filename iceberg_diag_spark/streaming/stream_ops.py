@@ -1044,3 +1044,87 @@ def cdc_merge_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sli_burn_rate_stream(
+    events_stream: DataFrame, rollup_path: str
+):
+    """Streaming twin of events.sli_burn_rate — the live SRE burn-rate
+    dashboard, built with the accumulated-rollup idiom (the streaming
+    "gold table" recompute): each micro-batch folds into a persistent
+    HOURLY rollup (one tiny aggregate per batch, written to its own
+    ``batch=<id>`` directory with overwrite — the stream_export_shards
+    idempotence trick, so a checkpoint-replayed batch overwrites
+    itself instead of double-counting), and the full multi-window burn
+    table is recomputed from the re-summed rollup after any batch via
+    the BATCH operator's own frame logic (events.sli_frames).
+
+    Why not keyed executor state: the trailing 6 h/24 h frames need
+    CROSS-hour reads, which per-key state cannot serve, and a single
+    global state key would funnel the feed through one task. The
+    rollup relation is metadata-scale (|hours|), so persisting it and
+    re-framing per batch costs one bounded aggregate + one bounded
+    window — and the drained result is EXACTLY the batch operator on
+    the full feed (partial hourly sums compose), which is what the
+    driver hash-checks against the shared oracle.
+
+    Returns the started StreamingQuery (caller drains — see
+    run_sli_burn_rate_stream for the availableNow idiom);
+    read the burn table with sli_burn_rate_from_rollup(spark, path).
+    """
+    from iceberg_diag_spark.operators.events import hourly_sli_rollup
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            hourly_sli_rollup(batch_df)
+            .write.mode("overwrite")
+            .parquet(f"{rollup_path}/batch={int(batch_id)}")
+        )
+
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_sli_burn_")
+    return (
+        events_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sli_burn_rate_from_rollup(
+    spark: SparkSession, rollup_path: str
+) -> DataFrame:
+    """Burn table over the accumulated per-batch rollups: re-sum the
+    hourly partials (exact — counts compose), then the shared batch
+    frame logic."""
+    from iceberg_diag_spark.operators.events import sli_frames
+
+    hourly = (
+        spark.read.parquet(rollup_path)
+        .groupBy("hour_epoch", "window_start")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("n_errors").cast("long").alias("n_errors"),
+        )
+    )
+    return sli_frames(hourly)
+
+
+def run_sli_burn_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain helper: run the streaming burn-rate twin over the finite
+    events directory (availableNow) and return the final burn table —
+    the relation the driver hash-checks against the batch oracle."""
+    rollup = tempfile.mkdtemp(prefix="sli_rollup_")
+    q = sli_burn_rate_stream(read_events_stream(spark, sf_dir), rollup)
+    try:
+        if not q.awaitTermination(STREAM_DRAIN_TIMEOUT_SECS):
+            raise TimeoutError(
+                "sli_burn_rate_stream drain did not finish within "
+                f"{STREAM_DRAIN_TIMEOUT_SECS}s"
+            )
+    finally:
+        q.stop()
+    out = sli_burn_rate_from_rollup(spark, rollup).localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(rollup, ignore_errors=True)
+    return out
