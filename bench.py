@@ -233,6 +233,7 @@ HEADLINE = [
     "neardup_source_modularity",
     "events_holt_forecast",
     "stream_sli_burn_rate",
+    "embedding_matryoshka_audit",
 ]
 
 

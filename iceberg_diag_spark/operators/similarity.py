@@ -2447,3 +2447,127 @@ def pq_codebook_audit(
             " * n_assigned) AS BIGINT)"
         ).alias("mean_refined_d2"),
     )
+
+
+def matryoshka_audit(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_mod: int = 100,
+    prefix_dims: tuple[int, ...] = (16, 32),
+    dim: int = 64,
+    scale_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-truncation audit (Kusupati et al. 2022): recall@k of
+    PREFIX-dimension cosine retrieval against full-dimension retrieval
+    — the measurement behind "can I serve the 16-dim head of this
+    embedding and keep the neighbors", which prices the memory/recall
+    trade of MRL-style deployments before anyone re-indexes.
+
+    Shape (the ann_recall_eval contract): vectors quantize once to
+    integers (floor(x·2^scale_bits) — the shared exact tier), per-row
+    prefix norms come from row-local folds, the query panel is a
+    deterministic 1/query_mod id-sample BROADCAST against the corpus
+    (bounded spot-check, never all-pairs), and every per-query top-k
+    compiles to WindowGroupLimit (per-task partial top-k before the
+    exchange). One pair relation carries the cosine at every prefix,
+    so adding prefixes costs row-local dots, not extra joins.
+
+    Determinism: integer dots are exact; the single float step
+    (floor(1e6·dot/(√n2·√n2))) is the ann_recall_eval-proven
+    cross-engine formula; ties break on neighbor id.
+
+    Output per (sampled query, prefix): (query_id, prefix_dim,
+    n_exact, n_hits, recall_ppm).
+    """
+    from pyspark.sql.window import Window
+
+    from iceberg_diag_spark.functions.parallel import ensure_parallelism
+
+    dims = tuple(sorted(set(prefix_dims))) + (dim,)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * (1 << scale_bits)).cast("long"),
+    )
+    base = ensure_parallelism(embeddings).select(
+        F.col(id_col), qv.alias("q")
+    )
+    base = base.select(
+        id_col,
+        "q",
+        *[
+            int_dot(F.slice("q", 1, d), F.slice("q", 1, d)).alias(f"n2_{d}")
+            for d in dims
+        ],
+    ).localCheckpoint(eager=False)
+    panel = base.filter(
+        (F.col(id_col) % query_mod == 0) & (F.col(f"n2_{dim}") > 0)
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("q").alias("qq"),
+        *[F.col(f"n2_{d}").alias(f"qn2_{d}") for d in dims],
+    )
+    pairs = (
+        base.filter(F.col(f"n2_{dim}") > 0)
+        .crossJoin(F.broadcast(panel))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            *[
+                F.floor(
+                    F.lit(1_000_000.0)
+                    * int_dot(F.slice("q", 1, d), F.slice("qq", 1, d))
+                    / (
+                        F.sqrt(F.col(f"n2_{d}"))
+                        * F.sqrt(F.col(f"qn2_{d}"))
+                    )
+                )
+                .cast("long")
+                .alias(f"cos_{d}")
+                for d in dims
+            ],
+        )
+        .localCheckpoint(eager=False)  # shared by every prefix ranking
+    )
+
+    def topk(d: int) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(f"cos_{d}"), F.asc("neighbor_id")
+        )
+        return (
+            pairs.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = topk(dim).localCheckpoint(eager=False)
+    out = None
+    for d in dims[:-1]:
+        hits = (
+            full.join(topk(d), ["query_id", "neighbor_id"], "semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        )
+        rel = (
+            full.groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+            .join(hits, "query_id", "left")
+            .select(
+                "query_id",
+                F.lit(d).cast("long").alias("prefix_dim"),
+                "n_exact",
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                .cast("long")
+                .alias("n_hits"),
+            )
+            .withColumn(
+                "recall_ppm",
+                F.expr(
+                    "CAST(1000000 * n_hits DIV n_exact AS BIGINT)"
+                ),
+            )
+        )
+        out = rel if out is None else out.unionByName(rel)
+    return out

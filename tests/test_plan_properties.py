@@ -277,6 +277,9 @@ _SCALAR_CROSS_OK = {
                                  #   keys / star / output relations
     "neardup_source_modularity",  # broadcast 1-row edge-total scalar
                                   #   over the |sources| relation
+    "embedding_matryoshka_audit",  # broadcast bounded 1/query_mod
+                                   #   query panel vs corpus (the
+                                   #   ann_recall_eval shape)
 }
 
 

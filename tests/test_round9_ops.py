@@ -494,3 +494,23 @@ def test_minhash_estimator_short_exact_dup_scores_full(spark):
     assert rows[(1, 2)]["est_jaccard_ppm"] == 1_000_000
     assert rows[(1, 2)]["exact_jaccard_ppm"] == 1_000_000
     assert rows[(1, 2)]["err_ppm"] == 0
+
+
+def test_matryoshka_recall_grows_with_prefix(spark):
+    """On the deterministic synthetic embeddings, 32-dim prefixes
+    recover strictly more of the full-64 top-k than 16-dim prefixes
+    in aggregate, every query reports both prefixes, and recall stays
+    a valid ppm."""
+    from iceberg_diag_spark.operators.similarity import matryoshka_audit
+    from iceberg_diag_spark.sources.tpch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = matryoshka_audit(emb).collect()
+    by_dim = {}
+    for r in rows:
+        assert 0 <= r["recall_ppm"] <= 1_000_000
+        assert r["n_hits"] <= r["n_exact"] == 5
+        by_dim.setdefault(r["prefix_dim"], []).append(r["recall_ppm"])
+    assert set(by_dim) == {16, 32}
+    assert len(by_dim[16]) == len(by_dim[32])
+    assert sum(by_dim[32]) > sum(by_dim[16])
