@@ -1615,10 +1615,16 @@ def hourly_sli_rollup(events: DataFrame) -> DataFrame:
     rollup — sli_burn_rate's corpus pass, shared with the streaming
     twin (which accumulates per-batch partial rollups and re-sums
     them; partial sums compose exactly)."""
-    hour_us = F.unix_micros(F.date_trunc("hour", F.col("ts")))
+    # Integer floor division end to end (ADVICE r9): the former
+    # double true-division + cast truncated toward zero, disagreeing
+    # with the oracle's floor // for pre-1970 (negative-epoch) hours;
+    # date_trunc makes the micros an exact hour multiple, so `div`
+    # keeps the epoch key integral and exact.
     return (
         events.groupBy(
-            (hour_us / F.lit(3_600_000_000)).cast("long").alias("hour_epoch"),
+            F.expr(
+                "unix_micros(date_trunc('hour', ts)) div 3600000000"
+            ).alias("hour_epoch"),
             # rendered alongside the epoch key (1:1) so no epoch →
             # timestamp round-trip ever meets the session time zone
             F.date_format(

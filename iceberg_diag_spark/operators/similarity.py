@@ -2485,7 +2485,10 @@ def matryoshka_audit(
 
     from iceberg_diag_spark.functions.parallel import ensure_parallelism
 
-    dims = tuple(sorted(set(prefix_dims))) + (dim,)
+    # Dedupe the prefixes against the full dim: prefix_dims containing
+    # `dim` would otherwise emit duplicate n2_<dim> aliases and fail
+    # with an opaque AnalysisException (ADVICE r9).
+    dims = tuple(sorted(set(prefix_dims) - {dim})) + (dim,)
     qv = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * (1 << scale_bits)).cast("long"),
@@ -2516,12 +2519,23 @@ def matryoshka_audit(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             *[
-                F.floor(
-                    F.lit(1_000_000.0)
-                    * int_dot(F.slice("q", 1, d), F.slice("qq", 1, d))
-                    / (
-                        F.sqrt(F.col(f"n2_{d}"))
-                        * F.sqrt(F.col(f"qn2_{d}"))
+                # Zero-prefix guard: a vector whose first d quantized
+                # dims are all zero has n2_d = 0; the bare division
+                # yields NULL in Spark but inf in DuckDB (where
+                # floor(inf)::BIGINT errors) — pin both engines to 0 so
+                # zero-prefix vectors rank deterministically (ADVICE r9).
+                F.when(
+                    (F.col(f"n2_{d}") == 0) | (F.col(f"qn2_{d}") == 0),
+                    F.lit(0),
+                )
+                .otherwise(
+                    F.floor(
+                        F.lit(1_000_000.0)
+                        * int_dot(F.slice("q", 1, d), F.slice("qq", 1, d))
+                        / (
+                            F.sqrt(F.col(f"n2_{d}"))
+                            * F.sqrt(F.col(f"qn2_{d}"))
+                        )
                     )
                 )
                 .cast("long")

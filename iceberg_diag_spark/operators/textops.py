@@ -1561,8 +1561,11 @@ def gopher_rules_audit(
     """
     t = tokens(F.col(text_col))
     n = F.size(t)
+    # 64-bit seed: an IntegerType accumulator would wrap a pathological
+    # >2^31-token-char document where the DuckDB oracle sums in BIGINT
+    # (ADVICE r9) — seed long so both engines agree on any input.
     sum_len = F.aggregate(
-        t, F.lit(0), lambda acc, x: acc + F.length(x)
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
     alpha_hits = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
     panel = F.array(*[F.lit(w) for w in GOPHER_STOP_PANEL])
