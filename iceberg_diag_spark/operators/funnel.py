@@ -60,16 +60,21 @@ from iceberg_diag_spark.functions.parallel import ensure_parallelism
 from iceberg_diag_spark.operators import dedup, packing, sampling, textops
 
 
-def corpus_build_funnel(
+def stage_flags(
     docs: DataFrame,
     holdout_ppm: int = 100_000,
-    capacity_tokens: int = 256,
-    n_shards: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
     stratum_col: str = "source",
     checkpoint: bool = True,
 ) -> DataFrame:
+    """The funnel's per-doc lineage relation: one row per raw doc with
+    (id, stratum, n_tokens, s1..s4) survival flags for stages 1-4 —
+    the shared core corpus_build_funnel aggregates into stage counts
+    and corpus_release materializes into shards. Pure extraction of
+    the funnel's stage logic (plan-identical); see the module
+    docstring for stage semantics and the ≤3-corpus-scan contract.
+    """
     # checkpoint=False keeps the whole funnel as ONE inspectable plan
     # (results identical): the plan-property test uses it to count how
     # many branches would replay the corpus scan if the checkpoints
@@ -169,7 +174,27 @@ def corpus_build_funnel(
         "s3",
         (F.col("s3") & F.col("__ho").isNull()).alias("s4"),
     )
-    staged4 = _ckpt(staged4)
+    return _ckpt(staged4)
+
+
+def corpus_build_funnel(
+    docs: DataFrame,
+    holdout_ppm: int = 100_000,
+    capacity_tokens: int = 256,
+    n_shards: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    checkpoint: bool = True,
+) -> DataFrame:
+    staged4 = stage_flags(
+        docs,
+        holdout_ppm=holdout_ppm,
+        text_col=text_col,
+        id_col=id_col,
+        stratum_col=stratum_col,
+        checkpoint=checkpoint,
+    )
 
     # stages 0-4 in ONE aggregate over the per-doc flag relation,
     # unpivoted to funnel rows via stack (no per-stage re-aggregation)
@@ -230,3 +255,125 @@ def corpus_build_funnel(
         )
     )
     return doc_rows.unionByName(packed)
+
+
+# Release defaults: shard count and the packing capacity the manifest
+# is computed against (capacity matches the funnel's packed stage).
+RELEASE_N_SHARDS = 8
+RELEASE_CAPACITY_TOKENS = 256
+
+
+def release_assignments(
+    docs: DataFrame,
+    n_shards: int = RELEASE_N_SHARDS,
+    capacity_tokens: int = RELEASE_CAPACITY_TOKENS,
+    holdout_ppm: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Stage-5 of the funnel, EXECUTED: the per-doc release relation
+    (source, shard, doc_id, n_tokens, seq_id) over exactly the
+    funnel's stage-4 (train) survivors.
+
+    Shard membership is the deterministic md5 bucket of the doc id
+    (sampling.hash_bucket — the content-stable, cross-engine idiom
+    every sampler here uses), NOT doc_id % n: membership then depends
+    only on the id, stays uniform under skewed id ranges, and is
+    reproducible from the manifest alone. Sequence packing runs per
+    (source, shard) with the production fit-before-append fold
+    (packing.pack_assign_from_counts), so a shard's rows regrouped by
+    (source, seq_id) ARE the packed training sequences.
+
+    Scale: the fold sees token-count metadata only (~16 B/doc);
+    n_shards is the parallelism lever exactly as in pack_sequences.
+    """
+    from iceberg_diag_spark.operators.sampling import hash_bucket
+
+    flags = stage_flags(
+        docs,
+        holdout_ppm=holdout_ppm,
+        text_col=text_col,
+        id_col=id_col,
+        stratum_col=stratum_col,
+        checkpoint=checkpoint,
+    )
+    train = flags.filter(F.col("s4")).select(
+        F.col("stratum").alias("source"),
+        hash_bucket(F.col(id_col), n_shards).alias("shard"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        "n_tokens",
+    )
+    return packing.pack_assign_from_counts(train, capacity_tokens)
+
+
+def corpus_release_manifest(
+    docs: DataFrame,
+    n_shards: int = RELEASE_N_SHARDS,
+    capacity_tokens: int = RELEASE_CAPACITY_TOKENS,
+    **kwargs,
+) -> DataFrame:
+    """Per-shard release manifest — the dataset card's file-level
+    half: for every shard of the executed release, how many docs and
+    packed sequences it holds, its token mass, and an exact
+    order-insensitive membership checksum (two independently-salted
+    60-bit bit_xor digests, sampling.membership_checksums — O(1)
+    aggregation state, so the digest scales to billion-doc shards
+    where a sort+concat+md5 digest cannot).
+
+    A consumer verifies a delivered shard by recomputing the digest
+    over the doc ids it received and comparing to this table; the
+    pytest twin asserts the manifest recomputed FROM the written
+    parquet shards (corpus_release) matches this relation exactly.
+
+    Output per shard: (shard, n_docs, n_seqs, n_tokens, members_xor,
+    members_xor2).
+    """
+    from iceberg_diag_spark.operators.sampling import membership_checksums
+
+    asg = release_assignments(
+        docs, n_shards=n_shards, capacity_tokens=capacity_tokens, **kwargs
+    )
+    return _manifest_agg(asg)
+
+
+def _manifest_agg(asg: DataFrame) -> DataFrame:
+    """Per-shard manifest aggregate over an assignment relation —
+    shared by the plan-side manifest and the written-files re-check so
+    the two can never drift."""
+    from iceberg_diag_spark.operators.sampling import membership_checksums
+
+    x1, x2 = membership_checksums(F.col("doc_id"))
+    return asg.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source", "seq_id").cast("long").alias("n_seqs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        x1.alias("members_xor"),
+        x2.alias("members_xor2"),
+    )
+
+
+def corpus_release(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = RELEASE_N_SHARDS,
+    capacity_tokens: int = RELEASE_CAPACITY_TOKENS,
+    **kwargs,
+) -> DataFrame:
+    """Execute the release end-to-end: materialize the stage-5
+    assignment relation as prunable shard=K parquet directories (the
+    export_training_shards layout via sinks.write_assigned_shards)
+    and return the per-shard manifest computed FROM THE WRITTEN FILES
+    — so the returned manifest vouches for what actually landed on
+    disk, not for the plan that was supposed to land there.
+    """
+    from iceberg_diag_spark.sources.sinks import write_assigned_shards
+
+    asg = release_assignments(
+        docs, n_shards=n_shards, capacity_tokens=capacity_tokens, **kwargs
+    )
+    write_assigned_shards(
+        asg, path, n_shards, order_cols=("source", "seq_id", "doc_id")
+    )
+    return _manifest_agg(docs.sparkSession.read.parquet(path))

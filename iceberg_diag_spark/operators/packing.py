@@ -108,6 +108,52 @@ def pack_sequences_from_counts(
     )
 
 
+PACK_ASSIGN_SCHEMA = (
+    "source string, shard long, doc_id long, n_tokens long, seq_id long"
+)
+
+
+def pack_assign_from_counts(
+    base: DataFrame, capacity_tokens: int = 256
+) -> DataFrame:
+    """Per-DOC sequence assignment under the same fit-before-append
+    fold as pack_sequences_from_counts: each input row comes back with
+    the seq_id it lands in, instead of the per-sequence aggregate —
+    the file-level form a corpus RELEASE materializes (a dataloader
+    regroups a shard's rows by seq_id to reconstruct the packed
+    sequences, so the mapping, not the aggregate, is what ships).
+
+    Same scale shape as the aggregate fold: grouped-map per
+    (source, shard) over token-count metadata only (~16 B/doc, no
+    text), deterministic doc_id order, one row out per row in.
+    Invariant (pytest-pinned): grouping the output by seq_id
+    reproduces pack_sequences_from_counts' (doc_count, seq_tokens)
+    exactly.
+    """
+
+    def _assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids = []
+        sid = 0
+        count = 0
+        total = 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if count and total + t > capacity_tokens:
+                sid += 1
+                count = 0
+                total = 0
+            count += 1
+            total += t
+            seq_ids.append(sid)
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        return pdf[["source", "shard", "doc_id", "n_tokens", "seq_id"]]
+
+    return base.groupBy("source", "shard").applyInPandas(
+        _assign, schema=PACK_ASSIGN_SCHEMA
+    )
+
+
 # Power-of-two ladder for bucketed padding: smallest 2^k >= n, floor
 # 16, cap 2^20 (any longer sequence pads to the cap bucket). A CASE
 # ladder instead of log2 so the bucket is integer-exact on any engine.

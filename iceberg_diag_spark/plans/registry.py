@@ -9832,7 +9832,12 @@ def _corpus_build_funnel(spark, sf_dir):
 # itself is what this entry tests. The pairs CTE embeds _MINHASH_PAIRS_SQL verbatim as a
 # parenthesized WITH-subquery (DuckDB scopes inner CTE names, so its
 # norm/chash chain cannot collide with the funnel's).
-_FUNNEL_SQL = (
+# Shared template for the funnel FAMILY (stage counts + the executed
+# release's manifest): one WITH-chain through the per-doc p4 flag
+# relation and the pack recursion; {pdata} parameterizes what feeds
+# the packer (the funnel packs doc_id%4 shards, the release packs
+# md5-bucket shards) and {final} the terminal projection.
+_FUNNEL_TEMPLATE = (
     r"""
 WITH RECURSIVE fnorm AS (
   SELECT doc_id, source, text,
@@ -9936,8 +9941,7 @@ p4 AS (
   FROM p3 LEFT JOIN picks pk USING (doc_id)
 ),
 pdata AS (
-  SELECT source, doc_id % 4 AS shard, doc_id, n_tokens AS sz
-  FROM p4 WHERE s4
+{pdata}
 ),
 ppre AS (
   SELECT source, shard, sz,
@@ -9976,7 +9980,25 @@ pgrp AS (
             AND b.srn <= t.mx
   WINDOW w AS (PARTITION BY b.source, b.shard ORDER BY b.gid)
 )
-SELECT CAST(0 AS BIGINT) AS stage_id, 'raw' AS stage,
+{final}"""
+)
+
+
+def _funnel_family_sql(pdata: str, final: str) -> str:
+    return _FUNNEL_TEMPLATE.format(
+        de=_lang_list_sql("de"),
+        en=_lang_list_sql("en"),
+        es=_lang_list_sql("es"),
+        fr=_lang_list_sql("fr"),
+        pdata=pdata,
+        final=final,
+    )
+
+
+_FUNNEL_SQL = _funnel_family_sql(
+    "  SELECT source, doc_id % 4 AS shard, doc_id, n_tokens AS sz\n"
+    "  FROM p4 WHERE s4",
+    """SELECT CAST(0 AS BIGINT) AS stage_id, 'raw' AS stage,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens
 FROM p4
@@ -10000,12 +10022,31 @@ UNION ALL
 SELECT 5, 'packed', CAST(count(*) AS BIGINT),
        CAST(coalesce(sum(toks), 0) AS BIGINT)
 FROM pgrp
-"""
-).format(
-    de=_lang_list_sql("de"),
-    en=_lang_list_sql("en"),
-    es=_lang_list_sql("es"),
-    fr=_lang_list_sql("fr"),
+""",
+)
+
+# The release packs md5-bucket shards (sampling.hash_bucket's
+# '0x'||substr(md5) parse, % RELEASE_N_SHARDS=8) and the manifest
+# aggregates pdata itself: n_seqs comes from the pack recursion's
+# per-(source, shard, gid) rows, the membership digests are the
+# bit_xor 60-bit salted-hash pair (sampling.membership_checksums).
+_RELEASE_MANIFEST_SQL = _funnel_family_sql(
+    "  SELECT source,\n"
+    "         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+    "::BIGINT % 8 AS shard,\n"
+    "         doc_id, n_tokens AS sz\n"
+    "  FROM p4 WHERE s4",
+    """SELECT d.shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       q.n_seqs,
+       CAST(sum(d.sz) AS BIGINT) AS n_tokens,
+       bit_xor(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT) AS members_xor,
+       bit_xor(('0x' || substring(md5('m2|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT) AS members_xor2
+FROM pdata d
+JOIN (SELECT shard, CAST(count(*) AS BIGINT) AS n_seqs
+      FROM pgrp GROUP BY shard) q USING (shard)
+GROUP BY d.shard, q.n_seqs
+""",
 )
 
 # ------------------------------------------------------------------
@@ -10516,6 +10557,28 @@ REGISTRY.update({
         "emitting the per-stage survivor funnel (the release dataset "
         "card); one enriched corpus pass + the banding chain, stages "
         "share a checkpointed narrow lineage",
+    ),
+})
+
+
+def _corpus_release_manifest(spark, sf_dir):
+    from iceberg_diag_spark.operators.funnel import corpus_release_manifest
+
+    return corpus_release_manifest(_t(spark, sf_dir, "documents"))
+
+
+REGISTRY.update({
+    "corpus_release_manifest": QuerySpec(
+        _corpus_release_manifest, _RELEASE_MANIFEST_SQL,
+        "the funnel EXECUTES its release (advisor-executing pattern "
+        "#5): stage-4 survivors shard by deterministic md5 bucket, "
+        "pack per (source, shard) with the production "
+        "fit-before-append fold, and emit the dataset card's "
+        "file-level half — per shard: docs, packed sequences, token "
+        "mass, and two salted bit_xor membership digests (O(1) agg "
+        "state, verifiable by any shard consumer); "
+        "funnel.corpus_release writes the same relation as shard=K "
+        "parquet and re-derives this manifest from the written files",
     ),
 })
 

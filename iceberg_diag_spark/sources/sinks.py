@@ -202,3 +202,36 @@ def export_training_shards(
         .parquet(path)
     )
     return n_shards
+
+
+def write_assigned_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    shard_col: str = "shard",
+    order_cols: tuple[str, ...] = ("doc_id",),
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a relation that already CARRIES its shard
+    assignment (e.g. funnel.release_assignments, where membership is a
+    deterministic md5 bucket of the doc id) as prunable shard=K
+    parquet directories — the export_training_shards layout, minus the
+    hash assignment that function computes itself.
+
+    One hash repartition on the shard column co-locates each shard
+    into one task; sortWithinPartitions gives every shard file a
+    deterministic row order, so a re-run of the same release is
+    byte-stable (the manifest's membership digests are order-free, but
+    byte-stable files make releases diffable).
+    """
+    from pyspark.sql import functions as F
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    (
+        df.repartition(n_shards, F.col(shard_col))
+        .sortWithinPartitions(shard_col, *order_cols)
+        .write.mode(mode)
+        .partitionBy(shard_col)
+        .parquet(path)
+    )

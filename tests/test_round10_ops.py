@@ -1,0 +1,130 @@
+"""Round-10 operators: the executed corpus release (funnel stage-5 →
+export sink + per-shard manifest), the per-doc pack assignment it
+rides on, and their invariants against the established funnel/packing
+operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_diag_spark.operators import funnel, packing
+from iceberg_diag_spark.sources.tpch import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pack_assign_matches_aggregate_fold(spark):
+    """Grouping pack_assign_from_counts' per-doc rows by seq_id must
+    reproduce pack_sequences_from_counts' (doc_count, seq_tokens)
+    exactly — same fold, two output shapes."""
+    docs = load_table(spark, SF_DIR, "documents")
+    base = docs.select(
+        "source",
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("long").alias("shard"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") % 97 + 1).cast("long").alias("n_tokens"),
+    )
+    agg = {
+        (r.source, r.shard, r.seq_id): (r.doc_count, r.seq_tokens)
+        for r in packing.pack_sequences_from_counts(base, 200).collect()
+    }
+    regrouped = {
+        (r.source, r.shard, r.seq_id): (r.n, r.t)
+        for r in packing.pack_assign_from_counts(base, 200)
+        .groupBy("source", "shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_tokens").cast("long").alias("t"),
+        )
+        .collect()
+    }
+    assert regrouped == agg
+    assert len(agg) > 1
+
+
+def test_pack_assign_respects_capacity_and_order(spark):
+    """Within a (source, shard) group: seq_ids are contiguous from 0
+    in doc_id order, and no multi-doc sequence exceeds the capacity."""
+    docs = load_table(spark, SF_DIR, "documents")
+    base = docs.select(
+        "source",
+        F.lit(0).cast("long").alias("shard"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") % 50 + 1).cast("long").alias("n_tokens"),
+    )
+    rows = sorted(
+        packing.pack_assign_from_counts(base, 64).collect(),
+        key=lambda r: (r.source, r.doc_id),
+    )
+    by_group: dict[str, list] = {}
+    for r in rows:
+        by_group.setdefault(r.source, []).append(r)
+    for grp in by_group.values():
+        seqs: dict[int, int] = {}
+        prev_seq = 0
+        for r in grp:
+            assert r.seq_id >= prev_seq  # monotone in doc_id order
+            prev_seq = r.seq_id
+            seqs[r.seq_id] = seqs.get(r.seq_id, 0) + r.n_tokens
+        assert sorted(seqs) == list(range(len(seqs)))  # contiguous
+        for sid, total in seqs.items():
+            n_docs = sum(1 for r in grp if r.seq_id == sid)
+            if n_docs > 1:
+                assert total <= 64
+
+
+def test_release_membership_equals_stage4_survivors(spark, tmp_path_factory):
+    """The written release's doc set IS the funnel's stage-4 (train)
+    survivor set — the executed release ships exactly what the funnel
+    counted, no more, no less."""
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path_factory.mktemp("release")) + "/corpus"
+    funnel.corpus_release(docs, out)
+    written_ids = {
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    survivor_ids = {
+        r.doc_id
+        for r in funnel.stage_flags(docs)
+        .filter(F.col("s4"))
+        .select("doc_id")
+        .collect()
+    }
+    assert written_ids == survivor_ids
+    assert written_ids  # non-trivial fixture
+
+
+def test_release_manifest_matches_written_files(spark, tmp_path_factory):
+    """corpus_release's manifest (recomputed FROM the written parquet)
+    equals corpus_release_manifest's plan-side manifest row for row —
+    including the salted membership digests, so a shard lost or
+    duplicated in transit cannot hash-match."""
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path_factory.mktemp("release_m")) + "/corpus"
+    from_files = {
+        r.shard: (r.n_docs, r.n_seqs, r.n_tokens, r.members_xor, r.members_xor2)
+        for r in funnel.corpus_release(docs, out).collect()
+    }
+    from_plan = {
+        r.shard: (r.n_docs, r.n_seqs, r.n_tokens, r.members_xor, r.members_xor2)
+        for r in funnel.corpus_release_manifest(docs).collect()
+    }
+    assert from_files == from_plan
+    assert len(from_plan) == funnel.RELEASE_N_SHARDS
+
+
+def test_release_manifest_tokens_match_funnel_train_stage(spark):
+    """Manifest token mass sums to the funnel's stage-4 n_tokens and
+    sequence count to its stage-5 n_rows ONLY if sharding never drops
+    mass; the seq count differs (release shards by md5 bucket, the
+    funnel's packed stage by doc_id%4) but token totals must agree."""
+    docs = load_table(spark, SF_DIR, "documents")
+    manifest = funnel.corpus_release_manifest(docs)
+    total_tokens = manifest.agg(F.sum("n_tokens")).collect()[0][0]
+    stages = {
+        r.stage: (r.n_rows, r.n_tokens)
+        for r in funnel.corpus_build_funnel(docs).collect()
+    }
+    assert total_tokens == stages["train"][1]
+    assert manifest.agg(F.sum("n_docs")).collect()[0][0] == stages["train"][0]
