@@ -1890,6 +1890,197 @@ def bpe_vocab_coverage(
     )
 
 
+def unigram_lm_train(
+    docs: DataFrame,
+    k_em: int = 2,
+    max_piece_len: int = 4,
+    n_multi: int = 48,
+    max_word_len: int = 24,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM tokenizer training (the SentencePiece/Kudo 2018
+    counterpart of bpe_train_merges) — hard-EM over a substring
+    vocabulary: seed pieces from corpus substring counts, then k_em
+    rounds of (E) Viterbi-segment every word form under the current
+    piece scores and (M) re-estimate scores from the segmentation's
+    piece counts, pruning multi-char pieces no Viterbi path uses.
+    Hard-EM (Viterbi counts, zero-count prune) is the standard
+    deterministic simplification of Kudo's soft-EM + loss-ranked
+    prune; single-character pieces are never pruned, so every word
+    stays segmentable (Kudo's coverage guarantee).
+
+    Relational shape (the _bpe_train contract): the TOKEN STREAM is
+    touched exactly once — the distinct word-form aggregate — and all
+    k_em iterations run on vocabulary-scale relations
+    (Heaps-sublinear in corpus size). The span relation (every
+    (end, len≤max_piece_len) substring of every word form, built once
+    and checkpointed) is the only super-word-scale intermediate at
+    ~max_word_len·max_piece_len rows per word form. Per iteration:
+    one BROADCAST join of spans to the ≤(chars+n_multi)-row score
+    table, one collect_list bounded by the span fan-out, a row-local
+    array-fold Viterbi DP (forward bests + backtrack, O(|w|·L) per
+    word — the events_holt_forecast bounded-fold precedent), and one
+    map-side-combined count aggregate on uniform piece keys. Zero
+    driver round-trips; eager checkpoints truncate the k_em-deep
+    lineage exactly as _bpe_train does.
+
+    Determinism: piece scores are floor-quantized micro-nat NLLs
+    (Laplace-smoothed −ln((cnt+1)/(total+V)), the doc_kn_nll
+    fixed-shape idiom), so the DP itself is exact integer arithmetic;
+    Viterbi ties break toward the LONGEST piece (and (end, len)
+    identifies a span uniquely, so the tie-break is total).
+
+    Output, one row per surviving piece after the final M-step:
+    (piece, piece_len, em_count, nll_micro) — em_count is the final
+    Viterbi count (single chars may carry 0; they are kept for
+    coverage), nll_micro the smoothed score the next segmentation
+    would use.
+    """
+    words = (
+        ensure_parallelism(docs)
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= max_word_len))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+        .localCheckpoint(eager=True)
+    )
+    # every (end i, len l, piece) span of every word form, built once
+    spans = (
+        words.select(
+            "w",
+            "wc",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(w)), i -> "
+                    f"transform(sequence(1, least({max_piece_len}, i)), "
+                    "l -> struct(i AS i, l AS l, "
+                    "substr(w, i - l + 1, l) AS piece))))"
+                )
+            ).alias("sp"),
+        )
+        .select("w", "wc", "sp.i", "sp.l", "sp.piece")
+        .localCheckpoint(eager=True)
+    )
+    seed = spans.groupBy("piece", "l").agg(
+        F.sum("wc").cast("long").alias("cnt")
+    )
+    chars = seed.filter(F.col("l") == 1).localCheckpoint(eager=True)
+    multis = (
+        seed.filter(F.col("l") >= 2)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(n_multi)
+    )
+    vocab = chars.unionByName(multis).localCheckpoint(eager=True)
+
+    def scored(vocab_df: DataFrame) -> DataFrame:
+        tot = vocab_df.agg(
+            F.sum("cnt").cast("long").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("v"),
+        )
+        return vocab_df.crossJoin(F.broadcast(tot)).select(
+            "piece",
+            "l",
+            "cnt",
+            F.floor(
+                -F.log(
+                    (F.col("cnt").cast("double") + F.lit(1.0))
+                    / (F.col("total") + F.col("v"))
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("nll_micro"),
+        )
+
+    # Viterbi-optimal span at position acc.pos for the backtrack:
+    # among spans ending there whose prefix cost + piece cost equals
+    # the optimum, the longest (struct-sort on negated length — the
+    # total tie-break; an (end, len) pair identifies a span uniquely).
+    # Lambda variables are uniquified per occurrence: Spark rejects a
+    # nested lambda that rebinds an enclosing lambda's name.
+    def chosen(v1: str, v2: str) -> str:
+        return (
+            "element_at(array_sort(transform(filter(sp, "
+            f"{v1} -> {v1}.i = acc.pos AND "
+            f"element_at(bests, acc.pos - {v1}.l + 1) + {v1}.nll = "
+            "element_at(bests, acc.pos + 1)), "
+            f"{v2} -> struct(-{v2}.l AS nl, {v2}.piece AS piece, "
+            f"{v2}.l AS l))), 1)"
+        )
+
+    def estep(score_df: DataFrame) -> DataFrame:
+        sc = spans.join(
+            F.broadcast(score_df.select("piece", "nll_micro")), "piece"
+        )
+        sp_arr = sc.groupBy("w").agg(
+            F.collect_list(
+                F.struct(
+                    F.col("i").cast("int").alias("i"),
+                    F.col("l").cast("int").alias("l"),
+                    F.col("piece").alias("piece"),
+                    F.col("nll_micro").cast("long").alias("nll"),
+                )
+            ).alias("sp")
+        )
+        based = words.join(sp_arr, "w").withColumn(
+            "bests",
+            F.expr(
+                "aggregate(sequence(1, length(w)), "
+                "array(CAST(0 AS BIGINT)), "
+                "(acc, i) -> acc || array(array_min(transform("
+                "filter(sp, x -> x.i = i), "
+                "x -> element_at(acc, i - x.l + 1) + x.nll))))"
+            ),
+        )
+        picked = based.withColumn(
+            "pieces",
+            F.expr(
+                "aggregate(sequence(1, length(w)), "
+                "named_struct('pos', length(w), "
+                "'ps', CAST(array() AS array<string>)), "
+                "(acc, s) -> IF(acc.pos <= 0, acc, named_struct("
+                f"'pos', acc.pos - {chosen('x1', 'y1')}.l, "
+                f"'ps', acc.ps || array({chosen('x2', 'y2')}.piece)))"
+                ").ps"
+            ),
+        )
+        return (
+            picked.select("wc", F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("wc").cast("long").alias("cnt"))
+        )
+
+    score = scored(vocab)
+    for _ in range(k_em):
+        em = estep(score)
+        vocab = (
+            chars.select("piece")
+            .join(em, "piece", "left")
+            .select(
+                "piece",
+                F.lit(1).cast("int").alias("l"),
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+            )
+            .unionByName(
+                em.filter(
+                    (F.length("piece") >= 2) & (F.col("cnt") > 0)
+                ).select(
+                    "piece",
+                    F.length("piece").cast("int").alias("l"),
+                    "cnt",
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+        score = scored(vocab)
+    return score.select(
+        "piece",
+        F.col("l").cast("long").alias("piece_len"),
+        F.col("cnt").alias("em_count"),
+        "nll_micro",
+    )
+
+
 def zipf_fit_audit(
     docs: DataFrame,
     k: int = 1000,

@@ -12098,6 +12098,130 @@ FROM est e JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
 """
 )
 
+
+def _unigram_lm_train(spark, sf_dir):
+    from iceberg_diag_spark.operators.textops import unigram_lm_train
+
+    return unigram_lm_train(_t(spark, sf_dir, "documents"))
+
+
+def _unigram_sql(
+    k_em: int = 2,
+    max_piece_len: int = 4,
+    n_multi: int = 48,
+    max_word_len: int = 24,
+) -> str:
+    """Unigram-LM hard-EM in DuckDB: the Viterbi forward DP and the
+    backtrack are recursive CTEs per word form carrying the bests
+    list (integer micro-nat costs, so the DP is exact arithmetic in
+    both engines); EM iterations are unrolled as repeated CTE blocks
+    (the matryoshka per-dim generation pattern)."""
+    vals = ", ".join(f"({l})" for l in range(1, max_piece_len + 1))
+
+    def score_block(name: str, vocab: str) -> str:
+        return f"""{name} AS (
+  SELECT piece, l, cnt,
+         CAST(floor(-ln((CAST(cnt AS DOUBLE) + 1) / (total + v))
+                    * 1000000.0) AS BIGINT) AS nll
+  FROM {vocab}, (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                        CAST(count(*) AS BIGINT) AS v FROM {vocab}) t
+)"""
+
+    # the Viterbi-optimal spans at position pos: prefix cost + piece
+    # cost equals the optimum (bests is 1-based: bests[j+1] = best[j])
+    cand = (
+        "list_filter(sp, {v} -> {v}.i = pos AND "
+        "bests[CAST(pos - {v}.l + 1 AS INT)] + {v}.nll = "
+        "bests[CAST(pos + 1 AS INT)])"
+    )
+    em_blocks = []
+    for m in range(k_em):
+        c1 = cand.format(v="x")
+        c2 = cand.format(v="y")
+        em_blocks.append(f"""sp{m} AS (
+  SELECT s.w, list(struct_pack(i := s.i, l := s.l, piece := s.piece,
+                               nll := v.nll) ORDER BY s.i, s.l) AS sp
+  FROM spans s JOIN score{m} v ON v.piece = s.piece
+  GROUP BY s.w
+),
+dp{m}(w, n, i, sp, bests) AS (
+  SELECT q.w, CAST(length(q.w) AS BIGINT), CAST(0 AS BIGINT), q.sp,
+         [CAST(0 AS BIGINT)]
+  FROM sp{m} q
+  UNION ALL
+  SELECT w, n, i + 1, sp,
+         list_append(bests, list_min(list_transform(
+           list_filter(sp, x -> x.i = i + 1),
+           x -> bests[CAST(i + 2 - x.l AS INT)] + x.nll)))
+  FROM dp{m} WHERE i < n
+),
+bt{m}(w, pos, sp, bests, pieces) AS (
+  SELECT w, n, sp, bests, []::VARCHAR[]
+  FROM dp{m} WHERE i = n
+  UNION ALL
+  SELECT w,
+         pos - list_max(list_transform({c1}, x -> x.l)),
+         sp, bests,
+         list_append(pieces,
+           list_filter({c1}, x -> x.l =
+             list_max(list_transform({c2}, y -> y.l)))[1].piece)
+  FROM bt{m} WHERE pos > 0
+),
+em{m} AS (
+  SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM (SELECT b.w AS w, unnest(b.pieces) AS piece
+        FROM bt{m} b WHERE b.pos = 0) u
+  JOIN words USING (w)
+  GROUP BY piece
+),
+vocab{m + 1} AS (
+  SELECT c.piece, CAST(1 AS INT) AS l,
+         CAST(coalesce(e.cnt, 0) AS BIGINT) AS cnt
+  FROM chars c LEFT JOIN em{m} e USING (piece)
+  UNION ALL
+  SELECT piece, CAST(length(piece) AS INT) AS l, cnt
+  FROM em{m} WHERE length(piece) >= 2 AND cnt > 0
+),
+{score_block(f"score{m + 1}", f"vocab{m + 1}")}""")
+    em_sql = ",\n".join(em_blocks)
+    return rf"""
+WITH RECURSIVE words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+    SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+                                              '\s+', ' ', 'g'),
+                  ' ')) AS w
+    FROM documents
+  ) t(w)
+  WHERE w <> '' AND length(w) <= {max_word_len}
+  GROUP BY w
+),
+pos AS (
+  SELECT w, wc, unnest(generate_series(1, length(w))) AS i FROM words
+),
+spans AS (
+  SELECT w, wc, i, l,
+         substr(w, CAST(i - l + 1 AS INT), CAST(l AS INT)) AS piece
+  FROM pos, (VALUES {vals}) t(l)
+  WHERE l <= i
+),
+seed AS (
+  SELECT piece, CAST(l AS INT) AS l, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM spans GROUP BY piece, l
+),
+chars AS (SELECT piece, l, cnt FROM seed WHERE l = 1),
+multis AS (SELECT piece, l, cnt FROM seed WHERE l >= 2
+           ORDER BY cnt DESC, piece LIMIT {n_multi}),
+vocab0 AS (SELECT * FROM chars UNION ALL SELECT * FROM multis),
+{score_block("score0", "vocab0")},
+{em_sql}
+SELECT piece, CAST(l AS BIGINT) AS piece_len, cnt AS em_count,
+       nll AS nll_micro
+FROM score{k_em}
+"""
+
+
+_UNIGRAM_SQL = _unigram_sql()
+
 REGISTRY.update({
     "gopher_rules_audit": QuerySpec(
         _gopher_rules_audit, _GOPHER_RULES_SQL,
@@ -12120,6 +12244,16 @@ REGISTRY.update({
         "k-row bounded rank window, one DECIMAL-exact regression "
         "aggregate (flipped ordinate keeps every floor-division "
         "non-negative where Spark DIV and DuckDB // agree)",
+    ),
+    "unigram_lm_train": QuerySpec(
+        _unigram_lm_train, _UNIGRAM_SQL,
+        "unigram-LM tokenizer training (SentencePiece/Kudo hard-EM "
+        "counterpart of bpe_train_merges): substring-seeded piece "
+        "vocabulary, k_em rounds of Viterbi segmentation (row-local "
+        "integer array-fold DP over the distinct word-form relation, "
+        "longest-piece tie-break) + micro-nat Laplace score "
+        "re-estimation, zero-count multi-piece prune; token stream "
+        "touched once, scores broadcast, zero driver round-trips",
     ),
     "events_sli_burn_rate": QuerySpec(
         _events_sli_burn_rate, _SLI_BURN_SQL,

@@ -128,3 +128,88 @@ def test_release_manifest_tokens_match_funnel_train_stage(spark):
     }
     assert total_tokens == stages["train"][1]
     assert manifest.agg(F.sum("n_docs")).collect()[0][0] == stages["train"][0]
+
+
+def test_unigram_lm_train_planted(spark):
+    """Hand-computed hard-EM on a planted corpus: words ab(x4), c(x2).
+    Seed vocab: chars a,b,c + multi 'ab'. Viterbi segments 'ab' as the
+    single piece (one term beats two of equal unit cost), so the final
+    counts are ab=4, c=2, a=b=0 (chars kept for coverage) and the
+    smoothed scores are -ln((cnt+1)/(total+V)) with total=6, V=4."""
+    import math
+
+    from iceberg_diag_spark.operators.textops import unigram_lm_train
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab c", "s1"), (2, "ab c", "s1")],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r.piece: (r.piece_len, r.em_count, r.nll_micro)
+        for r in unigram_lm_train(docs, k_em=2, n_multi=4).collect()
+    }
+    def nll(cnt):
+        return math.floor(-math.log((cnt + 1) / 10.0) * 1_000_000)
+    assert rows == {
+        "a": (1, 0, nll(0)),
+        "b": (1, 0, nll(0)),
+        "ab": (2, 4, nll(4)),
+        "c": (1, 2, nll(2)),
+    }
+
+
+def test_unigram_longest_piece_tiebreak(spark):
+    """'abc' with equal-count pieces 'ab','bc','abc' and chars: the
+    3-char piece wins (fewer terms), and among equal-cost candidates
+    the backtrack picks the LONGEST — 'abc' must be chosen whole, not
+    as ab+c or a+bc."""
+    from iceberg_diag_spark.operators.textops import unigram_lm_train
+
+    docs = spark.createDataFrame(
+        [(1, "abc abc", "s1")], "doc_id long, text string, source string"
+    )
+    rows = {
+        r.piece: r.em_count
+        for r in unigram_lm_train(docs, k_em=1, n_multi=8).collect()
+    }
+    assert rows.get("abc") == 2
+    assert all(
+        cnt == 0 for p, cnt in rows.items() if p != "abc"
+    )
+
+
+def test_unigram_fertility_vs_bpe(spark):
+    """Fertility comparison on the shared documents fixture: the
+    trained unigram tokenizer's fertility (pieces per word) must beat
+    the all-characters baseline and land in the same regime as the
+    trained BPE tokenizer's corpus fertility (both learn the same
+    small synthetic vocabulary, so neither should be >2x the other)."""
+    from iceberg_diag_spark.operators.textops import (
+        bpe_vocab_coverage,
+        unigram_lm_train,
+    )
+    from iceberg_diag_spark.sources.tpch import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pieces = unigram_lm_train(docs).collect()
+    total_pieces = sum(r.em_count for r in pieces)
+    words_chars = (
+        docs.selectExpr(
+            "explode(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '),"
+            " ' ')) AS w"
+        )
+        .where("w <> ''")
+        .selectExpr(
+            "count(1) AS words", "sum(length(w)) AS chars"
+        )
+        .collect()[0]
+    )
+    uni_fert_ppm = 1_000_000 * total_pieces // words_chars.words
+    base_fert_ppm = 1_000_000 * words_chars.chars // words_chars.words
+    assert 1_000_000 <= uni_fert_ppm < base_fert_ppm
+    bpe = bpe_vocab_coverage(docs).collect()
+    bpe_fert_ppm = (
+        1_000_000 * sum(r.subwords for r in bpe) // sum(r.words for r in bpe)
+    )
+    assert uni_fert_ppm < 2 * bpe_fert_ppm
+    assert bpe_fert_ppm < 2 * uni_fert_ppm
