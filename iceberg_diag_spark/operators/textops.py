@@ -810,6 +810,18 @@ def quality_classifier_score(
     fixed-order double arithmetic over exact ratio features — no ln/
     exp on either the score or the decision, so the output is exact
     on any IEEE engine). Output: (doc_id, z_micro, keep)."""
+    z = _classifier_z(text_col)
+    return ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.floor(z * F.lit(1_000_000.0)).cast("long").alias("z_micro"),
+        (z >= 0).alias("keep"),
+    )
+
+
+def _classifier_z(text_col: str) -> Column:
+    """The linear classifier's raw score column z = w·x + b (shared
+    by quality_classifier_score and classifier_auc_calibration —
+    pure expression extraction, plans identical)."""
     exprs = quality_exprs(text_col)
     t = tokens(F.col(text_col))
     trigrams = F.when(
@@ -823,7 +835,7 @@ def quality_classifier_score(
         F.size(trigrams) - F.size(F.array_distinct(trigrams))
     ).cast("double") / F.greatest(F.size(trigrams), F.lit(1))
     w = CLASSIFIER_WEIGHTS
-    z = (
+    return (
         F.lit(w["bias"])
         + F.lit(w["mean_token_len"]) * exprs["mean_token_len"]
         + F.lit(w["type_token_ratio"]) * exprs["type_token_ratio"]
@@ -831,10 +843,164 @@ def quality_classifier_score(
         + F.lit(w["alpha_ratio"]) * exprs["alpha_ratio"]
         + F.lit(w["dup_trigram_frac"]) * dup_frac
     )
-    return ensure_parallelism(docs).select(
-        F.col(id_col),
-        F.floor(z * F.lit(1_000_000.0)).cast("long").alias("z_micro"),
-        (z >= 0).alias("keep"),
+
+
+def classifier_auc_calibration(
+    docs: DataFrame,
+    n_bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact evaluation of the linear quality classifier against the
+    production curation gate (the corpus_curation / funnel stage-1
+    reference label): ROC-AUC via the tie-corrected Mann-Whitney
+    rank-sum, plus a fixed-grid calibration table of predicted vs
+    empirical keep rate — the two numbers that say whether the score
+    RANKS gate-passing docs above failing ones and whether its
+    probabilities mean anything.
+
+    Exactness and scale come from the user_activity_gini trick: the
+    rank-sum runs over the SCORE HISTOGRAM (one row per distinct
+    z_micro), never a per-doc global sort. With per-value positive/
+    negative counts (n1, n0) and the exclusive below-prefix cum0:
+      2·U = Σ_z n1·(2·cum0 + n0)      (ties contribute the half)
+      auc_ppm = ⌊10⁶·2U / (2·P·N)⌋
+    all in DECIMAL(38,0) (P·N ~ 10²⁴ at planetary scale). The prefix
+    runs through shuffling.grouped_prefix_sum — range shards +
+    broadcast offsets, no single-task window, so a near-continuous
+    score (|distinct z| → n_docs) cannot funnel the histogram into
+    one task.
+
+    Calibration: predicted keep probability p = σ(z) is quantized
+    ONCE per doc (p_micro = ⌊10⁶/(1+e^(−z_micro/10⁶))⌋ — a
+    fixed-shape double expression over the already-quantized integer
+    score, the doc_kn_nll cross-engine idiom), then binned on the
+    fixed p-grid (bin = min(n_bins−1, p_micro·n_bins DIV 10⁶), the
+    PSI grid shape); per bin the mean prediction and the empirical
+    gate rate are exact integer DIVs.
+
+    Shape: ONE corpus scan into a 3-column per-doc projection
+    (checkpointed — two aggregate consumers), a |distinct z|
+    histogram aggregate, a |bins| aggregate, and a 1-row broadcast of
+    the AUC onto the bin rows. Output per non-empty bin: (bin_id,
+    n_docs, n_pos, mean_pred_ppm, pos_rate_ppm, calib_gap_ppm,
+    auc_ppm, n_pos_total, n_neg_total); auc NULL when either class
+    is absent (AUC undefined).
+    """
+    from iceberg_diag_spark.operators.shuffling import grouped_prefix_sum
+
+    q = quality_exprs(text_col)
+    best = language_best(text_col)
+    z = _classifier_z(text_col)
+    gate = (
+        (q["type_token_ratio"] >= 0.4)
+        & (q["alpha_ratio"] >= 0.6)
+        & (best["hits"] > 0)
+    )
+    per_doc = (
+        ensure_parallelism(docs)
+        .select(
+            F.floor(z * F.lit(1_000_000.0)).cast("long").alias("z_micro"),
+            gate.cast("long").alias("y"),
+        )
+        .select(
+            "z_micro",
+            "y",
+            F.floor(
+                F.lit(1_000_000.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(-(F.col("z_micro").cast("double") / F.lit(1e6)))
+                )
+            )
+            .cast("long")
+            .alias("p_micro"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    auc = exact_auc(per_doc, score_col="z_micro", label_col="y")
+    bins = (
+        per_doc.groupBy(
+            F.least(
+                F.lit(n_bins - 1),
+                F.expr(f"p_micro * {n_bins} DIV 1000000"),
+            )
+            .cast("long")
+            .alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+            # DECIMAL numerators: 10^6-scaled sums pass int64 only to
+            # ~9e12 docs/bin — too tight at 100 TB
+            F.sum(F.col("p_micro").cast("decimal(38,0)")).alias("__sp"),
+        )
+        .select(
+            "bin_id",
+            "n_docs",
+            "n_pos",
+            F.expr("__sp DIV n_docs").cast("long").alias("mean_pred_ppm"),
+            F.expr(
+                "CAST(1000000 AS DECIMAL(38,0)) * n_pos DIV n_docs"
+            )
+            .cast("long")
+            .alias("pos_rate_ppm"),
+            F.expr(
+                "__sp DIV n_docs"
+                " - CAST(1000000 AS DECIMAL(38,0)) * n_pos DIV n_docs"
+            )
+            .cast("long")
+            .alias("calib_gap_ppm"),
+        )
+    )
+    return bins.crossJoin(F.broadcast(auc))
+
+
+def exact_auc(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+) -> DataFrame:
+    """Exact tie-corrected ROC-AUC of an integer score against a 0/1
+    label via the Mann-Whitney rank-sum over the SCORE HISTOGRAM —
+    see classifier_auc_calibration for the derivation and scale
+    argument (one row per distinct score, range-sharded exclusive
+    prefix, DECIMAL(38,0) moments). Returns one row:
+    (auc_ppm, n_pos_total, n_neg_total); auc_ppm NULL when either
+    class is absent."""
+    from iceberg_diag_spark.operators.shuffling import grouped_prefix_sum
+
+    hist = (
+        scored.groupBy(F.col(score_col).alias("__s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(label_col).cast("long").alias("n1"),
+        )
+        .withColumn("n0", F.col("n") - F.col("n1"))
+    )
+    pre = grouped_prefix_sum(
+        hist.withColumn("__g", F.lit(0)),
+        "__g",
+        "__s",
+        "n0",
+        out_col="cum0",
+    )
+    return pre.agg(
+        F.sum("n1").cast("long").alias("n_pos_total"),
+        F.sum("n0").cast("long").alias("n_neg_total"),
+        F.sum(
+            F.col("n1").cast("decimal(38,0)")
+            * (F.lit(2) * F.col("cum0") + F.col("n0"))
+        ).alias("__u2"),
+    ).select(
+        F.expr(
+            "CASE WHEN n_pos_total = 0 OR n_neg_total = 0 THEN NULL "
+            "ELSE CAST(CAST(1000000 AS DECIMAL(38,0)) * __u2 "
+            "DIV (CAST(2 AS DECIMAL(38,0)) * n_pos_total * n_neg_total) "
+            "AS BIGINT) END"
+        ).alias("auc_ppm"),
+        "n_pos_total",
+        "n_neg_total",
     )
 
 

@@ -12222,6 +12222,119 @@ FROM score{k_em}
 
 _UNIGRAM_SQL = _unigram_sql()
 
+
+def _classifier_auc_calibration(spark, sf_dir):
+    from iceberg_diag_spark.operators.textops import (
+        classifier_auc_calibration,
+    )
+
+    return classifier_auc_calibration(_t(spark, sf_dir, "documents"))
+
+
+# AUC over the z_micro histogram (tie-corrected Mann-Whitney; the
+# single-node oracle may use a plain cumulative window where the
+# Spark side runs the range-sharded prefix) + the fixed p-grid
+# calibration bins. The z/feature CTEs mirror
+# _QUALITY_CLASSIFIER_SQL; the gate mirrors the funnel's stage-1.
+_CLASSIFIER_AUC_SQL = (
+    r"""
+WITH f AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+         text
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) AS mtl,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS ttr,
+         CAST(len(list_intersect(toks,
+           ['the','and','of','to','a','in','is','that','it','for'])) AS DOUBLE)
+           / greatest(len(toks), 1) AS sw,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS alpha,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> array_to_string(toks[i : i + 2], ' '))
+         ELSE [] END AS tri,
+         greatest(
+           len(list_intersect(toks, """
+    + "{de}"
+    + r""")),
+           len(list_intersect(toks, """
+    + "{en}"
+    + r""")),
+           len(list_intersect(toks, """
+    + "{es}"
+    + r""")),
+           len(list_intersect(toks, """
+    + "{fr}"
+    + r"""))) AS lang_hits
+  FROM f
+),
+per AS (
+  SELECT CAST(FLOOR((-2.3 + (-0.05) * mtl + 1.2 * ttr + 4.0 * sw
+               + 2.5 * alpha
+               + (-3.0) * (CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
+                           / greatest(len(tri), 1))) * 1000000.0)
+              AS BIGINT) AS z_micro,
+         CAST(ttr >= 0.4 AND alpha >= 0.6 AND lang_hits > 0
+              AS BIGINT) AS y
+  FROM feats
+),
+perp AS (
+  SELECT z_micro, y,
+         CAST(FLOOR(1000000.0
+                    / (1.0 + exp(-(CAST(z_micro AS DOUBLE) / 1000000.0))))
+              AS BIGINT) AS p_micro
+  FROM per
+),
+hist AS (
+  SELECT z_micro,
+         CAST(sum(y) AS BIGINT) AS n1,
+         CAST(count(*) - sum(y) AS BIGINT) AS n0
+  FROM perp GROUP BY z_micro
+),
+pre AS (
+  SELECT n1, n0,
+         CAST(coalesce(sum(n0) OVER (ORDER BY z_micro
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum0
+  FROM hist
+),
+aucf AS (
+  SELECT CASE WHEN sum(n1) = 0 OR sum(n0) = 0 THEN NULL
+         ELSE CAST((1000000 * sum(CAST(n1 AS HUGEINT) * (2 * cum0 + n0)))
+                   // (2 * CAST(sum(n1) AS HUGEINT) * sum(n0)) AS BIGINT)
+         END AS auc_ppm,
+         CAST(sum(n1) AS BIGINT) AS n_pos_total,
+         CAST(sum(n0) AS BIGINT) AS n_neg_total
+  FROM pre
+),
+bins AS (
+  SELECT least(9, p_micro * 10 // 1000000) AS bin_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         sum(CAST(p_micro AS HUGEINT)) AS sp
+  FROM perp GROUP BY 1
+)
+SELECT CAST(b.bin_id AS BIGINT) AS bin_id, b.n_docs, b.n_pos,
+       CAST(b.sp // b.n_docs AS BIGINT) AS mean_pred_ppm,
+       CAST(1000000 * CAST(b.n_pos AS HUGEINT) // b.n_docs AS BIGINT)
+         AS pos_rate_ppm,
+       CAST(b.sp // b.n_docs
+            - 1000000 * CAST(b.n_pos AS HUGEINT) // b.n_docs AS BIGINT)
+         AS calib_gap_ppm,
+       a.auc_ppm, a.n_pos_total, a.n_neg_total
+FROM bins b, aucf a
+"""
+).format(
+    de=_lang_list_sql("de"),
+    en=_lang_list_sql("en"),
+    es=_lang_list_sql("es"),
+    fr=_lang_list_sql("fr"),
+)
+
 REGISTRY.update({
     "gopher_rules_audit": QuerySpec(
         _gopher_rules_audit, _GOPHER_RULES_SQL,
@@ -12254,6 +12367,16 @@ REGISTRY.update({
         "longest-piece tie-break) + micro-nat Laplace score "
         "re-estimation, zero-count multi-piece prune; token stream "
         "touched once, scores broadcast, zero driver round-trips",
+    ),
+    "classifier_auc_calibration": QuerySpec(
+        _classifier_auc_calibration, _CLASSIFIER_AUC_SQL,
+        "exact classifier evaluation against the production curation "
+        "gate: tie-corrected Mann-Whitney ROC-AUC over the score "
+        "HISTOGRAM (range-sharded prefix sum, no per-doc global "
+        "sort; DECIMAL(38,0) moments) + fixed p-grid calibration "
+        "bins of sigmoid-predicted vs empirical keep rate with "
+        "integer-exact gaps; one corpus scan, checkpointed 3-column "
+        "per-doc lineage, 1-row AUC broadcast onto the bin rows",
     ),
     "events_sli_burn_rate": QuerySpec(
         _events_sli_burn_rate, _SLI_BURN_SQL,

@@ -213,3 +213,58 @@ def test_unigram_fertility_vs_bpe(spark):
     )
     assert uni_fert_ppm < 2 * bpe_fert_ppm
     assert bpe_fert_ppm < 2 * uni_fert_ppm
+
+
+def test_exact_auc_hand_computed_with_ties(spark):
+    """Planted score/label pairs including a tie: scores [1,2,2,3],
+    labels [0,0,1,1]. Pos-neg pairs: (2,1)=1, (2,2)=0.5, (3,1)=1,
+    (3,2)=1 -> U=3.5, AUC=3.5/4=0.875 -> 875000 ppm."""
+    from iceberg_diag_spark.operators.textops import exact_auc
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (2, 1), (3, 1)], "score long, y long"
+    )
+    row = exact_auc(df).collect()[0]
+    assert (row.auc_ppm, row.n_pos_total, row.n_neg_total) == (875_000, 2, 2)
+
+
+def test_exact_auc_edges(spark):
+    """Perfect separation -> 1e6; reversed -> 0; all-tied -> 500000;
+    single-class -> NULL."""
+    from iceberg_diag_spark.operators.textops import exact_auc
+
+    perfect = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "score long, y long"
+    )
+    assert exact_auc(perfect).collect()[0].auc_ppm == 1_000_000
+    reverse = spark.createDataFrame(
+        [(4, 0), (3, 0), (2, 1), (1, 1)], "score long, y long"
+    )
+    assert exact_auc(reverse).collect()[0].auc_ppm == 0
+    tied = spark.createDataFrame(
+        [(7, 0), (7, 1), (7, 0), (7, 1)], "score long, y long"
+    )
+    assert exact_auc(tied).collect()[0].auc_ppm == 500_000
+    one_class = spark.createDataFrame([(1, 1), (2, 1)], "score long, y long")
+    assert exact_auc(one_class).collect()[0].auc_ppm is None
+
+
+def test_classifier_auc_calibration_fixture(spark):
+    """On the documents fixture: bins partition the corpus (doc counts
+    sum to the table), empirical rates are exact ratios, and the AUC
+    column is constant across bins and inside [0, 1e6]."""
+    from iceberg_diag_spark.operators.textops import (
+        classifier_auc_calibration,
+    )
+    from iceberg_diag_spark.sources.tpch import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = classifier_auc_calibration(docs).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert len({r.auc_ppm for r in rows}) == 1
+    auc = rows[0].auc_ppm
+    assert auc is not None and 0 <= auc <= 1_000_000
+    for r in rows:
+        assert 0 <= r.bin_id <= 9
+        assert r.pos_rate_ppm == 1_000_000 * r.n_pos // r.n_docs
+        assert r.calib_gap_ppm == r.mean_pred_ppm - r.pos_rate_ppm
