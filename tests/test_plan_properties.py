@@ -280,6 +280,10 @@ _SCALAR_CROSS_OK = {
     "embedding_matryoshka_audit",  # broadcast bounded 1/query_mod
                                    #   query panel vs corpus (the
                                    #   ann_recall_eval shape)
+    "unigram_lm_train",          # broadcast 1-row (total, V) vocab
+                                 #   scalars per EM score table
+    "classifier_auc_calibration",  # broadcast 1-row AUC moments onto
+                                   #   the ≤n_bins bin rows
 }
 
 
