@@ -248,6 +248,8 @@ HEADLINE = [
     "source_length_ks",
     "events_cdc_merge",
     "tfidf_top_terms",
+    "c4_rules_audit",
+    "classifier_pr_curve",
 ]
 
 # HEADLINE membership is TOTAL: every registry entry is either timed

@@ -887,22 +887,8 @@ def classifier_auc_calibration(
     auc_ppm, n_pos_total, n_neg_total); auc NULL when either class
     is absent (AUC undefined).
     """
-    from iceberg_diag_spark.operators.shuffling import grouped_prefix_sum
-
-    q = quality_exprs(text_col)
-    best = language_best(text_col)
-    z = _classifier_z(text_col)
-    gate = (
-        (q["type_token_ratio"] >= 0.4)
-        & (q["alpha_ratio"] >= 0.6)
-        & (best["hits"] > 0)
-    )
     per_doc = (
-        ensure_parallelism(docs)
-        .select(
-            F.floor(z * F.lit(1_000_000.0)).cast("long").alias("z_micro"),
-            gate.cast("long").alias("y"),
-        )
+        _scored_vs_gate(docs, text_col)
         .select(
             "z_micro",
             "y",
@@ -954,6 +940,123 @@ def classifier_auc_calibration(
         )
     )
     return bins.crossJoin(F.broadcast(auc))
+
+
+def _scored_vs_gate(docs: DataFrame, text_col: str) -> DataFrame:
+    """Per-doc (z_micro, y) projection: the linear classifier's
+    quantized score next to the production curation-gate label — the
+    shared input of classifier_auc_calibration and
+    classifier_pr_curve (one corpus scan each; pure extraction)."""
+    q = quality_exprs(text_col)
+    best = language_best(text_col)
+    z = _classifier_z(text_col)
+    gate = (
+        (q["type_token_ratio"] >= 0.4)
+        & (q["alpha_ratio"] >= 0.6)
+        & (best["hits"] > 0)
+    )
+    return ensure_parallelism(docs).select(
+        F.floor(z * F.lit(1_000_000.0)).cast("long").alias("z_micro"),
+        gate.cast("long").alias("y"),
+    )
+
+
+def classifier_pr_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact precision-recall summary of the linear quality
+    classifier against the curation gate — the decision-threshold
+    companion of classifier_auc_calibration (AUC says the score
+    ranks; this says WHERE to cut): the classic 11-point
+    interpolated-precision curve plus the exact best-F1 operating
+    point.
+
+    All computation rides the SCORE HISTOGRAM (one row per distinct
+    z_micro — never a per-doc sort): inclusive descending cumulatives
+    give (TP, FP, FN) at every candidate threshold via the
+    range-sharded prefix idiom; the 11-point grid joins the histogram
+    on the INTEGER-EXACT recall test 10·TP ≥ r_idx·P_total (no float
+    recall compare) and takes max precision per grid point
+    (interpolated precision, Manning et al. IR eval); best-F1 is the
+    struct-max argmax of floor-ppm F1 with higher-threshold
+    tie-break, broadcast onto the grid rows.
+
+    Output (11 rows; EMPTY when the corpus has no gate-positives —
+    recall is undefined): (recall_grid_ppm, interp_precision_ppm,
+    best_f1_ppm, best_threshold_z, best_tp, best_fp, best_fn).
+    """
+    from iceberg_diag_spark.operators.shuffling import grouped_prefix_sum
+
+    hist = (
+        _scored_vs_gate(docs, text_col)
+        .groupBy("z_micro")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n1"),
+        )
+        .withColumn("__g", F.lit(0))
+        .withColumn("__negs", -F.col("z_micro"))
+        .localCheckpoint(eager=False)  # two prefix consumers
+    )
+    pre1 = grouped_prefix_sum(hist, "__g", "__negs", "n1", out_col="c1")
+    pre = grouped_prefix_sum(pre1, "__g", "__negs", "n", out_col="cn")
+    tot = hist.agg(F.sum("n1").cast("long").alias("p_total"))
+    rows = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("p_total") > 0)
+        .select(
+            "z_micro",
+            "p_total",
+            (F.col("c1") + F.col("n1")).cast("long").alias("tp"),
+            (F.col("cn") + F.col("n") - F.col("c1") - F.col("n1"))
+            .cast("long")
+            .alias("fp"),
+        )
+        .withColumn("fn", (F.col("p_total") - F.col("tp")).cast("long"))
+        .withColumn(
+            "prec_ppm",
+            F.expr("1000000 * tp DIV (tp + fp)").cast("long"),
+        )
+        .withColumn(
+            "f1_ppm",
+            F.expr("2000000 * tp DIV (2 * tp + fp + fn)").cast("long"),
+        )
+        .localCheckpoint(eager=False)  # grid join + argmax consumers
+    )
+    best = rows.agg(
+        F.max(
+            F.struct(
+                F.col("f1_ppm"),
+                F.col("z_micro"),
+                F.col("tp"),
+                F.col("fp"),
+                F.col("fn"),
+            )
+        ).alias("b")
+    ).select(
+        F.col("b.f1_ppm").alias("best_f1_ppm"),
+        F.col("b.z_micro").alias("best_threshold_z"),
+        F.col("b.tp").alias("best_tp"),
+        F.col("b.fp").alias("best_fp"),
+        F.col("b.fn").alias("best_fn"),
+    )
+    grid = docs.sparkSession.range(0, 11).select(
+        F.col("id").cast("long").alias("r_idx")
+    )
+    interp = (
+        rows.crossJoin(F.broadcast(grid))
+        .filter(F.col("tp") * 10 >= F.col("r_idx") * F.col("p_total"))
+        .groupBy("r_idx")
+        .agg(F.max("prec_ppm").cast("long").alias("interp_precision_ppm"))
+        .select(
+            (F.col("r_idx") * 100_000).cast("long").alias(
+                "recall_grid_ppm"
+            ),
+            "interp_precision_ppm",
+        )
+    )
+    return interp.crossJoin(F.broadcast(best))
 
 
 def exact_auc(
@@ -1776,6 +1879,109 @@ def gopher_rules_audit(
         .withColumn(
             "pass_all_ppm",
             F.expr("1000000 * n_pass_all DIV n_docs").cast("long"),
+        )
+    )
+
+
+# Stand-in for C4's bad-word list (the published pipeline uses the
+# LDNOOBW list; the battery only needs A fixed panel to audit with).
+C4_BADWORD_PANEL = ("porn", "xxx", "viagra", "casino")
+
+
+def c4_rules_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """C4 cleaning-rule battery (Raffel et al. 2020, §2.2) as a
+    per-source audit — the published heuristics behind the C4 corpus,
+    sibling of gopher_rules_audit. Document-level rules (all
+    integer-exact, cross-multiplies instead of floats):
+
+      min_sentences   ≥ 3 terminal punctuation marks (.!?)
+      line_punct      ≥ 50% of lines end in terminal punctuation
+                      (2·hits ≥ n_lines; C4 drops the failing lines,
+                      the audit reports the doc-level share)
+      line_words      every line carries ≥ 5 whitespace words
+      no_lorem        no 'lorem ipsum' placeholder text
+      no_brace        no '{' (code/markup tell)
+      no_badwords     no token on the bad-word panel
+
+    Plus the LINE-level half C4 actually executes: per source, how
+    many lines exist and how many survive the published line filter
+    (terminal punctuation AND ≥ 5 words) — the retained-mass figure a
+    C4-style cleaning run would keep.
+
+    Scale: the line array and every rule are row-local projections on
+    ONE corpus scan, then one map-side-combined aggregate to the
+    |sources| relation (the gopher_rules_audit shape). Output per
+    source: (source, n_docs, n_pass_min_sentences, n_pass_line_punct,
+    n_pass_line_words, n_pass_no_lorem, n_pass_no_brace,
+    n_pass_no_badwords, n_pass_all, pass_all_ppm, lines_total,
+    lines_kept, line_keep_ppm).
+    """
+    t = tokens(F.col(text_col))
+    low = F.lower(F.col(text_col))
+    def _count_ch(ch: str):
+        return F.length(text_col) - F.length(
+            F.replace(F.col(text_col), F.lit(ch), F.lit(""))
+        )
+
+    n_term = _count_ch(".") + _count_ch("!") + _count_ch("?")
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+
+    def _punct(x):
+        return x.rlike('[.!?"]$')
+
+    def _words5(x):
+        return F.size(F.split(F.trim(x), r"\s+")) >= 5
+
+    n_punct = F.size(F.filter(lines, _punct))
+    n_words5 = F.size(F.filter(lines, _words5))
+    n_kept = F.size(F.filter(lines, lambda x: _punct(x) & _words5(x)))
+    panel = F.array(*[F.lit(w) for w in C4_BADWORD_PANEL])
+    rules = {
+        "min_sentences": n_term >= 3,
+        "line_punct": n_punct * 2 >= n_lines,
+        "line_words": n_words5 == n_lines,
+        "no_lorem": ~low.contains("lorem ipsum"),
+        "no_brace": ~F.col(text_col).contains("{"),
+        "no_badwords": F.size(F.array_intersect(t, panel)) == 0,
+    }
+    flagged = ensure_parallelism(docs).select(
+        F.col(source_col).alias("source"),
+        n_lines.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        *[c.alias(f"r_{k}") for k, c in rules.items()],
+    )
+    all_pass = F.lit(True)
+    for k in rules:
+        all_pass = all_pass & F.col(f"r_{k}")
+    return (
+        flagged.withColumn("r_all", all_pass)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            *[
+                F.sum(F.col(f"r_{k}").cast("long"))
+                .cast("long")
+                .alias(f"n_pass_{k}")
+                for k in rules
+            ],
+            F.sum(F.col("r_all").cast("long")).cast("long").alias(
+                "n_pass_all"
+            ),
+            F.sum("n_lines").cast("long").alias("lines_total"),
+            F.sum("n_kept").cast("long").alias("lines_kept"),
+        )
+        .withColumn(
+            "pass_all_ppm",
+            F.expr("1000000 * n_pass_all DIV n_docs").cast("long"),
+        )
+        .withColumn(
+            "line_keep_ppm",
+            F.expr("1000000 * lines_kept DIV lines_total").cast("long"),
         )
     )
 

@@ -779,7 +779,11 @@ def _classifier_auc_calibration(spark, sf_dir):
 # Spark side runs the range-sharded prefix) + the fixed p-grid
 # calibration bins. The z/feature CTEs mirror
 # _QUALITY_CLASSIFIER_SQL; the gate mirrors the funnel's stage-1.
-_CLASSIFIER_AUC_SQL = (
+# Shared CTE chain through the per-doc (z_micro, y) relation — the
+# classifier score next to the curation-gate label (mirrors
+# textops._scored_vs_gate); AUC/calibration and the PR curve append
+# their own tails.
+_CLASSIFIER_PER_PREFIX = (
     r"""
 WITH f AS (
   SELECT doc_id,
@@ -824,7 +828,12 @@ per AS (
          CAST(ttr >= 0.4 AND alpha >= 0.6 AND lang_hits > 0
               AS BIGINT) AS y
   FROM feats
-),
+)"""
+)
+
+_CLASSIFIER_AUC_SQL = (
+    _CLASSIFIER_PER_PREFIX
+    + r""",
 perp AS (
   SELECT z_micro, y,
          CAST(FLOOR(1000000.0
@@ -1229,3 +1238,154 @@ REGISTRY.update({
     ),
 })
 
+
+# ------------------------------------------------------------------
+# Round 10 (post-window additions — scored in the r11 window, see
+# registry._ADDED_POST_WINDOW_R10): C4 rule battery
+# ------------------------------------------------------------------
+
+
+def _c4_rules_audit(spark, sf_dir):
+    from iceberg_diag_spark.operators.textops import c4_rules_audit
+
+    return c4_rules_audit(_t(spark, sf_dir, "documents"))
+
+
+_C4_RULES_SQL = r"""
+WITH f AS (
+  SELECT source, text,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+per AS (
+  SELECT source,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+            x -> regexp_matches(x, '[.!?"]$')
+                 AND len(string_split_regex(trim(x), '\s+')) >= 5))
+           AS BIGINT) AS n_kept,
+         (length(text) - length(replace(text, '.', ''))
+          + length(text) - length(replace(text, '!', ''))
+          + length(text) - length(replace(text, '?', ''))) >= 3
+           AS r_min_sentences,
+         2 * len(list_filter(lines, x -> regexp_matches(x, '[.!?"]$')))
+           >= len(lines) AS r_line_punct,
+         len(list_filter(lines,
+            x -> len(string_split_regex(trim(x), '\s+')) >= 5))
+           = len(lines) AS r_line_words,
+         NOT contains(lower(text), 'lorem ipsum') AS r_no_lorem,
+         NOT contains(text, '{') AS r_no_brace,
+         len(list_intersect(toks, ['porn','xxx','viagra','casino'])) = 0
+           AS r_no_badwords
+  FROM f
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(r_min_sentences AS BIGINT)) AS BIGINT)
+         AS n_pass_min_sentences,
+       CAST(sum(CAST(r_line_punct AS BIGINT)) AS BIGINT)
+         AS n_pass_line_punct,
+       CAST(sum(CAST(r_line_words AS BIGINT)) AS BIGINT)
+         AS n_pass_line_words,
+       CAST(sum(CAST(r_no_lorem AS BIGINT)) AS BIGINT) AS n_pass_no_lorem,
+       CAST(sum(CAST(r_no_brace AS BIGINT)) AS BIGINT) AS n_pass_no_brace,
+       CAST(sum(CAST(r_no_badwords AS BIGINT)) AS BIGINT)
+         AS n_pass_no_badwords,
+       CAST(sum(CAST(r_min_sentences AND r_line_punct AND r_line_words
+                     AND r_no_lorem AND r_no_brace AND r_no_badwords
+                     AS BIGINT)) AS BIGINT) AS n_pass_all,
+       CAST(1000000 * sum(CAST(r_min_sentences AND r_line_punct
+                     AND r_line_words AND r_no_lorem AND r_no_brace
+                     AND r_no_badwords AS BIGINT)) // count(*) AS BIGINT)
+         AS pass_all_ppm,
+       CAST(sum(n_lines) AS BIGINT) AS lines_total,
+       CAST(sum(n_kept) AS BIGINT) AS lines_kept,
+       CAST(1000000 * sum(n_kept) // sum(n_lines) AS BIGINT)
+         AS line_keep_ppm
+FROM per GROUP BY source
+"""
+
+REGISTRY.update({
+    "c4_rules_audit": QuerySpec(
+        _c4_rules_audit, _C4_RULES_SQL,
+        "C4 (Raffel et al. 2020 §2.2) cleaning-rule battery per "
+        "source, sibling of gopher_rules_audit: six published "
+        "heuristics (sentence minimum, terminal-punct line share, "
+        "words-per-line, lorem-ipsum, curly-brace, bad-word panel) "
+        "as integer cross-multiplies on ONE scan + one map-side "
+        "aggregate, plus the line-level retained-mass figure the C4 "
+        "line filter would actually keep",
+    ),
+})
+
+# ------------------------------------------------------------------
+# Round 10 (post-window): PR curve + best-F1 operating point
+# ------------------------------------------------------------------
+
+
+def _classifier_pr_curve(spark, sf_dir):
+    from iceberg_diag_spark.operators.textops import classifier_pr_curve
+
+    return classifier_pr_curve(_t(spark, sf_dir, "documents"))
+
+
+_CLASSIFIER_PR_SQL = (
+    _CLASSIFIER_PER_PREFIX
+    + r""",
+hist AS (
+  SELECT z_micro,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n1
+  FROM per GROUP BY z_micro
+),
+cum AS (
+  SELECT z_micro, n, n1,
+         CAST(sum(n1) OVER (ORDER BY z_micro DESC) AS BIGINT) AS tp,
+         CAST(sum(n) OVER (ORDER BY z_micro DESC) - sum(n1)
+              OVER (ORDER BY z_micro DESC) AS BIGINT) AS fp,
+         (SELECT CAST(sum(n1) AS BIGINT) FROM hist) AS p_total
+  FROM hist
+),
+rows_ AS (
+  SELECT z_micro, p_total, tp, fp,
+         CAST(p_total - tp AS BIGINT) AS fn,
+         CAST(1000000 * tp // (tp + fp) AS BIGINT) AS prec_ppm,
+         CAST(2000000 * tp // (2 * tp + fp + (p_total - tp)) AS BIGINT)
+           AS f1_ppm
+  FROM cum WHERE p_total > 0
+),
+best AS (
+  SELECT f1_ppm AS best_f1_ppm, z_micro AS best_threshold_z,
+         tp AS best_tp, fp AS best_fp, fn AS best_fn
+  FROM rows_ ORDER BY f1_ppm DESC, z_micro DESC LIMIT 1
+)
+SELECT CAST(g.r_idx * 100000 AS BIGINT) AS recall_grid_ppm,
+       CAST(max(r.prec_ppm) AS BIGINT) AS interp_precision_ppm,
+       b.best_f1_ppm, b.best_threshold_z, b.best_tp, b.best_fp,
+       b.best_fn
+FROM generate_series(0, 10) g(r_idx)
+JOIN rows_ r ON r.tp * 10 >= g.r_idx * r.p_total
+CROSS JOIN best b
+GROUP BY g.r_idx, b.best_f1_ppm, b.best_threshold_z, b.best_tp,
+         b.best_fp, b.best_fn
+"""
+).format(
+    de=_lang_list_sql("de"),
+    en=_lang_list_sql("en"),
+    es=_lang_list_sql("es"),
+    fr=_lang_list_sql("fr"),
+)
+
+REGISTRY.update({
+    "classifier_pr_curve": QuerySpec(
+        _classifier_pr_curve, _CLASSIFIER_PR_SQL,
+        "decision-threshold companion of classifier_auc_calibration: "
+        "11-point interpolated-precision PR curve (integer-exact "
+        "recall test 10*TP >= r*P, max precision per grid point) + "
+        "exact best-F1 operating point (struct-max argmax, "
+        "higher-threshold tie-break); all over the score histogram "
+        "with descending range-sharded cumulatives, empty when no "
+        "gate-positives exist",
+    ),
+})

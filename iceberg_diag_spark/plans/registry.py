@@ -391,6 +391,19 @@ _DEFER_SCORE_R11: set[str] = {
     "gopher_rules_audit",
 }
 
+# Oracled entries added AFTER the round-10 window was composed (6
+# must-scores + 44 of the 48 r5-stale rotations — the round-10
+# brief's ≥44 target). Ranking them 0 would evict rotation slots, so
+# they hold rank 1.9 — behind the r5 cohort and the deferred gopher
+# re-score, ahead of the rows-only refreshes — and convert their
+# local sf0.001+sf0.01 DuckDB parity into driver rows in the r11
+# window (the _NEVER_SCORED r5→r6 promotion precedent; all 35 of
+# that backlog went green on first scoring).
+_ADDED_POST_WINDOW_R10: set[str] = {
+    "c4_rules_audit",
+    "classifier_pr_curve",
+}
+
 
 def _eval_order(item: tuple[str, QuerySpec]) -> float:
     """Driver scores the FIRST 50 registry entries; order by evidence
@@ -418,6 +431,8 @@ def _eval_order(item: tuple[str, QuerySpec]) -> float:
         or name in _R5_GREEN or name in _R6_GREEN or name in _R7_GREEN
         or name in _R8_GREEN or name in _R9_GREEN
     )
+    if name in _ADDED_POST_WINDOW_R10:
+        return 1.9
     if (
         name in _MODIFIED_R10
         or (spec.oracle is not None and not ever_green)

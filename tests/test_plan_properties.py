@@ -284,6 +284,9 @@ _SCALAR_CROSS_OK = {
                                  #   scalars per EM score table
     "classifier_auc_calibration",  # broadcast 1-row AUC moments onto
                                    #   the ≤n_bins bin rows
+    "classifier_pr_curve",       # broadcast 11-row recall grid +
+                                 #   1-row best-F1/p_total scalars
+                                 #   over the score histogram
 }
 
 

@@ -268,3 +268,105 @@ def test_classifier_auc_calibration_fixture(spark):
         assert 0 <= r.bin_id <= 9
         assert r.pos_rate_ppm == 1_000_000 * r.n_pos // r.n_docs
         assert r.calib_gap_ppm == r.mean_pred_ppm - r.pos_rate_ppm
+
+
+def test_c4_rules_audit_planted(spark):
+    """Planted per-rule failures: doc 2 fails sentence/punct/words,
+    doc 3 fails lorem, doc 4 fails brace, doc 5 fails badwords; the
+    line filter keeps exactly the punct-terminated >=5-word lines."""
+    from iceberg_diag_spark.operators.textops import c4_rules_audit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "This is a good clean sentence here.\n"
+                "Another fine long sentence follows! Is it third? Yes.",
+             "a"),
+            (2, "short line\nno punct here at all", "a"),
+            (3, "lorem ipsum dolor sit amet etc etc etc.", "b"),
+            (4, "code { braces } in this one. Two more follow now! Ok?",
+             "b"),
+            (5, "casino viagra spam sentence one. two is fine! three?",
+             "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in c4_rules_audit(docs).collect()}
+    a, b = rows["a"], rows["b"]
+    assert (a.n_docs, a.n_pass_all, a.lines_total, a.lines_kept) == (
+        2, 1, 4, 2,
+    )
+    assert (a.n_pass_min_sentences, a.n_pass_line_punct,
+            a.n_pass_line_words) == (1, 1, 1)
+    assert (b.n_pass_no_lorem, b.n_pass_no_brace, b.n_pass_no_badwords) == (
+        2, 2, 2,
+    )
+    assert b.n_pass_all == 0
+    assert a.pass_all_ppm == 500_000
+
+
+def test_classifier_pr_curve_matches_python_reference(spark):
+    """Recompute the full PR relation in plain Python from the same
+    per-doc (score, label) pairs and compare the 11-point interpolated
+    precisions and the best-F1 operating point exactly."""
+    from iceberg_diag_spark.operators.textops import (
+        _scored_vs_gate,
+        classifier_pr_curve,
+    )
+    from iceberg_diag_spark.sources.tpch import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = [
+        (r.z_micro, r.y) for r in _scored_vs_gate(docs, "text").collect()
+    ]
+    p_total = sum(y for _, y in pairs)
+    assert p_total > 0
+    # histogram -> descending inclusive cumulatives
+    hist: dict[int, list[int]] = {}
+    for z, y in pairs:
+        n, n1 = hist.get(z, (0, 0))
+        hist[z] = (n + 1, n1 + y)
+    rows = []
+    tp = fp = 0
+    for z in sorted(hist, reverse=True):
+        n, n1 = hist[z]
+        tp += n1
+        fp += n - n1
+        fn = p_total - tp
+        rows.append(
+            (z, tp, fp, fn,
+             1_000_000 * tp // (tp + fp),
+             2_000_000 * tp // (2 * tp + fp + fn))
+        )
+    expect_interp = {
+        r_idx * 100_000: max(
+            prec for (z, tp, fp, fn, prec, f1) in rows
+            if tp * 10 >= r_idx * p_total
+        )
+        for r_idx in range(11)
+    }
+    expect_best = max(rows, key=lambda r: (r[5], r[0]))
+    got = classifier_pr_curve(docs).collect()
+    assert len(got) == 11
+    for r in got:
+        assert expect_interp[r.recall_grid_ppm] == r.interp_precision_ppm
+        assert (r.best_threshold_z, r.best_tp, r.best_fp, r.best_fn,
+                r.best_f1_ppm) == (
+            expect_best[0], expect_best[1], expect_best[2],
+            expect_best[3], expect_best[5],
+        )
+    # interpolated precision is non-increasing in the recall floor
+    seq = [r.interp_precision_ppm
+           for r in sorted(got, key=lambda r: r.recall_grid_ppm)]
+    assert all(a >= b for a, b in zip(seq, seq[1:]))
+
+
+def test_classifier_pr_curve_empty_without_positives(spark):
+    """A corpus with no gate-positives has undefined recall — the
+    operator must return an EMPTY relation, not divide by zero."""
+    from iceberg_diag_spark.operators.textops import classifier_pr_curve
+
+    docs = spark.createDataFrame(
+        [(1, "zz zz zz", "s"), (2, "qq qq", "s")],
+        "doc_id long, text string, source string",
+    )
+    assert classifier_pr_curve(docs).count() == 0
