@@ -250,6 +250,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "c4_rules_audit",
     "classifier_pr_curve",
+    "ivf_nprobe_sweep",
 ]
 
 # HEADLINE membership is TOTAL: every registry entry is either timed

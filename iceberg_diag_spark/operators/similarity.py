@@ -1443,6 +1443,29 @@ def md5_centroids(
     ]
 
 
+def _cells_sorted_expr(cents: list[list[int]]) -> str:
+    """SQL expression ranking every IVF cell by exact integer squared
+    distance from the quantized vector column `q`: one array_sort
+    over n_lists (d2, cell) structs per row — shared by
+    ivf_topk_exact and ivf_nprobe_sweep (pure extraction, plans
+    identical). Centroid literals render inline (the _exact_bucketed
+    lesson: one SQL string per cell, never a py4j literal tree)."""
+
+    def d2_sql(cent: list[int]) -> str:
+        arr = ", ".join(f"{h}L" for h in cent)
+        return (
+            f"aggregate(zip_with(q, array({arr}),"
+            " (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as long), (acc, v) -> acc + v)"
+        )
+
+    cell_structs = ", ".join(
+        f"named_struct('d2', {d2_sql(cent)}, 'c', {c})"
+        for c, cent in enumerate(cents)
+    )
+    return f"array_sort(array({cell_structs}))"
+
+
 def ivf_topk_exact(
     embeddings: DataFrame,
     k: int = 5,
@@ -1487,21 +1510,9 @@ def ivf_topk_exact(
         id_col, "q", int_dot(F.col("q"), F.col("q")).alias("n2")
     )
 
-    def d2_sql(cent: list[int]) -> str:
-        arr = ", ".join(f"{h}L" for h in cent)
-        return (
-            f"aggregate(zip_with(q, array({arr}),"
-            " (x, y) -> (x - y) * (x - y)),"
-            " cast(0 as long), (acc, v) -> acc + v)"
-        )
-
-    cell_structs = ", ".join(
-        f"named_struct('d2', {d2_sql(cents[c])}, 'c', {c})"
-        for c in range(n_lists)
-    )
     cells = base.select(
         id_col,
-        F.expr(f"array_sort(array({cell_structs}))").alias("cells"),
+        F.expr(_cells_sorted_expr(cents)).alias("cells"),
     )
     assigned = cells.select(
         F.col(id_col).alias("neighbor_id"),
@@ -1562,6 +1573,174 @@ def ivf_topk_exact(
             "neighbor_id",
             F.col("rank").cast("long").alias("rank"),
             "cos_mppm",
+        )
+    )
+
+
+def ivf_nprobe_sweep(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    probes: tuple[int, ...] = (1, 2, 4, 8),
+    query_mod: int = 100,
+    dim: int = 64,
+    scale_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF operating-point sweep — the table a deployment reads to
+    PICK n_probe: for each candidate probe count, exact recall@k
+    against brute-force ground truth on the bounded query panel AND
+    the fraction of the corpus each query actually scans (the
+    recall/cost trade every IVF tuning doc plots).
+
+    One index pass serves every probe count: the sorted cell ranking
+    (ivf_topk_exact's array_sort) is computed once; a neighbor
+    reached at probe rank r is reachable for every n_probe ≥ r, so
+    recall needs only the PROBE RANK of each exact-top-k neighbor's
+    assigned cell (a left join of ground truth onto the rank
+    relation), and scan cost needs only the broadcast n_lists-row
+    cell-size table — no per-probe re-query, no per-probe shuffle.
+    Ground truth is the ann_recall_eval shape: broadcast 1/query_mod
+    panel vs the corpus, WindowGroupLimit top-k, exact integer
+    cosine with (cos desc, id asc) ties.
+
+    Output per probe count: (n_probe, n_queries, n_exact, n_hits,
+    recall_ppm, scanned_rows, scan_frac_ppm) — scanned_rows counts
+    candidates excluding the query itself (its own cell is always
+    probe rank 1); scan_frac_ppm is against the (corpus−1) rows a
+    brute-force query would score.
+    """
+    from pyspark.sql.window import Window
+
+    from iceberg_diag_spark.functions.parallel import ensure_parallelism
+
+    max_p = max(probes)
+    if max_p > n_lists:
+        raise ValueError("max probe count cannot exceed n_lists")
+    cents = md5_centroids(dim, n_lists, 1 << scale_bits)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * (1 << scale_bits)).cast("long"),
+    )
+    base = (
+        ensure_parallelism(embeddings)
+        .select(F.col(id_col), qv.alias("q"))
+        .select(id_col, "q", int_dot(F.col("q"), F.col("q")).alias("n2"))
+        .filter(F.col("n2") > 0)
+        .localCheckpoint(eager=False)  # corpus side + panel + cells
+    )
+    cells = base.select(
+        id_col, F.expr(_cells_sorted_expr(cents)).alias("cells")
+    ).localCheckpoint(eager=False)  # assigned + panel-probe consumers
+    assigned = cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr("cells[0].c").alias("list_id"),
+    )
+    cell_sizes = assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("long").alias("csize")
+    )
+    panel_ids = base.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    # exact brute-force top-k over the broadcast panel
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_mppm"), F.asc("neighbor_id")
+    )
+    exact = (
+        base.crossJoin(F.broadcast(panel_ids))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.floor(
+                F.lit(1_000_000.0)
+                * int_dot(F.col("q"), F.col("qq"))
+                / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2")))
+            )
+            .cast("long")
+            .alias("cos_mppm"),
+        )
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    # probe rank of every cell each panel query would visit
+    ppr = cells.join(
+        panel_ids.select("query_id"),
+        cells[id_col] == F.col("query_id"),
+        "inner",
+    ).select(
+        "query_id",
+        F.posexplode(
+            F.expr(f"transform(slice(cells, 1, {int(max_p)}), s -> s.c)")
+        ).alias("__p0", "list_id"),
+    ).select(
+        "query_id", (F.col("__p0") + 1).alias("prank"), "list_id"
+    )
+    # probe rank at which each exact neighbor becomes reachable
+    reach = exact.join(
+        ppr.join(assigned, "list_id").select(
+            "query_id", "neighbor_id", "prank"
+        ),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    probes_rel = F.broadcast(
+        embeddings.sparkSession.createDataFrame(
+            [(int(p),) for p in sorted(probes)], "n_probe long"
+        )
+    )
+    recall = (
+        reach.crossJoin(probes_rel)
+        .groupBy("n_probe")
+        .agg(
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(
+                (F.col("prank") <= F.col("n_probe")).cast("long")
+            )
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.expr("1000000 * n_hits DIV n_exact").cast("long"),
+        )
+    )
+    n_total = base.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    scanned = (
+        ppr.join(F.broadcast(cell_sizes), "list_id")
+        .crossJoin(probes_rel)
+        .filter(F.col("prank") <= F.col("n_probe"))
+        .groupBy("n_probe")
+        .agg(
+            F.sum("csize").cast("long").alias("__visited"),
+            F.countDistinct("query_id").cast("long").alias("__nq"),
+        )
+        .select(
+            "n_probe",
+            (F.col("__visited") - F.col("__nq"))
+            .cast("long")
+            .alias("scanned_rows"),
+            F.col("__nq").alias("__nq"),
+        )
+    )
+    return (
+        recall.join(scanned, "n_probe")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "n_probe",
+            "n_queries",
+            "n_exact",
+            "n_hits",
+            "recall_ppm",
+            "scanned_rows",
+            F.expr(
+                "CAST(1000000 * scanned_rows"
+                " DIV (__nq * (n_corpus - 1)) AS BIGINT)"
+            ).alias("scan_frac_ppm"),
         )
     )
 

@@ -1389,3 +1389,133 @@ REGISTRY.update({
         "gate-positives exist",
     ),
 })
+
+# ------------------------------------------------------------------
+# Round 10 (post-window): IVF n_probe operating-point sweep
+# ------------------------------------------------------------------
+
+
+def _ivf_nprobe_sweep(spark, sf_dir):
+    return similarity.ivf_nprobe_sweep(_t(spark, sf_dir, "embeddings"))
+
+
+def _ivf_nprobe_sweep_sql(
+    k: int = 5, query_mod: int = 100, max_p: int = 8,
+    probes=(1, 2, 4, 8),
+) -> str:
+    cents = similarity.md5_centroids()
+    values = ", ".join(
+        f"({c},{d},{h})"
+        for c, row in enumerate(cents)
+        for d, h in enumerate(row)
+    )
+    probe_values = ", ".join(f"({p})" for p in sorted(probes))
+    return f"""
+WITH cents(c, d, h) AS (VALUES {values}),
+ex AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 256.0) AS BIGINT) AS q
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sum(q * q) AS n2 FROM ex GROUP BY vec_id
+),
+valid AS (SELECT vec_id FROM norms WHERE n2 > 0),
+dists AS (
+  SELECT e.vec_id, c.c, sum((e.q - c.h) * (e.q - c.h)) AS d2
+  FROM ex e JOIN cents c USING (d)
+  WHERE e.vec_id IN (SELECT vec_id FROM valid)
+  GROUP BY e.vec_id, c.c
+),
+ranked_cells AS (
+  SELECT vec_id, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+  FROM dists
+),
+assigned AS (SELECT vec_id AS neighbor_id, c AS list_id
+             FROM ranked_cells WHERE rn = 1),
+csizes AS (SELECT list_id, CAST(count(*) AS BIGINT) AS csize
+           FROM assigned GROUP BY list_id),
+panel AS (SELECT vec_id AS query_id FROM valid
+          WHERE vec_id % {query_mod} = 0),
+pairdots AS (
+  SELECT p.query_id, eb.vec_id AS neighbor_id,
+         sum(ea.q * eb.q) AS dd,
+         sum(ea.q * ea.q) AS na2,
+         sum(eb.q * eb.q) AS nb2
+  FROM panel p
+  JOIN ex ea ON ea.vec_id = p.query_id
+  JOIN ex eb ON eb.d = ea.d
+            AND eb.vec_id != p.query_id
+            AND eb.vec_id IN (SELECT vec_id FROM valid)
+  GROUP BY p.query_id, eb.vec_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY CAST(floor(1000000.0 * dd
+                        / (sqrt(na2) * sqrt(nb2))) AS BIGINT) DESC,
+                      neighbor_id ASC) AS rank
+    FROM pairdots
+  ) WHERE rank <= {k}
+),
+ppr AS (
+  SELECT r.vec_id AS query_id, r.c AS list_id,
+         CAST(r.rn AS BIGINT) AS prank
+  FROM ranked_cells r
+  JOIN panel p ON p.query_id = r.vec_id
+  WHERE r.rn <= {max_p}
+),
+reach AS (
+  SELECT e.query_id, e.neighbor_id, pr.prank
+  FROM exact e
+  LEFT JOIN (SELECT pp.query_id, a.neighbor_id, pp.prank
+             FROM ppr pp JOIN assigned a USING (list_id)) pr
+    ON pr.query_id = e.query_id AND pr.neighbor_id = e.neighbor_id
+),
+probes(n_probe) AS (VALUES {probe_values}),
+recall AS (
+  SELECT p.n_probe,
+         CAST(count(DISTINCT r.query_id) AS BIGINT) AS n_queries,
+         CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(sum(CASE WHEN r.prank <= p.n_probe THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM reach r CROSS JOIN probes p
+  GROUP BY p.n_probe
+),
+scanned AS (
+  SELECT p.n_probe,
+         CAST(sum(s.csize) - count(DISTINCT pp.query_id) AS BIGINT)
+           AS scanned_rows,
+         CAST(count(DISTINCT pp.query_id) AS BIGINT) AS nq
+  FROM ppr pp JOIN csizes s USING (list_id)
+  CROSS JOIN probes p
+  WHERE pp.prank <= p.n_probe
+  GROUP BY p.n_probe
+)
+SELECT CAST(r.n_probe AS BIGINT) AS n_probe, r.n_queries, r.n_exact,
+       r.n_hits,
+       CAST(1000000 * r.n_hits // r.n_exact AS BIGINT) AS recall_ppm,
+       s.scanned_rows,
+       CAST(1000000 * s.scanned_rows
+            // (s.nq * ((SELECT count(*) FROM valid) - 1)) AS BIGINT)
+         AS scan_frac_ppm
+FROM recall r JOIN scanned s USING (n_probe)
+"""
+
+
+_IVF_NPROBE_SWEEP_SQL = _ivf_nprobe_sweep_sql()
+
+REGISTRY.update({
+    "ivf_nprobe_sweep": QuerySpec(
+        _ivf_nprobe_sweep, _IVF_NPROBE_SWEEP_SQL,
+        "IVF operating-point sweep (the n_probe tuning table): exact "
+        "recall@k vs brute-force ground truth AND corpus scan "
+        "fraction for n_probe in {1,2,4,8}, all from ONE index pass "
+        "— the sorted cell ranking is computed once, a neighbor "
+        "reached at probe rank r serves every n_probe >= r, and scan "
+        "cost reads the broadcast n_lists-row cell-size table; "
+        "ground truth is the ann_recall_eval broadcast-panel shape",
+    ),
+})

@@ -402,6 +402,7 @@ _DEFER_SCORE_R11: set[str] = {
 _ADDED_POST_WINDOW_R10: set[str] = {
     "c4_rules_audit",
     "classifier_pr_curve",
+    "ivf_nprobe_sweep",
 }
 
 

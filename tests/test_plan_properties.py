@@ -287,6 +287,9 @@ _SCALAR_CROSS_OK = {
     "classifier_pr_curve",       # broadcast 11-row recall grid +
                                  #   1-row best-F1/p_total scalars
                                  #   over the score histogram
+    "ivf_nprobe_sweep",          # broadcast bounded 1/query_mod panel
+                                 #   (ground truth) + 4-row probe grid
+                                 #   + 1-row corpus-total scalar
 }
 
 

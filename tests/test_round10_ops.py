@@ -370,3 +370,26 @@ def test_classifier_pr_curve_empty_without_positives(spark):
         "doc_id long, text string, source string",
     )
     assert classifier_pr_curve(docs).count() == 0
+
+
+def test_ivf_nprobe_sweep_monotone_and_exhaustive(spark):
+    """More probes can only help: recall and scan fraction are
+    non-decreasing in n_probe; probing every list (n_probe = n_lists)
+    must reach recall 1.0 since ground truth and candidates share the
+    same scoring."""
+    from iceberg_diag_spark.operators.similarity import ivf_nprobe_sweep
+    from iceberg_diag_spark.sources.tpch import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = sorted(
+        ivf_nprobe_sweep(emb, probes=(1, 4, 16)).collect(),
+        key=lambda r: r.n_probe,
+    )
+    assert [r.n_probe for r in rows] == [1, 4, 16]
+    recalls = [r.recall_ppm for r in rows]
+    scans = [r.scan_frac_ppm for r in rows]
+    assert recalls == sorted(recalls)
+    assert scans == sorted(scans)
+    assert rows[-1].recall_ppm == 1_000_000  # all lists probed
+    assert rows[-1].scan_frac_ppm == 1_000_000
+    assert rows[0].scan_frac_ppm < 1_000_000  # probing 1 list is cheaper
