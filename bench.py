@@ -251,6 +251,7 @@ HEADLINE = [
     "c4_rules_audit",
     "classifier_pr_curve",
     "ivf_nprobe_sweep",
+    "events_seasonality_profile",
 ]
 
 # HEADLINE membership is TOTAL: every registry entry is either timed

@@ -1784,3 +1784,92 @@ def holt_forecast(events: DataFrame) -> DataFrame:
             "forecast_next_scaled"
         ),
     )
+
+
+def seasonality_profile(events: DataFrame) -> DataFrame:
+    """Weekly seasonality profile per event type — the (day-of-week ×
+    hour-of-day) seasonal-index table behind "is Tuesday 14:00
+    normal?", the decomposition a capacity plan or an anomaly
+    baseline reads before any model gets involved. For each of the
+    168 weekly cells: the cell's mean hourly count as a ppm index of
+    the type's overall mean (1e6 = flat), plus how many observed
+    hours in the cell deviate from the cell mean by more than 2x up
+    or down (the residual-outlier count, STL's remainder term reduced
+    to a flag).
+
+    Integer exactness: the index is
+      floor(1e6 * cell_total * hours_overall
+            / (cell_hours * total_overall))
+    — one floor at the end, DECIMAL(38,0) numerators; day-of-week
+    comes from pure epoch arithmetic ((hour_epoch DIV 24 + 4) % 7,
+    epoch day 0 = Thursday → dow 0 = Sunday), never a session-timezone
+    date function. Outlier tests are cross-multiplies
+    (count*cell_hours > 2*cell_total and 2*count*cell_hours <
+    cell_total).
+
+    Scale: ONE corpus shuffle to the (type, hour_epoch) rollup;
+    everything after is metadata-scale — a 168·|types| aggregate, a
+    |types| aggregate broadcast back, and one uniform-key join of the
+    hourly relation onto its cell stats for the outlier flags.
+    Output per (event_type, dow, hod) cell with data:
+    (event_type, dow, hod, cell_hours, cell_total, seasonal_ppm,
+    n_outlier_hours).
+    """
+    hourly = (
+        events.groupBy(
+            F.col("event_type"),
+            F.expr(
+                "unix_micros(date_trunc('hour', ts)) div 3600000000"
+            ).alias("hour_epoch"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "event_type",
+            "n",
+            F.expr("(hour_epoch div 24 + 4) % 7").cast("long").alias("dow"),
+            F.expr("hour_epoch % 24").cast("long").alias("hod"),
+        )
+        .localCheckpoint(eager=False)  # cell stats + outlier consumers
+    )
+    cells = hourly.groupBy("event_type", "dow", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("cell_hours"),
+        F.sum("n").cast("long").alias("cell_total"),
+    )
+    overall = hourly.groupBy("event_type").agg(
+        F.sum(F.lit(1)).cast("long").alias("hours_overall"),
+        F.sum("n").cast("long").alias("total_overall"),
+    )
+    outliers = (
+        hourly.join(cells, ["event_type", "dow", "hod"])
+        .select(
+            "event_type",
+            "dow",
+            "hod",
+            (
+                (F.col("n") * F.col("cell_hours") > 2 * F.col("cell_total"))
+                | (2 * F.col("n") * F.col("cell_hours") < F.col("cell_total"))
+            )
+            .cast("long")
+            .alias("__out"),
+        )
+        .groupBy("event_type", "dow", "hod")
+        .agg(F.sum("__out").cast("long").alias("n_outlier_hours"))
+    )
+    return (
+        cells.join(F.broadcast(overall), "event_type")
+        .join(outliers, ["event_type", "dow", "hod"])
+        .select(
+            "event_type",
+            "dow",
+            "hod",
+            "cell_hours",
+            "cell_total",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * cell_total"
+                " * hours_overall"
+                " DIV (CAST(cell_hours AS DECIMAL(38,0)) * total_overall)"
+                " AS BIGINT)"
+            ).alias("seasonal_ppm"),
+            "n_outlier_hours",
+        )
+    )

@@ -1519,3 +1519,70 @@ REGISTRY.update({
         "ground truth is the ann_recall_eval broadcast-panel shape",
     ),
 })
+
+# ------------------------------------------------------------------
+# Round 10 (post-window): weekly seasonality profile
+# ------------------------------------------------------------------
+
+
+def _events_seasonality_profile(spark, sf_dir):
+    return events.seasonality_profile(_t(spark, sf_dir, "events"))
+
+
+_SEASONALITY_SQL = r"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
+           AS hour_epoch,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+keyed AS (
+  SELECT event_type, n,
+         CAST((hour_epoch // 24 + 4) % 7 AS BIGINT) AS dow,
+         CAST(hour_epoch % 24 AS BIGINT) AS hod
+  FROM hourly
+),
+cells AS (
+  SELECT event_type, dow, hod,
+         CAST(count(*) AS BIGINT) AS cell_hours,
+         CAST(sum(n) AS BIGINT) AS cell_total
+  FROM keyed GROUP BY 1, 2, 3
+),
+overall AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS hours_overall,
+         CAST(sum(n) AS BIGINT) AS total_overall
+  FROM keyed GROUP BY 1
+),
+outliers AS (
+  SELECT k.event_type, k.dow, k.hod,
+         CAST(sum(CASE WHEN k.n * c.cell_hours > 2 * c.cell_total
+                         OR 2 * k.n * c.cell_hours < c.cell_total
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier_hours
+  FROM keyed k
+  JOIN cells c USING (event_type, dow, hod)
+  GROUP BY 1, 2, 3
+)
+SELECT c.event_type, c.dow, c.hod, c.cell_hours, c.cell_total,
+       CAST((CAST(1000000 AS HUGEINT) * c.cell_total * o.hours_overall)
+            // (CAST(c.cell_hours AS HUGEINT) * o.total_overall)
+         AS BIGINT) AS seasonal_ppm,
+       u.n_outlier_hours
+FROM cells c
+JOIN overall o USING (event_type)
+JOIN outliers u USING (event_type, dow, hod)
+"""
+
+REGISTRY.update({
+    "events_seasonality_profile": QuerySpec(
+        _events_seasonality_profile, _SEASONALITY_SQL,
+        "weekly (dow x hod) seasonal-index table per event type with "
+        "residual-outlier counts (STL-lite): one corpus shuffle to "
+        "the hourly rollup, then metadata-scale 168-cell aggregates, "
+        "a broadcast per-type overall, and one uniform-key join for "
+        "the 2x-deviation outlier flags; pure epoch arithmetic for "
+        "dow/hod (no session-timezone date functions), one floor at "
+        "the end in DECIMAL",
+    ),
+})

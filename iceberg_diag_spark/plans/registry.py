@@ -403,6 +403,7 @@ _ADDED_POST_WINDOW_R10: set[str] = {
     "c4_rules_audit",
     "classifier_pr_curve",
     "ivf_nprobe_sweep",
+    "events_seasonality_profile",
 }
 
 

@@ -393,3 +393,52 @@ def test_ivf_nprobe_sweep_monotone_and_exhaustive(spark):
     assert rows[-1].recall_ppm == 1_000_000  # all lists probed
     assert rows[-1].scan_frac_ppm == 1_000_000
     assert rows[0].scan_frac_ppm < 1_000_000  # probing 1 list is cheaper
+
+
+def test_seasonality_profile_planted(spark):
+    """Planted weekly pattern: type 'a' fires 10/hour at Monday 09:00
+    and 1/hour everywhere else it appears; the Monday-09 cell's index
+    must sit far above 1e6 and the quiet cell far below, and a single
+    spiked hour inside an otherwise-flat cell is counted as the
+    cell's one outlier."""
+    import datetime as dt
+
+    from iceberg_diag_spark.operators.events import seasonality_profile
+
+    # epoch day 0 = Thursday; 1970-01-05 is the first Monday.
+    monday9 = dt.datetime(1970, 1, 5, 9, 0, 0)
+    rows = []
+    eid = 0
+    # four Mondays at 09:00 with 10 events each
+    for wk in range(4):
+        for i in range(10):
+            rows.append((eid, "a", 1,
+                         monday9 + dt.timedelta(weeks=wk, seconds=i)))
+            eid += 1
+    # four Tuesdays at 03:00 with 1 event each, except one spiked week
+    tue3 = dt.datetime(1970, 1, 6, 3, 0, 0)
+    for wk in range(4):
+        k = 9 if wk == 2 else 1
+        for i in range(k):
+            rows.append((eid, "a", 1,
+                         tue3 + dt.timedelta(weeks=wk, seconds=i)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, ts timestamp"
+    ).withColumn("value", F.lit(1.0))
+    prof = {
+        (r.dow, r.hod): r for r in seasonality_profile(ev).collect()
+    }
+    mon = prof[(1, 9)]  # dow 0 = Sunday
+    tue = prof[(2, 3)]
+    assert mon.cell_hours == 4 and mon.cell_total == 40
+    assert tue.cell_hours == 4 and tue.cell_total == 12
+    # overall mean = 52/8 hours; monday index = (10 / 6.5) * 1e6
+    assert mon.seasonal_ppm == 1_000_000 * 40 * 8 // (4 * 52)
+    assert tue.seasonal_ppm == 1_000_000 * 12 * 8 // (4 * 52)
+    assert mon.seasonal_ppm > 1_000_000 > tue.seasonal_ppm
+    # the spiked Tuesday hour (9 > 2*mean=6) flags high, and the
+    # spike drags the cell mean to 3 so the three 1-count hours flag
+    # low (1 < mean/2) — 4 outliers total, the documented 2x rule
+    assert tue.n_outlier_hours == 4
+    assert mon.n_outlier_hours == 0
