@@ -252,6 +252,7 @@ HEADLINE = [
     "classifier_pr_curve",
     "ivf_nprobe_sweep",
     "events_seasonality_profile",
+    "stream_seasonality_profile",
 ]
 
 # HEADLINE membership is TOTAL: every registry entry is either timed

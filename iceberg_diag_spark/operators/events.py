@@ -1815,22 +1815,31 @@ def seasonality_profile(events: DataFrame) -> DataFrame:
     (event_type, dow, hod, cell_hours, cell_total, seasonal_ppm,
     n_outlier_hours).
     """
-    hourly = (
-        events.groupBy(
-            F.col("event_type"),
-            F.expr(
-                "unix_micros(date_trunc('hour', ts)) div 3600000000"
-            ).alias("hour_epoch"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .select(
-            "event_type",
-            "n",
-            F.expr("(hour_epoch div 24 + 4) % 7").cast("long").alias("dow"),
-            F.expr("hour_epoch % 24").cast("long").alias("hod"),
-        )
-        .localCheckpoint(eager=False)  # cell stats + outlier consumers
-    )
+    return seasonality_from_hourly(hourly_type_rollup(events))
+
+
+def hourly_type_rollup(events: DataFrame) -> DataFrame:
+    """The (event_type, hour_epoch, n) hourly count rollup —
+    seasonality_profile's corpus pass, shared with the streaming twin
+    (per-batch partial rollups re-sum exactly)."""
+    return events.groupBy(
+        F.col("event_type"),
+        F.expr(
+            "unix_micros(date_trunc('hour', ts)) div 3600000000"
+        ).alias("hour_epoch"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def seasonality_from_hourly(rollup: DataFrame) -> DataFrame:
+    """Weekly-cell profile over an (event_type, hour_epoch, n) hourly
+    rollup (see seasonality_profile for semantics; the rollup is
+    metadata-scale, so everything here is bounded)."""
+    hourly = rollup.select(
+        "event_type",
+        "n",
+        F.expr("(hour_epoch div 24 + 4) % 7").cast("long").alias("dow"),
+        F.expr("hour_epoch % 24").cast("long").alias("hod"),
+    ).localCheckpoint(eager=False)  # cell stats + outlier consumers
     cells = hourly.groupBy("event_type", "dow", "hod").agg(
         F.count(F.lit(1)).cast("long").alias("cell_hours"),
         F.sum("n").cast("long").alias("cell_total"),

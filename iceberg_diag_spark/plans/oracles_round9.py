@@ -1586,3 +1586,20 @@ REGISTRY.update({
         "the end in DECIMAL",
     ),
 })
+
+
+def _stream_seasonality_profile(spark, sf_dir):
+    return stream_ops.run_seasonality_profile_stream(spark, sf_dir)
+
+
+REGISTRY.update({
+    "stream_seasonality_profile": QuerySpec(
+        _stream_seasonality_profile, _SEASONALITY_SQL,
+        "streaming twin #21 (accumulated-rollup idiom): per-batch "
+        "idempotent batch=<id> (type, hour_epoch) partials + the "
+        "batch operator's own cell/outlier logic over the re-summed "
+        "rollup — the per-type overall mean re-prices all 168 cells "
+        "on any new hour, a cross-key read no keyed state serves; "
+        "one availableNow drain provably equals the batch profile",
+    ),
+})

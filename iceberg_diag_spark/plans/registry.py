@@ -404,6 +404,7 @@ _ADDED_POST_WINDOW_R10: set[str] = {
     "classifier_pr_curve",
     "ivf_nprobe_sweep",
     "events_seasonality_profile",
+    "stream_seasonality_profile",
 }
 
 

@@ -1128,3 +1128,81 @@ def run_sli_burn_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(rollup, ignore_errors=True)
     return out
+
+
+def seasonality_profile_stream(
+    events_stream: DataFrame, rollup_path: str
+):
+    """Streaming twin of events.seasonality_profile (twin #21) — the
+    live weekly-baseline builder, via the same accumulated-rollup
+    idiom as sli_burn_rate_stream: each micro-batch folds into a
+    persistent (event_type, hour_epoch) rollup partial written to an
+    idempotent ``batch=<id>`` directory, and the 168-cell profile is
+    recomputed from the re-summed rollup with the BATCH operator's
+    own logic (events.seasonality_from_hourly).
+
+    Why not keyed state: the seasonal index divides every cell by the
+    type's OVERALL mean, so any new hour re-prices all 168 cells —
+    cross-key reads per-key state cannot serve; the rollup relation
+    is metadata-scale, so re-deriving the profile per batch is one
+    bounded aggregate chain. A single availableNow drain equals the
+    batch operator exactly (hourly count partials compose).
+    """
+    from iceberg_diag_spark.operators.events import hourly_type_rollup
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            hourly_type_rollup(batch_df)
+            .write.mode("overwrite")
+            .parquet(f"{rollup_path}/batch={int(batch_id)}")
+        )
+
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_seasonality_")
+    return (
+        events_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def seasonality_from_rollup(
+    spark: SparkSession, rollup_path: str
+) -> DataFrame:
+    """Profile over the accumulated per-batch rollups: re-sum the
+    hourly partials (exact — counts compose), then the shared batch
+    cell/outlier logic."""
+    from iceberg_diag_spark.operators.events import seasonality_from_hourly
+
+    hourly = (
+        spark.read.parquet(rollup_path)
+        .groupBy("event_type", "hour_epoch")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    return seasonality_from_hourly(hourly)
+
+
+def run_seasonality_profile_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drain helper: run the streaming seasonality twin over the
+    finite events directory (availableNow) and return the final
+    profile — the relation the driver hash-checks against the batch
+    oracle."""
+    rollup = tempfile.mkdtemp(prefix="seasonality_rollup_")
+    q = seasonality_profile_stream(
+        read_events_stream(spark, sf_dir), rollup
+    )
+    try:
+        if not q.awaitTermination(STREAM_DRAIN_TIMEOUT_SECS):
+            raise TimeoutError(
+                "seasonality_profile_stream drain did not finish within "
+                f"{STREAM_DRAIN_TIMEOUT_SECS}s"
+            )
+    finally:
+        q.stop()
+    out = seasonality_from_rollup(spark, rollup).localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(rollup, ignore_errors=True)
+    return out
