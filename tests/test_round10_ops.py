@@ -442,3 +442,73 @@ def test_seasonality_profile_planted(spark):
     # low (1 < mean/2) — 4 outliers total, the documented 2x rule
     assert tue.n_outlier_hours == 4
     assert mon.n_outlier_hours == 0
+
+
+def test_matryoshka_zero_prefix_vector_is_deterministic(spark):
+    """ADVICE r9 regression: a vector whose first 16 dims quantize to
+    zero (values in [0, 1/256)) has prefix norm 0 — the guarded cosine
+    must pin it to 0 in BOTH engines instead of Spark-NULL vs
+    DuckDB-inf, so it ranks deterministically as a neighbor."""
+    import duckdb
+
+    from iceberg_diag_spark.operators.similarity import matryoshka_audit
+    from iceberg_diag_spark.plans.oracles_round9 import _MATRYOSHKA_SQL
+
+    rows = []
+    for vid in range(0, 12):
+        if vid == 3:
+            # zero-prefix: first 32 dims quantize to 0, tail is real
+            vec = [0.001] * 32 + [((vid * 7 + d) % 13) / 13.0
+                                  for d in range(32)]
+        else:
+            vec = [((vid * 7 + d) % 13) / 13.0 for d in range(64)]
+        rows.append((vid * 100, vec))  # ids multiples of 100 -> all panel
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = sorted(
+        (r.query_id, r.prefix_dim, r.n_exact, r.n_hits, r.recall_ppm)
+        for r in matryoshka_audit(emb).collect()
+    )
+    con = duckdb.connect()
+    con.register("embeddings", emb.toPandas())
+    want = sorted(tuple(r) for r in con.execute(_MATRYOSHKA_SQL).fetchall())
+    assert got == want
+    assert any(q == 300 for q, *_ in got)  # the zero-prefix vector ran
+
+
+def test_matryoshka_dim_in_prefixes_dedupes(spark):
+    """ADVICE r9 regression: passing the full dim inside prefix_dims
+    must dedupe instead of emitting duplicate aliases and failing
+    with an AnalysisException."""
+    from iceberg_diag_spark.operators.similarity import matryoshka_audit
+
+    emb = spark.createDataFrame(
+        [(i * 100, [((i + d) % 7) / 7.0 for d in range(64)])
+         for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    out = matryoshka_audit(emb, prefix_dims=(16, 64), dim=64).collect()
+    assert {r.prefix_dim for r in out} == {16}
+
+
+def test_hour_epoch_integer_division_exact_beyond_double(spark):
+    """ADVICE r9 regression: hour_epoch must come from integer floor
+    division — beyond 2^53 µs (years ≳ 2255) a double true-division
+    can round to the wrong hour, and pre-1970 epochs must floor, not
+    truncate toward zero."""
+    import datetime as dt
+
+    from iceberg_diag_spark.operators.events import hourly_sli_rollup
+
+    far = dt.datetime(2260, 1, 1, 12, 34, 56)  # ~9.15e15 µs > 2^53
+    pre = dt.datetime(1969, 12, 31, 23, 30, 0)
+    ev = spark.createDataFrame(
+        [(1, "view", 1, far, 1.0), (2, "error", 1, pre, 1.0)],
+        "event_id long, event_type string, user_id long, ts timestamp,"
+        " value double",
+    )
+    got = {r.hour_epoch for r in hourly_sli_rollup(ev).collect()}
+    far_hour = dt.datetime(2260, 1, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    exact_far = int(far_hour.timestamp() * 1_000_000) // 3_600_000_000
+    assert got == {exact_far, -1}
