@@ -1679,28 +1679,42 @@ def ivf_nprobe_sweep(
     ).select(
         "query_id", (F.col("__p0") + 1).alias("prank"), "list_id"
     )
-    # probe rank at which each exact neighbor becomes reachable
-    reach = exact.join(
+    # probe rank at which each exact neighbor becomes reachable: an
+    # INNER join — a ground-truth neighbor absent from every probed
+    # cell contributes 0 hits at every n_probe, so nothing outer is
+    # needed, and inner lets the panel×k exact side BROADCAST against
+    # the large candidate-rank relation (a left-outer would have to
+    # broadcast the big preserved-side complement instead)
+    exact = exact.localCheckpoint(eager=False)  # totals + hit join
+    hit_rank = F.broadcast(exact).join(
         ppr.join(assigned, "list_id").select(
             "query_id", "neighbor_id", "prank"
         ),
         ["query_id", "neighbor_id"],
-        "left",
     )
     probes_rel = F.broadcast(
         embeddings.sparkSession.createDataFrame(
             [(int(p),) for p in sorted(probes)], "n_probe long"
         )
     )
-    recall = (
-        reach.crossJoin(probes_rel)
+    totals = exact.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+    )
+    hits = (
+        hit_rank.crossJoin(probes_rel)
+        .filter(F.col("prank") <= F.col("n_probe"))
         .groupBy("n_probe")
-        .agg(
-            F.countDistinct("query_id").cast("long").alias("n_queries"),
-            F.count(F.lit(1)).cast("long").alias("n_exact"),
-            F.sum(
-                (F.col("prank") <= F.col("n_probe")).cast("long")
-            )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    recall = (
+        probes_rel.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(hits), "n_probe", "left")
+        .select(
+            "n_probe",
+            "n_queries",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0))
             .cast("long")
             .alias("n_hits"),
         )
@@ -1728,7 +1742,7 @@ def ivf_nprobe_sweep(
         )
     )
     return (
-        recall.join(scanned, "n_probe")
+        recall.join(F.broadcast(scanned), "n_probe")
         .crossJoin(F.broadcast(n_total))
         .select(
             "n_probe",
