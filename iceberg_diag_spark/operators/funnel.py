@@ -377,3 +377,75 @@ def corpus_release(
         asg, path, n_shards, order_cols=("source", "seq_id", "doc_id")
     )
     return _manifest_agg(docs.sparkSession.read.parquet(path))
+
+
+def read_release_sequences(spark, path: str) -> DataFrame:
+    """Consumer side of corpus_release: reconstruct the packed
+    training sequences from a written release — group each shard's
+    rows by (shard, source, seq_id) with doc_ids in fold order. The
+    per-sequence collect is bounded by construction (a sequence holds
+    at most capacity_tokens docs, or exactly one overflow doc), so
+    the aggregate state is capacity-bounded, never corpus-bounded.
+
+    Output per sequence: (shard, source, seq_id, doc_ids, doc_count,
+    seq_tokens) — grouping this back by nothing reproduces the
+    pack_sequences_from_counts aggregate (pytest-pinned).
+    """
+    rows = spark.read.parquet(path)
+    return rows.groupBy(
+        F.col("shard").cast("long").alias("shard"), "source", "seq_id"
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "n_tokens"))),
+            lambda s: s["doc_id"],
+        ).alias("doc_ids"),
+        F.count(F.lit(1)).cast("long").alias("doc_count"),
+        F.sum("n_tokens").cast("long").alias("seq_tokens"),
+    )
+
+
+def verify_release(spark, path: str, manifest: DataFrame) -> DataFrame:
+    """Verify a DELIVERED release against its published manifest: the
+    per-shard manifest aggregate recomputes from the files at `path`
+    and full-outer-joins the published relation, so a shard that was
+    lost, truncated, duplicated, or row-tampered in transit cannot
+    come back ok — the salted bit_xor membership digests catch any
+    doc-id set change, the token sum any payload-count change.
+
+    Output per shard (published ∪ delivered): (shard, ok,
+    n_docs_expected, n_docs_actual, tokens_expected, tokens_actual)
+    — ok is true only when every manifest column matches exactly.
+    """
+    actual = _manifest_agg(spark.read.parquet(path))
+    m = manifest.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_docs").alias("e_docs"),
+        F.col("n_seqs").alias("e_seqs"),
+        F.col("n_tokens").alias("e_tokens"),
+        F.col("members_xor").alias("e_x1"),
+        F.col("members_xor2").alias("e_x2"),
+    )
+    a = actual.select(
+        "shard",
+        F.col("n_docs").alias("a_docs"),
+        F.col("n_seqs").alias("a_seqs"),
+        F.col("n_tokens").alias("a_tokens"),
+        F.col("members_xor").alias("a_x1"),
+        F.col("members_xor2").alias("a_x2"),
+    )
+    joined = m.join(a, "shard", "full")
+    ok = (
+        F.col("e_docs").eqNullSafe(F.col("a_docs"))
+        & F.col("e_seqs").eqNullSafe(F.col("a_seqs"))
+        & F.col("e_tokens").eqNullSafe(F.col("a_tokens"))
+        & F.col("e_x1").eqNullSafe(F.col("a_x1"))
+        & F.col("e_x2").eqNullSafe(F.col("a_x2"))
+    )
+    return joined.select(
+        "shard",
+        ok.alias("ok"),
+        F.col("e_docs").alias("n_docs_expected"),
+        F.col("a_docs").alias("n_docs_actual"),
+        F.col("e_tokens").alias("tokens_expected"),
+        F.col("a_tokens").alias("tokens_actual"),
+    )

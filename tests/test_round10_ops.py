@@ -512,3 +512,121 @@ def test_hour_epoch_integer_division_exact_beyond_double(spark):
     far_hour = dt.datetime(2260, 1, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
     exact_far = int(far_hour.timestamp() * 1_000_000) // 3_600_000_000
     assert got == {exact_far, -1}
+
+
+def _auc2_histogram(pairs):
+    """The histogram closed form exact_auc implements:
+    2U = sum over distinct scores of n1*(2*cum0_below + n0)."""
+    hist = {}
+    for s, y in pairs:
+        n, n1 = hist.get(s, (0, 0))
+        hist[s] = (n + 1, n1 + y)
+    u2 = 0
+    cum0 = 0
+    for s in sorted(hist):
+        n, n1 = hist[s]
+        n0 = n - n1
+        u2 += n1 * (2 * cum0 + n0)
+        cum0 += n0
+    return u2
+
+
+def _auc2_bruteforce(pairs):
+    """2U by direct pair enumeration: 2 per won pair, 1 per tie."""
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    return sum(
+        2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+    )
+
+
+def test_auc_histogram_closed_form_property():
+    """Property (hypothesis): the tied-block histogram rank-sum equals
+    brute-force pair enumeration for arbitrary score/label multisets —
+    the identity exact_auc's scale shape rests on."""
+    from hypothesis import given, settings, strategies as st
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-5, max_value=5),  # force ties
+                st.integers(min_value=0, max_value=1),
+            ),
+            max_size=120,
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(pairs):
+        assert _auc2_histogram(pairs) == _auc2_bruteforce(pairs)
+
+    check()
+
+
+def test_exact_auc_matches_bruteforce_on_random_batch(spark):
+    """One Spark run over a deterministic pseudo-random batch with
+    heavy ties, pinned against the brute-force pair count."""
+    from iceberg_diag_spark.operators.textops import exact_auc
+
+    pairs = [(((i * 37) % 7) - 3, (i * 13) % 2) for i in range(500)]
+    df = spark.createDataFrame(pairs, "score long, y long")
+    row = exact_auc(df).collect()[0]
+    p = sum(y for _, y in pairs)
+    n = len(pairs) - p
+    u2 = _auc2_bruteforce(pairs)
+    assert (row.n_pos_total, row.n_neg_total) == (p, n)
+    assert row.auc_ppm == 1_000_000 * u2 // (2 * p * n)
+
+
+def test_read_release_sequences_reproduces_pack_fold(spark, tmp_path_factory):
+    """Consumer reconstruction: grouping the delivered shard rows back
+    into sequences reproduces the pack aggregate exactly, and every
+    multi-doc sequence respects the capacity with doc_ids in fold
+    order."""
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path_factory.mktemp("release_rd")) + "/corpus"
+    funnel.corpus_release(docs, out)
+    seqs = funnel.read_release_sequences(spark, out).collect()
+    assert seqs
+    for r in seqs:
+        assert r.doc_count == len(r.doc_ids)
+        assert list(r.doc_ids) == sorted(r.doc_ids)
+        if r.doc_count > 1:
+            assert r.seq_tokens <= funnel.RELEASE_CAPACITY_TOKENS
+    # regrouped totals equal the manifest
+    manifest = {r.shard: r for r in funnel.corpus_release_manifest(docs).collect()}
+    by_shard: dict[int, list] = {}
+    for r in seqs:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        assert sum(r.doc_count for r in rs) == manifest[shard].n_docs
+        assert sum(r.seq_tokens for r in rs) == manifest[shard].n_tokens
+        assert len(rs) == manifest[shard].n_seqs
+
+
+def test_verify_release_catches_tampering(spark, tmp_path_factory):
+    """verify_release: pristine delivery -> all shards ok; dropping
+    rows from one shard directory flips exactly that shard to not-ok
+    with the doc-count discrepancy visible."""
+    import glob as _glob
+    import os
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path_factory.mktemp("release_v")) + "/corpus"
+    manifest = funnel.corpus_release(docs, out).localCheckpoint()
+    ok = funnel.verify_release(spark, out, manifest).collect()
+    assert all(r.ok for r in ok) and len(ok) == funnel.RELEASE_N_SHARDS
+
+    # tamper: rewrite shard=0 keeping only half its rows
+    shard0 = os.path.join(out, "shard=0")
+    kept = spark.read.parquet(shard0).limit(
+        spark.read.parquet(shard0).count() // 2
+    ).localCheckpoint()
+    for f in _glob.glob(os.path.join(shard0, "*.parquet")):
+        os.remove(f)
+    kept.write.mode("append").parquet(shard0)
+
+    res = {r.shard: r for r in
+           funnel.verify_release(spark, out, manifest).collect()}
+    assert not res[0].ok
+    assert res[0].n_docs_actual < res[0].n_docs_expected
+    assert all(r.ok for s, r in res.items() if s != 0)
