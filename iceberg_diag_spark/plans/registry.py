@@ -427,6 +427,14 @@ def _eval_order(item: tuple[str, QuerySpec]) -> float:
       5     latest green in r8
       6     fresh r9 green — ride the tail where truncation costs
             least
+
+    Round-11 handoff: the must-score queue is 4 leftover r5 entries
+    + gopher_rules_audit (tier 1.5) + 6 post-window round-10 entries
+    (tier 1.9, all sf0.01-parity-green locally) + 6 rows-only
+    refreshes = 17 slots; 33 remain for the 48-entry r6-stale cohort
+    (the rest of r6 rotates in r12 — with the registry at 259 the
+    window can no longer re-green a full cohort per round, so the
+    steady-state staleness bound drifts from 4 toward 5 rounds).
     """
     name, spec = item
     ever_green = (
