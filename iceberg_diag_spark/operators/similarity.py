@@ -2749,18 +2749,24 @@ def matryoshka_audit(
             .select("query_id", "neighbor_id")
         )
 
+    # the per-prefix comparisons join panel-scale (n_queries × k)
+    # relations — broadcast them like the panel itself (the audit
+    # sample is broadcast-scale by design; an SMJ here would sort the
+    # same bounded relation four times)
     full = topk(dim).localCheckpoint(eager=False)
     out = None
     for d in dims[:-1]:
         hits = (
-            full.join(topk(d), ["query_id", "neighbor_id"], "semi")
+            full.join(
+                F.broadcast(topk(d)), ["query_id", "neighbor_id"], "semi"
+            )
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
         )
         rel = (
             full.groupBy("query_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
-            .join(hits, "query_id", "left")
+            .join(F.broadcast(hits), "query_id", "left")
             .select(
                 "query_id",
                 F.lit(d).cast("long").alias("prefix_dim"),

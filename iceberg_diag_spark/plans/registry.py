@@ -435,6 +435,12 @@ def _eval_order(item: tuple[str, QuerySpec]) -> float:
     (the rest of r6 rotates in r12 — with the registry at 259 the
     window can no longer re-green a full cohort per round, so the
     steady-state staleness bound drifts from 4 toward 5 rounds).
+    SMJ-review backlog for whichever round re-scores them anyway:
+    ann_recall_eval / retrieval_rank_eval / embedding_pca_power /
+    minhash_estimator_audit / lsh_param_advisor / quality_psi_drift
+    join panel- or metadata-scale relations via SortMergeJoin where
+    the broadcast hint would fit (the r10 matryoshka/nprobe fix
+    shape); the remaining SMJ plans are genuine big-big joins.
     """
     name, spec = item
     ever_green = (
