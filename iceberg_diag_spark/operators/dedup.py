@@ -717,6 +717,8 @@ def ngram_jaccard_pairs(
     docs have no n-grams at all (impossible for LSH candidates — a
     signature requires shingles — but possible for caller-supplied
     pairs) come back with jaccard=0.0 rather than silently dropping.
+    Candidates must be distinct (doc_a, doc_b) rows — every caller's
+    pairs come pre-grouped out of the banding.
     """
     shingled = word_ngram_rows(docs, text_col, id_col, ngram).select(
         F.col(id_col).alias("__doc"), "gram"
@@ -725,28 +727,42 @@ def ngram_jaccard_pairs(
         "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("__doc")
     )
     grams = members.join(shingled, "__doc")
-    # shingle rows are not pre-deduplicated → distinct doc count per
-    # gram gives membership (k == 2 ⇔ gram in both docs)
-    per_gram = grams.groupBy("doc_a", "doc_b", "gram").agg(
-        F.countDistinct("__doc").alias("k")
-    )
-    stats = per_gram.groupBy("doc_a", "doc_b").agg(
-        F.count("*").alias("union_size"),
-        F.sum(F.when(F.col("k") == 2, 1).otherwise(0)).alias("inter_size"),
-    )
-    # Pairs whose members have no shingles never reach `stats` (no
-    # gram rows to group); reattach them with jaccard=0.0 via a left
-    # join from the candidate list so the output contract is
-    # one-row-per-candidate regardless of where the pairs came from.
-    return candidates.select("doc_a", "doc_b").join(
-        stats, ["doc_a", "doc_b"], "left"
-    ).select(
+    # One NULL-gram sentinel row per candidate pair rides the same
+    # aggregation, so shingle-less pairs reach `stats` too and no
+    # reattach join is needed afterwards (the old candidates⋈stats
+    # left join sorted two pair-scale relations — a pure extra
+    # shuffle, since both sides key on the pair already). Real grams
+    # are never NULL (concat_ws over tokens), so the sentinel group
+    # is unambiguous; countDistinct skips its NULL __doc, keeping the
+    # sentinel out of the intersection count.
+    sentinel = candidates.select(
         "doc_a",
         "doc_b",
-        F.coalesce(
-            F.col("inter_size").cast("double") / F.col("union_size"),
-            F.lit(0.0),
-        ).alias("jaccard"),
+        F.lit(None).cast(candidates.schema["doc_a"].dataType).alias("__doc"),
+        F.lit(None).cast("string").alias("gram"),
+    )
+    # shingle rows are not pre-deduplicated → distinct doc count per
+    # gram gives membership (k == 2 ⇔ gram in both docs)
+    per_gram = (
+        grams.select("doc_a", "doc_b", "__doc", "gram")
+        .unionByName(sentinel)
+        .groupBy("doc_a", "doc_b", "gram")
+        .agg(F.countDistinct("__doc").alias("k"))
+    )
+    stats = per_gram.groupBy("doc_a", "doc_b").agg(
+        F.sum(
+            F.when(F.col("gram").isNotNull(), 1).otherwise(0)
+        ).alias("union_size"),
+        F.sum(F.when(F.col("k") == 2, 1).otherwise(0)).alias("inter_size"),
+    )
+    return stats.select(
+        "doc_a",
+        "doc_b",
+        F.when(F.col("union_size") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("inter_size").cast("double") / F.col("union_size")
+        )
+        .alias("jaccard"),
     )
 
 
@@ -2010,7 +2026,11 @@ def minhash_estimator_audit(
         pairs.select("doc_a", "doc_b")
         .join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_grams", "sa"), "doc_a", "left")
         .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_grams", "sb"), "doc_b", "left")
-        .join(inter, ["doc_a", "doc_b"], "left")
+        # inter is one row per candidate pair — the audit panel the
+        # banding surfaced, bounded like `pairs` itself (which already
+        # fits a checkpoint); hint it so the reattach never sorts the
+        # pair spine (r10 matryoshka pattern)
+        .join(F.broadcast(inter), ["doc_a", "doc_b"], "left")
         .select(
             "doc_a",
             "doc_b",
@@ -2023,7 +2043,9 @@ def minhash_estimator_audit(
             ).alias("exact_jaccard_ppm"),
         )
     )
-    return est.join(exact, ["doc_a", "doc_b"]).select(
+    # est and exact are both one-row-per-candidate-pair views of the
+    # same bounded audit panel — broadcast the exact side
+    return est.join(F.broadcast(exact), ["doc_a", "doc_b"]).select(
         "doc_a",
         "doc_b",
         "n_shared_bands",

@@ -1833,8 +1833,11 @@ def ann_recall_eval(
     hit = approx.select(
         "query_id", "neighbor_id", F.lit(1).alias("__hit")
     )
+    # both sides of the scoring join are panel-scale (n_queries × k —
+    # the query panel itself broadcasts above); an SMJ here sorts the
+    # same bounded relation twice (r10 matryoshka pattern)
     return (
-        exact_topk.join(hit, ["query_id", "neighbor_id"], "left")
+        exact_topk.join(F.broadcast(hit), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_exact"),
@@ -2334,9 +2337,12 @@ def pca_power(
     # logical plan doubles per iteration (2^iters subtree copies; no
     # cross-branch reuse).
     wall = Window.partitionBy()
+    # every multiply joins the ≤dim-row iterate v onto the dim²-row
+    # matrix relation — broadcast the iterate (metadata scale; an SMJ
+    # would sort both bounded relations every iteration)
     for _ in range(iters):
         w = (
-            m.join(v, "j")
+            m.join(F.broadcast(v), "j")
             .groupBy("i")
             .agg(F.sum(F.col("m") * F.col("v")).alias("w"))
         )
@@ -2358,12 +2364,12 @@ def pca_power(
             .localCheckpoint()
         )
     w_fin = (
-        m.join(v, "j")
+        m.join(F.broadcast(v), "j")
         .groupBy("i")
         .agg(F.sum(F.col("m") * F.col("v")).alias("w"))
     )
     stats = (
-        w_fin.join(v.select(F.col("j").alias("i"), "v"), "i")
+        w_fin.join(F.broadcast(v.select(F.col("j").alias("i"), "v")), "i")
         .agg(
             F.sum(F.col("v") * F.col("w")).alias("num"),
             F.sum(F.col("v") * F.col("v")).alias("den"),
@@ -2461,8 +2467,11 @@ def retrieval_rank_eval(
     approx = lsh_topk_exact(
         embeddings, k, n_planes, n_tables, dim, scale_bits, id_col, vec_col
     ).filter(F.col("query_id") % query_mod == 0)
+    # relevant/scored are panel-scale (n_queries × k, the broadcast
+    # query panel's own fan-out) — hint them like the panel itself so
+    # the two scoring joins never devolve to sort-both-sides SMJs
     scored = (
-        approx.join(relevant, ["query_id", "neighbor_id"], "left")
+        approx.join(F.broadcast(relevant), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_retrieved"),
@@ -2481,7 +2490,7 @@ def retrieval_rank_eval(
         )
     )
     panel = relevant.select("query_id").distinct()
-    return panel.join(scored, "query_id", "left").select(
+    return panel.join(F.broadcast(scored), "query_id", "left").select(
         "query_id",
         F.coalesce(F.col("n_retrieved"), F.lit(0)).cast("long").alias("n_retrieved"),
         F.coalesce(F.col("rr_ppm"), F.lit(0)).cast("long").alias("rr_ppm"),

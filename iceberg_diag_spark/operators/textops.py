@@ -3660,24 +3660,31 @@ def quality_psi_drift(
     """
     from pyspark.sql.window import Window
 
-    def bucketed(docs, side):
-        return (
-            quality_classifier_score(docs, text_col, id_col)
-            .select(
-                F.expr(
-                    f"CAST((z_micro + {shift_micro}) DIV {bucket_micro}"
-                    " AS BIGINT)"
-                ).alias("bucket")
-            )
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).cast("long").alias(f"n_{side}"))
+    # Tagged union instead of per-side histograms + full-outer join:
+    # one map-side-combined aggregate on the bucket key replaces two
+    # groupBy shuffles plus a sort-both-sides SMJ of the bucket
+    # relations (full-outer can't broadcast), and the outer-join
+    # coalesce falls out for free.
+    def bucket_rows(docs, side):
+        return quality_classifier_score(docs, text_col, id_col).select(
+            F.expr(
+                f"CAST((z_micro + {shift_micro}) DIV {bucket_micro}"
+                " AS BIGINT)"
+            ).alias("bucket"),
+            F.lit(side).alias("__side"),
         )
-    old_b = bucketed(docs_old, "old")
-    new_b = bucketed(docs_new, "new")
-    j = old_b.join(new_b, "bucket", "full").select(
-        "bucket",
-        F.coalesce(F.col("n_old"), F.lit(0)).cast("long").alias("n_old"),
-        F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+    j = (
+        bucket_rows(docs_old, 0)
+        .unionByName(bucket_rows(docs_new, 1))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__side") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_old"),
+            F.sum(F.when(F.col("__side") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
     )
     wall = Window.partitionBy()
     smoothed = j.select(

@@ -372,6 +372,26 @@ def test_no_unbounded_collect_aggregates(spark):
     assert not offenders, offenders
 
 
+def test_r10_smj_backlog_cleared(spark):
+    # the round-10 self-flagged backlog: these six plans joined
+    # panel- or metadata-scale relations via SortMergeJoin where a
+    # broadcast hint fits (ann/retrieval eval panels, the pca power
+    # iterate, the estimator-audit pair spine) or where the join
+    # folds away entirely (the sentinel-row ngram_jaccard_pairs
+    # rebuild behind lsh_param_advisor, the tagged-union PSI
+    # histogram) — all must stay SMJ-free
+    for name in (
+        "ann_recall_eval",
+        "retrieval_rank_eval",
+        "embedding_pca_power",
+        "minhash_estimator_audit",
+        "lsh_param_advisor",
+        "quality_psi_drift",
+    ):
+        plan = _plan(spark, name)
+        assert "SortMergeJoin" not in plan, name
+
+
 def test_skew_audit_distributed_topk(spark):
     # global top-k must be TakeOrderedAndProject (partial per-partition
     # top-k), never a partition-less window over the full key relation
