@@ -253,6 +253,7 @@ HEADLINE = [
     "ivf_nprobe_sweep",
     "events_seasonality_profile",
     "stream_seasonality_profile",
+    "classifier_train_lr",
 ]
 
 # HEADLINE membership is TOTAL: every registry entry is either timed

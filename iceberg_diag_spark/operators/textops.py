@@ -1107,6 +1107,248 @@ def exact_auc(
     )
 
 
+def _lr_feature_rows(docs: DataFrame, text_col: str) -> DataFrame:
+    """Per-doc micro-quantized feature vector + curation-gate label
+    for classifier training: the same five heuristic features the
+    hand-set linear classifier consumes (_classifier_z) and the same
+    gate label the evaluators rank against (_scored_vs_gate), floor-
+    quantized once to integer micro-units so every downstream step is
+    integer-exact. One scan, zero shuffle.
+    Output: (x1..x5 micro longs, y 0/1)."""
+    q = quality_exprs(text_col)
+    best = language_best(text_col)
+    t = tokens(F.col(text_col))
+    trigrams = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.array_join(F.slice(t, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_frac = (
+        F.size(trigrams) - F.size(F.array_distinct(trigrams))
+    ).cast("double") / F.greatest(F.size(trigrams), F.lit(1))
+    gate = (
+        (q["type_token_ratio"] >= 0.4)
+        & (q["alpha_ratio"] >= 0.6)
+        & (best["hits"] > 0)
+    )
+    feats = [
+        q["mean_token_len"],
+        q["type_token_ratio"],
+        q["stopword_ratio"],
+        q["alpha_ratio"],
+        dup_frac,
+    ]
+    return ensure_parallelism(docs).select(
+        *[
+            F.floor(c * F.lit(1_000_000.0)).cast("long").alias(f"x{j}")
+            for j, c in enumerate(feats, start=1)
+        ],
+        gate.cast("long").alias("y"),
+    )
+
+
+def _signed_div(num: str, den: str) -> str:
+    """Sign-aware integral division as a SQL fragment: Spark DIV
+    truncates toward zero while DuckDB // floors, so negative
+    numerators are divided as -((-n) DIV d) — truncation semantics on
+    both engines (the pca_power idiom)."""
+    return (
+        f"(CASE WHEN {num} < 0 THEN -((-({num})) DIV ({den}))"
+        f" ELSE ({num}) DIV ({den}) END)"
+    )
+
+
+LR_WEIGHT_COLS = (
+    "w_bias_micro",
+    "w_mtl_micro",
+    "w_ttr_micro",
+    "w_stop_micro",
+    "w_alpha_micro",
+    "w_dup_micro",
+)
+
+
+def _lr_standardized(docs: DataFrame, text_col: str) -> DataFrame:
+    """Standardized integer feature relation for LR training AND for
+    re-applying trained weights: per-feature integer moments (mu =
+    Sx DIV n; var = (n·Sxx − Sx²) DIV n²; sigma = max(1, ⌊√var⌋) —
+    IEEE sqrt is correctly rounded, so the floor is engine-identical)
+    from ONE aggregate, broadcast onto the rows; standardized feature
+    s = ((x − mu)·10⁶) DIV sigma (sign-aware DIV — x−mu goes
+    negative); x0 is the constant bias feature at 10⁶ so one update
+    rule covers all six weights. localCheckpointed: training consumes
+    it k+1 times and nothing shares exchanges across branches.
+    Output: (x0, sx1..sx5 all DECIMAL(38,0), y)."""
+    raw = _lr_feature_rows(docs, text_col).localCheckpoint(eager=False)
+    xs = [f"x{j}" for j in range(1, 6)]
+    stats = raw.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(F.col(x).cast("decimal(38,0)")).alias(f"s_{x}")
+            for x in xs
+        ],
+        *[
+            F.sum(
+                F.col(x).cast("decimal(38,0)")
+                * F.col(x).cast("decimal(38,0)")
+            ).alias(f"q_{x}")
+            for x in xs
+        ],
+    ).select(
+        "n",
+        *[
+            F.expr(f"s_{x} DIV CAST(n AS DECIMAL(38,0))").alias(f"mu_{x}")
+            for x in xs
+        ],
+        *[
+            F.expr(
+                f"GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(SQRT(CAST("
+                f"(CAST(n AS DECIMAL(38,0)) * q_{x} - s_{x} * s_{x})"
+                f" DIV (CAST(n AS DECIMAL(38,0)) * n) AS DOUBLE)))"
+                f" AS BIGINT))"
+            ).alias(f"sig_{x}")
+            for x in xs
+        ],
+    )
+    return (
+        raw.crossJoin(F.broadcast(stats))
+        .select(
+            F.lit(1_000_000).cast("decimal(38,0)").alias("x0"),
+            *[
+                F.expr(
+                    "CAST("
+                    + _signed_div(
+                        f"(CAST({x} AS DECIMAL(38,0)) - mu_{x}) * 1000000",
+                        f"sig_{x}",
+                    )
+                    + " AS DECIMAL(38,0))"
+                ).alias(f"sx{j}")
+                for j, x in enumerate(xs, start=1)
+            ],
+            F.col("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def classifier_train_lr(
+    docs: DataFrame,
+    k_steps: int = 12,
+    lr_ppm: int = 2_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Logistic-regression TRAINING of the quality keep/drop
+    classifier against the production curation gate — closes the
+    classifier loop: the engine scores (quality_classifier_score),
+    evaluates (classifier_auc_calibration / classifier_pr_curve), and
+    now learns the weights instead of shipping hand-set ones. k fixed,
+    unrolled full-batch gradient-descent steps over the bounded
+    6-feature vector (bias + the five heuristic quality features),
+    standardized per-feature so the raw scales (mean token length
+    ~5e6 micro vs ratios ~1e6) don't dominate the gradient.
+
+    Integer-exact end to end (the near_dup_pagerank unrolled-rounds
+    shape, oracle-able as k chained CTEs):
+    - features floor-quantize once to micro; standardization uses
+      integer moments (mu = Sx DIV n; var = (n·Sxx − Sx²) DIV n²;
+      sigma = max(1, ⌊√var⌋) — IEEE sqrt is correctly rounded, so the
+      floor is engine-identical, unlike exp/ln which only appear in
+      the proven fixed-shape sigmoid idiom below);
+    - each step computes z_micro = ⌊(w·x)/10⁶⌋ (sign-aware DIV),
+      p_micro = ⌊10⁶·σ(z_micro/10⁶)⌋ (the classifier_auc_calibration
+      cross-engine sigmoid), residual r = p − 10⁶·y, and the gradient
+      sums g_j = Σ r·x_j in DECIMAL(38,0);
+    - update w_j ← w_j − (lr_ppm·g_j) DIV (n·10¹²) — all weights stay
+      integer micro, so the trajectory hashes identically in DuckDB.
+
+    Scale shape: ONE corpus scan into a 6-column integer projection,
+    localCheckpointed (k+1 aggregate consumers — without truncation
+    each step replays the corpus scan, no cross-branch reuse); one
+    1-row moments aggregate broadcast onto the rows; then k map-side-
+    combined gradient aggregates, each a full pass over the narrow
+    checkpointed relation with the 1-row weight state broadcast-cross-
+    joined (zero driver round-trips — weights never leave the JVM).
+    k·(scan of an 8-byte×6 relation) is the same budget as
+    unigram_lm_train's EM rounds.
+
+    Output, one row per step 0..k (step 0 = the zero init):
+    (step, w_bias_micro, w_mtl_micro, w_ttr_micro, w_stop_micro,
+    w_alpha_micro, w_dup_micro) — weights in micro units over the
+    STANDARDIZED features (_lr_standardized re-derives the feature
+    relation to score with them).
+    """
+    feat = _lr_standardized(docs, text_col)
+    spark = docs.sparkSession
+    wcols = [f"w{j}" for j in range(6)]
+    fcols = ["x0"] + [f"sx{j}" for j in range(1, 6)]
+    w = spark.range(1).select(
+        F.lit(0).cast("long").alias("step"),
+        *[F.lit(0).cast("decimal(38,0)").alias(c) for c in wcols],
+    )
+    trajectory = [w]
+    zsum = " + ".join(f"{w_} * {x_}" for w_, x_ in zip(wcols, fcols))
+    p_expr = (
+        f"CAST(FLOOR(1000000.0 / (1.0 + EXP(-(CAST("
+        f"{_signed_div(f'({zsum})', '1000000')}"
+        f" AS DOUBLE) / 1000000.0)))) AS BIGINT)"
+    )
+    for t in range(1, k_steps + 1):
+        g = (
+            feat.crossJoin(F.broadcast(w.drop("step")))
+            .select(
+                F.expr(p_expr).alias("p"),
+                "y",
+                *fcols,
+            )
+            .select(
+                (F.col("p") - F.lit(1_000_000) * F.col("y")).alias("r"),
+                *fcols,
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                *[
+                    F.sum(F.col("r").cast("decimal(38,0)") * F.col(x))
+                    .cast("decimal(38,0)")
+                    .alias(f"g{j}")
+                    for j, x in enumerate(fcols)
+                ],
+            )
+        )
+        w = (
+            w.drop("step")
+            .crossJoin(F.broadcast(g))
+            .select(
+                F.lit(t).cast("long").alias("step"),
+                *[
+                    F.expr(
+                        f"CAST(w{j} - "
+                        + _signed_div(
+                            f"g{j} * {lr_ppm}",
+                            "CAST(n AS DECIMAL(38,0)) * 1000000000000",
+                        )
+                        + f" AS DECIMAL(38,0)) AS w{j}"
+                    )
+                    for j in range(6)
+                ],
+            )
+            .localCheckpoint(eager=False)
+        )
+        trajectory.append(w)
+    out = trajectory[0]
+    for w_t in trajectory[1:]:
+        out = out.unionByName(w_t)
+    return out.select(
+        "step",
+        *[
+            F.col(f"w{j}").cast("long").alias(name)
+            for j, name in enumerate(LR_WEIGHT_COLS)
+        ],
+    ).orderBy("step")
+
+
 def tokenizer_fertility(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

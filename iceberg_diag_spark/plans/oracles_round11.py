@@ -1,0 +1,181 @@
+"""Round-11 registry entries: the classifier-training loop closure,
+the IVF index-build sink (advisor-executing pattern #6), and the
+incremental-release streaming twin.
+
+Oracle style follows the round-9/10 family modules: chained CTEs
+mirroring each unrolled Spark stage (the near_dup_pagerank shape),
+HUGEINT sums where Spark uses DECIMAL(38,0), sign-aware // via the
+CASE idiom wherever a numerator can go negative (Spark DIV truncates,
+DuckDB // floors).
+"""
+
+from __future__ import annotations
+
+from iceberg_diag_spark.operators import textops
+from iceberg_diag_spark.plans.common import QuerySpec, REGISTRY, _t
+from iceberg_diag_spark.plans.oracles_dedup import _lang_list_sql
+
+
+def _classifier_train_lr(spark, sf_dir):
+    return textops.classifier_train_lr(_t(spark, sf_dir, "documents"))
+
+
+def _sdiv(num: str, den: str) -> str:
+    """Truncating division in DuckDB matching Spark's DIV: // floors,
+    so negate-divide-negate for negative numerators."""
+    return (
+        f"(CASE WHEN {num} < 0 THEN -((-({num})) // ({den}))"
+        f" ELSE ({num}) // ({den}) END)"
+    )
+
+
+def _train_lr_sql(k_steps: int = 12, lr_ppm: int = 2_000_000) -> str:
+    """Generate the k-step unrolled GD chain: feats → integer moments
+    → standardized features → w0..wk CTEs (gradient aggregate + weight
+    update per step) → trajectory union. Mirrors
+    textops.classifier_train_lr stage for stage."""
+    xs = [f"x{j}" for j in range(1, 6)]
+    fcols = ["x0"] + [f"sx{j}" for j in range(1, 6)]
+    wcols = [f"w{j}" for j in range(6)]
+
+    feats = r"""
+WITH f AS (
+  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+         text
+  FROM documents
+),
+feats AS (
+  SELECT CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) AS mtl,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS ttr,
+         CAST(len(list_intersect(toks, {en})) AS DOUBLE)
+           / greatest(len(toks), 1) AS sw,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS alpha,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> array_to_string(toks[i : i + 2], ' '))
+         ELSE [] END AS tri,
+         greatest(
+           len(list_intersect(toks, {de})),
+           len(list_intersect(toks, {en})),
+           len(list_intersect(toks, {es})),
+           len(list_intersect(toks, {fr}))) AS lang_hits
+  FROM f
+),
+raw AS MATERIALIZED (
+  SELECT CAST(FLOOR(mtl * 1000000) AS BIGINT) AS x1,
+         CAST(FLOOR(ttr * 1000000) AS BIGINT) AS x2,
+         CAST(FLOOR(sw * 1000000) AS BIGINT) AS x3,
+         CAST(FLOOR(alpha * 1000000) AS BIGINT) AS x4,
+         CAST(FLOOR((CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
+                     / greatest(len(tri), 1)) * 1000000) AS BIGINT) AS x5,
+         CAST(ttr >= 0.4 AND alpha >= 0.6 AND lang_hits > 0 AS BIGINT) AS y
+  FROM feats
+)""".format(
+        de=_lang_list_sql("de"),
+        en=_lang_list_sql("en"),
+        es=_lang_list_sql("es"),
+        fr=_lang_list_sql("fr"),
+    )
+
+    mus = ",\n         ".join(
+        f"CAST(sum(CAST({x} AS HUGEINT)) // count(*) AS HUGEINT) AS mu_{x}"
+        for x in xs
+    )
+    sigs = ",\n         ".join(
+        f"greatest(CAST(1 AS HUGEINT), CAST(FLOOR(SQRT(CAST("
+        f"(count(*) * sum(CAST({x} AS HUGEINT) * {x})"
+        f" - sum(CAST({x} AS HUGEINT)) * sum(CAST({x} AS HUGEINT)))"
+        f" // (CAST(count(*) AS HUGEINT) * count(*)) AS DOUBLE)))"
+        f" AS HUGEINT)) AS sig_{x}"
+        for x in xs
+    )
+    stats = f""",
+stats AS (
+  SELECT {mus},
+         {sigs}
+  FROM raw
+)"""
+
+    sxs = ",\n         ".join(
+        _sdiv(f"(CAST({x} AS HUGEINT) - mu_{x}) * 1000000", f"sig_{x}")
+        + f" AS sx{j}"
+        for j, x in enumerate(xs, start=1)
+    )
+    feat = f""",
+feat AS MATERIALIZED (
+  SELECT CAST(1000000 AS HUGEINT) AS x0,
+         {sxs},
+         y
+  FROM raw, stats
+)"""
+
+    w0 = """,
+w0 AS MATERIALIZED (
+  SELECT """ + ", ".join(
+        f"CAST(0 AS HUGEINT) AS w{j}" for j in range(6)
+    ) + """
+)"""
+
+    steps = []
+    zsum = " + ".join(f"{w_} * {x_}" for w_, x_ in zip(wcols, fcols))
+    p_expr = (
+        f"CAST(FLOOR(1000000.0 / (1.0 + EXP(-(CAST("
+        f"{_sdiv(f'({zsum})', '1000000')}"
+        f" AS DOUBLE) / 1000000.0)))) AS HUGEINT)"
+    )
+    for t in range(1, k_steps + 1):
+        gsums = ",\n         ".join(
+            f"sum((p - 1000000 * y) * {x}) AS g{j}"
+            for j, x in enumerate(fcols)
+        )
+        updates = ",\n         ".join(
+            f"CAST(w{j} - "
+            + _sdiv(
+                f"g{j} * {lr_ppm}", "CAST(n AS HUGEINT) * 1000000000000"
+            )
+            + f" AS HUGEINT) AS w{j}"
+            for j in range(6)
+        )
+        steps.append(f""",
+g{t} AS (
+  SELECT count(*) AS n,
+         {gsums}
+  FROM (SELECT {p_expr} AS p, y, {', '.join(fcols)} FROM feat, w{t-1})
+),
+w{t} AS MATERIALIZED (
+  SELECT {updates}
+  FROM w{t-1}, g{t}
+)""")
+
+    names = list(textops.LR_WEIGHT_COLS)
+    selects = []
+    for t in range(k_steps + 1):
+        cols = ", ".join(
+            f"CAST(w{j} AS BIGINT) AS {name}"
+            for j, name in enumerate(names)
+        )
+        selects.append(
+            f"SELECT CAST({t} AS BIGINT) AS step, {cols} FROM w{t}"
+        )
+    union = "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY step"
+    return feats + stats + feat + w0 + "".join(steps) + union
+
+
+_TRAIN_LR_SQL = _train_lr_sql()
+
+
+REGISTRY.update({
+    "classifier_train_lr": QuerySpec(
+        _classifier_train_lr, _TRAIN_LR_SQL,
+        "logistic-regression training of the quality keep/drop "
+        "classifier against the curation gate (closes the score/"
+        "evaluate/train loop): 12 unrolled full-batch GD steps over "
+        "the standardized 6-feature integer vector — one corpus scan "
+        "into a checkpointed 6-column projection, a 1-row integer-"
+        "moments broadcast, then k map-side gradient aggregates with "
+        "the 1-row weight state broadcast (zero driver round-trips); "
+        "weights stay micro-integers so the whole trajectory is "
+        "oracle-able as k chained CTEs",
+    ),
+})

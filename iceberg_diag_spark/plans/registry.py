@@ -42,6 +42,7 @@ from iceberg_diag_spark.plans import oracles_round6  # noqa: F401,E402
 from iceberg_diag_spark.plans import oracles_round7  # noqa: F401,E402
 from iceberg_diag_spark.plans import oracles_round8  # noqa: F401,E402
 from iceberg_diag_spark.plans import oracles_round9  # noqa: F401,E402
+from iceberg_diag_spark.plans import oracles_round11  # noqa: F401,E402
 
 # Evaluation-order hedge: the correctness harness records rows for
 # exactly the first 50 registry entries (confirmed across rounds 1-3).

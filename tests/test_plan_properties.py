@@ -290,6 +290,8 @@ _SCALAR_CROSS_OK = {
     "ivf_nprobe_sweep",          # broadcast bounded 1/query_mod panel
                                  #   (ground truth) + 4-row probe grid
                                  #   + 1-row corpus-total scalar
+    "classifier_train_lr",       # broadcast 1-row moments + 1-row
+                                 #   weight state per unrolled GD step
 }
 
 
