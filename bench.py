@@ -254,6 +254,7 @@ HEADLINE = [
     "events_seasonality_profile",
     "stream_seasonality_profile",
     "classifier_train_lr",
+    "ivf_build_index",
 ]
 
 # HEADLINE membership is TOTAL: every registry entry is either timed

@@ -1759,6 +1759,239 @@ def ivf_nprobe_sweep(
     )
 
 
+def ivf_index_assignments(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    dim: int = 64,
+    scale_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF index RELATION a production deployment materializes:
+    one row per vector carrying everything a probe needs — its
+    assigned cell (argmin exact integer squared distance to the fixed
+    md5 centroid set, ties → lowest cell id: exactly ivf_topk_exact's
+    quantizer), the quantized integer vector, and its squared norm.
+    Zero-norm vectors are indexed too (they can never score, but an
+    index that silently drops rows fails its occupancy manifest).
+
+    Output: (list_id, vec_id, q array<long>, n2). One scan, zero
+    shuffle — assignment is a row-local array_sort over n_lists
+    (dist², cell) structs.
+    """
+    from iceberg_diag_spark.functions.parallel import ensure_parallelism
+
+    cents = md5_centroids(dim, n_lists, 1 << scale_bits)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * (1 << scale_bits)).cast("long"),
+    )
+    return (
+        ensure_parallelism(embeddings)
+        .select(F.col(id_col).alias("vec_id"), qv.alias("q"))
+        .select(
+            F.expr(_cells_sorted_expr(cents) + "[0].c")
+            .cast("long")
+            .alias("list_id"),
+            "vec_id",
+            "q",
+            int_dot(F.col("q"), F.col("q")).alias("n2"),
+        )
+    )
+
+
+def _ivf_manifest_agg(asg: DataFrame) -> DataFrame:
+    """Per-cell index manifest over an assignment relation — shared by
+    the plan-side manifest and the written-files re-check so the two
+    can never drift (the corpus_release _manifest_agg discipline):
+    occupancy, total squared norm (payload checksum), and two
+    independently-salted O(1)-state bit_xor membership digests."""
+    from iceberg_diag_spark.operators.sampling import membership_checksums
+
+    x1, x2 = membership_checksums(F.col("vec_id"))
+    return asg.groupBy(F.col("list_id").cast("long").alias("list_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("n2").cast("long").alias("norm_sum"),
+        x1.alias("members_xor"),
+        x2.alias("members_xor2"),
+    )
+
+
+def ivf_build_index(
+    embeddings: DataFrame,
+    path: str | None = None,
+    n_lists: int = 16,
+    dim: int = 64,
+    scale_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Advisor-EXECUTING pattern #6: ivf_nprobe_sweep picks the IVF
+    operating point; this BUILDS the index it assumed — writes the
+    cell-partitioned quantized index as prunable list_id=K parquet
+    directories (the corpus_release/export_training_shards layout: a
+    probe of p cells is a p-directory read, never a corpus scan) and
+    returns the per-cell manifest computed FROM THE WRITTEN FILES, so
+    the returned relation vouches for what actually landed on disk,
+    not for the plan that was supposed to land there (the
+    corpus_release written-files discipline, funnel.corpus_release).
+
+    `path=None` builds into a fresh temp directory (the registry/
+    driver mode — the streaming twins' tempfile idiom). One hash
+    repartition on list_id co-locates each cell; sortWithinPartitions
+    makes re-builds byte-stable. ivf_probe_index is the consumer.
+
+    Output per cell: (list_id, n_vecs, norm_sum, members_xor,
+    members_xor2).
+    """
+    import tempfile
+
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivf_index_")
+    asg = ivf_index_assignments(
+        embeddings, n_lists, dim, scale_bits, id_col, vec_col
+    )
+    (
+        asg.repartition(n_lists, F.col("list_id"))
+        .sortWithinPartitions("list_id", "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+    return _ivf_manifest_agg(embeddings.sparkSession.read.parquet(path))
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    n_lists: int = 16,
+    dim: int = 64,
+    scale_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Consumer side of ivf_build_index: answer kNN queries FROM the
+    written index files — quantize each query, rank its n_probe
+    nearest cells (the same row-local array_sort as the build), and
+    join candidates out of exactly those list_id=K directories
+    (partition pruning keeps the read to p cells when the query panel
+    probes few cells). Scoring and ranking are ivf_topk_exact's:
+    exact integer cosine, (cos desc, neighbor asc) ties — so probing
+    a faithfully-written index reproduces ivf_topk_exact bit for bit
+    (pytest-pinned).
+
+    Output: (query_id, neighbor_id, rank, cos_mppm).
+    """
+    from pyspark.sql.window import Window
+
+    from iceberg_diag_spark.functions.parallel import ensure_parallelism
+
+    cents = md5_centroids(dim, n_lists, 1 << scale_bits)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * (1 << scale_bits)).cast("long"),
+    )
+    index = spark.read.parquet(path).select(
+        F.col("list_id").cast("long").alias("list_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    qside = (
+        ensure_parallelism(queries)
+        .select(F.col(id_col).alias("query_id"), qv.alias("q"))
+        .select(
+            "query_id",
+            F.col("q").alias("qa"),
+            int_dot(F.col("q"), F.col("q")).alias("na2"),
+            F.expr(_cells_sorted_expr(cents)).alias("cells"),
+        )
+        .select(
+            "query_id",
+            "qa",
+            "na2",
+            F.explode(
+                F.expr(
+                    f"transform(slice(cells, 1, {int(n_probe)}),"
+                    f" s -> CAST(s.c AS BIGINT))"
+                )
+            ).alias("list_id"),
+        )
+    )
+    scored = (
+        qside.join(index, "list_id")
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("na2") > 0)
+            & (F.col("nb2") > 0)
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(
+                F.lit(1_000_000.0)
+                * int_dot(F.col("qa"), F.col("qb"))
+                / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+            )
+            .cast("long")
+            .alias("cos_mppm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_mppm"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos_mppm",
+        )
+    )
+
+
+def verify_ivf_index(spark, path: str, manifest: DataFrame) -> DataFrame:
+    """Verify a DELIVERED index against its published manifest (the
+    verify_release shape): recompute the per-cell manifest from the
+    files at `path` and full-outer-join the published relation — a
+    cell that was lost, truncated, duplicated, or row-tampered cannot
+    come back ok (the salted bit_xor digests catch any vec-id set
+    change, norm_sum any payload change). Output per cell:
+    (list_id, ok, n_vecs_expected, n_vecs_actual)."""
+    actual = _ivf_manifest_agg(spark.read.parquet(path))
+    m = manifest.select(
+        "list_id",
+        F.col("n_vecs").alias("e_n"),
+        F.col("norm_sum").alias("e_s"),
+        F.col("members_xor").alias("e_x1"),
+        F.col("members_xor2").alias("e_x2"),
+    )
+    a = actual.select(
+        "list_id",
+        F.col("n_vecs").alias("a_n"),
+        F.col("norm_sum").alias("a_s"),
+        F.col("members_xor").alias("a_x1"),
+        F.col("members_xor2").alias("a_x2"),
+    )
+    ok = (
+        F.col("e_n").eqNullSafe(F.col("a_n"))
+        & F.col("e_s").eqNullSafe(F.col("a_s"))
+        & F.col("e_x1").eqNullSafe(F.col("a_x1"))
+        & F.col("e_x2").eqNullSafe(F.col("a_x2"))
+    )
+    return m.join(a, "list_id", "full").select(
+        "list_id",
+        ok.alias("ok"),
+        F.col("e_n").alias("n_vecs_expected"),
+        F.col("a_n").alias("n_vecs_actual"),
+    )
+
+
 def ann_recall_eval(
     embeddings: DataFrame,
     k: int = 5,

@@ -11,7 +11,7 @@ DuckDB // floors).
 
 from __future__ import annotations
 
-from iceberg_diag_spark.operators import textops
+from iceberg_diag_spark.operators import similarity, textops
 from iceberg_diag_spark.plans.common import QuerySpec, REGISTRY, _t
 from iceberg_diag_spark.plans.oracles_dedup import _lang_list_sql
 
@@ -165,6 +165,55 @@ w{t} AS MATERIALIZED (
 _TRAIN_LR_SQL = _train_lr_sql()
 
 
+def _ivf_build_index(spark, sf_dir):
+    # the EXECUTING entry: writes the cell-partitioned quantized index
+    # to a fresh temp dir and returns the manifest recomputed FROM THE
+    # WRITTEN FILES — the oracle computes the same manifest from the
+    # embeddings table directly, so a hash match vouches for the whole
+    # write/read round-trip (the corpus_release discipline)
+    return similarity.ivf_build_index(_t(spark, sf_dir, "embeddings"))
+
+
+def _ivf_build_index_sql() -> str:
+    cents = similarity.md5_centroids()
+    values = ", ".join(
+        f"({c},{d},{h})"
+        for c, row in enumerate(cents)
+        for d, h in enumerate(row)
+    )
+    return f"""
+WITH cents(c, d, h) AS (VALUES {values}),
+ex AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 256.0) AS BIGINT) AS q
+  FROM embeddings
+),
+dists AS (
+  SELECT vec_id, c, sum((q - h) * (q - h)) AS d2
+  FROM ex JOIN cents USING (d) GROUP BY vec_id, c
+),
+assigned AS (
+  SELECT vec_id, c AS list_id FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+    FROM dists) WHERE rn = 1
+),
+norms AS (SELECT vec_id, sum(q * q) AS n2 FROM ex GROUP BY vec_id)
+SELECT CAST(a.list_id AS BIGINT) AS list_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(n.n2) AS BIGINT) AS norm_sum,
+       bit_xor(('0x' || substring(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT)
+         AS members_xor,
+       bit_xor(('0x' || substring(md5('m2|' || CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT)
+         AS members_xor2
+FROM assigned a JOIN norms n USING (vec_id)
+GROUP BY a.list_id
+"""
+
+
+_IVF_BUILD_INDEX_SQL = _ivf_build_index_sql()
+
+
 REGISTRY.update({
     "classifier_train_lr": QuerySpec(
         _classifier_train_lr, _TRAIN_LR_SQL,
@@ -177,5 +226,19 @@ REGISTRY.update({
         "the 1-row weight state broadcast (zero driver round-trips); "
         "weights stay micro-integers so the whole trajectory is "
         "oracle-able as k chained CTEs",
+    ),
+    "ivf_build_index": QuerySpec(
+        _ivf_build_index, _IVF_BUILD_INDEX_SQL,
+        "advisor-EXECUTING pattern #6: builds the IVF index "
+        "ivf_nprobe_sweep's operating point assumes — writes the "
+        "cell-partitioned quantized index as prunable list_id=K "
+        "parquet (one hash repartition, byte-stable re-builds) and "
+        "returns the per-cell manifest (occupancy, norm payload "
+        "checksum, salted O(1)-state bit_xor membership digests) "
+        "recomputed FROM THE WRITTEN FILES; the oracle derives the "
+        "same manifest from the table directly, so a hash match "
+        "vouches for the whole write/read round-trip; "
+        "ivf_probe_index consumes the written index and reproduces "
+        "ivf_topk_exact bit for bit (pytest-pinned)",
     ),
 })

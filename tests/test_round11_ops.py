@@ -73,3 +73,81 @@ def test_train_lr_deterministic(spark, docs):
     a = classifier_train_lr(docs, k_steps=2).collect()
     b = classifier_train_lr(docs, k_steps=2).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ---------------------------------------------------------------
+# IVF index build sink (advisor-executing pattern #6)
+# ---------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, emb, tmp_path_factory):
+    from iceberg_diag_spark.operators import similarity as sim
+
+    path = str(tmp_path_factory.mktemp("ivf_index"))
+    manifest = sim.ivf_build_index(emb, path).localCheckpoint()
+    return path, manifest
+
+
+def test_ivf_probe_reproduces_topk_exact(spark, emb, built_index):
+    """The round-11 brief's acceptance: a consumer-side probe of the
+    WRITTEN index must reproduce ivf_topk_exact's top-k bit for bit —
+    same candidates, same ranks, same cosines."""
+    from iceberg_diag_spark.operators import similarity as sim
+
+    path, _ = built_index
+    probe = sorted(
+        tuple(r) for r in sim.ivf_probe_index(spark, path, emb).collect()
+    )
+    ref = sorted(tuple(r) for r in sim.ivf_topk_exact(emb).collect())
+    assert probe == ref and len(probe) > 0
+
+
+def test_ivf_manifest_matches_plan_side_and_accounts_all_vectors(
+    spark, emb, built_index
+):
+    from iceberg_diag_spark.operators import similarity as sim
+
+    _, manifest = built_index
+    file_m = sorted(tuple(r) for r in manifest.collect())
+    plan_m = sorted(
+        tuple(r)
+        for r in sim._ivf_manifest_agg(
+            sim.ivf_index_assignments(emb)
+        ).collect()
+    )
+    assert file_m == plan_m
+    assert sum(r[1] for r in file_m) == emb.count()  # no dropped rows
+
+
+def test_ivf_verify_detects_tampering(spark, emb, built_index):
+    """verify_ivf_index over the intact index is all-ok; delivering a
+    TAMPERED copy (one cell's rows dropped) must flag exactly the
+    tampered cell."""
+    from pyspark.sql import functions as F
+
+    from iceberg_diag_spark.operators import similarity as sim
+
+    path, manifest = built_index
+    ver = sim.verify_ivf_index(spark, path, manifest).collect()
+    assert ver and all(r.ok for r in ver)
+
+    rows = spark.read.parquet(path)
+    victim = manifest.orderBy("list_id").first().list_id
+    tampered = rows.filter(
+        ~((F.col("list_id") == victim) & (F.col("vec_id") % 2 == 0))
+    )
+    import tempfile
+
+    tpath = tempfile.mkdtemp(prefix="ivf_tampered_")
+    tampered.write.mode("overwrite").partitionBy("list_id").parquet(tpath)
+    bad = {
+        r.list_id: r.ok
+        for r in sim.verify_ivf_index(spark, tpath, manifest).collect()
+    }
+    assert bad[victim] is False
+    assert all(ok for lid, ok in bad.items() if lid != victim)
