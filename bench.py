@@ -255,6 +255,7 @@ HEADLINE = [
     "stream_seasonality_profile",
     "classifier_train_lr",
     "ivf_build_index",
+    "stream_corpus_release",
 ]
 
 # HEADLINE membership is TOTAL: every registry entry is either timed

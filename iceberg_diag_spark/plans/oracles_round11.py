@@ -14,6 +14,8 @@ from __future__ import annotations
 from iceberg_diag_spark.operators import similarity, textops
 from iceberg_diag_spark.plans.common import QuerySpec, REGISTRY, _t
 from iceberg_diag_spark.plans.oracles_dedup import _lang_list_sql
+from iceberg_diag_spark.plans.oracles_round8 import _RELEASE_MANIFEST_SQL
+from iceberg_diag_spark.streaming import stream_ops
 
 
 def _classifier_train_lr(spark, sf_dir):
@@ -240,5 +242,21 @@ REGISTRY.update({
         "vouches for the whole write/read round-trip; "
         "ivf_probe_index consumes the written index and reproduces "
         "ivf_topk_exact bit for bit (pytest-pinned)",
+    ),
+    "stream_corpus_release": QuerySpec(
+        lambda spark, sf_dir: stream_ops.run_corpus_release_stream(
+            spark, sf_dir
+        ),
+        _RELEASE_MANIFEST_SQL,
+        "streaming twin #22 — INCREMENTAL corpus release: each "
+        "micro-batch's funnel survivors land via the batch sink "
+        "(release_assignments + write_assigned_shards) under an "
+        "idempotent batch=<id> overwrite (replayed batches can't "
+        "duplicate); manifest re-derived from the accumulated "
+        "written files; dedup/holdout/packing scoped per increment "
+        "(documented delta — cross-increment dups are the "
+        "reconciliation job's, incremental_exact_dedup_stream gates "
+        "them at ingest); one availableNow drain equals the batch "
+        "corpus_release_manifest, so the shared oracle applies",
     ),
 })

@@ -1206,3 +1206,120 @@ def run_seasonality_profile_stream(
     )
     shutil.rmtree(rollup, ignore_errors=True)
     return out
+
+
+def corpus_release_stream(
+    docs_stream: DataFrame,
+    release_path: str,
+    n_shards: int | None = None,
+    capacity_tokens: int | None = None,
+):
+    """Streaming twin #22: INCREMENTAL corpus release — production
+    releases append; this folds each micro-batch's funnel survivors
+    into the shard layout idempotently. Every batch runs the SAME
+    release logic as the batch sink (funnel.release_assignments:
+    quality gate → exact dedup → near-dup collapse → holdout → md5
+    shard membership → fit-before-append packing) and lands via the
+    same sink (sinks.write_assigned_shards) under its own
+    ``batch=<id>`` directory with mode("overwrite") — a replayed
+    batch (failure → restart from checkpoint) overwrites itself
+    instead of appending duplicates (the stream_export_shards
+    exactly-once idiom). Readers see two-level partition discovery
+    (batch=N/shard=K); shard membership is a pure function of the doc
+    id, so a shard's cumulative content is one partition-pruned read.
+
+    Scoping contract (documented delta, the incremental_exact_dedup
+    family): the funnel's dedup/holdout stages are scoped to each
+    INCREMENT — a duplicate pair split across increments is the
+    cross-release reconciliation job's to catch (exactly what
+    incremental_exact_dedup_stream gates at ingest). Packing sequence
+    ids are likewise per (batch, source, shard). Over a single
+    availableNow drain the whole corpus is one increment, so the
+    manifest equals the batch corpus_release_manifest exactly — the
+    driver's shared-oracle contract.
+
+    Returns the started StreamingQuery (caller drains/stops).
+    """
+    from iceberg_diag_spark.operators.funnel import (
+        RELEASE_CAPACITY_TOKENS,
+        RELEASE_N_SHARDS,
+        release_assignments,
+    )
+    from iceberg_diag_spark.sources.sinks import write_assigned_shards
+
+    shards = RELEASE_N_SHARDS if n_shards is None else n_shards
+    cap = (
+        RELEASE_CAPACITY_TOKENS if capacity_tokens is None
+        else capacity_tokens
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        asg = release_assignments(
+            batch_df, n_shards=shards, capacity_tokens=cap
+        )
+        write_assigned_shards(
+            asg,
+            f"{release_path}/batch={int(batch_id)}",
+            shards,
+            order_cols=("source", "seq_id", "doc_id"),
+        )
+
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_corpus_release_")
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def release_manifest_from_stream(
+    spark: SparkSession, release_path: str
+) -> DataFrame:
+    """Manifest over the ACCUMULATED incremental release — re-derived
+    from the written files across every increment (the corpus_release
+    written-files discipline): per shard, cumulative docs and token
+    mass, packed sequences counted per (batch, source, seq_id) —
+    sequence ids are scoped to their increment — and the salted
+    bit_xor membership digests over every doc id delivered. With a
+    single increment this is exactly funnel._manifest_agg's relation
+    (batch is constant), so the batch oracle applies."""
+    from iceberg_diag_spark.operators.sampling import membership_checksums
+
+    rows = spark.read.parquet(release_path)
+    x1, x2 = membership_checksums(F.col("doc_id"))
+    return rows.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("batch", "source", "seq_id")
+        .cast("long")
+        .alias("n_seqs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        x1.alias("members_xor"),
+        x2.alias("members_xor2"),
+    )
+
+
+def run_corpus_release_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drain helper: run the incremental-release twin over the finite
+    documents directory (availableNow — one increment) and return the
+    accumulated manifest; equals corpus_release_manifest, the relation
+    the driver hash-checks against the shared batch oracle."""
+    release = tempfile.mkdtemp(prefix="corpus_release_stream_")
+    q = corpus_release_stream(
+        read_documents_stream(spark, sf_dir), release
+    )
+    try:
+        if not q.awaitTermination(STREAM_DRAIN_TIMEOUT_SECS):
+            raise TimeoutError(
+                "corpus_release_stream drain did not finish within "
+                f"{STREAM_DRAIN_TIMEOUT_SECS}s"
+            )
+    finally:
+        q.stop()
+    out = release_manifest_from_stream(spark, release).localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(release, ignore_errors=True)
+    return out

@@ -151,3 +151,123 @@ def test_ivf_verify_detects_tampering(spark, emb, built_index):
     }
     assert bad[victim] is False
     assert all(ok for lid, ok in bad.items() if lid != victim)
+
+
+# ---------------------------------------------------------------
+# Streaming twin #22: incremental corpus release
+# ---------------------------------------------------------------
+
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _mk_docs(i0: int, n: int, source: str):
+    # clean English docs that pass the funnel's stage-1 gate, each
+    # with a distinct tail so exact dedup keeps them all
+    rows = []
+    for i in range(i0, i0 + n):
+        t = (
+            "the quick brown fox jumps over a lazy dog and it is "
+            f"known that document number {i} differs in this tail"
+        )
+        rows.append((i, t, "en", source, len(t)))
+    return rows
+
+
+def test_stream_release_multi_batch_and_replay(spark, tmp_path_factory):
+    """Two files drained one-per-trigger = two increments: the
+    accumulated manifest must account for BOTH increments' survivors
+    (union of two per-increment batch releases), and a REPLAYED
+    increment (failure → restart re-runs the same batch id) must
+    leave the manifest bit-identical — the idempotent overwrite is
+    what makes the sink exactly-once."""
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_diag_spark.operators import funnel
+    from iceberg_diag_spark.sources.sinks import write_assigned_shards
+    from iceberg_diag_spark.streaming import stream_ops as so
+
+    root = str(tmp_path_factory.mktemp("release_stream"))
+    base = os.path.join(root, "docs")
+    os.makedirs(base)
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, DOCS_SCHEMA)
+        tmp = base + ".tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(tmp, part), os.path.join(base, name))
+        shutil.rmtree(tmp)
+
+    r1 = _mk_docs(0, 30, "web")
+    r2 = _mk_docs(1000, 20, "books")
+    write_file("f1.parquet", r1)
+    write_file("f2.parquet", r2)
+
+    schema = spark.read.parquet(base).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    release = tempfile.mkdtemp(prefix="release_stream_test_")
+    try:
+        q = so.corpus_release_stream(stream, release)
+        assert q.awaitTermination(240)
+        q.stop()
+        batches = sorted(
+            d for d in os.listdir(release) if d.startswith("batch=")
+        )
+        assert len(batches) == 2
+        manifest0 = sorted(
+            tuple(r)
+            for r in so.release_manifest_from_stream(spark, release).collect()
+        )
+        # accumulated docs = union of the two per-increment releases
+        n_docs = sum(r[1] for r in manifest0)
+        per_batch = [
+            funnel.release_assignments(
+                spark.createDataFrame(rows, DOCS_SCHEMA)
+            ).count()
+            for rows in (r1, r2)
+        ]
+        assert n_docs == sum(per_batch) and n_docs > 0
+
+        # replay increment 0 (what a checkpoint restart does): rewrite
+        # the SAME batch dir with the same writer logic
+        replay_id = int(batches[0].split("=")[1])
+        asg = funnel.release_assignments(
+            spark.createDataFrame(r1, DOCS_SCHEMA)
+        )
+        write_assigned_shards(
+            asg,
+            f"{release}/batch={replay_id}",
+            funnel.RELEASE_N_SHARDS,
+            order_cols=("source", "seq_id", "doc_id"),
+        )
+        manifest1 = sorted(
+            tuple(r)
+            for r in so.release_manifest_from_stream(spark, release).collect()
+        )
+        assert manifest1 == manifest0
+    finally:
+        shutil.rmtree(release, ignore_errors=True)
+
+
+def test_stream_release_single_drain_equals_batch_manifest(spark, docs):
+    """The shared-oracle contract: one availableNow increment over
+    the full corpus equals the batch corpus_release_manifest."""
+    from iceberg_diag_spark.operators import funnel
+    from iceberg_diag_spark.streaming import stream_ops as so
+
+    got = sorted(
+        tuple(r)
+        for r in so.run_corpus_release_stream(spark, SF_DIR).collect()
+    )
+    want = sorted(
+        tuple(r) for r in funnel.corpus_release_manifest(docs).collect()
+    )
+    assert got == want and len(got) > 0
