@@ -367,40 +367,44 @@ _R9_GREEN = {
     'user_retention_cohorts', 'zipf_fit_audit',
 }
 
-# Entries whose builder or oracle changed in round 10 — their r9 green
-# row no longer vouches for the current code, so they re-score this
-# round (the ADVICE r9 fixes): the matryoshka zero-prefix-norm cosine
-# guard (changed BOTH the Spark plan and the oracle SQL) and the
-# shared hourly_sli_rollup hour_epoch integer-floor-division fix
-# (batch + streaming twin both build on that helper).
-_MODIFIED_R10: set[str] = {
-    "embedding_matryoshka_audit",
-    "events_sli_burn_rate",
-    "stream_sli_burn_rate",
+# Names with a green hash row in CORRECTNESS_r10.json (all 50 scored
+# entries hash-matched).
+_R10_GREEN = {
+    "boilerplate_removal", "churned_buyers_except",
+    "classifier_auc_calibration", "cluster_representatives",
+    "corpus_release_manifest", "corpus_top_ngrams",
+    "curated_embedding_near_dup", "dedup_exact_groups",
+    "dedup_incremental", "diag_delete_impact", "diag_orphan_files",
+    "diag_snapshot_retention", "diag_zorder_layout",
+    "doc_dup_ngram_spans", "doc_weighted_sample",
+    "doc_winnow_fingerprints", "embedding_matryoshka_audit",
+    "events_skew_audit", "events_sli_burn_rate",
+    "join_selectivity_audit", "label_silhouette", "lang_confusion",
+    "minhash_pairs", "near_dup_clusters", "near_dup_pagerank",
+    "near_dup_rate_by_source", "near_dup_triangles",
+    "nearest_centroid_confusion", "ngram_jaccard", "orders_cube",
+    "orders_decimal_totals", "orders_rollup", "orders_status_pivot",
+    "orders_window_analytics", "q10_returned_items", "q12_ship_delay",
+    "q14_promo_revenue", "q17_small_quantity", "q22_sales_opportunity",
+    "q7_nation_volume", "quality_gate_ablation",
+    "revenue_daily_gapfill", "simhash", "simhash_near_dup",
+    "stratified_split", "stream_incremental_dedup",
+    "stream_quality_gate", "stream_sli_burn_rate",
+    "token_budget_waterfill", "unigram_lm_train",
 }
 
-# Modified in round 10 but re-score DEFERRED to the r11 window head:
-# gopher_rules_audit's fix is a Spark-side-only accumulator widening
-# (IntegerType → long seed, ADVICE r9) whose values are bit-identical
-# on any corpus with per-doc token chars < 2^31 — the oracle did not
-# change, so the r9 green row still vouches for the observable
-# behavior at every tested SF. Deferring exactly this one keeps the
-# 50-slot window at 6 must-scores + 44 of the 48 r5-stale rotations
-# (the round-10 brief's ≥44 target); it ranks 1.5 — immediately after
-# the r5 cohort — so it is first in line for r11.
-_DEFER_SCORE_R11: set[str] = {
+# Round-10 deferred re-score, due now at the window head: the
+# gopher_rules_audit accumulator widening was value-invariant with an
+# unchanged oracle, so its r9 green row kept vouching through r10; it
+# ranked "first in line for r11" and that is where it scores.
+_DEFER_SCORED_R11 = {
     "gopher_rules_audit",
 }
 
-# Oracled entries added AFTER the round-10 window was composed (6
-# must-scores + 44 of the 48 r5-stale rotations — the round-10
-# brief's ≥44 target). Ranking them 0 would evict rotation slots, so
-# they hold rank 1.9 — behind the r5 cohort and the deferred gopher
-# re-score, ahead of the rows-only refreshes — and convert their
-# local sf0.001+sf0.01 DuckDB parity into driver rows in the r11
-# window (the _NEVER_SCORED r5→r6 promotion precedent; all 35 of
-# that backlog went green on first scoring).
-_ADDED_POST_WINDOW_R10: set[str] = {
+# Oracled entries added after the round-10 window was composed — all
+# locally sf0.001+sf0.01 DuckDB-parity-green, converting to driver
+# rows this round (the _NEVER_SCORED promotion precedent).
+_ADDED_POST_WINDOW_R10 = {
     "c4_rules_audit",
     "classifier_pr_curve",
     "ivf_nprobe_sweep",
@@ -408,59 +412,80 @@ _ADDED_POST_WINDOW_R10: set[str] = {
     "stream_seasonality_profile",
 }
 
+# Spark-side plans changed in round 11 with UNCHANGED oracles — the
+# SMJ-backlog broadcast fixes (ann/retrieval eval, pca_power iterate,
+# estimator-audit pair spine) plus the ngram_jaccard_pairs
+# sentinel-row rebuild and its transitive consumers
+# (jaccard_threshold_hist -> lsh_param_advisor -> lsh_near_dup_tuned)
+# and the quality_psi_drift tagged-union rewrite. All are
+# value-invariant by construction and parity-green locally at
+# sf0.001+sf0.01, but a changed plan deserves a fresh driver row, and
+# the window has room this round (28 must-ish + 22 rotations).
+_MODIFIED_R11 = {
+    "ann_recall_eval",
+    "retrieval_rank_eval",
+    "embedding_pca_power",
+    "minhash_estimator_audit",
+    "lsh_param_advisor",
+    "quality_psi_drift",
+    "ngram_jaccard",
+    "jaccard_threshold_hist",
+    "lsh_near_dup_tuned",
+}
+
 
 def _eval_order(item: tuple[str, QuerySpec]) -> float:
     """Driver scores the FIRST 50 registry entries; order by evidence
     staleness so every oracled entry's latest green row stays at most
-    ~four rounds old under the 50-slot window. Round-10 tiers:
-      0     builder/oracle modified this round (the ADVICE-fix trio)
-            or oracled-but-never-green (new round-10 queries) — must
-            (re-)score. 6 entries → 44 slots remain.
-      1     latest green in r5 (five rounds stale — the 48-entry
-            cohort; the first 44 fill the window, the remaining 4
-            plus tiers 1.5/2 rank first in r11)
-      1.5   value-invariant round-10 fix with unchanged oracle
-            (gopher_rules_audit — see _DEFER_SCORE_R11)
-      2     rows-only (no oracle exists; spark_rows evidence is
-            r2-stale — refresh whenever a slot frees up)
-      3     latest green in r6
-      4     latest green in r7
-      5     latest green in r8
-      6     fresh r9 green — ride the tail where truncation costs
-            least
+    ~five rounds old under the 50-slot window (262 entries now — the
+    round-10 handoff's drift from a 4- to a 5-round staleness bound).
+    Round-11 tiers:
+      0    oracled-but-never-green: the three round-11 operators
+           (classifier_train_lr, ivf_build_index,
+           stream_corpus_release) — must score. 3 entries.
+      1    latest green in r5 — the 4 leftovers the round-10 window
+           could not fit (doc_line_dedup, doc_unigram_logprob,
+           semantic_dedup, ngram_containment).
+      1.5  gopher_rules_audit — the round-10 deferred re-score.
+      1.9  the 5 post-window round-10 additions.
+      2.0  _MODIFIED_R11 — round-11 plan changes with unchanged
+           oracles (9 entries; value-invariant, but changed plans get
+           fresh rows while slots allow).
+      2.2  rows-only (no oracle exists; spark_rows evidence r2-stale
+           — the refresh the r9 brief asked for, finally funded).
+      3    latest green in r6 — 47 entries after the overlaps
+           claimed by tier 2.0 (lsh_near_dup_tuned,
+           minhash_estimator_audit sit in _R6_GREEN); the first 22
+           fill the window, the remaining 25 rotate in r12.
+      4/5/6/7  latest green r7/r8/r9/r10 — ride the tail where
+           truncation costs least.
 
-    Round-11 handoff: the must-score queue is 4 leftover r5 entries
-    + gopher_rules_audit (tier 1.5) + 6 post-window round-10 entries
-    (tier 1.9, all sf0.01-parity-green locally) + 6 rows-only
-    refreshes = 17 slots; 33 remain for the 48-entry r6-stale cohort
-    (the rest of r6 rotates in r12 — with the registry at 259 the
-    window can no longer re-green a full cohort per round, so the
-    steady-state staleness bound drifts from 4 toward 5 rounds).
-    SMJ-review backlog for whichever round re-scores them anyway:
-    ann_recall_eval / retrieval_rank_eval / embedding_pca_power /
-    minhash_estimator_audit / lsh_param_advisor / quality_psi_drift
-    join panel- or metadata-scale relations via SortMergeJoin where
-    the broadcast hint would fit (the r10 matryoshka/nprobe fix
-    shape); the remaining SMJ plans are genuine big-big joins.
+    Round-12 handoff: this window = 3 never-green + 4 r5 + 1 gopher
+    + 5 post-window + 9 modified + 6 rows-only = 28 must-ish slots,
+    leaving 22 for the r6-stale cohort; the r6 remainder (exactly
+    25 of 47) plus whatever r12 modifies is next round's queue. Keep
+    new oracled entries ≤5 per round so the r6 cohort finishes
+    rotating in r12 with room for the r7 cohort's head.
     """
     name, spec = item
     ever_green = (
         name in _R2_GREEN or name in _R3_GREEN or name in _R4_GREEN
         or name in _R5_GREEN or name in _R6_GREEN or name in _R7_GREEN
-        or name in _R8_GREEN or name in _R9_GREEN
+        or name in _R8_GREEN or name in _R9_GREEN or name in _R10_GREEN
     )
+    if spec.oracle is not None and not ever_green:
+        return 0
+    if name in _DEFER_SCORED_R11:
+        return 1.5
     if name in _ADDED_POST_WINDOW_R10:
         return 1.9
-    if (
-        name in _MODIFIED_R10
-        or (spec.oracle is not None and not ever_green)
-    ):
-        return 0
-    if name in _DEFER_SCORE_R11:
-        return 1.5
+    if name in _MODIFIED_R11:
+        return 2.0
     if spec.oracle is None:
-        return 2
+        return 2.2
     # Latest green row wins; older evidence = earlier slot.
+    if name in _R10_GREEN:
+        return 7
     if name in _R9_GREEN:
         return 6
     if name in _R8_GREEN:
