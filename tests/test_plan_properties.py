@@ -394,6 +394,19 @@ def test_r10_smj_backlog_cleared(spark):
         assert "SortMergeJoin" not in plan, name
 
 
+def test_train_lr_trajectory_reads_checkpoints_not_corpus(spark):
+    # the corpus_build_funnel composition contract, LR edition: the
+    # trajectory union must read ONLY the 13 checkpointed 1-row
+    # weight states (each step's gradient pass runs inside its
+    # checkpoint lineage, once) — a final plan that re-reads parquet
+    # would replay the corpus scan per step; and the whole operator
+    # is pure JVM column arithmetic, no Python anywhere
+    plan = _plan(spark, "classifier_train_lr")
+    assert "Python" not in plan
+    assert _op_count(plan, "Scan parquet") == 0
+    assert _op_count(plan, "Scan ExistingRDD") == 12
+
+
 def test_skew_audit_distributed_topk(spark):
     # global top-k must be TakeOrderedAndProject (partial per-partition
     # top-k), never a partition-less window over the full key relation
