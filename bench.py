@@ -256,6 +256,7 @@ HEADLINE = [
     "classifier_train_lr",
     "ivf_build_index",
     "stream_corpus_release",
+    "unigram_lm_encode",
 ]
 
 # HEADLINE membership is TOTAL: every registry entry is either timed

@@ -2550,6 +2550,30 @@ def unigram_lm_train(
     coverage), nll_micro the smoothed score the next segmentation
     would use.
     """
+    _, _, score = _unigram_lm_core(
+        docs, k_em, max_piece_len, n_multi, max_word_len, text_col
+    )
+    return score.select(
+        "piece",
+        F.col("l").cast("long").alias("piece_len"),
+        F.col("cnt").alias("em_count"),
+        "nll_micro",
+    )
+
+
+def _unigram_lm_core(
+    docs: DataFrame,
+    k_em: int = 2,
+    max_piece_len: int = 4,
+    n_multi: int = 48,
+    max_word_len: int = 24,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The trainer's relational core, shared with unigram_lm_encode:
+    returns (words, spans, score) — the checkpointed distinct
+    word-form relation, the checkpointed span relation, and the final
+    k_em-round score table. Pure extraction from unigram_lm_train
+    (plans identical); see that docstring for semantics and scale."""
     words = (
         ensure_parallelism(docs)
         .select(F.explode(tokens(F.col(text_col))).alias("w"))
@@ -2606,60 +2630,10 @@ def unigram_lm_train(
             .alias("nll_micro"),
         )
 
-    # Viterbi-optimal span at position acc.pos for the backtrack:
-    # among spans ending there whose prefix cost + piece cost equals
-    # the optimum, the longest (struct-sort on negated length — the
-    # total tie-break; an (end, len) pair identifies a span uniquely).
-    # Lambda variables are uniquified per occurrence: Spark rejects a
-    # nested lambda that rebinds an enclosing lambda's name.
-    def chosen(v1: str, v2: str) -> str:
-        return (
-            "element_at(array_sort(transform(filter(sp, "
-            f"{v1} -> {v1}.i = acc.pos AND "
-            f"element_at(bests, acc.pos - {v1}.l + 1) + {v1}.nll = "
-            "element_at(bests, acc.pos + 1)), "
-            f"{v2} -> struct(-{v2}.l AS nl, {v2}.piece AS piece, "
-            f"{v2}.l AS l))), 1)"
-        )
-
     def estep(score_df: DataFrame) -> DataFrame:
-        sc = spans.join(
-            F.broadcast(score_df.select("piece", "nll_micro")), "piece"
-        )
-        sp_arr = sc.groupBy("w").agg(
-            F.collect_list(
-                F.struct(
-                    F.col("i").cast("int").alias("i"),
-                    F.col("l").cast("int").alias("l"),
-                    F.col("piece").alias("piece"),
-                    F.col("nll_micro").cast("long").alias("nll"),
-                )
-            ).alias("sp")
-        )
-        based = words.join(sp_arr, "w").withColumn(
-            "bests",
-            F.expr(
-                "aggregate(sequence(1, length(w)), "
-                "array(CAST(0 AS BIGINT)), "
-                "(acc, i) -> acc || array(array_min(transform("
-                "filter(sp, x -> x.i = i), "
-                "x -> element_at(acc, i - x.l + 1) + x.nll))))"
-            ),
-        )
-        picked = based.withColumn(
-            "pieces",
-            F.expr(
-                "aggregate(sequence(1, length(w)), "
-                "named_struct('pos', length(w), "
-                "'ps', CAST(array() AS array<string>)), "
-                "(acc, s) -> IF(acc.pos <= 0, acc, named_struct("
-                f"'pos', acc.pos - {chosen('x1', 'y1')}.l, "
-                f"'ps', acc.ps || array({chosen('x2', 'y2')}.piece)))"
-                ").ps"
-            ),
-        )
         return (
-            picked.select("wc", F.explode("pieces").alias("piece"))
+            _viterbi_segmented(spans, words, score_df)
+            .select("wc", F.explode("pieces").alias("piece"))
             .groupBy("piece")
             .agg(F.sum("wc").cast("long").alias("cnt"))
         )
@@ -2687,11 +2661,137 @@ def unigram_lm_train(
             .localCheckpoint(eager=True)
         )
         score = scored(vocab)
-    return score.select(
-        "piece",
-        F.col("l").cast("long").alias("piece_len"),
-        F.col("cnt").alias("em_count"),
-        "nll_micro",
+    return words, spans, score
+
+
+def _viterbi_segmented(
+    spans: DataFrame, words: DataFrame, score_df: DataFrame
+) -> DataFrame:
+    """Viterbi segmentation of every word form under a piece-score
+    table — the trainer's E-step core, shared with unigram_lm_encode:
+    one BROADCAST join of the span relation to the bounded score
+    table, one collect_list bounded by the span fan-out, a row-local
+    integer array-fold DP (forward bests + backtrack). Ties break
+    toward the LONGEST piece via a struct-sort on negated length —
+    total, since an (end, len) pair identifies a span uniquely.
+    Lambda variables are uniquified per occurrence: Spark rejects a
+    nested lambda that rebinds an enclosing lambda's name.
+    Output: (w, wc, pieces array<string> in backtrack order)."""
+
+    def chosen(v1: str, v2: str) -> str:
+        return (
+            "element_at(array_sort(transform(filter(sp, "
+            f"{v1} -> {v1}.i = acc.pos AND "
+            f"element_at(bests, acc.pos - {v1}.l + 1) + {v1}.nll = "
+            "element_at(bests, acc.pos + 1)), "
+            f"{v2} -> struct(-{v2}.l AS nl, {v2}.piece AS piece, "
+            f"{v2}.l AS l))), 1)"
+        )
+
+    sc = spans.join(
+        F.broadcast(score_df.select("piece", "nll_micro")), "piece"
+    )
+    sp_arr = sc.groupBy("w").agg(
+        F.collect_list(
+            F.struct(
+                F.col("i").cast("int").alias("i"),
+                F.col("l").cast("int").alias("l"),
+                F.col("piece").alias("piece"),
+                F.col("nll_micro").cast("long").alias("nll"),
+            )
+        ).alias("sp")
+    )
+    based = words.join(sp_arr, "w").withColumn(
+        "bests",
+        F.expr(
+            "aggregate(sequence(1, length(w)), "
+            "array(CAST(0 AS BIGINT)), "
+            "(acc, i) -> acc || array(array_min(transform("
+            "filter(sp, x -> x.i = i), "
+            "x -> element_at(acc, i - x.l + 1) + x.nll))))"
+        ),
+    )
+    picked = based.withColumn(
+        "pieces",
+        F.expr(
+            "aggregate(sequence(1, length(w)), "
+            "named_struct('pos', length(w), "
+            "'ps', CAST(array() AS array<string>)), "
+            "(acc, s) -> IF(acc.pos <= 0, acc, named_struct("
+            f"'pos', acc.pos - {chosen('x1', 'y1')}.l, "
+            f"'ps', acc.ps || array({chosen('x2', 'y2')}.piece)))"
+            ").ps"
+        ),
+    )
+    return picked.select("w", "wc", "pieces")
+
+
+def unigram_lm_encode(
+    docs: DataFrame,
+    k_em: int = 2,
+    max_piece_len: int = 4,
+    n_multi: int = 48,
+    max_word_len: int = 24,
+    text_col: str = "text",
+) -> DataFrame:
+    """Trainer-EXECUTING pattern #7 — closes the tokenizer loop:
+    unigram_lm_train learns the piece vocabulary; this ENCODES the
+    corpus with it and reports what a dataloader would actually see —
+    per source: encodable word occurrences, emitted pieces, character
+    mass, fertility (pieces per word, the tokenizer-fit metric
+    tokenizer_fertility reports for the fixed BPE-ish baseline — now
+    measurable for the TRAINED vocabulary), and characters per piece
+    (compression). The comparison every tokenizer deployment runs
+    before freezing a vocab.
+
+    Shape: the trainer core runs once (token stream touched once for
+    the word-form relation; all EM rounds vocabulary-scale), then ONE
+    more shared-core Viterbi segmentation under the final scores
+    gives each word form its piece count, and one (source, word)
+    occurrence aggregate joins it — a vocabulary-scale hash join on
+    the uniform word key, never a per-token join (occurrences carry
+    only counts). Words longer than max_word_len or empty are outside
+    the trained model's domain and excluded from BOTH sides by the
+    same filter as training (stated contract, not silence).
+
+    Output per source: (source, n_words, n_pieces, n_chars,
+    fertility_ppm, chars_per_piece_ppm).
+    """
+    words, spans, score = _unigram_lm_core(
+        docs, k_em, max_piece_len, n_multi, max_word_len, text_col
+    )
+    seg = _viterbi_segmented(spans, words, score).select(
+        "w", F.size("pieces").cast("long").alias("np")
+    )
+    src_w = (
+        ensure_parallelism(docs)
+        .select(
+            "source", F.explode(tokens(F.col(text_col))).alias("w")
+        )
+        .filter((F.col("w") != "") & (F.length("w") <= max_word_len))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        src_w.join(seg, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("np")).cast("long").alias("n_pieces"),
+            F.sum(F.col("c") * F.length("w")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_pieces",
+            "n_chars",
+            F.expr("CAST(1000000 * n_pieces DIV n_words AS BIGINT)").alias(
+                "fertility_ppm"
+            ),
+            F.expr(
+                "CAST(1000000 * n_chars DIV n_pieces AS BIGINT)"
+            ).alias("chars_per_piece_ppm"),
+        )
     )
 
 

@@ -15,6 +15,10 @@ from iceberg_diag_spark.operators import similarity, textops
 from iceberg_diag_spark.plans.common import QuerySpec, REGISTRY, _t
 from iceberg_diag_spark.plans.oracles_dedup import _lang_list_sql
 from iceberg_diag_spark.plans.oracles_round8 import _RELEASE_MANIFEST_SQL
+from iceberg_diag_spark.plans.oracles_round9 import (
+    _uni_seg_block,
+    _unigram_chain,
+)
 from iceberg_diag_spark.streaming import stream_ops
 
 
@@ -216,6 +220,51 @@ GROUP BY a.list_id
 _IVF_BUILD_INDEX_SQL = _ivf_build_index_sql()
 
 
+def _unigram_lm_encode(spark, sf_dir):
+    return textops.unigram_lm_encode(_t(spark, sf_dir, "documents"))
+
+
+def _unigram_encode_sql(k_em: int = 2, max_word_len: int = 24) -> str:
+    """Trainer chain through score{k_em}, one more shared seg block
+    (the encoder's segmentation under the FINAL scores), then the
+    per-source occurrence join + fertility aggregate. Word filter
+    identical to training on both sides (stated domain contract)."""
+    return (
+        _unigram_chain(k_em=k_em, max_word_len=max_word_len)
+        + ",\n"
+        + _uni_seg_block(k_em)
+        + rf""",
+src_w AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT source,
+           unnest(string_split(regexp_replace(lower(trim(text)),
+                                              '\s+', ' ', 'g'),
+                  ' ')) AS w
+    FROM documents
+  ) t(source, w)
+  WHERE w <> '' AND length(w) <= {max_word_len}
+  GROUP BY source, w
+),
+wp AS (
+  SELECT w, CAST(len(pieces) AS BIGINT) AS np
+  FROM bt{k_em} WHERE pos = 0
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(sum(c * np) AS BIGINT) AS n_pieces,
+       CAST(sum(c * length(w)) AS BIGINT) AS n_chars,
+       CAST(1000000 * sum(c * np) // sum(c) AS BIGINT) AS fertility_ppm,
+       CAST(1000000 * sum(c * length(w)) // sum(c * np) AS BIGINT)
+         AS chars_per_piece_ppm
+FROM src_w JOIN wp USING (w)
+GROUP BY source
+"""
+    )
+
+
+_UNIGRAM_ENCODE_SQL = _unigram_encode_sql()
+
+
 REGISTRY.update({
     "classifier_train_lr": QuerySpec(
         _classifier_train_lr, _TRAIN_LR_SQL,
@@ -258,5 +307,16 @@ REGISTRY.update({
         "reconciliation job's, incremental_exact_dedup_stream gates "
         "them at ingest); one availableNow drain equals the batch "
         "corpus_release_manifest, so the shared oracle applies",
+    ),
+    "unigram_lm_encode": QuerySpec(
+        _unigram_lm_encode, _UNIGRAM_ENCODE_SQL,
+        "trainer-EXECUTING pattern #7 — closes the tokenizer loop: "
+        "encodes the corpus with the unigram-LM vocabulary the "
+        "trainer just learned and reports the per-source dataloader "
+        "view (word/piece/char mass, fertility, chars-per-piece); "
+        "trainer core runs once, ONE extra shared-core Viterbi pass "
+        "under the final scores, then a vocabulary-scale hash join "
+        "of (source, word) occurrence counts — never a per-token "
+        "join; same word-domain filter as training on both engines",
     ),
 })

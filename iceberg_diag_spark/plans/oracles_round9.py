@@ -648,21 +648,8 @@ def _unigram_lm_train(spark, sf_dir):
     return unigram_lm_train(_t(spark, sf_dir, "documents"))
 
 
-def _unigram_sql(
-    k_em: int = 2,
-    max_piece_len: int = 4,
-    n_multi: int = 48,
-    max_word_len: int = 24,
-) -> str:
-    """Unigram-LM hard-EM in DuckDB: the Viterbi forward DP and the
-    backtrack are recursive CTEs per word form carrying the bests
-    list (integer micro-nat costs, so the DP is exact arithmetic in
-    both engines); EM iterations are unrolled as repeated CTE blocks
-    (the matryoshka per-dim generation pattern)."""
-    vals = ", ".join(f"({l})" for l in range(1, max_piece_len + 1))
-
-    def score_block(name: str, vocab: str) -> str:
-        return f"""{name} AS (
+def _uni_score_block(name: str, vocab: str) -> str:
+    return f"""{name} AS (
   SELECT piece, l, cnt,
          CAST(floor(-ln((CAST(cnt AS DOUBLE) + 1) / (total + v))
                     * 1000000.0) AS BIGINT) AS nll
@@ -670,18 +657,23 @@ def _unigram_sql(
                         CAST(count(*) AS BIGINT) AS v FROM {vocab}) t
 )"""
 
-    # the Viterbi-optimal spans at position pos: prefix cost + piece
-    # cost equals the optimum (bests is 1-based: bests[j+1] = best[j])
-    cand = (
-        "list_filter(sp, {v} -> {v}.i = pos AND "
-        "bests[CAST(pos - {v}.l + 1 AS INT)] + {v}.nll = "
-        "bests[CAST(pos + 1 AS INT)])"
-    )
-    em_blocks = []
-    for m in range(k_em):
-        c1 = cand.format(v="x")
-        c2 = cand.format(v="y")
-        em_blocks.append(f"""sp{m} AS (
+
+# the Viterbi-optimal spans at position pos: prefix cost + piece
+# cost equals the optimum (bests is 1-based: bests[j+1] = best[j])
+_UNI_CAND = (
+    "list_filter(sp, {v} -> {v}.i = pos AND "
+    "bests[CAST(pos - {v}.l + 1 AS INT)] + {v}.nll = "
+    "bests[CAST(pos + 1 AS INT)])"
+)
+
+
+def _uni_seg_block(m: int) -> str:
+    """The sp{m}/dp{m}/bt{m} CTE triple segmenting every word form
+    under score{m} — shared by the EM unroll and (round 11) the
+    encoder's final segmentation pass."""
+    c1 = _UNI_CAND.format(v="x")
+    c2 = _UNI_CAND.format(v="y")
+    return f"""sp{m} AS (
   SELECT s.w, list(struct_pack(i := s.i, l := s.l, piece := s.piece,
                                nll := v.nll) ORDER BY s.i, s.l) AS sp
   FROM spans s JOIN score{m} v ON v.piece = s.piece
@@ -709,7 +701,44 @@ bt{m}(w, pos, sp, bests, pieces) AS (
            list_filter({c1}, x -> x.l =
              list_max(list_transform({c2}, y -> y.l)))[1].piece)
   FROM bt{m} WHERE pos > 0
-),
+)"""
+
+
+def _unigram_sql(
+    k_em: int = 2,
+    max_piece_len: int = 4,
+    n_multi: int = 48,
+    max_word_len: int = 24,
+) -> str:
+    """Unigram-LM hard-EM in DuckDB: the Viterbi forward DP and the
+    backtrack are recursive CTEs per word form carrying the bests
+    list (integer micro-nat costs, so the DP is exact arithmetic in
+    both engines); EM iterations are unrolled as repeated CTE blocks
+    (the matryoshka per-dim generation pattern)."""
+    return (
+        _unigram_chain(k_em, max_piece_len, n_multi, max_word_len)
+        + f"""
+SELECT piece, CAST(l AS BIGINT) AS piece_len, cnt AS em_count,
+       nll AS nll_micro
+FROM score{k_em}
+"""
+    )
+
+
+def _unigram_chain(
+    k_em: int = 2,
+    max_piece_len: int = 4,
+    n_multi: int = 48,
+    max_word_len: int = 24,
+) -> str:
+    """The full WITH chain through score{k_em} (no final SELECT) —
+    shared by the trainer oracle and round 11's encoder oracle."""
+    vals = ", ".join(f"({l})" for l in range(1, max_piece_len + 1))
+
+    score_block = _uni_score_block
+    em_blocks = []
+    for m in range(k_em):
+        em_blocks.append(_uni_seg_block(m) + f""",
 em{m} AS (
   SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt
   FROM (SELECT b.w AS w, unnest(b.pieces) AS piece
@@ -756,11 +785,7 @@ multis AS (SELECT piece, l, cnt FROM seed WHERE l >= 2
            ORDER BY cnt DESC, piece LIMIT {n_multi}),
 vocab0 AS (SELECT * FROM chars UNION ALL SELECT * FROM multis),
 {score_block("score0", "vocab0")},
-{em_sql}
-SELECT piece, CAST(l AS BIGINT) AS piece_len, cnt AS em_count,
-       nll AS nll_micro
-FROM score{k_em}
-"""
+{em_sql}"""
 
 
 _UNIGRAM_SQL = _unigram_sql()

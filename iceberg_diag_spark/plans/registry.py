@@ -440,14 +440,16 @@ def _eval_order(item: tuple[str, QuerySpec]) -> float:
     ~five rounds old under the 50-slot window (262 entries now — the
     round-10 handoff's drift from a 4- to a 5-round staleness bound).
     Round-11 tiers:
-      0    oracled-but-never-green: the three round-11 operators
+      0    oracled-but-never-green — must score. 9 entries: the 5
+           post-window round-10 additions (their tier-1.9 constant
+           below is documentation; the never-green test already
+           ranks them 0) and the 4 round-11 operators
            (classifier_train_lr, ivf_build_index,
-           stream_corpus_release) — must score. 3 entries.
+           stream_corpus_release, unigram_lm_encode).
       1    latest green in r5 — the 4 leftovers the round-10 window
            could not fit (doc_line_dedup, doc_unigram_logprob,
            semantic_dedup, ngram_containment).
       1.5  gopher_rules_audit — the round-10 deferred re-score.
-      1.9  the 5 post-window round-10 additions.
       2.0  _MODIFIED_R11 — round-11 plan changes with unchanged
            oracles (9 entries; value-invariant, but changed plans get
            fresh rows while slots allow).
@@ -455,17 +457,17 @@ def _eval_order(item: tuple[str, QuerySpec]) -> float:
            — the refresh the r9 brief asked for, finally funded).
       3    latest green in r6 — 47 entries after the overlaps
            claimed by tier 2.0 (lsh_near_dup_tuned,
-           minhash_estimator_audit sit in _R6_GREEN); the first 22
-           fill the window, the remaining 25 rotate in r12.
+           minhash_estimator_audit sit in _R6_GREEN); the first 21
+           fill the window, the remaining 26 rotate in r12.
       4/5/6/7  latest green r7/r8/r9/r10 — ride the tail where
            truncation costs least.
 
-    Round-12 handoff: this window = 3 never-green + 4 r5 + 1 gopher
-    + 5 post-window + 9 modified + 6 rows-only = 28 must-ish slots,
-    leaving 22 for the r6-stale cohort; the r6 remainder (exactly
-    25 of 47) plus whatever r12 modifies is next round's queue. Keep
-    new oracled entries ≤5 per round so the r6 cohort finishes
-    rotating in r12 with room for the r7 cohort's head.
+    Round-12 handoff: this window = 9 never-green + 4 r5 + 1 gopher
+    + 9 modified + 6 rows-only = 29 must-ish slots,
+    leaving 21 for the r6-stale cohort; the r6 remainder (exactly
+    26 of 47) plus whatever r12 modifies is next round's queue. Keep
+    new oracled entries ≤5 per round (r11 used 4) so the r6 cohort
+    finishes rotating in r12 with room for the r7 cohort's head.
     """
     name, spec = item
     ever_green = (

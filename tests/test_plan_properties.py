@@ -292,6 +292,10 @@ _SCALAR_CROSS_OK = {
                                  #   + 1-row corpus-total scalar
     "classifier_train_lr",       # broadcast 1-row moments + 1-row
                                  #   weight state per unrolled GD step
+    "unigram_lm_encode",         # broadcast 1-row (total, V) vocab
+                                 #   scalars in the final score table
+                                 #   (the unigram_lm_train idiom, here
+                                 #   outside the checkpoint lineage)
 }
 
 
@@ -360,6 +364,10 @@ _BOUNDED_COLLECT_OK = {
     #   the doc_repetition_profile sorted-array fold idiom
     "events_holt_forecast",   # same per-type hourly series collect
     #   (metadata scale), Holt level+trend fold
+    "unigram_lm_encode",  # per-word-form span collect: list length
+    #   bounded by max_word_len x max_piece_len (96), never corpus-
+    #   cardinality (the trainer's own E-step shape — hidden there
+    #   inside eager checkpoints, visible here in the final pass)
 }
 
 

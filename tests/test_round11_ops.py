@@ -257,6 +257,77 @@ def test_stream_release_multi_batch_and_replay(spark, tmp_path_factory):
         shutil.rmtree(release, ignore_errors=True)
 
 
+# ---------------------------------------------------------------
+# unigram_lm_encode (trainer-executing pattern #7)
+# ---------------------------------------------------------------
+
+def test_unigram_encode_coverage_and_conservation(spark, docs):
+    """Every encodable word segments (single-char pieces are never
+    pruned — Kudo's coverage guarantee), so per source: pieces >=
+    words (fertility >= 1e6), chars >= pieces (a piece is >= 1 char),
+    and the word/char masses must equal a direct count over the same
+    filtered token stream (nothing dropped or double-counted by the
+    vocabulary join)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_diag_spark.operators.textops import (
+        tokens,
+        unigram_lm_encode,
+    )
+
+    out = {r.source: r for r in unigram_lm_encode(docs).collect()}
+    assert out
+    for r in out.values():
+        assert r.n_pieces >= r.n_words > 0
+        assert r.n_chars >= r.n_pieces
+        assert r.fertility_ppm >= 1_000_000
+        assert r.chars_per_piece_ppm >= 1_000_000
+    direct = {
+        r.source: r
+        for r in (
+            docs.select(
+                "source", F.explode(tokens(F.col("text"))).alias("w")
+            )
+            .filter((F.col("w") != "") & (F.length("w") <= 24))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum(F.length("w")).alias("n_chars"),
+            )
+            .collect()
+        )
+    }
+    assert set(direct) == set(out)
+    for s, d in direct.items():
+        assert (out[s].n_words, out[s].n_chars) == (d.n_words, d.n_chars)
+
+
+def test_unigram_encode_planted_fixture(spark):
+    """A corpus dominated by one repeated word: the trainer seeds
+    that word (<=4 chars) as a multi-char piece, so the dominant word
+    must encode as ONE piece while a rare unseen-structure word falls
+    back to finer pieces — trained fertility on the dominant source
+    beats character-level (= word length)."""
+    rows = [(i, "abab " * 20, "en", "heavy", 100) for i in range(30)]
+    rows += [(100 + i, "zq xv jk", "en", "rare", 8) for i in range(2)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r.source: r
+        for r in __import__(
+            "iceberg_diag_spark.operators.textops", fromlist=["x"]
+        ).unigram_lm_encode(docs).collect()
+    }
+    # 'abab' (len 4) is the corpus-dominant substring -> seeded as a
+    # piece -> the heavy source encodes 1 piece/word
+    assert out["heavy"].fertility_ppm == 1_000_000
+    assert out["heavy"].chars_per_piece_ppm == 4_000_000
+    # the rare 2-char words still encode (coverage), at >= 1 piece
+    assert out["rare"].n_words == 6 and out["rare"].n_pieces >= 6
+
+
 def test_stream_release_single_drain_equals_batch_manifest(spark, docs):
     """The shared-oracle contract: one availableNow increment over
     the full corpus equals the batch corpus_release_manifest."""
