@@ -671,8 +671,11 @@ def semantic_dedup(
     nd = dropped.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_dropped")
     )
+    # both summary sides are <=|clusters| rows (metadata scale) —
+    # broadcast the dropped counts; only the within-cluster pair
+    # self-join above is a genuine big-big SMJ
     return (
-        nv.join(nd, "cluster", "left")
+        nv.join(F.broadcast(nd), "cluster", "left")
         .select(
             "cluster",
             "n_vecs",

@@ -1696,8 +1696,11 @@ def source_tv_distance(
     b = grid.select(
         "tok", F.col("source").alias("source_b"), F.col("c").alias("c_b")
     )
+    # the pair join runs on the (K+1)·S grid — both sides bounded by
+    # construction (metadata scale), so broadcast instead of sorting
+    # the same bounded relation twice
     paired = (
-        a.join(b, "tok")
+        a.join(F.broadcast(b), "tok")
         .filter(F.col("source_a") < F.col("source_b"))
         .join(
             F.broadcast(totals.select(F.col("source").alias("source_a"), F.col("tot").alias("tot_a"))),

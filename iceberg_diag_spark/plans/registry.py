@@ -422,6 +422,7 @@ _ADDED_POST_WINDOW_R10 = {
 # sf0.001+sf0.01, but a changed plan deserves a fresh driver row, and
 # the window has room this round (28 must-ish + 22 rotations).
 _MODIFIED_R11 = {
+    "source_vocab_tv",
     "ann_recall_eval",
     "retrieval_rank_eval",
     "embedding_pca_power",
@@ -451,23 +452,36 @@ def _eval_order(item: tuple[str, QuerySpec]) -> float:
            semantic_dedup, ngram_containment).
       1.5  gopher_rules_audit — the round-10 deferred re-score.
       2.0  _MODIFIED_R11 — round-11 plan changes with unchanged
-           oracles (9 entries; value-invariant, but changed plans get
-           fresh rows while slots allow).
+           oracles (10 entries; value-invariant, but changed plans
+           get fresh rows while slots allow). semantic_dedup's
+           metadata-join hint rides its tier-1 slot.
       2.2  rows-only (no oracle exists; spark_rows evidence r2-stale
            — the refresh the r9 brief asked for, finally funded).
-      3    latest green in r6 — 47 entries after the overlaps
+      3    latest green in r6 — 46 entries after the overlaps
            claimed by tier 2.0 (lsh_near_dup_tuned,
-           minhash_estimator_audit sit in _R6_GREEN); the first 21
-           fill the window, the remaining 26 rotate in r12.
+           minhash_estimator_audit sit in _R6_GREEN; source_vocab_tv
+           now claimed by tier 2.0 too); the first 20 fill the
+           window, the remaining 26 rotate in r12.
       4/5/6/7  latest green r7/r8/r9/r10 — ride the tail where
            truncation costs least.
 
     Round-12 handoff: this window = 9 never-green + 4 r5 + 1 gopher
-    + 9 modified + 6 rows-only = 29 must-ish slots,
-    leaving 21 for the r6-stale cohort; the r6 remainder (exactly
-    26 of 47) plus whatever r12 modifies is next round's queue. Keep
-    new oracled entries ≤5 per round (r11 used 4) so the r6 cohort
-    finishes rotating in r12 with room for the r7 cohort's head.
+    + 10 modified + 6 rows-only = 30 must-ish slots, leaving 20 for
+    the r6-stale cohort; the r6 remainder (exactly 26 of 46) plus
+    whatever r12 modifies is next round's queue. Keep new oracled
+    entries ≤5 per round (r11 used 4) so the r6 cohort finishes
+    rotating in r12 with room for the r7 cohort's head. SMJ census
+    (r11, all 263 plans): after the backlog clear + the
+    source_vocab_tv/semantic_dedup metadata-join hints, exactly 8
+    plans keep SortMergeJoins and ALL are genuine big-big joins —
+    corpus_snapshot_diff (two snapshots, full-outer),
+    crossmodal/dedup_method_agreement (two production dedup
+    pipelines, ids-only outer), join_selectivity_audit (the join it
+    audits), ngram_containment (shingle containment),
+    q21_waiting_orders (lineitem self-join), semantic_dedup (the
+    within-cluster pair self-join), neardup_source_modularity
+    (corpus-scale label join onto the edge relation). Nothing
+    broadcast-fit remains.
     """
     name, spec = item
     ever_green = (

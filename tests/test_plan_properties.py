@@ -397,9 +397,15 @@ def test_r10_smj_backlog_cleared(spark):
         "minhash_estimator_audit",
         "lsh_param_advisor",
         "quality_psi_drift",
+        "source_vocab_tv",  # r11 census follow-up: K·S grid pair join
     ):
         plan = _plan(spark, name)
         assert "SortMergeJoin" not in plan, name
+    # semantic_dedup keeps exactly ONE SMJ — the within-cluster pair
+    # self-join (genuine big-big); its metadata-scale summary join is
+    # hinted. A second SMJ appearing means the hint regressed.
+    plan = _plan(spark, "semantic_dedup")
+    assert _op_count(plan, "SortMergeJoin") == 1
 
 
 def test_train_lr_trajectory_reads_checkpoints_not_corpus(spark):
