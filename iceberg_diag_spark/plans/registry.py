@@ -438,7 +438,7 @@ _MODIFIED_R11 = {
 def _eval_order(item: tuple[str, QuerySpec]) -> float:
     """Driver scores the FIRST 50 registry entries; order by evidence
     staleness so every oracled entry's latest green row stays at most
-    ~five rounds old under the 50-slot window (262 entries now — the
+    ~five rounds old under the 50-slot window (263 entries now — the
     round-10 handoff's drift from a 4- to a 5-round staleness bound).
     Round-11 tiers:
       0    oracled-but-never-green — must score. 9 entries: the 5

@@ -663,3 +663,143 @@ def test_classifier_eval_at_1m(spark):
         r["n_pos"] for r in bins
     )
     print(f"classifier eval @1M: {wall:.1f}s auc={auc}")
+
+
+def _vec_corpus(spark, n=1_000_000, dim=64):
+    """1M expression-generated 64-dim vectors (the pca_power stress
+    corpus shape): dim 0 carries a planted dominant direction, the
+    rest are bounded hash noise — hash-distinct, so exact-cosine ties
+    across different ids are measure-zero."""
+    dims = []
+    for d in range(dim):
+        if d == 0:
+            dims.append(
+                ((F.pmod(F.xxhash64(F.col("id")), 2001) - 1000) / 1000.0)
+                .cast("float")
+            )
+        else:
+            dims.append(
+                (
+                    (F.pmod(F.xxhash64(F.col("id"), F.lit(d)), 201) - 100)
+                    / 1000.0
+                ).cast("float")
+            )
+    return spark.range(0, n, 1, 64).select(
+        F.col("id").alias("vec_id"), F.array(*dims).alias("embedding")
+    )
+
+
+def test_classifier_train_lr_at_1m(spark):
+    """LR training at 1M docs: one scan into the checkpointed 6-col
+    integer relation, k map-side gradient aggregates, zero driver
+    round-trips. The trajectory must start at the zero init and the
+    learned alpha-ratio weight must be positive — the curation gate
+    labels the alpha-vocab half positive, so a trainer that can't
+    recover that sign at scale is broken regardless of throughput."""
+    from iceberg_diag_spark.operators.textops import classifier_train_lr
+
+    docs = _gated_corpus(spark)
+    t0 = time.time()
+    rows = {r["step"]: r for r in classifier_train_lr(docs, k_steps=4).collect()}
+    wall = time.time() - t0
+    assert set(rows) == set(range(5))
+    z = rows[0]
+    assert all(
+        int(z[c]) == 0
+        for c in (
+            "w_bias_micro", "w_mtl_micro", "w_ttr_micro",
+            "w_stop_micro", "w_alpha_micro", "w_dup_micro",
+        )
+    )
+    final = rows[4]
+    assert int(final["w_alpha_micro"]) > 0
+    assert int(final["w_ttr_micro"]) > 0  # gate also requires ttr>=0.4
+    print(f"classifier_train_lr @1M: {wall:.1f}s w_alpha={final['w_alpha_micro']}")
+
+
+def test_ivf_build_index_at_1m(spark):
+    """IVF index build at 1M vectors: the written list_id=K layout
+    must cover every vector exactly once (manifest sums from the
+    WRITTEN files), keep one directory per occupied cell (partition
+    pruning is the whole point), and the consumer probe must answer
+    from the files with a full ranked top-k per query."""
+    import glob
+    import shutil
+    import tempfile
+
+    from iceberg_diag_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe_index,
+    )
+
+    emb = _vec_corpus(spark)
+    path = tempfile.mkdtemp(prefix="ivf_stress_")
+    try:
+        t0 = time.time()
+        manifest = ivf_build_index(emb, path=path, n_lists=16).collect()
+        wall = time.time() - t0
+        assert sum(r["n_vecs"] for r in manifest) == 1_000_000
+        dirs = glob.glob(os.path.join(path, "list_id=*"))
+        assert len(dirs) == len(manifest)
+        assert len({(r["members_xor"], r["members_xor2"]) for r in manifest}) == len(manifest)
+        queries = emb.filter(F.col("vec_id") < 4)
+        t1 = time.time()
+        hits = ivf_probe_index(
+            spark, path, queries, k=5, n_probe=16, n_lists=16
+        ).collect()
+        probe_wall = time.time() - t1
+        per_q = {}
+        for r in hits:
+            per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert set(per_q) == {0, 1, 2, 3}
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+        # ranking discipline (self-matches are excluded, as in
+        # ivf_topk_exact): cos must be non-increasing down each
+        # query's ranked list and a full probe never returns the
+        # query as its own neighbor
+        for qid, rs in (
+            (q, sorted((r for r in hits if r["query_id"] == q),
+                       key=lambda r: r["rank"]))
+            for q in per_q
+        ):
+            assert all(r["neighbor_id"] != qid for r in rs)
+            cos = [r["cos_mppm"] for r in rs]
+            assert cos == sorted(cos, reverse=True)
+        print(
+            f"ivf_build_index @1M: build {wall:.1f}s probe {probe_wall:.1f}s "
+            f"cells={len(manifest)}"
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_unigram_lm_encode_at_1m(spark):
+    """Trained-vocab encoding at 1M docs: the dataloader view must
+    balance — at least one piece per word, no piece longer than
+    max_piece_len chars, and the per-source word mass must equal the
+    corpus's own filtered word counts (nothing dropped by the join
+    against the segmented word-form relation)."""
+    from iceberg_diag_spark.operators.textops import unigram_lm_encode
+
+    docs = _gated_corpus(spark).withColumn(
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("alpha")).otherwise(
+            F.lit("digit")
+        ),
+    )
+    t0 = time.time()
+    rows = {r["source"]: r for r in unigram_lm_encode(docs, k_em=2).collect()}
+    wall = time.time() - t0
+    assert set(rows) == {"alpha", "digit"}
+    for src, r in rows.items():
+        assert r["n_pieces"] >= r["n_words"] > 0
+        assert r["fertility_ppm"] >= 1_000_000
+        assert r["chars_per_piece_ppm"] <= 4_000_000  # max_piece_len=4
+        assert r["n_chars"] >= r["n_pieces"]
+    # every alpha doc carries the 3 injected stopwords + 30 alpha
+    # tokens; digit docs carry 30 digit tokens — word masses differ
+    assert rows["alpha"]["n_words"] > rows["digit"]["n_words"]
+    print(
+        f"unigram_lm_encode @1M: {wall:.1f}s "
+        f"fert(alpha)={rows['alpha']['fertility_ppm']}"
+    )
