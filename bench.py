@@ -257,6 +257,7 @@ HEADLINE = [
     "ivf_build_index",
     "stream_corpus_release",
     "unigram_lm_encode",
+    "ivf_probe_topk",
 ]
 
 # HEADLINE membership is TOTAL: every registry entry is either timed

@@ -14,6 +14,7 @@ from __future__ import annotations
 from iceberg_diag_spark.operators import similarity, textops
 from iceberg_diag_spark.plans.common import QuerySpec, REGISTRY, _t
 from iceberg_diag_spark.plans.oracles_dedup import _lang_list_sql
+from iceberg_diag_spark.plans.oracles_round6 import _IVF_TOPK_EXACT_SQL
 from iceberg_diag_spark.plans.oracles_round8 import _RELEASE_MANIFEST_SQL
 from iceberg_diag_spark.plans.oracles_round9 import (
     _uni_seg_block,
@@ -220,6 +221,25 @@ GROUP BY a.list_id
 _IVF_BUILD_INDEX_SQL = _ivf_build_index_sql()
 
 
+def _ivf_probe_topk(spark, sf_dir):
+    # consumer-side closure of pattern #6, driver-scored: build the
+    # index into a fresh temp dir, then answer every vector's kNN
+    # query FROM THE WRITTEN FILES at ivf_topk_exact's operating
+    # point (k=5, n_probe=4, n_lists=16). The oracle is
+    # _IVF_TOPK_EXACT_SQL — the direct computation from the
+    # embeddings table — so a hash match proves the written
+    # list_id=K layout round-trips losslessly AND the probe path
+    # (query quantization, cell ranking, candidate pruning, exact
+    # integer cosine, tie order) reproduces the exact operator bit
+    # for bit on real data, not just the pytest fixture.
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_probe_topk_")
+    similarity.ivf_build_index(emb, path=path)  # write is eager
+    return similarity.ivf_probe_index(spark, path, emb)
+
+
 def _unigram_lm_encode(spark, sf_dir):
     return textops.unigram_lm_encode(_t(spark, sf_dir, "documents"))
 
@@ -318,5 +338,19 @@ REGISTRY.update({
         "under the final scores, then a vocabulary-scale hash join "
         "of (source, word) occurrence counts — never a per-token "
         "join; same word-domain filter as training on both engines",
+    ),
+    "ivf_probe_topk": QuerySpec(
+        _ivf_probe_topk, _IVF_TOPK_EXACT_SQL,
+        "consumer-side closure of advisor-executing pattern #6, "
+        "driver-scored: ivf_build_index writes the cell-partitioned "
+        "quantized index to a temp dir, ivf_probe_index answers "
+        "every vector's kNN from the WRITTEN list_id=K files at "
+        "ivf_topk_exact's operating point (k=5, n_probe=4) — the "
+        "oracle is ivf_topk_exact's own SQL computed directly from "
+        "the embeddings table, so a hash-green row proves the "
+        "written index round-trips losslessly and the probe path "
+        "reproduces the direct exact computation bit for bit; a "
+        "probe of p cells reads p directories (partition pruning), "
+        "never the corpus",
     ),
 })

@@ -412,6 +412,15 @@ _ADDED_POST_WINDOW_R10 = {
     "stream_seasonality_profile",
 }
 
+# Oracled entry added after the round-11 window was composed (and
+# after the r11 same-day bench reference): ranked PAST the window so
+# it cannot evict a committed rotation slot; scores r12 via the
+# never-green promotion (drop this set when composing the r12
+# window). Locally sf0.001+sf0.01 DuckDB-parity-green.
+_ADDED_POST_WINDOW_R11 = {
+    "ivf_probe_topk",
+}
+
 # Spark-side plans changed in round 11 with UNCHANGED oracles — the
 # SMJ-backlog broadcast fixes (ann/retrieval eval, pca_power iterate,
 # estimator-audit pair spine) plus the ngram_jaccard_pairs
@@ -438,7 +447,7 @@ _MODIFIED_R11 = {
 def _eval_order(item: tuple[str, QuerySpec]) -> float:
     """Driver scores the FIRST 50 registry entries; order by evidence
     staleness so every oracled entry's latest green row stays at most
-    ~five rounds old under the 50-slot window (263 entries now — the
+    ~five rounds old under the 50-slot window (264 entries now — the
     round-10 handoff's drift from a 4- to a 5-round staleness bound).
     Round-11 tiers:
       0    oracled-but-never-green — must score. 9 entries: the 5
@@ -467,10 +476,12 @@ def _eval_order(item: tuple[str, QuerySpec]) -> float:
 
     Round-12 handoff: this window = 9 never-green + 4 r5 + 1 gopher
     + 10 modified + 6 rows-only = 30 must-ish slots, leaving 20 for
-    the r6-stale cohort; the r6 remainder (exactly 26 of 46) plus
-    whatever r12 modifies is next round's queue. Keep new oracled
-    entries ≤5 per round (r11 used 4) so the r6 cohort finishes
-    rotating in r12 with room for the r7 cohort's head. SMJ census
+    the r6-stale cohort; next round's queue = ivf_probe_topk (the one
+    _ADDED_POST_WINDOW_R11 entry, never-green) + the r6 remainder
+    (exactly 26 of 46) + whatever r12 modifies. Keep new oracled
+    entries ≤5 per round (r11 used 5: 4 in-window + 1 post-window) so
+    the r6 cohort finishes rotating in r12 with room for the r7
+    cohort's head. SMJ census
     (r11, all 263 plans): after the backlog clear + the
     source_vocab_tv/semantic_dedup metadata-join hints, exactly 8
     plans keep SortMergeJoins and ALL are genuine big-big joins —
@@ -484,6 +495,8 @@ def _eval_order(item: tuple[str, QuerySpec]) -> float:
     broadcast-fit remains.
     """
     name, spec = item
+    if name in _ADDED_POST_WINDOW_R11:
+        return 10  # past every scored tier; never-green promotes it r12
     ever_green = (
         name in _R2_GREEN or name in _R3_GREEN or name in _R4_GREEN
         or name in _R5_GREEN or name in _R6_GREEN or name in _R7_GREEN
