@@ -1961,11 +1961,12 @@ def minhash_estimator_audit(
     Output: (doc_a, doc_b, n_shared_bands, est_jaccard_ppm,
     exact_jaccard_ppm, err_ppm).
     """
-    # three consumers each for the pair set and the shingle relation,
-    # two for the wide signature — checkpoint all three so no branch
-    # replays the banding / signature / shingle lineage (measured 18
-    # parquet scans unchecked; the funnel's materialize-vs-rescan
-    # argument, and pairs/wide are tiny)
+    # four consumers for the pair spine (est + two size tags + the
+    # shingle-match tag), four for the shingle relation (sizes twice,
+    # ga, gb), two for the wide signature — checkpoint all three so
+    # no branch replays the banding / signature / shingle lineage
+    # (measured 18 parquet scans unchecked; the funnel's
+    # materialize-vs-rescan argument)
     pairs = minhash_candidate_pairs(
         docs, text_col, id_col, num_hashes, bands=4, ngram=ngram
     ).localCheckpoint(eager=False)
@@ -2015,25 +2016,70 @@ def minhash_estimator_audit(
     )
     ga = grams.select(F.col(id_col).alias("doc_a"), "gram")
     gb = grams.select(F.col(id_col).alias("doc_b"), "gram")
-    inter = (
-        pairs.select("doc_a", "doc_b")
-        .join(ga, "doc_a")
-        .join(gb, ["doc_b", "gram"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    # Tagged-union fold (the quality_psi_drift / ngram_jaccard_pairs
+    # idiom): every per-pair contribution — the estimate row, each
+    # side's shingle-set size, each matched shingle — lands as a
+    # tagged row on the (doc_a, doc_b) key and ONE map-side-combined
+    # aggregate assembles the audit. The previous shape reattached
+    # the pair-scale `inter` and `exact` relations to the pair spine
+    # with broadcast hints; candidate pairs grow with the corpus
+    # (star pairs alone scale with the duplicate count), so a pair-
+    # scale broadcast is scale-wrong — corrected here by removing the
+    # reattach joins entirely rather than re-sorting the spine. The
+    # joins that remain all marry the pair spine to per-doc relations
+    # (signatures, shingle sets, sizes) on uniform id keys — genuine
+    # big-big joins at corpus scale, correctly left to SMJ/AQE.
+    _L = lambda: F.lit(None).cast("long")  # noqa: E731
+    tag = lambda df, **cols: df.select(  # noqa: E731
+        "doc_a",
+        "doc_b",
+        *[
+            (cols[c] if c in cols else _L()).alias(c)
+            for c in ("nsb", "est", "sa", "sb", "hit")
+        ],
     )
-    exact = (
-        pairs.select("doc_a", "doc_b")
-        .join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_grams", "sa"), "doc_a", "left")
-        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_grams", "sb"), "doc_b", "left")
-        # inter is one row per candidate pair — the audit panel the
-        # banding surfaced, bounded like `pairs` itself (which already
-        # fits a checkpoint); hint it so the reattach never sorts the
-        # pair spine (r10 matryoshka pattern)
-        .join(F.broadcast(inter), ["doc_a", "doc_b"], "left")
+    spine = pairs.select("doc_a", "doc_b")
+    parts = (
+        tag(est, nsb=F.col("n_shared_bands"), est=F.col("est_jaccard_ppm"))
+        .unionByName(tag(
+            spine.join(
+                sizes.select(
+                    F.col(id_col).alias("doc_a"),
+                    F.col("n_grams").alias("size_a"),
+                ),
+                "doc_a",
+            ),
+            sa=F.col("size_a"),
+        ))
+        .unionByName(tag(
+            spine.join(
+                sizes.select(
+                    F.col(id_col).alias("doc_b"),
+                    F.col("n_grams").alias("size_b"),
+                ),
+                "doc_b",
+            ),
+            sb=F.col("size_b"),
+        ))
+        .unionByName(tag(
+            spine.join(ga, "doc_a").join(gb, ["doc_b", "gram"]),
+            hit=F.lit(1).cast("long"),
+        ))
+    )
+    return (
+        parts.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("nsb").alias("n_shared_bands"),
+            F.max("est").alias("est_jaccard_ppm"),
+            F.max("sa").alias("sa"),
+            F.max("sb").alias("sb"),
+            F.sum("hit").alias("n_inter"),
+        )
         .select(
             "doc_a",
             "doc_b",
+            "n_shared_bands",
+            "est_jaccard_ppm",
             F.expr(
                 "CASE WHEN coalesce(sa, 0) + coalesce(sb, 0) = 0"
                 " THEN CAST(1000000 AS BIGINT)"
@@ -2042,16 +2088,14 @@ def minhash_estimator_audit(
                 "  - coalesce(n_inter, 0)) AS BIGINT) END"
             ).alias("exact_jaccard_ppm"),
         )
-    )
-    # est and exact are both one-row-per-candidate-pair views of the
-    # same bounded audit panel — broadcast the exact side
-    return est.join(F.broadcast(exact), ["doc_a", "doc_b"]).select(
-        "doc_a",
-        "doc_b",
-        "n_shared_bands",
-        "est_jaccard_ppm",
-        "exact_jaccard_ppm",
-        (F.col("est_jaccard_ppm") - F.col("exact_jaccard_ppm"))
-        .cast("long")
-        .alias("err_ppm"),
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            "est_jaccard_ppm",
+            "exact_jaccard_ppm",
+            (F.col("est_jaccard_ppm") - F.col("exact_jaccard_ppm"))
+            .cast("long")
+            .alias("err_ppm"),
+        )
     )

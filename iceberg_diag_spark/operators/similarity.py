@@ -1840,28 +1840,36 @@ def ivf_build_index(
     corpus_release written-files discipline, funnel.corpus_release).
 
     `path=None` builds into a fresh temp directory (the registry/
-    driver mode — the streaming twins' tempfile idiom). One hash
-    repartition on list_id co-locates each cell; sortWithinPartitions
-    makes re-builds byte-stable. ivf_probe_index is the consumer.
+    driver mode — the streaming twins' tempfile idiom): the manifest
+    is then eagerly checkpointed and the directory removed, so
+    repeated driver/bench runs don't accumulate index copies in /tmp
+    (run_corpus_release_stream's cleanup discipline). The write goes
+    through sinks.write_assigned_shards — ONE hash repartition on
+    list_id co-locates each cell, sortWithinPartitions makes
+    re-builds byte-stable. ivf_probe_index is the consumer.
 
     Output per cell: (list_id, n_vecs, norm_sum, members_xor,
     members_xor2).
     """
+    import shutil
     import tempfile
 
+    from iceberg_diag_spark.sources.sinks import write_assigned_shards
+
+    cleanup = path is None
     if path is None:
         path = tempfile.mkdtemp(prefix="ivf_index_")
     asg = ivf_index_assignments(
         embeddings, n_lists, dim, scale_bits, id_col, vec_col
     )
-    (
-        asg.repartition(n_lists, F.col("list_id"))
-        .sortWithinPartitions("list_id", "vec_id")
-        .write.mode("overwrite")
-        .partitionBy("list_id")
-        .parquet(path)
+    write_assigned_shards(
+        asg, path, n_lists, shard_col="list_id", order_cols=("vec_id",)
     )
-    return _ivf_manifest_agg(embeddings.sparkSession.read.parquet(path))
+    manifest = _ivf_manifest_agg(embeddings.sparkSession.read.parquet(path))
+    if cleanup:
+        manifest = manifest.localCheckpoint(eager=True)
+        shutil.rmtree(path, ignore_errors=True)
+    return manifest
 
 
 def ivf_probe_index(

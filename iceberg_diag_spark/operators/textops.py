@@ -1238,7 +1238,6 @@ def classifier_train_lr(
     k_steps: int = 12,
     lr_ppm: int = 2_000_000,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Logistic-regression TRAINING of the quality keep/drop
     classifier against the production curation gate — closes the

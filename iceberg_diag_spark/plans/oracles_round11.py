@@ -234,10 +234,19 @@ def _ivf_probe_topk(spark, sf_dir):
     # for bit on real data, not just the pytest fixture.
     import tempfile
 
+    import shutil
+
     emb = _t(spark, sf_dir, "embeddings")
     path = tempfile.mkdtemp(prefix="ivf_probe_topk_")
     similarity.ivf_build_index(emb, path=path)  # write is eager
-    return similarity.ivf_probe_index(spark, path, emb)
+    out = similarity.ivf_probe_index(spark, path, emb).localCheckpoint(
+        eager=True
+    )
+    # k rows per vector — checkpoint-then-rmtree keeps /tmp clean
+    # across repeated driver/bench runs (the build's path=None
+    # discipline; the written-files evidence has already been read)
+    shutil.rmtree(path, ignore_errors=True)
+    return out
 
 
 def _unigram_lm_encode(spark, sf_dir):

@@ -492,7 +492,12 @@ def _eval_order(item: tuple[str, QuerySpec]) -> float:
     q21_waiting_orders (lineitem self-join), semantic_dedup (the
     within-cluster pair self-join), neardup_source_modularity
     (corpus-scale label join onto the edge relation). Nothing
-    broadcast-fit remains.
+    broadcast-fit remains. Post-census correction (r11 self-review):
+    minhash_estimator_audit's backlog fix had hinted the PAIR-SCALE
+    inter/exact relations — scale-wrong, since candidate pairs grow
+    with the corpus; rebuilt as a tagged-union fold (no reattach
+    joins at all, no hints — remaining joins are pair-spine x per-doc
+    and stats-driven), value-invariant, parity re-verified.
     """
     name, spec = item
     if name in _ADDED_POST_WINDOW_R11:

@@ -394,13 +394,24 @@ def test_r10_smj_backlog_cleared(spark):
         "ann_recall_eval",
         "retrieval_rank_eval",
         "embedding_pca_power",
-        "minhash_estimator_audit",
         "lsh_param_advisor",
         "quality_psi_drift",
         "source_vocab_tv",  # r11 census follow-up: K·S grid pair join
     ):
         plan = _plan(spark, name)
         assert "SortMergeJoin" not in plan, name
+    # minhash_estimator_audit left this list in r11: its r10-era
+    # "SMJ=0" was achieved by F.broadcast hints on the PAIR-SCALE
+    # inter/exact relations — scale-wrong (candidate pairs grow with
+    # the corpus). The tagged-union rewrite removed the reattach
+    # joins entirely; the joins that remain marry the pair spine to
+    # per-doc relations and are stats-driven (broadcast at test
+    # scale, SMJ at corpus scale). Pin instead that no FORCED
+    # pair-scale broadcast reappears: the un-hinted logical plan
+    # must carry no broadcast hint at all.
+    df = REGISTRY["minhash_estimator_audit"].build(spark, SF_DIR)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
     # semantic_dedup keeps exactly ONE SMJ — the within-cluster pair
     # self-join (genuine big-big); its metadata-scale summary join is
     # hinted. A second SMJ appearing means the hint regressed.
