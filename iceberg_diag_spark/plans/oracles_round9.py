@@ -969,8 +969,9 @@ REGISTRY.update({
         "pairs: sketched Jaccard (matching signature coordinates/16) "
         "vs exact distinct-shingle Jaccard with signed error; "
         "bounded by the banding's pairs, signature joined twice on "
-        "uniform ids, shingle intersection via the containment-join "
-        "shape",
+        "uniform ids, shingle intersection + set sizes assembled by "
+        "a tagged-union fold on the pair key (no pair-scale reattach "
+        "joins, no broadcast hints — r11 scale correction)",
     ),
 })
 
