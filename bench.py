@@ -258,6 +258,8 @@ HEADLINE = [
     "stream_corpus_release",
     "unigram_lm_encode",
     "ivf_probe_topk",
+    "release_neardup_reconcile",
+    "classifier_apply_trained",
 ]
 
 # HEADLINE membership is TOTAL: every registry entry is either timed

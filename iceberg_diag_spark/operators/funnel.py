@@ -449,3 +449,173 @@ def verify_release(spark, path: str, manifest: DataFrame) -> DataFrame:
         F.col("e_tokens").alias("tokens_expected"),
         F.col("a_tokens").alias("tokens_actual"),
     )
+
+
+RECONCILE_SIG_BUCKETS = RELEASE_N_SHARDS
+
+
+def release_neardup_reconcile(
+    spark,
+    increments,
+    release_path: str,
+    sig_path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    sig_buckets: int = RECONCILE_SIG_BUCKETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-increment near-dup reconciliation for the INCREMENTAL
+    release (closes the scoping contract corpus_release_stream
+    documents: per-increment dedup defers duplicate pairs SPLIT
+    ACROSS increments to this job).
+
+    `increments` is the ordered sequence of (batch_id, raw docs of
+    that increment) the release was built from. For each increment,
+    ascending:
+      1. its released survivors come FROM THE WRITTEN RELEASE —
+         the batch=<id> directory's doc_ids (partition-pruned read),
+         semi-joined back to the increment's raw docs for text;
+      2. the production MinHash band keys (minhash_signatures_wide /
+         minhash_band_keys — same family, bands, shingle width as
+         the funnel's own candidate generator) plus the normalized
+         content hash are computed in ONE pass over the checkpointed
+         survivor text and PERSISTED alongside the release under
+         sig_path/batch=<id> (idempotent overwrite — a replayed
+         increment rewrites its own signatures, the
+         corpus_release_stream exactly-once idiom; sb=K band-key
+         hash-bucket directories via sinks.write_assigned_shards,
+         byte-stable);
+      3. the increment then PROBES the accumulated store — a
+         (band, band_key) equi-join of its own WRITTEN signature
+         files against the store filtered to batch < id — emitting
+         cross-batch candidate pairs. Bucketed, never all-pairs: a
+         pair costs a row only when two documents share a band key,
+         exactly the in-increment banding guarantee. Signatures are
+         computed ONCE per increment ever (step 2's write) and
+         probed from disk, so increment N+1 never re-reads prior
+         increments' text.
+
+    An exact cross-batch duplicate (same normalized text landing in
+    two increments — per-increment exact dedup cannot see it)
+    collides in ALL bands and is flagged exact_dup via the persisted
+    content hash. Documents shorter than the shingle width carry no
+    signature (the MinHash family's stated domain) on either engine.
+
+    The retraction decision is positional: doc_a always belongs to
+    the EARLIER batch — released increments are immutable, so the
+    later doc_b is the one a retraction list would name.
+
+    At 100 TB: per increment this is one semi-join of the increment
+    against its released ids, one signature pass over increment text
+    only, one bucketed store join on the uniform band_key — no
+    corpus-scale broadcast anywhere (survivor id sets and signature
+    relations grow with the corpus; the SCALING.md 6e census
+    classes), and the store grows as bands rows/doc of ~40-byte
+    keys.
+
+    Output: (batch_a, doc_a, batch_b, doc_b, n_shared_bands,
+    exact_dup), batch_a < batch_b, ordered.
+    """
+    from iceberg_diag_spark.operators import dedup
+    from iceberg_diag_spark.operators.sampling import hash_bucket
+    from iceberg_diag_spark.sources.sinks import write_assigned_shards
+
+    ids = [int(b) for b, _ in increments]
+    if ids != sorted(ids) or len(set(ids)) != len(ids):
+        raise ValueError(
+            "increments must be (batch_id, docs) in ascending batch "
+            f"order without repeats, got {ids}"
+        )
+    results = []
+    for n_seen, (b, docs_b) in enumerate(increments):
+        b = int(b)
+        released = (
+            spark.read.parquet(release_path)
+            .filter(F.col("batch") == b)
+            .select("doc_id")
+        )
+        surv = (
+            docs_b.join(released, "doc_id", "semi")
+            .select("doc_id", text_col)
+            .localCheckpoint(eager=False)
+        )
+        wide = dedup.minhash_signatures_wide(
+            surv, text_col=text_col, num_hashes=num_hashes, ngram=ngram
+        )
+        keys = dedup.minhash_band_keys(
+            surv,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            ngram=ngram,
+            wide=wide,
+        ).join(
+            surv.select(
+                "doc_id",
+                F.sha2(
+                    dedup.normalized_text(F.col(text_col)), 256
+                ).alias("ch"),
+            ),
+            "doc_id",
+        )
+        write_assigned_shards(
+            keys.select(
+                "doc_id",
+                "band",
+                "band_key",
+                "ch",
+                hash_bucket(F.col("band_key"), sig_buckets).alias("sb"),
+            ),
+            f"{sig_path}/batch={b}",
+            sig_buckets,
+            shard_col="sb",
+            order_cols=("band", "band_key", "doc_id"),
+        )
+        if n_seen == 0:
+            continue
+        own = spark.read.parquet(f"{sig_path}/batch={b}").select(
+            F.col("doc_id").alias("doc_b"),
+            "band",
+            "band_key",
+            F.col("ch").alias("ch_b"),
+        )
+        store = (
+            spark.read.parquet(sig_path)
+            .filter(F.col("batch") < b)
+            .select(
+                F.col("batch").cast("long").alias("batch_a"),
+                F.col("doc_id").alias("doc_a"),
+                "band",
+                "band_key",
+                F.col("ch").alias("ch_a"),
+            )
+        )
+        results.append(
+            store.join(own, ["band", "band_key"])
+            .groupBy("batch_a", "doc_a", "doc_b")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_shared_bands"),
+                F.max(
+                    (F.col("ch_a") == F.col("ch_b")).cast("int")
+                ).alias("_ex"),
+            )
+            .select(
+                "batch_a",
+                "doc_a",
+                F.lit(b).cast("long").alias("batch_b"),
+                "doc_b",
+                "n_shared_bands",
+                (F.col("_ex") == 1).alias("exact_dup"),
+            )
+        )
+    schema = (
+        "batch_a long, doc_a long, batch_b long, doc_b long, "
+        "n_shared_bands long, exact_dup boolean"
+    )
+    if not results:
+        return spark.createDataFrame([], schema)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("batch_b", "batch_a", "doc_a", "doc_b")

@@ -1107,14 +1107,21 @@ def exact_auc(
     )
 
 
-def _lr_feature_rows(docs: DataFrame, text_col: str) -> DataFrame:
+def _lr_feature_rows(
+    docs: DataFrame,
+    text_col: str,
+    carry: tuple[tuple[str, Column], ...] = (),
+) -> DataFrame:
     """Per-doc micro-quantized feature vector + curation-gate label
     for classifier training: the same five heuristic features the
     hand-set linear classifier consumes (_classifier_z) and the same
     gate label the evaluators rank against (_scored_vs_gate), floor-
     quantized once to integer micro-units so every downstream step is
     integer-exact. One scan, zero shuffle.
-    Output: (x1..x5 micro longs, y 0/1)."""
+    `carry` appends extra (alias, Column) projections to the SAME
+    scan — classifier_apply_trained rides (source, handset keep)
+    through it; the default () emits exactly the training relation.
+    Output: (x1..x5 micro longs, y 0/1, *carry)."""
     q = quality_exprs(text_col)
     best = language_best(text_col)
     t = tokens(F.col(text_col))
@@ -1146,6 +1153,7 @@ def _lr_feature_rows(docs: DataFrame, text_col: str) -> DataFrame:
             for j, c in enumerate(feats, start=1)
         ],
         gate.cast("long").alias("y"),
+        *[c.alias(nm) for nm, c in carry],
     )
 
 
@@ -1170,7 +1178,11 @@ LR_WEIGHT_COLS = (
 )
 
 
-def _lr_standardized(docs: DataFrame, text_col: str) -> DataFrame:
+def _lr_standardized(
+    docs: DataFrame,
+    text_col: str,
+    carry: tuple[tuple[str, Column], ...] = (),
+) -> DataFrame:
     """Standardized integer feature relation for LR training AND for
     re-applying trained weights: per-feature integer moments (mu =
     Sx DIV n; var = (n·Sxx − Sx²) DIV n²; sigma = max(1, ⌊√var⌋) —
@@ -1180,8 +1192,12 @@ def _lr_standardized(docs: DataFrame, text_col: str) -> DataFrame:
     negative); x0 is the constant bias feature at 10⁶ so one update
     rule covers all six weights. localCheckpointed: training consumes
     it k+1 times and nothing shares exchanges across branches.
-    Output: (x0, sx1..sx5 all DECIMAL(38,0), y)."""
-    raw = _lr_feature_rows(docs, text_col).localCheckpoint(eager=False)
+    `carry` names ride the scan untouched (see _lr_feature_rows) —
+    the moments aggregate and standardization ignore them.
+    Output: (x0, sx1..sx5 all DECIMAL(38,0), y, *carry)."""
+    raw = _lr_feature_rows(docs, text_col, carry).localCheckpoint(
+        eager=False
+    )
     xs = [f"x{j}" for j in range(1, 6)]
     stats = raw.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1228,6 +1244,7 @@ def _lr_standardized(docs: DataFrame, text_col: str) -> DataFrame:
                 for j, x in enumerate(xs, start=1)
             ],
             F.col("y"),
+            *[F.col(nm) for nm, _ in carry],
         )
         .localCheckpoint(eager=False)
     )
@@ -1280,7 +1297,39 @@ def classifier_train_lr(
     relation to score with them).
     """
     feat = _lr_standardized(docs, text_col)
-    spark = docs.sparkSession
+    trajectory = _lr_gd_trajectory(feat, k_steps, lr_ppm)
+    out = trajectory[0]
+    for w_t in trajectory[1:]:
+        out = out.unionByName(w_t)
+    return out.select(
+        "step",
+        *[
+            F.col(f"w{j}").cast("long").alias(name)
+            for j, name in enumerate(LR_WEIGHT_COLS)
+        ],
+    ).orderBy("step")
+
+
+def _lr_zsum() -> str:
+    """The integer dot-product fragment z = Σ w_j·x_j over the
+    standardized feature columns — shared by the training sigmoid
+    (p_expr below) and trained-weight scoring
+    (classifier_apply_trained), so the two can never drift."""
+    wcols = [f"w{j}" for j in range(6)]
+    fcols = ["x0"] + [f"sx{j}" for j in range(1, 6)]
+    return " + ".join(f"{w_} * {x_}" for w_, x_ in zip(wcols, fcols))
+
+
+def _lr_gd_trajectory(
+    feat: DataFrame, k_steps: int, lr_ppm: int
+) -> list[DataFrame]:
+    """The unrolled gradient-descent loop of classifier_train_lr
+    (pure extraction — plans identical): k map-side-combined gradient
+    aggregates over `feat` with the 1-row weight state broadcast-
+    cross-joined, weights never leaving the JVM. Returns the k+1
+    weight states (step, w0..w5 DECIMAL(38,0)), step 0 = zero init.
+    classifier_apply_trained consumes the final state to score."""
+    spark = feat.sparkSession
     wcols = [f"w{j}" for j in range(6)]
     fcols = ["x0"] + [f"sx{j}" for j in range(1, 6)]
     w = spark.range(1).select(
@@ -1288,7 +1337,7 @@ def classifier_train_lr(
         *[F.lit(0).cast("decimal(38,0)").alias(c) for c in wcols],
     )
     trajectory = [w]
-    zsum = " + ".join(f"{w_} * {x_}" for w_, x_ in zip(wcols, fcols))
+    zsum = _lr_zsum()
     p_expr = (
         f"CAST(FLOOR(1000000.0 / (1.0 + EXP(-(CAST("
         f"{_signed_div(f'({zsum})', '1000000')}"
@@ -1336,16 +1385,79 @@ def classifier_train_lr(
             .localCheckpoint(eager=False)
         )
         trajectory.append(w)
-    out = trajectory[0]
-    for w_t in trajectory[1:]:
-        out = out.unionByName(w_t)
-    return out.select(
-        "step",
-        *[
-            F.col(f"w{j}").cast("long").alias(name)
-            for j, name in enumerate(LR_WEIGHT_COLS)
-        ],
-    ).orderBy("step")
+    return trajectory
+
+
+def classifier_apply_trained(
+    docs: DataFrame,
+    k_steps: int = 12,
+    lr_ppm: int = 2_000_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Advisor-EXECUTING pattern #8 — DEPLOY the trained classifier:
+    classifier_train_lr learns the keep/drop weights; this scores
+    every document with the step-k trained weights and reports, per
+    source, the decision delta against the production hand-set gate
+    (quality_classifier_score's z ≥ 0 rule) and each rule's agreement
+    with the curation-gate label the trainer fit against — the
+    relation a curation owner reads before swapping the gate over.
+
+    keep_trained is the exact integer sign test Σ w_j·x_j ≥ 0 over
+    the standardized features (≡ p ≥ ½ — no sigmoid, no floats);
+    keep_handset is _classifier_z ≥ 0, computed in the SAME scan the
+    feature rows come from (a `carry` column through
+    _lr_feature_rows), so deployment adds zero extra corpus scans.
+
+    Scale shape: classifier_train_lr's exactly (ONE corpus scan into
+    the checkpointed integer relation, k gradient aggregates with
+    1-row broadcast weight states) plus ONE more pass over the
+    checkpoint to score — zero driver round-trips; the per-source
+    aggregate is #sources-bounded.
+
+    Output per source: (source, n_docs, n_keep_trained,
+    n_keep_handset, n_flip_to_keep, n_flip_to_drop, n_agree_trained,
+    n_agree_handset) — flips are docs where the trained rule reverses
+    the hand-set decision; agreement is with the gate label y.
+    """
+    feat = _lr_standardized(
+        docs,
+        text_col,
+        carry=(
+            ("source", F.col("source")),
+            ("kh", _classifier_z(text_col) >= 0),
+        ),
+    )
+    fcols = ["x0"] + [f"sx{j}" for j in range(1, 6)]
+    trajectory = _lr_gd_trajectory(
+        feat.select(*fcols, "y"), k_steps, lr_ppm
+    )
+    w_final = trajectory[-1].drop("step")
+    scored = (
+        feat.crossJoin(F.broadcast(w_final))
+        .select(
+            "source",
+            "kh",
+            (F.col("y") == 1).alias("yb"),
+            (F.expr(_lr_zsum()) >= 0).alias("kt"),
+        )
+    )
+
+    def _n(cond, name):
+        return F.sum(cond.cast("long")).cast("long").alias(name)
+
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            _n(F.col("kt"), "n_keep_trained"),
+            _n(F.col("kh"), "n_keep_handset"),
+            _n(F.col("kt") & ~F.col("kh"), "n_flip_to_keep"),
+            _n(~F.col("kt") & F.col("kh"), "n_flip_to_drop"),
+            _n(F.col("kt") == F.col("yb"), "n_agree_trained"),
+            _n(F.col("kh") == F.col("yb"), "n_agree_handset"),
+        )
+        .orderBy("source")
+    )
 
 
 def tokenizer_fertility(

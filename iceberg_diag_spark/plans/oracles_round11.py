@@ -36,19 +36,49 @@ def _sdiv(num: str, den: str) -> str:
     )
 
 
-def _train_lr_sql(k_steps: int = 12, lr_ppm: int = 2_000_000) -> str:
+def _train_lr_sql(
+    k_steps: int = 12,
+    lr_ppm: int = 2_000_000,
+    carry: bool = False,
+    final: str | None = None,
+) -> str:
     """Generate the k-step unrolled GD chain: feats → integer moments
     → standardized features → w0..wk CTEs (gradient aggregate + weight
     update per step) → trajectory union. Mirrors
-    textops.classifier_train_lr stage for stage."""
+    textops.classifier_train_lr stage for stage.
+
+    `carry=True` rides (source, kh) — the source label and the
+    HAND-SET classifier's keep decision (the proven-green
+    quality_classifier_score z expression, oracles_round5) — through
+    the f/feats/raw/feat CTEs, and `final` replaces the trajectory
+    union with a custom SELECT over (feat, w{k}):
+    classifier_apply_trained chains the trained step-k weights into
+    a per-source scoring aggregate. Defaults emit the byte-identical
+    classifier_train_lr oracle (mirroring textops._lr_feature_rows /
+    _lr_standardized's carry parameter)."""
     xs = [f"x{j}" for j in range(1, 6)]
     fcols = ["x0"] + [f"sx{j}" for j in range(1, 6)]
     wcols = [f"w{j}" for j in range(6)]
 
+    c_f = ", source" if carry else ""
+    c_feats = ",\n         source" if carry else ""
+    # the hand-set keep rule, expression-identical to the r5
+    # quality_classifier_score oracle (same left-to-right IEEE sum)
+    c_raw = (
+        ",\n         source,\n"
+        "         (-2.3 + (-0.05) * mtl + 1.2 * ttr + 4.0 * sw"
+        " + 2.5 * alpha\n"
+        "          + (-3.0) * (CAST(len(tri) - len(list_distinct(tri))"
+        " AS DOUBLE)\n"
+        "                      / greatest(len(tri), 1))) >= 0 AS kh"
+        if carry
+        else ""
+    )
+
     feats = r"""
 WITH f AS (
   SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
-         text
+         text{c_f}
   FROM documents
 ),
 feats AS (
@@ -66,7 +96,7 @@ feats AS (
            len(list_intersect(toks, {de})),
            len(list_intersect(toks, {en})),
            len(list_intersect(toks, {es})),
-           len(list_intersect(toks, {fr}))) AS lang_hits
+           len(list_intersect(toks, {fr}))) AS lang_hits{c_feats}
   FROM f
 ),
 raw AS MATERIALIZED (
@@ -76,13 +106,16 @@ raw AS MATERIALIZED (
          CAST(FLOOR(alpha * 1000000) AS BIGINT) AS x4,
          CAST(FLOOR((CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
                      / greatest(len(tri), 1)) * 1000000) AS BIGINT) AS x5,
-         CAST(ttr >= 0.4 AND alpha >= 0.6 AND lang_hits > 0 AS BIGINT) AS y
+         CAST(ttr >= 0.4 AND alpha >= 0.6 AND lang_hits > 0 AS BIGINT) AS y{c_raw}
   FROM feats
 )""".format(
         de=_lang_list_sql("de"),
         en=_lang_list_sql("en"),
         es=_lang_list_sql("es"),
         fr=_lang_list_sql("fr"),
+        c_f=c_f,
+        c_feats=c_feats,
+        c_raw=c_raw,
     )
 
     mus = ",\n         ".join(
@@ -109,11 +142,12 @@ stats AS (
         + f" AS sx{j}"
         for j, x in enumerate(xs, start=1)
     )
+    c_feat = ", source, kh" if carry else ""
     feat = f""",
 feat AS MATERIALIZED (
   SELECT CAST(1000000 AS HUGEINT) AS x0,
          {sxs},
-         y
+         y{c_feat}
   FROM raw, stats
 )"""
 
@@ -166,6 +200,8 @@ w{t} AS MATERIALIZED (
             f"SELECT CAST({t} AS BIGINT) AS step, {cols} FROM w{t}"
         )
     union = "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY step"
+    if final is not None:
+        union = "\n" + final
     return feats + stats + feat + w0 + "".join(steps) + union
 
 
@@ -238,14 +274,18 @@ def _ivf_probe_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     path = tempfile.mkdtemp(prefix="ivf_probe_topk_")
-    similarity.ivf_build_index(emb, path=path)  # write is eager
-    out = similarity.ivf_probe_index(spark, path, emb).localCheckpoint(
-        eager=True
-    )
-    # k rows per vector — checkpoint-then-rmtree keeps /tmp clean
-    # across repeated driver/bench runs (the build's path=None
-    # discipline; the written-files evidence has already been read)
-    shutil.rmtree(path, ignore_errors=True)
+    try:
+        similarity.ivf_build_index(emb, path=path)  # write is eager
+        out = similarity.ivf_probe_index(spark, path, emb).localCheckpoint(
+            eager=True
+        )
+    finally:
+        # k rows per vector — checkpoint-then-rmtree keeps /tmp clean
+        # across repeated driver/bench runs (the build's path=None
+        # discipline; the written-files evidence has already been
+        # read), and the finally keeps a failed build/probe from
+        # leaking the temp dir
+        shutil.rmtree(path, ignore_errors=True)
     return out
 
 

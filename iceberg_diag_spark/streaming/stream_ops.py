@@ -1231,7 +1231,11 @@ def corpus_release_stream(
     Scoping contract (documented delta, the incremental_exact_dedup
     family): the funnel's dedup/holdout stages are scoped to each
     INCREMENT — a duplicate pair split across increments is the
-    cross-release reconciliation job's to catch (exactly what
+    cross-release reconciliation job's to catch, which now exists:
+    funnel.release_neardup_reconcile persists each increment's
+    MinHash band signatures alongside the shards and probes the
+    accumulated store per increment (exact cross-batch dups surface
+    there too, via the persisted content hash — the same class
     incremental_exact_dedup_stream gates at ingest). Packing sequence
     ids are likewise per (batch, source, shard). Over a single
     availableNow drain the whole corpus is one increment, so the

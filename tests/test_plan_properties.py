@@ -292,6 +292,9 @@ _SCALAR_CROSS_OK = {
                                  #   + 1-row corpus-total scalar
     "classifier_train_lr",       # broadcast 1-row moments + 1-row
                                  #   weight state per unrolled GD step
+    "classifier_apply_trained",  # same: the training chain plus ONE
+                                 #   more 1-row broadcast (the step-k
+                                 #   weight state) for scoring
     "unigram_lm_encode",         # broadcast 1-row (total, V) vocab
                                  #   scalars in the final score table
                                  #   (the unigram_lm_train idiom, here

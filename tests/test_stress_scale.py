@@ -803,3 +803,60 @@ def test_unigram_lm_encode_at_1m(spark):
         f"unigram_lm_encode @1M: {wall:.1f}s "
         f"fert(alpha)={rows['alpha']['fertility_ppm']}"
     )
+
+
+def test_release_neardup_reconcile_at_1m(spark, tmp_path_factory):
+    """Cross-increment reconcile at 1M docs: increment 0 holds the
+    100 template originals (ids 0..99) among 500k unique docs,
+    increment 1 holds 400k unique docs plus exactly one released
+    copy of each template (ids 900000..900099, the per-increment
+    exact-dedup survivors of the hot spot) — so the ground truth is
+    exactly 100 cross-batch EXACT pairs. Asserts the probe finds
+    all 100 with full-band collisions, that candidate volume stays
+    linear in true dups (the band-bucket guarantee — no all-pairs
+    blowup from the 900k unique docs), and prints the wall."""
+    import shutil
+
+    from iceberg_diag_spark.operators.funnel import (
+        release_neardup_reconcile,
+    )
+
+    docs = _corpus(spark)
+    dup_cut = N_DOCS - N_TEMPLATES * N_COPIES
+    inc0 = docs.filter(F.col("doc_id") < 500_000)
+    inc1 = docs.filter(F.col("doc_id") >= 500_000)
+    root = str(tmp_path_factory.mktemp("reconcile_1m"))
+    release, sig = f"{root}/rel", f"{root}/sig"
+    os.makedirs(sig)
+    # released ids = the per-increment exact-dedup survivors: all
+    # unique docs, plus ONE copy per template in increment 1
+    inc0.select("doc_id").coalesce(8).write.parquet(
+        f"{release}/batch=0"
+    )
+    rel1 = inc1.filter(
+        (F.col("doc_id") < dup_cut)
+        | (F.col("doc_id") < dup_cut + N_TEMPLATES)
+    )
+    rel1.select("doc_id").coalesce(8).write.parquet(
+        f"{release}/batch=1"
+    )
+    t0 = time.time()
+    out = release_neardup_reconcile(
+        spark, [(0, inc0), (1, inc1)], release, sig
+    )
+    rows = out.collect()
+    wall = time.time() - t0
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in rows
+        if r.exact_dup and r.n_shared_bands == 4
+    }
+    for t in range(N_TEMPLATES):
+        assert (t, dup_cut + t) in exact
+    # candidate volume is linear in true dups, not in corpus size
+    assert len(rows) < 10_000
+    shutil.rmtree(root, ignore_errors=True)
+    print(
+        f"release_neardup_reconcile @1M: {wall:.1f}s "
+        f"pairs={len(rows)} exact={len(exact)}"
+    )
