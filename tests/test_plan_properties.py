@@ -523,3 +523,15 @@ def test_corpus_build_funnel_reads_checkpoints_not_corpus(spark):
     assert _op_count(plan, "FlatMapGroupsInPandas") == 1
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_apply_trained_reads_checkpoints_not_corpus(spark):
+    # classifier_apply_trained's deployment contract: the per-source
+    # aggregate reads ONLY two checkpointed relations — the carry-
+    # widened feature relation and the step-k weight state — so
+    # scoring never replays the corpus scan (the train-LR pin,
+    # deployment edition) and stays pure JVM column arithmetic
+    plan = _plan(spark, "classifier_apply_trained")
+    assert "Python" not in plan
+    assert _op_count(plan, "Scan parquet") == 0
+    assert _op_count(plan, "Scan ExistingRDD") == 2

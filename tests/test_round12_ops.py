@@ -213,3 +213,35 @@ def test_train_lr_oracle_untouched_by_carry_refactor():
     assert " kh" not in _TRAIN_LR_SQL
     assert "source" not in _TRAIN_LR_SQL
     assert _TRAIN_LR_SQL.rstrip().endswith("ORDER BY step")
+
+
+def test_reconcile_probe_plan_hint_free(spark, tmp_path):
+    """The registry entry returns an eager checkpoint, so the global
+    scale-killer sweep can't see the probe's joins — pin them here on
+    the LAZY relation: the store probe and the released-ids semi-join
+    must carry no forced-broadcast hints (survivor id sets and
+    signature stores are corpus-scale; Catalyst stats decide), no
+    Python, and no cartesian product."""
+    release = str(tmp_path / "rel")
+    sig = str(tmp_path / "sig")
+    os.makedirs(sig)
+    incs = []
+    for b, i0 in ((0, 0), (1, 1000)):
+        d = spark.createDataFrame(_mk_clean(i0, 8), DOCS_SCHEMA)
+        asg = funnel.release_assignments(d)
+        write_assigned_shards(
+            asg,
+            f"{release}/batch={b}",
+            funnel.RELEASE_N_SHARDS,
+            order_cols=("source", "seq_id", "doc_id"),
+        )
+        incs.append((b, d))
+    out = funnel.release_neardup_reconcile(spark, incs, release, sig)
+    assert "ResolvedHint" not in out._jdf.queryExecution().logical().toString()
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
