@@ -512,7 +512,13 @@ def release_neardup_reconcile(
     corpus-scale broadcast anywhere (survivor id sets and signature
     relations grow with the corpus; the SCALING.md 6e census
     classes), and the store grows as bands rows/doc of ~40-byte
-    keys.
+    keys. The per-increment survivor checkpoint exists so the two
+    text consumers (signature chain + content hash) share ONE
+    semi-join/text-shuffle; its references are dropped when the
+    increment's write completes, so ContextCleaner reclaims each
+    increment's blocks as the next one runs — pinned storage is
+    bounded by ~one increment of survivor text, never the whole
+    release.
 
     Output: (batch_a, doc_a, batch_b, doc_b, n_shared_bands,
     exact_dup), batch_a < batch_b, ordered.
@@ -527,11 +533,20 @@ def release_neardup_reconcile(
             "increments must be (batch_id, docs) in ascending batch "
             f"order without repeats, got {ids}"
         )
+    # Explicit read schemas everywhere: an increment whose funnel
+    # dropped EVERY doc leaves a fileless batch=<id> directory
+    # (partitionBy of an empty relation writes only _SUCCESS), and
+    # schema INFERENCE over it throws UNABLE_TO_INFER_SCHEMA — an
+    # all-junk increment must contribute zero pairs, not abort the
+    # job and lose every other increment's candidates.
+    rel_schema = "doc_id long, batch long"
+    sig_schema = "doc_id long, band int, band_key string, ch string"
     results = []
     for n_seen, (b, docs_b) in enumerate(increments):
         b = int(b)
         released = (
-            spark.read.parquet(release_path)
+            spark.read.schema(rel_schema)
+            .parquet(release_path)
             .filter(F.col("batch") == b)
             .select("doc_id")
         )
@@ -574,14 +589,19 @@ def release_neardup_reconcile(
         )
         if n_seen == 0:
             continue
-        own = spark.read.parquet(f"{sig_path}/batch={b}").select(
-            F.col("doc_id").alias("doc_b"),
-            "band",
-            "band_key",
-            F.col("ch").alias("ch_b"),
+        own = (
+            spark.read.schema(f"{sig_schema}, sb long")
+            .parquet(f"{sig_path}/batch={b}")
+            .select(
+                F.col("doc_id").alias("doc_b"),
+                "band",
+                "band_key",
+                F.col("ch").alias("ch_b"),
+            )
         )
         store = (
-            spark.read.parquet(sig_path)
+            spark.read.schema(f"{sig_schema}, sb long, batch long")
+            .parquet(sig_path)
             .filter(F.col("batch") < b)
             .select(
                 F.col("batch").cast("long").alias("batch_a"),

@@ -117,6 +117,30 @@ star AS (
 )
 """
 
+# The Carter-Wegman hash → 16-seed signature → 4-band key sub-chain
+# (everything downstream of an `eg(doc_id, gram)` shingle relation) —
+# the ONE definition of the MinHash family both the pair oracle here
+# and the round-12 reconcile oracle compose, so the hash family and
+# band width cannot silently diverge between oracles (byte-identity
+# of _MINHASH_PAIRS_SQL under the extraction is pinned in
+# tests/test_round12_ops.py).
+_SIG_KEYS_CTES = r"""hh AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(gram), 1, 8))::BIGINT AS g1,
+         ('0x' || substring(md5(gram), 9, 8))::BIGINT AS g2
+  FROM eg
+),
+sig AS (
+  SELECT doc_id, seed, min((g1 + seed * g2) % 4294967296) AS minhash
+  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, seed
+),
+keys AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         array_to_string(list(minhash ORDER BY seed), '|') AS band_key
+  FROM sig GROUP BY doc_id, band
+)"""
+
 _MINHASH_PAIRS_SQL = r"""
 WITH
 """ + _EXACT_COLLAPSE_CTE.strip() + r""",
@@ -135,22 +159,7 @@ grams AS (
   FROM norm
 ),
 eg AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
-hh AS (
-  SELECT doc_id,
-         ('0x' || substring(md5(gram), 1, 8))::BIGINT AS g1,
-         ('0x' || substring(md5(gram), 9, 8))::BIGINT AS g2
-  FROM eg
-),
-sig AS (
-  SELECT doc_id, seed, min((g1 + seed * g2) % 4294967296) AS minhash
-  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
-  GROUP BY doc_id, seed
-),
-keys AS (
-  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-         array_to_string(list(minhash ORDER BY seed), '|') AS band_key
-  FROM sig GROUP BY doc_id, band
-)
+""" + _SIG_KEYS_CTES + r"""
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared_bands
 FROM keys a

@@ -68,11 +68,15 @@ def _batch_survivor_chain(b: int) -> str:
 
 def _survivor_keys_cte(b: int) -> str:
     """Per-survivor MinHash band keys + normalized content hash for
-    increment `b` — the _MINHASH_PAIRS_SQL sig/keys chain (16
-    Carter-Wegman hashes from one md5 per shingle, 4 bands of 4)
-    over the docs s{b} released. md5 here vs sha256 engine-side is
+    increment `b` — composes oracles_dedup._SIG_KEYS_CTES (the ONE
+    definition of the 16-hash/4-band family, shared with
+    _MINHASH_PAIRS_SQL so the two oracles cannot diverge) over the
+    docs s{b} released. md5 here vs sha256 engine-side is
     equivalent: both sides only test content-hash EQUALITY."""
-    return rf"""
+    from iceberg_diag_spark.plans.oracles_dedup import _SIG_KEYS_CTES
+
+    return (
+        rf"""
 k{b} AS MATERIALIZED (
   WITH sdocs AS (
     SELECT d.doc_id,
@@ -92,25 +96,13 @@ k{b} AS MATERIALIZED (
       ELSE [] END) AS gram
     FROM norm
   ),
-  hh AS (
-    SELECT doc_id,
-           ('0x' || substring(md5(gram), 1, 8))::BIGINT AS g1,
-           ('0x' || substring(md5(gram), 9, 8))::BIGINT AS g2
-    FROM eg
-  ),
-  sig AS (
-    SELECT doc_id, seed, min((g1 + seed * g2) % 4294967296) AS minhash
-    FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
-    GROUP BY doc_id, seed
-  ),
-  keys AS (
-    SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-           array_to_string(list(minhash ORDER BY seed), '|') AS band_key
-    FROM sig GROUP BY doc_id, band
-  )
+  """
+        + _SIG_KEYS_CTES
+        + """
   SELECT k.doc_id, k.band, k.band_key, n.ch
   FROM keys k JOIN norm n USING (doc_id)
 )"""
+    )
 
 
 _RECONCILE_SQL = (

@@ -245,3 +245,68 @@ def test_reconcile_probe_plan_hint_free(spark, tmp_path):
     )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_pairs_sql_untouched_by_fragment_extraction():
+    # _SIG_KEYS_CTES extraction must recompose _MINHASH_PAIRS_SQL
+    # byte-identically — the fragment exists so the reconcile oracle
+    # and the pair oracle share ONE hash-family definition
+    from iceberg_diag_spark.plans.oracles_dedup import (
+        _MINHASH_PAIRS_SQL,
+        _SIG_KEYS_CTES,
+    )
+
+    assert _SIG_KEYS_CTES in _MINHASH_PAIRS_SQL
+    assert _MINHASH_PAIRS_SQL.count("4294967296") == 1
+
+
+def test_reconcile_survives_all_dropped_increment(spark, tmp_path):
+    """An increment whose funnel dropped EVERY doc (all-junk batch)
+    leaves a fileless batch=<id> release/signature directory — the
+    reconcile must emit zero pairs for it and keep every other
+    increment's candidates, not abort on schema inference."""
+    release = str(tmp_path / "rel")
+    sig = str(tmp_path / "sig")
+    os.makedirs(sig)
+    good0 = spark.createDataFrame(
+        _mk_clean(0, 8) + [(200, f"{SHARED_EXACT}", "en", "web", 99)],
+        DOCS_SCHEMA,
+    )
+    # increment 1: junk that fails the quality gate (no stopwords,
+    # symbol soup) -> zero released docs -> fileless batch dir
+    junk = [
+        (1000 + i, "@@@ %% ## !! " * 10, "en", "web", 120)
+        for i in range(5)
+    ]
+    junk1 = spark.createDataFrame(junk, DOCS_SCHEMA)
+    good2 = spark.createDataFrame(
+        _mk_clean(2000, 8) + [(2200, f"{SHARED_EXACT}", "en", "web", 99)],
+        DOCS_SCHEMA,
+    )
+    incs = []
+    for b, d in ((0, good0), (1, junk1), (2, good2)):
+        asg = funnel.release_assignments(d)
+        write_assigned_shards(
+            asg,
+            f"{release}/batch={b}",
+            funnel.RELEASE_N_SHARDS,
+            order_cols=("source", "seq_id", "doc_id"),
+        )
+        incs.append((b, d))
+    assert (
+        spark.read.schema("doc_id long")
+        .parquet(f"{release}/batch=1")
+        .count()
+        == 0
+    )
+    rows = sorted(
+        tuple(r)
+        for r in funnel.release_neardup_reconcile(
+            spark, incs, release, sig
+        ).collect()
+    )
+    pairs = {(ba, da, bb, db) for ba, da, bb, db, _, _ in rows}
+    # the split exact pair spanning the two GOOD increments is still
+    # caught; the junk increment contributes nothing
+    assert (0, 200, 2, 2200) in pairs
+    assert all(ba != 1 and bb != 1 for ba, _, bb, _ in pairs)

@@ -833,10 +833,10 @@ def test_release_neardup_reconcile_at_1m(spark, tmp_path_factory):
     inc0.select("doc_id").coalesce(8).write.parquet(
         f"{release}/batch=0"
     )
-    rel1 = inc1.filter(
-        (F.col("doc_id") < dup_cut)
-        | (F.col("doc_id") < dup_cut + N_TEMPLATES)
-    )
+    # ids 500k..dup_cut-1 are the unique docs; dup_cut..dup_cut+99
+    # are the first copy of each template (id dup_cut+t has template
+    # t), i.e. exactly the survivors per-increment exact dedup keeps
+    rel1 = inc1.filter(F.col("doc_id") < dup_cut + N_TEMPLATES)
     rel1.select("doc_id").coalesce(8).write.parquet(
         f"{release}/batch=1"
     )
