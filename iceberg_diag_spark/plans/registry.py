@@ -511,14 +511,17 @@ def _eval_order(item: tuple[str, QuerySpec]) -> float:
     tail. Keep new oracled entries <=2-3 per round so the r8 cohort
     clears by r14 and nothing drifts past the five-round bound.
 
-    SMJ census (r11, 263 plans — it predates ivf_probe_topk, whose
-    query x index join keys on list_id: a genuine big-big join when
-    the query panel is the whole corpus, un-hinted by design; r12's
-    two additions keep SMJ where it belongs — reconcile's store
-    probe is a corpus-scale band_key join, apply's scoring reuses
-    the trainer's 1-row broadcast weight states): after the backlog
-    clear + the source_vocab_tv/semantic_dedup metadata-join hints,
-    exactly 8 plans keep SortMergeJoins and ALL are genuine big-big
+    SMJ census RE-RUN at r12 HEAD over ALL 266 entries (242
+    non-streaming plans built and explained; the r11 census's 263
+    plus ivf_probe_topk — whose query x index join keys on list_id,
+    a genuine big-big join when the query panel is the whole corpus,
+    un-hinted by design — and the two r12 additions, whose joins are
+    likewise un-hinted: reconcile's store probe is a corpus-scale
+    band_key join that correctly broadcasts at test scale via stats
+    and SMJs at corpus scale, apply's scoring reuses the trainer's
+    1-row broadcast weight states): after the backlog clear + the
+    source_vocab_tv/semantic_dedup metadata-join hints, exactly the
+    SAME 8 plans keep SortMergeJoins and ALL are genuine big-big
     joins — corpus_snapshot_diff (two snapshots, full-outer),
     crossmodal/dedup_method_agreement (two production dedup
     pipelines, ids-only outer), join_selectivity_audit (the join it
