@@ -511,8 +511,10 @@ def release_neardup_reconcile(
     only, one bucketed store join on the uniform band_key — no
     corpus-scale broadcast anywhere (survivor id sets and signature
     relations grow with the corpus; the SCALING.md 6e census
-    classes), and the store grows as bands rows/doc of ~40-byte
-    keys. The per-increment survivor checkpoint exists so the two
+    classes), and the store grows as bands rows/doc of ~120 bytes
+    each (a ~44-char band key plus the 64-char content hash, carried
+    per row so the probe stays a single join-free file read —
+    ~500 B/doc total, microscopic next to the text it indexes). The per-increment survivor checkpoint exists so the two
     text consumers (signature chain + content hash) share ONE
     semi-join/text-shuffle; its references are dropped when the
     increment's write completes, so ContextCleaner reclaims each
