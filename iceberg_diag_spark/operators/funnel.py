@@ -578,7 +578,9 @@ def release_neardup_reconcile(
         )
         write_assigned_shards(
             keys.select(
-                "doc_id",
+                # cast pins the written type to the read schema below
+                # whatever integer width the caller's doc_id carries
+                F.col("doc_id").cast("long").alias("doc_id"),
                 "band",
                 "band_key",
                 "ch",
@@ -606,7 +608,7 @@ def release_neardup_reconcile(
             .parquet(sig_path)
             .filter(F.col("batch") < b)
             .select(
-                F.col("batch").cast("long").alias("batch_a"),
+                F.col("batch").alias("batch_a"),
                 F.col("doc_id").alias("doc_a"),
                 "band",
                 "band_key",

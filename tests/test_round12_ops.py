@@ -310,3 +310,37 @@ def test_reconcile_survives_all_dropped_increment(spark, tmp_path):
     # caught; the junk increment contributes nothing
     assert (0, 200, 2, 2200) in pairs
     assert all(ba != 1 and bb != 1 for ba, _, bb, _ in pairs)
+
+
+def test_reconcile_accepts_int_doc_ids(spark, tmp_path):
+    """A caller whose docs carry IntegerType doc_id must reconcile
+    cleanly: the signature write casts to long so the written files
+    always match the fixed read schema (int32 parquet under a
+    declared-long read schema is a mid-job crash otherwise)."""
+    release = str(tmp_path / "rel")
+    sig = str(tmp_path / "sig")
+    os.makedirs(sig)
+    schema_int = (
+        "doc_id int, text string, lang string, source string, "
+        "n_chars long"
+    )
+    incs = []
+    for b, i0 in ((0, 0), (1, 1000)):
+        rows = _mk_clean(i0, 8) + [
+            (i0 + 500, f"{SHARED_EXACT}", "en", "web", 99)
+        ]
+        d = spark.createDataFrame(rows, schema_int)
+        asg = funnel.release_assignments(d)
+        write_assigned_shards(
+            asg,
+            f"{release}/batch={b}",
+            funnel.RELEASE_N_SHARDS,
+            order_cols=("source", "seq_id", "doc_id"),
+        )
+        incs.append((b, d))
+    rows = funnel.release_neardup_reconcile(
+        spark, incs, release, sig
+    ).collect()
+    assert any(
+        r.doc_a == 500 and r.doc_b == 1500 and r.exact_dup for r in rows
+    )
