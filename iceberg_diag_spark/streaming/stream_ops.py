@@ -723,6 +723,7 @@ def stream_export_shards(
     n_shards: int = 8,
     seed: int = 42,
     id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
 ):
     """Streaming ingest → training shards: route each micro-batch
     through the SAME deterministic shard assignment as the batch
@@ -760,7 +761,9 @@ def stream_export_shards(
             .parquet(f"{path}/batch={int(batch_id)}")
         )
 
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_shard_export_")
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(
+        prefix="ckpt_shard_export_"
+    )
     return (
         docs_stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
@@ -1047,7 +1050,9 @@ def cdc_merge_stream(events: DataFrame) -> DataFrame:
 
 
 def sli_burn_rate_stream(
-    events_stream: DataFrame, rollup_path: str
+    events_stream: DataFrame,
+    rollup_path: str,
+    checkpoint_dir: str | None = None,
 ):
     """Streaming twin of events.sli_burn_rate — the live SRE burn-rate
     dashboard, built with the accumulated-rollup idiom (the streaming
@@ -1081,7 +1086,9 @@ def sli_burn_rate_stream(
             .parquet(f"{rollup_path}/batch={int(batch_id)}")
         )
 
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_sli_burn_")
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(
+        prefix="ckpt_sli_burn_"
+    )
     return (
         events_stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
@@ -1114,7 +1121,10 @@ def run_sli_burn_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     events directory (availableNow) and return the final burn table —
     the relation the driver hash-checks against the batch oracle."""
     rollup = tempfile.mkdtemp(prefix="sli_rollup_")
-    q = sli_burn_rate_stream(read_events_stream(spark, sf_dir), rollup)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sli_burn_")
+    q = sli_burn_rate_stream(
+        read_events_stream(spark, sf_dir), rollup, checkpoint_dir=ckpt
+    )
     try:
         if not q.awaitTermination(STREAM_DRAIN_TIMEOUT_SECS):
             raise TimeoutError(
@@ -1127,11 +1137,14 @@ def run_sli_burn_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     shutil.rmtree(rollup, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
 
 def seasonality_profile_stream(
-    events_stream: DataFrame, rollup_path: str
+    events_stream: DataFrame,
+    rollup_path: str,
+    checkpoint_dir: str | None = None,
 ):
     """Streaming twin of events.seasonality_profile (twin #21) — the
     live weekly-baseline builder, via the same accumulated-rollup
@@ -1157,7 +1170,9 @@ def seasonality_profile_stream(
             .parquet(f"{rollup_path}/batch={int(batch_id)}")
         )
 
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_seasonality_")
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(
+        prefix="ckpt_seasonality_"
+    )
     return (
         events_stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
@@ -1190,8 +1205,9 @@ def run_seasonality_profile_stream(
     profile — the relation the driver hash-checks against the batch
     oracle."""
     rollup = tempfile.mkdtemp(prefix="seasonality_rollup_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_seasonality_")
     q = seasonality_profile_stream(
-        read_events_stream(spark, sf_dir), rollup
+        read_events_stream(spark, sf_dir), rollup, checkpoint_dir=ckpt
     )
     try:
         if not q.awaitTermination(STREAM_DRAIN_TIMEOUT_SECS):
@@ -1205,6 +1221,7 @@ def run_seasonality_profile_stream(
         eager=True
     )
     shutil.rmtree(rollup, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
 
@@ -1213,6 +1230,7 @@ def corpus_release_stream(
     release_path: str,
     n_shards: int | None = None,
     capacity_tokens: int | None = None,
+    checkpoint_dir: str | None = None,
 ):
     """Streaming twin #22: INCREMENTAL corpus release — production
     releases append; this folds each micro-batch's funnel survivors
@@ -1268,7 +1286,9 @@ def corpus_release_stream(
             order_cols=("source", "seq_id", "doc_id"),
         )
 
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_corpus_release_")
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(
+        prefix="ckpt_corpus_release_"
+    )
     return (
         docs_stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
@@ -1311,8 +1331,11 @@ def run_corpus_release_stream(
     accumulated manifest; equals corpus_release_manifest, the relation
     the driver hash-checks against the shared batch oracle."""
     release = tempfile.mkdtemp(prefix="corpus_release_stream_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_corpus_release_")
     q = corpus_release_stream(
-        read_documents_stream(spark, sf_dir), release
+        read_documents_stream(spark, sf_dir),
+        release,
+        checkpoint_dir=ckpt,
     )
     try:
         if not q.awaitTermination(STREAM_DRAIN_TIMEOUT_SECS):
@@ -1326,4 +1349,5 @@ def run_corpus_release_stream(
         eager=True
     )
     shutil.rmtree(release, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return out
