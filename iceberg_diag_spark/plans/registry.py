@@ -449,13 +449,17 @@ _R11_GREEN = {
 }
 
 # Round-12 value-invariant refactors whose green rows still vouch:
-# classifier_train_lr's GD loop was EXTRACTED (textops.
+# (a) classifier_train_lr's GD loop was EXTRACTED (textops.
 # _lr_gd_trajectory) for classifier_apply_trained to share — oracle
 # SQL byte-identical (asserted in test_round12_ops), plan identical,
-# local sf0.001+sf0.01 parity re-verified. Per the r11 deviation
-# lesson, r12 spends its slots on the r6/r7 rotation instead of
-# re-scoring provably-unchanged plans; classifier_train_lr re-scores
-# r13 with the normal r11-green tail rotation.
+# local sf0.001+sf0.01 parity re-verified; (b) the streaming drain
+# helpers (stream_corpus_release, stream_sli_burn_rate,
+# stream_seasonality_profile) now create AND remove their foreachBatch
+# checkpoint dirs — checkpoint location is not observable in any
+# result relation, drains re-verified parity-green. Per the r11
+# deviation lesson, r12 spends its slots on the r6/r7 rotation
+# instead of re-scoring provably-unchanged plans; all of the above
+# re-score with their normal tail rotation.
 _MODIFIED_R12: set[str] = set()
 
 # Spark-side plans changed in round 11 with UNCHANGED oracles — the
