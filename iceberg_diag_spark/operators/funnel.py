@@ -53,6 +53,7 @@ is whitespace tokens surviving the stage (stage 5's equals stage 4's
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -470,8 +471,17 @@ def release_neardup_reconcile(
     documents: per-increment dedup defers duplicate pairs SPLIT
     ACROSS increments to this job).
 
-    `increments` is the ordered sequence of (batch_id, raw docs of
-    that increment) the release was built from. For each increment,
+    `increments` is an ordered sequence of (batch_id, raw docs of
+    that increment) — either the FULL sequence the release was built
+    from (replay/audit usage: every increment's signatures recompute
+    and overwrite idempotently) or ONLY the increments not yet
+    reconciled, typically just the newest one (the incremental
+    production usage: prior increments are probed from the persisted
+    signature store, so each increment's text is read and signed
+    exactly once over the release's life). Both are in-contract —
+    the store probe runs for EVERY increment passed, including the
+    first of the call (a genuinely-first increment probes an empty
+    `batch < id` slice and contributes nothing). For each increment,
     ascending:
       1. its released survivors come FROM THE WRITTEN RELEASE —
          the batch=<id> directory's doc_ids (partition-pruned read),
@@ -494,7 +504,17 @@ def release_neardup_reconcile(
          exactly the in-increment banding guarantee. Signatures are
          computed ONCE per increment ever (step 2's write) and
          probed from disk, so increment N+1 never re-reads prior
-         increments' text.
+         increments' text (pass only new increments to realize
+         this — a full-sequence replay re-signs everything it is
+         given, by design).
+
+    `sig_path` must be DEDICATED to one release lineage: batch ids
+    found in the store that are neither in the written release nor
+    in this call's increments mean the directory holds another
+    lineage's signatures (a renumbered or recomposed release), whose
+    rows would surface as phantom candidate pairs — the call
+    validates this up front (two bounded partition-column distincts)
+    and refuses rather than emitting wrong pairs.
 
     An exact cross-batch duplicate (same normalized text landing in
     two increments — per-increment exact dedup cannot see it)
@@ -543,8 +563,42 @@ def release_neardup_reconcile(
     # job and lose every other increment's candidates.
     rel_schema = "doc_id long, batch long"
     sig_schema = "doc_id long, band int, band_key string, ch string"
+
+    # Lineage guard: a reused sig_path holding batch dirs from a
+    # DIFFERENT release composition would contribute phantom pairs
+    # (the idempotent overwrite only protects batch ids present in
+    # this call). Store batches must all be accounted for by the
+    # written release or by this call's increments. Both distincts
+    # touch only the partition column (footer row counts, no data
+    # pages) and collect at most one row per increment ever written.
+    def _batch_ids(path: str, schema: str) -> set[int]:
+        try:
+            return {
+                r["batch"]
+                for r in spark.read.schema(schema)
+                .parquet(path)
+                .select("batch")
+                .distinct()
+                .collect()
+            }
+        except AnalysisException:
+            return set()  # store not created yet — first call
+
+    store_batches = _batch_ids(sig_path, f"{sig_schema}, sb long, batch long")
+    if store_batches:
+        release_batches = _batch_ids(release_path, rel_schema)
+        foreign = store_batches - release_batches - set(ids)
+        if foreign:
+            raise ValueError(
+                f"sig_path {sig_path!r} holds signature batches "
+                f"{sorted(foreign)} that are neither in the written "
+                "release nor in this call's increments — the store "
+                "must be dedicated to one release lineage (clear it "
+                "when the increment composition changes)"
+            )
+
     results = []
-    for n_seen, (b, docs_b) in enumerate(increments):
+    for b, docs_b in increments:
         b = int(b)
         released = (
             spark.read.schema(rel_schema)
@@ -591,8 +645,11 @@ def release_neardup_reconcile(
             shard_col="sb",
             order_cols=("band", "band_key", "doc_id"),
         )
-        if n_seen == 0:
-            continue
+        # Probe UNCONDITIONALLY — "first increment of this call" is
+        # not "first increment ever" (incremental callers pass only
+        # the new batch). For a genuinely-first increment the
+        # batch < b partition filter prunes to zero files and the
+        # probe contributes nothing.
         own = (
             spark.read.schema(f"{sig_schema}, sb long")
             .parquet(f"{sig_path}/batch={b}")
@@ -643,3 +700,185 @@ def release_neardup_reconcile(
     for r in results[1:]:
         out = out.unionByName(r)
     return out.orderBy("batch_b", "batch_a", "doc_a", "doc_b")
+
+
+RELEASE_FILE_SCHEMA = "source string, doc_id long, n_tokens long, seq_id long"
+
+
+def release_retraction_apply(
+    spark,
+    pairs: DataFrame,
+    release_path: str,
+    n_shards: int = RELEASE_N_SHARDS,
+    min_shared_bands: int = 1,
+) -> DataFrame:
+    """Advisor-EXECUTING pattern #9 — apply the retraction
+    release_neardup_reconcile names: every cross-batch candidate pair
+    designates the LATER batch's document (doc_b) for retraction
+    (released increments are immutable; the earlier copy stays), and
+    this sink REMOVES those documents from the written release,
+    surgically, then re-derives the per-batch manifest FROM THE
+    WRITTEN FILES and returns it as a retraction ledger.
+
+    Surgical means partition-pruned at both levels: only batches that
+    actually lose a document are opened, and within a batch only the
+    shard=K directories holding a retracted doc are rewritten
+    (sinks.write_assigned_shards dynamic partition overwrite —
+    sibling shards are never read, never rewritten, byte-untouched).
+    A rewritten shard keeps the release sink's deterministic
+    repartition + sort, so it is byte-identical to a fresh build of
+    its surviving rows. A shard whose every row is retracted cannot
+    be replaced by a dynamic overwrite (no rows land in it), so its
+    directory is dropped explicitly (sinks.delete_path, Hadoop FS —
+    works on any filesystem the release lives on).
+
+    Surviving rows keep their original seq_id: re-packing after a
+    retraction would cascade new sequence boundaries across every
+    doc after the hole, rewriting (and invalidating downstream
+    caches of) entire shards to save a few padding tokens — a
+    sequence simply runs short, which every dataloader already
+    handles at shard tails. The ledger's n_seqs_after counts the
+    sequences that still hold at least one doc.
+
+    Replay-safe: a retraction list names doc ids, the removal is an
+    anti-join, and the rewrite is deterministic — re-applying the
+    same pairs finds n_retracted = 0 (nothing present to remove) and
+    rewrites nothing (no shard holds a retracted doc). Idempotence
+    is pytest-pinned, as is sibling-shard byte-identity.
+
+    At 100 TB: the pair relation is candidate-pair-scale — it is
+    NEVER broadcast (the 6e census class; both the presence join and
+    the anti-join are left to Catalyst stats). Cost is one
+    metadata-light pass over the release (the presence join + per-
+    (batch, shard) aggregate, collected at partition granularity —
+    bounded by #batches x n_shards, not by rows), then one read +
+    anti-join + write per AFFECTED shard only, then one manifest
+    re-aggregation pass over the written files. The per-batch
+    survivor checkpoint before each rewrite is the staging copy any
+    transactional rewrite pays (you cannot overwrite parquet you are
+    lazily still reading), bounded by one batch's affected shards.
+
+    Output per batch (every batch of the release, retracted or not):
+    (batch, n_docs_before, n_retracted, n_docs_after, n_seqs_after,
+    n_tokens_before, n_tokens_retracted, n_tokens_after,
+    members_xor_after, members_xor2_after), ordered by batch. The
+    after-columns are recomputed from what is on disk after the
+    rewrite — the ledger vouches for the files, not for the plan.
+    """
+    from iceberg_diag_spark.operators.sampling import membership_checksums
+    from iceberg_diag_spark.sources.sinks import (
+        delete_path,
+        write_assigned_shards,
+    )
+
+    if min_shared_bands < 1:
+        raise ValueError("min_shared_bands must be >= 1")
+    retract = (
+        pairs.filter(F.col("n_shared_bands") >= min_shared_bands)
+        .select(
+            F.col("batch_b").cast("long").alias("batch"),
+            F.col("doc_b").cast("long").alias("doc_id"),
+        )
+        .distinct()
+        .withColumn("_rt", F.lit(True))
+        .localCheckpoint(eager=True)
+    )
+    full_schema = f"{RELEASE_FILE_SCHEMA}, shard long, batch long"
+    pre = spark.read.schema(full_schema).parquet(release_path)
+    # ONE pre-rewrite pass: per-(batch, shard) doc/token totals plus
+    # how many of them the retraction list names. Eagerly
+    # materialized BEFORE any file is touched — everything "before"
+    # in the ledger reads from this checkpoint, never from
+    # already-rewritten files.
+    grp = (
+        pre.join(retract, ["batch", "doc_id"], "left")
+        .groupBy("batch", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_rt"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_retracted"),
+            F.sum(F.when(F.col("_rt"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tokens_retracted"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # Partition-granularity decision rows: bounded by
+    # #batches x n_shards regardless of corpus size.
+    affected = grp.filter(F.col("n_retracted") > 0).collect()
+    by_batch: dict[int, list] = {}
+    for r in affected:
+        by_batch.setdefault(int(r["batch"]), []).append(r)
+    for b in sorted(by_batch):
+        rows = by_batch[b]
+        shards = [int(r["shard"]) for r in rows]
+        cur = (
+            spark.read.schema(f"{RELEASE_FILE_SCHEMA}, shard long")
+            .parquet(f"{release_path}/batch={b}")
+            .filter(F.col("shard").isin(shards))
+        )
+        kept = cur.join(
+            retract.filter(F.col("batch") == b).select("doc_id"),
+            "doc_id",
+            "anti",
+        ).select("source", "doc_id", "n_tokens", "seq_id", "shard")
+        # break lineage: the write below replaces files `kept` reads
+        kept = kept.localCheckpoint(eager=True)
+        write_assigned_shards(
+            kept,
+            f"{release_path}/batch={b}",
+            n_shards,
+            order_cols=("source", "seq_id", "doc_id"),
+            dynamic=True,
+        )
+        for r in rows:
+            if int(r["n_docs"]) == int(r["n_retracted"]):
+                delete_path(
+                    spark,
+                    f"{release_path}/batch={b}/shard={int(r['shard'])}",
+                )
+    before = grp.groupBy("batch").agg(
+        F.sum("n_docs").cast("long").alias("n_docs_before"),
+        F.sum("n_retracted").cast("long").alias("n_retracted"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_before"),
+        F.sum("tokens_retracted").cast("long").alias("n_tokens_retracted"),
+    )
+    x1, x2 = membership_checksums(F.col("doc_id"))
+    after = (
+        spark.read.schema(full_schema)
+        .parquet(release_path)
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_after"),
+            F.countDistinct("shard", "source", "seq_id")
+            .cast("long")
+            .alias("n_seqs_after"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_after"),
+            x1.alias("members_xor_after"),
+            x2.alias("members_xor2_after"),
+        )
+    )
+    return (
+        before.join(after, "batch", "left")
+        .select(
+            "batch",
+            "n_docs_before",
+            "n_retracted",
+            F.coalesce(F.col("n_docs_after"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_after"),
+            F.coalesce(F.col("n_seqs_after"), F.lit(0))
+            .cast("long")
+            .alias("n_seqs_after"),
+            "n_tokens_before",
+            "n_tokens_retracted",
+            F.coalesce(F.col("n_tokens_after"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens_after"),
+            "members_xor_after",
+            "members_xor2_after",
+        )
+        .orderBy("batch")
+    )

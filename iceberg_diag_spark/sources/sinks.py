@@ -211,6 +211,7 @@ def write_assigned_shards(
     shard_col: str = "shard",
     order_cols: tuple[str, ...] = ("doc_id",),
     mode: str = "overwrite",
+    dynamic: bool = False,
 ) -> None:
     """Materialize a relation that already CARRIES its shard
     assignment (e.g. funnel.release_assignments, where membership is a
@@ -223,15 +224,39 @@ def write_assigned_shards(
     deterministic row order, so a re-run of the same release is
     byte-stable (the manifest's membership digests are order-free, but
     byte-stable files make releases diffable).
+
+    ``dynamic=True`` switches overwrite to DYNAMIC partition
+    overwrite: only the shard=K directories PRESENT in `df` are
+    replaced; every other shard under `path` is left untouched on
+    disk — the surgical-rewrite mode release_retraction_apply uses so
+    retracting from one shard never rewrites (or even reads) its
+    siblings. Same repartition + sortWithinPartitions, so a rewritten
+    shard holding the same rows as a fresh build is byte-identical.
     """
     from pyspark.sql import functions as F
 
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
-    (
+    writer = (
         df.repartition(n_shards, F.col(shard_col))
         .sortWithinPartitions(shard_col, *order_cols)
         .write.mode(mode)
-        .partitionBy(shard_col)
-        .parquet(path)
     )
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy(shard_col).parquet(path)
+
+
+def delete_path(spark: SparkSession, path: str) -> bool:
+    """Recursively delete `path` through the Hadoop FileSystem API —
+    works on any filesystem Spark can write to (local, HDFS, object
+    stores), unlike a driver-local shutil.rmtree. Used by the
+    executing sinks for partitions their rewrite empties entirely
+    (dynamic partition overwrite only replaces partitions PRESENT in
+    the written data, so a partition whose every row was removed
+    must be dropped explicitly). Returns whether anything was
+    deleted."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.delete(jpath, True))

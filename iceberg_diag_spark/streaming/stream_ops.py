@@ -1125,20 +1125,22 @@ def run_sli_burn_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = sli_burn_rate_stream(
         read_events_stream(spark, sf_dir), rollup, checkpoint_dir=ckpt
     )
+    # rmtree in the finally: a drain timeout or a post-drain read
+    # failure must not leak the rollup/checkpoint dirs into /tmp.
     try:
         if not q.awaitTermination(STREAM_DRAIN_TIMEOUT_SECS):
             raise TimeoutError(
                 "sli_burn_rate_stream drain did not finish within "
                 f"{STREAM_DRAIN_TIMEOUT_SECS}s"
             )
+        q.stop()
+        return sli_burn_rate_from_rollup(spark, rollup).localCheckpoint(
+            eager=True
+        )
     finally:
         q.stop()
-    out = sli_burn_rate_from_rollup(spark, rollup).localCheckpoint(
-        eager=True
-    )
-    shutil.rmtree(rollup, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return out
+        shutil.rmtree(rollup, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def seasonality_profile_stream(
@@ -1215,14 +1217,14 @@ def run_seasonality_profile_stream(
                 "seasonality_profile_stream drain did not finish within "
                 f"{STREAM_DRAIN_TIMEOUT_SECS}s"
             )
+        q.stop()
+        return seasonality_from_rollup(spark, rollup).localCheckpoint(
+            eager=True
+        )
     finally:
         q.stop()
-    out = seasonality_from_rollup(spark, rollup).localCheckpoint(
-        eager=True
-    )
-    shutil.rmtree(rollup, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return out
+        shutil.rmtree(rollup, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def corpus_release_stream(
@@ -1343,11 +1345,11 @@ def run_corpus_release_stream(
                 "corpus_release_stream drain did not finish within "
                 f"{STREAM_DRAIN_TIMEOUT_SECS}s"
             )
+        q.stop()
+        return release_manifest_from_stream(spark, release).localCheckpoint(
+            eager=True
+        )
     finally:
         q.stop()
-    out = release_manifest_from_stream(spark, release).localCheckpoint(
-        eager=True
-    )
-    shutil.rmtree(release, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return out
+        shutil.rmtree(release, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
