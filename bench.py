@@ -260,6 +260,7 @@ HEADLINE = [
     "ivf_probe_topk",
     "release_neardup_reconcile",
     "classifier_apply_trained",
+    "release_retraction_apply",
 ]
 
 # HEADLINE membership is TOTAL: every registry entry is either timed

@@ -37,20 +37,26 @@ _BATCH_PRED = (
 )
 
 
-def _batch_survivor_chain(b: int) -> str:
+def _batch_survivor_chain(
+    b: int,
+    pdata: str = (
+        "  SELECT source, 0 AS shard, doc_id, n_tokens AS sz\n"
+        "  FROM p4 WHERE s4"
+    ),
+    final: str = "SELECT doc_id FROM p4 WHERE s4",
+) -> str:
     """The full funnel chain (quality gate → exact dedup → CC
     near-dup collapse → holdout) scoped to increment `b`'s documents,
     as a standalone nested WITH RECURSIVE subquery yielding the
     released survivor ids — exactly what the batch=<b> release
     directory holds (the _RELEASE_MANIFEST_SQL-proven chain, with
-    every `documents` reference rebound to the increment)."""
-    inner = _funnel_family_sql(
-        pdata=(
-            "  SELECT source, 0 AS shard, doc_id, n_tokens AS sz\n"
-            "  FROM p4 WHERE s4"
-        ),
-        final="SELECT doc_id FROM p4 WHERE s4",
-    )
+    every `documents` reference rebound to the increment). `pdata`
+    and `final` default to the reconcile entry's survivor-id form
+    (rendered SQL byte-identical to the pre-parameter version,
+    pinned in test_round13_ops); oracles_round13 overrides both to
+    get the per-doc release relation (real md5 shards + packed
+    seq/gid) for the retraction ledger."""
+    inner = _funnel_family_sql(pdata=pdata, final=final)
     # rebind the three `documents` scans (fnorm, and the embedded
     # exact-collapse chash/rdocs) to the increment; the aliased form
     # first so the plain replace cannot corrupt it
