@@ -386,3 +386,46 @@ def test_retraction_ledger_plan_hint_free(spark, tmp_path):
     assert "ResolvedHint" not in logical
     plan = led._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_reconcile_replay_prior_increment_with_later_store(
+    spark, tmp_path
+):
+    """Replaying an EARLIER increment while later batches already sit
+    in the store (failure -> restart mid-lineage) must re-emit
+    exactly that increment's pairs against batches BEFORE it — the
+    probe's batch < b filter ignores later store batches, and the
+    idempotent overwrite leaves the store's other batches intact."""
+    inc0 = _mk_clean(0, 8) + [(100, SHARED_EXACT, "en", "web", 1)]
+    inc1 = _mk_clean(1000, 8) + [(1100, SHARED_EXACT, "en", "web", 1)]
+    inc2 = _mk_clean(2000, 8) + [(2100, SHARED_EXACT, "en", "web", 1)]
+    release = str(tmp_path / "rel")
+    incs = _build_release(
+        spark, release, [(0, inc0), (1, inc1), (2, inc2)]
+    )
+    sig = str(tmp_path / "sig")
+    full = sorted(
+        tuple(r)
+        for r in funnel.release_neardup_reconcile(
+            spark, incs, release, sig
+        ).collect()
+    )
+    # replay increment 1 alone: only its pairs against batch 0
+    replay = sorted(
+        tuple(r)
+        for r in funnel.release_neardup_reconcile(
+            spark, incs[1:2], release, sig
+        ).collect()
+    )
+    want = sorted(t for t in full if t[2] == 1)
+    assert replay == want
+    # store intact: increment 2's incremental call still sees both
+    # earlier batches
+    again2 = sorted(
+        tuple(r)
+        for r in funnel.release_neardup_reconcile(
+            spark, incs[2:], release, sig
+        ).collect()
+    )
+    want2 = sorted(t for t in full if t[2] == 2)
+    assert again2 == want2

@@ -860,3 +860,97 @@ def test_release_neardup_reconcile_at_1m(spark, tmp_path_factory):
         f"release_neardup_reconcile @1M: {wall:.1f}s "
         f"pairs={len(rows)} exact={len(exact)}"
     )
+
+
+def test_release_retraction_apply_at_1m(spark, tmp_path_factory):
+    """Retraction sink at 1M released docs: a synthetic 2-batch
+    release (8 shards each, the production write_assigned_shards
+    layout) loses 1,000 docs of batch 1. Asserts the ledger's
+    files-derived counts, that UNAFFECTED shard files are not even
+    touched (same name, size, mtime — the dynamic-overwrite
+    surgical-rewrite contract at scale), replay idempotence, and
+    prints the wall. The decision collects are partition-granular
+    (<= batches x shards rows), so the wall must stay flat in corpus
+    size — this is the smoke that would catch a per-row collect."""
+    import shutil
+
+    from iceberg_diag_spark.operators.funnel import (
+        RELEASE_N_SHARDS,
+        release_retraction_apply,
+    )
+    from iceberg_diag_spark.operators.sampling import hash_bucket
+    from iceberg_diag_spark.sources.sinks import write_assigned_shards
+
+    root = str(tmp_path_factory.mktemp("retraction_1m"))
+    release = f"{root}/rel"
+    half = N_DOCS // 2
+    asg = spark.range(N_DOCS).select(
+        F.lit("web").alias("source"),
+        hash_bucket(F.col("id"), RELEASE_N_SHARDS).alias("shard"),
+        F.col("id").alias("doc_id"),
+        (F.lit(10) + F.col("id") % 50).cast("long").alias("n_tokens"),
+        (F.col("id") / 16).cast("long").alias("seq_id"),
+    )
+    for b, lo, hi in ((0, 0, half), (1, half, N_DOCS)):
+        write_assigned_shards(
+            asg.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ),
+            f"{release}/batch={b}",
+            RELEASE_N_SHARDS,
+            order_cols=("source", "seq_id", "doc_id"),
+        )
+    # 1,000 retractions, all in batch 1, clustered on 2 shards so
+    # most shard dirs must come through byte-untouched
+    victims = [
+        r["doc_id"]
+        for r in asg.filter(
+            (F.col("doc_id") >= half) & F.col("shard").isin([0, 1])
+        )
+        .limit(1000)
+        .collect()
+    ]
+    pairs = spark.createDataFrame(
+        [(0, -1 - i, 1, v, 4, True) for i, v in enumerate(victims)],
+        "batch_a long, doc_a long, batch_b long, doc_b long, "
+        "n_shared_bands long, exact_dup boolean",
+    )
+    def _stat(b, s):
+        d = f"{release}/batch={b}/shard={s}"
+        return sorted(
+            (f, os.path.getsize(f"{d}/{f}"), os.path.getmtime(f"{d}/{f}"))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+    before = {
+        (b, s): _stat(b, s)
+        for b in (0, 1)
+        for s in range(RELEASE_N_SHARDS)
+    }
+    t0 = time.time()
+    led = {
+        r["batch"]: r
+        for r in release_retraction_apply(spark, pairs, release).collect()
+    }
+    wall = time.time() - t0
+    assert led[0]["n_retracted"] == 0
+    assert led[1]["n_retracted"] == 1000
+    assert led[0]["n_docs_after"] == half
+    assert led[1]["n_docs_after"] == half - 1000
+    affected = {(1, 0), (1, 1)}
+    for key, st in before.items():
+        if key not in affected:
+            assert _stat(*key) == st, f"shard {key} was touched"
+    t1 = time.time()
+    led2 = {
+        r["batch"]: r
+        for r in release_retraction_apply(spark, pairs, release).collect()
+    }
+    replay_wall = time.time() - t1
+    assert led2[1]["n_retracted"] == 0
+    assert led2[1]["n_docs_after"] == half - 1000
+    shutil.rmtree(root, ignore_errors=True)
+    print(
+        f"release_retraction_apply @1M: {wall:.1f}s "
+        f"replay={replay_wall:.1f}s"
+    )
