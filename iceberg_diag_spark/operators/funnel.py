@@ -514,7 +514,12 @@ def release_neardup_reconcile(
     lineage's signatures (a renumbered or recomposed release), whose
     rows would surface as phantom candidate pairs — the call
     validates this up front (two bounded partition-column distincts)
-    and refuses rather than emitting wrong pairs.
+    and refuses rather than emitting wrong pairs. Retractions keep
+    the store consistent automatically when applied with
+    release_retraction_apply(sig_path=...): retracted docs' rows are
+    purged, so no later increment can pair against a document that
+    is no longer in the release, and a fully-retracted batch leaves
+    the store exactly as it leaves the release.
 
     An exact cross-batch duplicate (same normalized text landing in
     two increments — per-increment exact dedup cannot see it)
@@ -711,6 +716,8 @@ def release_retraction_apply(
     release_path: str,
     n_shards: int = RELEASE_N_SHARDS,
     min_shared_bands: int = 1,
+    sig_path: str | None = None,
+    sig_buckets: int = RECONCILE_SIG_BUCKETS,
 ) -> DataFrame:
     """Advisor-EXECUTING pattern #9 — apply the retraction
     release_neardup_reconcile names: every cross-batch candidate pair
@@ -746,24 +753,42 @@ def release_retraction_apply(
     rewrites nothing (no shard holds a retracted doc). Idempotence
     is pytest-pinned, as is sibling-shard byte-identity.
 
+    `sig_path` (pass the reconcile's signature store whenever one
+    exists) purges the retracted docs' band-key/content-hash rows
+    from the store with the same surgical idiom (only the sb=K
+    bucket dirs holding a named doc are rewritten; emptied dirs
+    dropped). Without the purge, orphan signatures keep matching:
+    a LATER increment would emit pairs whose doc_a is already
+    retracted, and applying those would delete content whose
+    "earlier copy" no longer exists — the one chain that can drop
+    the last copy of a document. The purge also keeps the store
+    consistent with the release for the reconcile's lineage guard
+    (a batch whose every doc is retracted leaves the store too, so
+    the guard cannot trip on the lineage's own history).
+
     At 100 TB: the pair relation is candidate-pair-scale — it is
     NEVER broadcast (the 6e census class; both the presence join and
-    the anti-join are left to Catalyst stats). Cost is one
-    metadata-light pass over the release (the presence join + per-
-    (batch, shard) aggregate, collected at partition granularity —
-    bounded by #batches x n_shards, not by rows), then one read +
-    anti-join + write per AFFECTED shard only, then one manifest
-    re-aggregation pass over the written files. The per-batch
-    survivor checkpoint before each rewrite is the staging copy any
-    transactional rewrite pays (you cannot overwrite parquet you are
-    lazily still reading), bounded by one batch's affected shards.
+    the anti-join are left to Catalyst stats). Cost is ONE
+    metadata-light pass over the release (the presence join + the
+    per-(batch, shard) aggregate — counts, token sums, per-shard
+    sequence counts and membership digests — collected at partition
+    granularity, bounded by #batches x n_shards, not by rows), then
+    one read + anti-join + write per AFFECTED shard only, then one
+    re-aggregation pass over ONLY the rewritten shard directories
+    (partition-pruned OR-predicate on the two partition columns).
+    Untouched shards are never read twice: their after-state IS
+    their before-state (sibling-shard byte-identity, pytest-pinned),
+    so the ledger still vouches for files — rewritten shards from
+    the post-write read, untouched shards from the pre-rewrite pass
+    over the same bytes. The per-batch survivor checkpoint before
+    each rewrite is the staging copy any transactional rewrite pays
+    (you cannot overwrite parquet you are lazily still reading),
+    bounded by one batch's affected shards.
 
     Output per batch (every batch of the release, retracted or not):
     (batch, n_docs_before, n_retracted, n_docs_after, n_seqs_after,
     n_tokens_before, n_tokens_retracted, n_tokens_after,
-    members_xor_after, members_xor2_after), ordered by batch. The
-    after-columns are recomputed from what is on disk after the
-    rewrite — the ledger vouches for the files, not for the plan.
+    members_xor_after, members_xor2_after), ordered by batch.
     """
     from iceberg_diag_spark.operators.sampling import membership_checksums
     from iceberg_diag_spark.sources.sinks import (
@@ -785,17 +810,25 @@ def release_retraction_apply(
     )
     full_schema = f"{RELEASE_FILE_SCHEMA}, shard long, batch long"
     pre = spark.read.schema(full_schema).parquet(release_path)
-    # ONE pre-rewrite pass: per-(batch, shard) doc/token totals plus
-    # how many of them the retraction list names. Eagerly
-    # materialized BEFORE any file is touched — everything "before"
-    # in the ledger reads from this checkpoint, never from
-    # already-rewritten files.
+    x1, x2 = membership_checksums(F.col("doc_id"))
+    # ONE pre-rewrite pass: per-(batch, shard) doc/token totals, how
+    # many of them the retraction list names, and the shard's
+    # sequence count + membership digests (the after-state of every
+    # shard the rewrite will NOT touch — per-shard digests XOR into
+    # batch digests, per-shard seq counts sum, because shards
+    # partition the key space). Eagerly materialized BEFORE any file
+    # is touched.
     grp = (
         pre.join(retract, ["batch", "doc_id"], "left")
         .groupBy("batch", "shard")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source", "seq_id")
+            .cast("long")
+            .alias("n_seqs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
+            x1.alias("x1"),
+            x2.alias("x2"),
             F.sum(F.when(F.col("_rt"), 1).otherwise(0))
             .cast("long")
             .alias("n_retracted"),
@@ -839,26 +872,61 @@ def release_retraction_apply(
                     spark,
                     f"{release_path}/batch={b}/shard={int(r['shard'])}",
                 )
+    if sig_path is not None:
+        # Driven by the retraction list, NOT by the release hits: a
+        # replay after a crash between the release rewrite and this
+        # purge finds no release hits but must still clean the store.
+        sig_batches = sorted(
+            int(r["batch"])
+            for r in retract.select("batch").distinct().collect()
+        )
+        _purge_signature_store(
+            spark, retract, sig_path, sig_batches, sig_buckets
+        )
     before = grp.groupBy("batch").agg(
         F.sum("n_docs").cast("long").alias("n_docs_before"),
         F.sum("n_retracted").cast("long").alias("n_retracted"),
         F.sum("n_tokens").cast("long").alias("n_tokens_before"),
         F.sum("tokens_retracted").cast("long").alias("n_tokens_retracted"),
     )
-    x1, x2 = membership_checksums(F.col("doc_id"))
-    after = (
-        spark.read.schema(full_schema)
-        .parquet(release_path)
-        .groupBy("batch")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs_after"),
-            F.countDistinct("shard", "source", "seq_id")
-            .cast("long")
-            .alias("n_seqs_after"),
-            F.sum("n_tokens").cast("long").alias("n_tokens_after"),
-            x1.alias("members_xor_after"),
-            x2.alias("members_xor2_after"),
+    # After-state per shard: rewritten shards re-read FROM THE
+    # WRITTEN FILES (partition-pruned to exactly the affected
+    # (batch, shard) dirs); untouched shards reuse their pre-pass row
+    # — same bytes on disk, byte-identity pytest-pinned — so the
+    # whole release is never scanned a second time.
+    untouched = grp.filter(F.col("n_retracted") == 0).select(
+        "batch", "shard", "n_docs", "n_seqs", "n_tokens", "x1", "x2"
+    )
+    per_shard_after = untouched
+    if affected:
+        pred = None
+        for b, rows in by_batch.items():
+            p = (F.col("batch") == b) & F.col("shard").isin(
+                [int(r["shard"]) for r in rows]
+            )
+            pred = p if pred is None else (pred | p)
+        post = (
+            spark.read.schema(full_schema)
+            .parquet(release_path)
+            .filter(pred)
+            .groupBy("batch", "shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.countDistinct("source", "seq_id")
+                .cast("long")
+                .alias("n_seqs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+                x1.alias("x1"),
+                x2.alias("x2"),
+            )
         )
+        per_shard_after = untouched.unionByName(post)
+    after = per_shard_after.groupBy("batch").agg(
+        F.sum("n_docs").cast("long").alias("n_docs_after"),
+        F.sum("n_seqs").cast("long").alias("n_seqs_after"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_after"),
+        F.bit_xor("x1").alias("members_xor_after"),
+        F.bit_xor("x2").alias("members_xor2_after"),
     )
     return (
         before.join(after, "batch", "left")
@@ -882,3 +950,67 @@ def release_retraction_apply(
         )
         .orderBy("batch")
     )
+
+
+def _purge_signature_store(
+    spark, retract: DataFrame, sig_path: str, batches, sig_buckets: int
+) -> None:
+    """Remove the retracted docs' rows from the reconcile signature
+    store — the sb=K twin of the release rewrite: per named batch,
+    one bounded per-bucket decision aggregate (<= sig_buckets rows),
+    then an anti-join rewrite of ONLY the buckets holding a named doc
+    (dynamic partition overwrite, the store's own deterministic
+    write_assigned_shards order — byte-identical to a fresh build of
+    the surviving rows) and an explicit drop of buckets the purge
+    empties. Idempotent: a purged doc produces no hits on replay. A
+    batch with no store directory (synthetic pairs, or a store the
+    caller never built) is skipped."""
+    from iceberg_diag_spark.sources.sinks import (
+        delete_path,
+        write_assigned_shards,
+    )
+
+    sig_schema = "doc_id long, band int, band_key string, ch string, sb long"
+    for b in batches:
+        ids = retract.filter(F.col("batch") == b).select("doc_id")
+        try:
+            dec = (
+                spark.read.schema(sig_schema)
+                .parquet(f"{sig_path}/batch={b}")
+                .join(ids.withColumn("_hit", F.lit(True)), "doc_id", "left")
+                .groupBy("sb")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.when(F.col("_hit"), 1).otherwise(0)
+                    ).alias("hit"),
+                )
+                .collect()
+            )
+        except AnalysisException:
+            continue  # no store for this batch — nothing to purge
+        hit_rows = [r for r in dec if int(r["hit"]) > 0]
+        if not hit_rows:
+            continue
+        buckets = [int(r["sb"]) for r in hit_rows]
+        kept = (
+            spark.read.schema(sig_schema)
+            .parquet(f"{sig_path}/batch={b}")
+            .filter(F.col("sb").isin(buckets))
+            .join(ids, "doc_id", "anti")
+            .select("doc_id", "band", "band_key", "ch", "sb")
+            .localCheckpoint(eager=True)
+        )
+        write_assigned_shards(
+            kept,
+            f"{sig_path}/batch={b}",
+            sig_buckets,
+            shard_col="sb",
+            order_cols=("band", "band_key", "doc_id"),
+            dynamic=True,
+        )
+        for r in hit_rows:
+            if int(r["n"]) == int(r["hit"]):
+                delete_path(
+                    spark, f"{sig_path}/batch={b}/sb={int(r['sb'])}"
+                )

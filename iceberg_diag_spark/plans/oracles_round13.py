@@ -150,8 +150,11 @@ def _release_retraction_apply(spark, sf_dir):
             )
             incs.append((b, d))
         pairs = funnel.release_neardup_reconcile(spark, incs, release, sig)
+        # sig_path exercises the signature-store purge under the
+        # driver (ledger values are release-derived, so the oracle is
+        # unchanged by it)
         out = funnel.release_retraction_apply(
-            spark, pairs, release
+            spark, pairs, release, sig_path=sig
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(release, ignore_errors=True)
@@ -170,7 +173,12 @@ REGISTRY.update({
         "sibling shards never read, byte-untouched; fully-emptied "
         "shard dirs dropped via the Hadoop FS) — and the per-batch "
         "manifest (docs, surviving sequences, tokens, bit_xor "
-        "membership digests) is re-derived FROM THE WRITTEN FILES; "
+        "membership digests) is re-derived FROM THE WRITTEN FILES "
+        "(rewritten shards re-read from disk, untouched shards "
+        "vouched by the pre-pass over the same bytes — the release "
+        "is scanned exactly once); sig_path purges the retracted "
+        "docs' reconcile signatures with the same surgical idiom so "
+        "no later increment can pair against a doc that is gone; "
         "replay-idempotent: re-applying the same pairs retracts 0 "
         "and rewrites nothing",
     ),

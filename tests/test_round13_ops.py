@@ -429,3 +429,83 @@ def test_reconcile_replay_prior_increment_with_later_store(
     )
     want2 = sorted(t for t in full if t[2] == 2)
     assert again2 == want2
+
+
+def test_retraction_purges_signature_store(spark, tmp_path):
+    """Applying a retraction with sig_path must remove the retracted
+    docs' signature rows: a LATER increment's reconcile can no longer
+    emit pairs whose doc_a is already gone (the chain that could
+    otherwise delete the last remaining copy of a document)."""
+    inc0 = _mk_clean(0, 8) + [(100, SHARED_EXACT, "en", "web", 1)]
+    inc1 = _mk_clean(1000, 8) + [(1100, SHARED_EXACT, "en", "web", 1)]
+    inc2 = _mk_clean(2000, 8) + [(2100, SHARED_EXACT, "en", "web", 1)]
+    release = str(tmp_path / "rel")
+    sig = str(tmp_path / "sig")
+    incs = _build_release(
+        spark, release, [(0, inc0), (1, inc1), (2, inc2)]
+    )
+    pairs01 = funnel.release_neardup_reconcile(
+        spark, incs[:2], release, sig
+    ).localCheckpoint(eager=True)
+    assert {(r["batch_b"], r["doc_b"]) for r in pairs01.collect()} == {
+        (1, 1100)
+    }
+    funnel.release_retraction_apply(
+        spark, pairs01, release, sig_path=sig
+    ).collect()
+    # store no longer holds doc 1100's signatures
+    sig_docs = {
+        r["doc_id"] for r in spark.read.parquet(sig).collect()
+    }
+    assert 1100 not in sig_docs
+    # increment 2 reconciles against the purged store: its twin pairs
+    # with the SURVIVING copy (batch 0) only — never with retracted Y
+    pairs2 = funnel.release_neardup_reconcile(
+        spark, incs[2:], release, sig
+    ).collect()
+    assert {(r["batch_a"], r["doc_a"], r["batch_b"], r["doc_b"])
+            for r in pairs2} == {(0, 100, 2, 2100)}
+
+
+def test_retraction_emptied_batch_keeps_lineage_guard_happy(
+    spark, tmp_path
+):
+    """Fully retracting a batch (with sig_path) removes it from both
+    the release AND the store, so the reconcile lineage guard cannot
+    trip on the lineage's own history at the next incremental call."""
+    inc0 = _mk_clean(0, 8)
+    inc1 = _mk_clean(1000, 3)
+    inc2 = _mk_clean(2000, 8)
+    release = str(tmp_path / "rel")
+    sig = str(tmp_path / "sig")
+    incs = _build_release(
+        spark, release, [(0, inc0), (1, inc1), (2, inc2)]
+    )
+    funnel.release_neardup_reconcile(
+        spark, incs[:2], release, sig
+    ).collect()
+    released1 = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{release}/batch=1")
+        .select("doc_id")
+        .collect()
+    ]
+    pairs = spark.createDataFrame(
+        [(0, -1 - i, 1, v, 4, True) for i, v in enumerate(released1)],
+        "batch_a long, doc_a long, batch_b long, doc_b long, "
+        "n_shared_bands long, exact_dup boolean",
+    )
+    led = {
+        r["batch"]: r
+        for r in funnel.release_retraction_apply(
+            spark, pairs, release, sig_path=sig
+        ).collect()
+    }
+    assert led[1]["n_docs_after"] == 0
+    # store dropped batch 1 entirely (no sb=K dirs left under it)
+    assert glob.glob(f"{sig}/batch=1/sb=*") == []
+    # the next incremental reconcile call sees a consistent lineage
+    out = funnel.release_neardup_reconcile(
+        spark, incs[2:], release, sig
+    ).collect()
+    assert all(r["batch_a"] == 0 for r in out)
