@@ -564,30 +564,25 @@ def _eval_order(item: tuple[str, QuerySpec]) -> float:
     slot. Keep new oracled entries <=2-3 per round so the r9 cohort
     clears by r15 and nothing drifts past the five-round bound.
 
-    SMJ census RE-RUN at r12 HEAD over ALL 266 entries (242
-    non-streaming plans built and explained; the r11 census's 263
-    plus ivf_probe_topk — whose query x index join keys on list_id,
-    a genuine big-big join when the query panel is the whole corpus,
-    un-hinted by design — and the two r12 additions, whose joins are
-    likewise un-hinted: reconcile's store probe is a corpus-scale
-    band_key join that correctly broadcasts at test scale via stats
-    and SMJs at corpus scale, apply's scoring reuses the trainer's
-    1-row broadcast weight states): after the backlog clear + the
-    source_vocab_tv/semantic_dedup metadata-join hints, exactly the
-    SAME 8 plans keep SortMergeJoins and ALL are genuine big-big
-    joins — corpus_snapshot_diff (two snapshots, full-outer),
+    SMJ census RE-RUN at r13 HEAD over ALL 267 entries (247
+    non-streaming plans built and explained; the r12 census's 266
+    plus release_retraction_apply — an eager executing sink whose
+    registry plan is the result checkpoint; its real joins (the
+    candidate-pair-scale presence join, the per-shard anti-joins,
+    and the sig-store purge joins) are pinned hint-free on the LAZY
+    relation by test_round13_ops and correctly stats-driven —
+    broadcast at test scale, SMJ at corpus scale): exactly the SAME
+    8 plans keep SortMergeJoins and ALL are genuine big-big joins —
+    corpus_snapshot_diff (two snapshots, full-outer),
     crossmodal/dedup_method_agreement (two production dedup
     pipelines, ids-only outer), join_selectivity_audit (the join it
     audits), ngram_containment (shingle containment),
     q21_waiting_orders (lineitem self-join), semantic_dedup (the
     within-cluster pair self-join), neardup_source_modularity
     (corpus-scale label join onto the edge relation). Nothing
-    broadcast-fit remains. Post-census correction (r11 self-review):
-    minhash_estimator_audit's backlog fix had hinted the PAIR-SCALE
-    inter/exact relations — scale-wrong, since candidate pairs grow
-    with the corpus; rebuilt as a tagged-union fold (no reattach
-    joins at all, no hints — remaining joins are pair-spine x
-    per-doc and stats-driven), value-invariant, parity re-verified.
+    broadcast-fit remains. Standing post-census correction (r11
+    self-review): minhash_estimator_audit must stay a tagged-union
+    fold — candidate-PAIR-scale relations are never hinted.
     """
     name, spec = item
     ever_green = (
