@@ -509,3 +509,82 @@ def test_retraction_emptied_batch_keeps_lineage_guard_happy(
         spark, incs[2:], release, sig
     ).collect()
     assert all(r["batch_a"] == 0 for r in out)
+
+
+def test_retraction_across_multiple_batches(spark, tmp_path):
+    """Retractions landing in MORE THAN ONE batch exercise the
+    multi-batch rewrite loop and the partition-pruned OR-predicate
+    after-read: every named doc gone, per-batch ledger rows correct,
+    batch 0 untouched."""
+    inc0 = _mk_clean(0, 10) + [
+        (100, SHARED_EXACT, "en", "web", 1),
+        (300, f"{SHARED_NEAR} one", "en", "web", 1),
+    ]
+    inc1 = _mk_clean(1000, 10) + [(1100, SHARED_EXACT, "en", "web", 1)]
+    inc2 = _mk_clean(2000, 10) + [
+        (2300, f"{SHARED_NEAR} two", "en", "web", 1)
+    ]
+    release = str(tmp_path / "rel")
+    sig = str(tmp_path / "sig")
+    incs = _build_release(
+        spark, release, [(0, inc0), (1, inc1), (2, inc2)]
+    )
+    pairs = funnel.release_neardup_reconcile(
+        spark, incs, release, sig
+    ).localCheckpoint(eager=True)
+    named = {(r["batch_b"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 1100) in named and (2, 2300) in named
+    assert len({b for b, _ in named}) >= 2  # genuinely multi-batch
+    led = {
+        r["batch"]: r
+        for r in funnel.release_retraction_apply(
+            spark, pairs, release, sig_path=sig
+        ).collect()
+    }
+    post = {
+        (r["batch"], r["doc_id"])
+        for r in spark.read.parquet(release)
+        .select("batch", "doc_id")
+        .collect()
+    }
+    assert not (named & post)
+    assert led[0]["n_retracted"] == 0
+    by_b = {}
+    for b, _ in named:
+        by_b[b] = by_b.get(b, 0) + 1
+    for b, k in by_b.items():
+        assert led[b]["n_retracted"] == k
+        assert led[b]["n_docs_after"] == led[b]["n_docs_before"] - k
+
+
+def test_retraction_is_keyed_per_batch(spark, tmp_path):
+    """The retraction key is (batch, doc_id): a doc sharing its id
+    with a retracted doc in ANOTHER batch must survive."""
+    rows = _mk_clean(0, 10)
+    d = spark.createDataFrame(rows, DOCS_SCHEMA)
+    asg = funnel.release_assignments(d).localCheckpoint(eager=True)
+    release = str(tmp_path / "rel")
+    # the SAME assignment relation written as two batches: every
+    # doc_id exists in both
+    for b in (0, 1):
+        write_assigned_shards(
+            asg, f"{release}/batch={b}", funnel.RELEASE_N_SHARDS,
+            order_cols=("source", "seq_id", "doc_id"),
+        )
+    victim = int(asg.limit(1).collect()[0]["doc_id"])
+    pairs = spark.createDataFrame(
+        [(0, -1, 1, victim, 4, True)],
+        "batch_a long, doc_a long, batch_b long, doc_b long, "
+        "n_shared_bands long, exact_dup boolean",
+    )
+    led = {
+        r["batch"]: r
+        for r in funnel.release_retraction_apply(
+            spark, pairs, release
+        ).collect()
+    }
+    assert led[1]["n_retracted"] == 1 and led[0]["n_retracted"] == 0
+    back = spark.read.parquet(release).filter(
+        F.col("doc_id") == victim
+    )
+    assert {r["batch"] for r in back.collect()} == {0}
