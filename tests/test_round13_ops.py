@@ -588,3 +588,53 @@ def test_retraction_is_keyed_per_batch(spark, tmp_path):
         F.col("doc_id") == victim
     )
     assert {r["batch"] for r in back.collect()} == {0}
+
+
+def test_retraction_full_release_byte_equals_fresh_build(
+    spark, tmp_path
+):
+    """The strongest write-discipline pin: after retracting a set
+    scattered across many shards, EVERY shard directory of the
+    release is byte-identical to a from-scratch
+    write_assigned_shards of the surviving rows — rewritten shards
+    because the sink reuses the sink's deterministic layout,
+    untouched shards because they were never opened."""
+    rows = _mk_clean(0, 60)
+    d = spark.createDataFrame(rows, DOCS_SCHEMA)
+    asg = funnel.release_assignments(d).localCheckpoint(eager=True)
+    release = str(tmp_path / "rel")
+    write_assigned_shards(
+        asg, f"{release}/batch=0", funnel.RELEASE_N_SHARDS,
+        order_cols=("source", "seq_id", "doc_id"),
+    )
+    # every 5th released doc, hitting several shards
+    victims = [
+        int(r["doc_id"])
+        for r in asg.orderBy("doc_id").collect()[::5]
+    ]
+    pairs = spark.createDataFrame(
+        [(0, -1 - i, 0, v, 4, True) for i, v in enumerate(victims)],
+        "batch_a long, doc_a long, batch_b long, doc_b long, "
+        "n_shared_bands long, exact_dup boolean",
+    )
+    funnel.release_retraction_apply(spark, pairs, release).collect()
+    fresh = str(tmp_path / "fresh")
+    write_assigned_shards(
+        asg.filter(~F.col("doc_id").isin(victims)),
+        f"{fresh}/batch=0",
+        funnel.RELEASE_N_SHARDS,
+        order_cols=("source", "seq_id", "doc_id"),
+    )
+    got = sorted(
+        os.path.basename(p)
+        for p in glob.glob(f"{release}/batch=0/shard=*")
+    )
+    want = sorted(
+        os.path.basename(p)
+        for p in glob.glob(f"{fresh}/batch=0/shard=*")
+    )
+    assert got == want  # same shard-directory set (none lost/extra)
+    for s in got:
+        assert _shard_bytes(f"{release}/batch=0/{s}") == _shard_bytes(
+            f"{fresh}/batch=0/{s}"
+        ), f"{s} differs from a fresh build of the survivors"
