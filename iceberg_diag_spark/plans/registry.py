@@ -477,6 +477,34 @@ _R12_GREEN = {
     'winnow_clone_pairs',
 }
 
+# Names with a green hash row in CORRECTNESS_r13.json (50/50 oracled
+# green: release_retraction_apply's first row, the full 28-entry r7
+# remainder, and the 21-entry r8 cohort head — exactly the r12
+# handoff composition; freshest evidence, rides the tail).
+_R13_GREEN = {
+    'ann_cosine_topk', 'bpe_merge_candidates', 'clone_pairs_verified',
+    'dedup_method_agreement', 'diag_binpack_groups',
+    'diag_bloom_advisor', 'diag_metrics', 'diag_metrics_multi_table',
+    'diag_partition_stats', 'diag_table_stats', 'doc_chunks',
+    'doc_length_deciles', 'doc_pack_sequences',
+    'doc_repetition_profile', 'embedding_consistency_audit',
+    'embedding_energy_curve', 'embedding_ivf_balance',
+    'epoch_shuffle', 'events_cadence_autocorr', 'events_changepoint',
+    'events_hourly', 'events_hourly_trend', 'events_sessionize',
+    'exact_quota_holdout', 'gdpr_delete_simulation',
+    'hard_negative_mining', 'media_integrity_audit',
+    'media_phash_near_dup', 'ngram_dup_curve', 'orders_monthly',
+    'orders_pareto_share', 'orders_seasonal_naive_eval',
+    'part_name_fuzzy', 'pii_density_by_source', 'pii_redaction',
+    'q13_customer_distribution', 'q1_pricing_summary',
+    'q3_shipping_priority', 'q4_order_priority_semi',
+    'q5_local_supplier_volume', 'quality_dup_matrix',
+    'quality_length_skyline', 'release_retraction_apply',
+    'source_quality_calibration', 'stream_repetition_gate',
+    'stream_scd2_history', 'text_artifact_audit', 'token_zipf_curve',
+    'top_orders_per_customer', 'user_activity_gini',
+}
+
 # Round-13 value-invariant changes whose green rows still vouch:
 # (a) release_neardup_reconcile now probes the store for EVERY
 # increment passed (the previous first-of-call skip silently emptied
@@ -535,34 +563,36 @@ _MODIFIED_R11 = {
 def _eval_order(item: tuple[str, QuerySpec]) -> float:
     """Driver scores the FIRST 50 registry entries; order by evidence
     staleness so every oracled entry's latest green row stays at most
-    ~five rounds old under the 50-slot window (267 entries now).
-    Round-13 tiers — exactly the r12 handoff
-    (28-entry r7 remainder + r8 cohort head), rotation-first:
+    ~five rounds old under the 50-slot window (268 entries now).
+    Round-14 tiers — exactly the r13 handoff (24-entry r8 remainder +
+    r9 cohort head) plus the prescribed rows-only evidence refresh,
+    rotation-first:
       0    oracled-but-never-green — must score. 1 entry:
-           release_retraction_apply (the r13 growth budget of <=2-3,
-           of which 1 spent — the executing sink the r12 verdict
-           prescribed).
-      3    latest green in r7 — the 28-entry remainder the r12
+           diag_compaction_apply (the r14 growth budget of <=2-3, of
+           which 1 spent — the executing compaction the r13 verdict
+           prescribed, advisor-executing pattern #10).
+      3    latest green in r8 — the 24-entry remainder the r13
            window could not fit; ALL of it scores this round,
-           finishing the r7 cohort.
-      4    latest green in r8 — 45 entries; the first 21 fill the
-           window, the 24-entry remainder heads the r14 queue.
-      5/6/7  latest green r9/r10/r11 — ride the tail
-           (classifier_train_lr rides its r11 slot per the r12
-           handoff: its r12 extraction was value-invariant with a
-           byte-identical oracle).
-      8    latest green r12, and the 6 rows-only entries (no oracle
-           exists by documented impossibility; their spark_rows
-           evidence is r11-fresh — refresh it when they rotate).
+           finishing the r8 cohort.
+      4    the 6 rows-only entries (no oracle exists by documented
+           impossibility; their spark_rows evidence is r11-stale and
+           tier 8 never rotates them naturally — the r13 verdict
+           prescribes landing fresh r14 spark_rows rows, so they ride
+           the window once, just behind the must-score cohort).
+      5    latest green in r9 — 44 entries; the first ~19 fill the
+           window, the ~25-entry remainder heads the r15 queue.
+      6/7/8  latest green r10/r11/r12 — ride the tail
+           (release_neardup_reconcile rides its r12 slot per the r13
+           handoff: its r13 probe-every-increment fix was
+           value-invariant with a byte-identical oracle).
+      9    latest green r13 — freshest evidence, deepest tail.
 
-    Round-14 handoff: this window = 1 never-green + 28 r7 + 21 r8
-    head = 50. Next round's queue = the 24-entry r8 remainder + the
-    head of the r9 cohort (~26 of 44 slots); r15 takes the 18-entry
-    r9 remainder + the r10 cohort head. release_neardup_reconcile's
-    r13 probe-every-increment fix is value-invariant with a
-    byte-identical oracle (see _MODIFIED_R13) and rides its r12
-    slot. Keep new oracled entries <=2-3 per round so the r9 cohort
-    clears by r15 and nothing drifts past the five-round bound.
+    Round-15 handoff: this window = 1 never-green + 24 r8 + 6
+    rows-only + 19 r9 head = 50. Next round's queue = the 25-entry
+    r9 remainder + the head of the r10 cohort (~25 of its slots);
+    r16 takes the r10 remainder + the r11 cohort head. Keep new
+    oracled entries <=2-3 per round so the r10 cohort clears by r16
+    and nothing drifts past the five-round bound.
 
     SMJ census RE-RUN at r13 HEAD over ALL 267 entries (247
     non-streaming plans built and explained; the r12 census's 266
@@ -589,13 +619,15 @@ def _eval_order(item: tuple[str, QuerySpec]) -> float:
         name in _R2_GREEN or name in _R3_GREEN or name in _R4_GREEN
         or name in _R5_GREEN or name in _R6_GREEN or name in _R7_GREEN
         or name in _R8_GREEN or name in _R9_GREEN or name in _R10_GREEN
-        or name in _R11_GREEN or name in _R12_GREEN
+        or name in _R11_GREEN or name in _R12_GREEN or name in _R13_GREEN
     )
     if spec.oracle is not None and not ever_green:
         return 0
     if spec.oracle is None:
-        return 8  # rows-only; spark_rows evidence refreshed r11
+        return 4  # rows-only; r11-stale spark_rows evidence — refresh
     # Latest green row wins; older evidence = earlier slot.
+    if name in _R13_GREEN:
+        return 9
     if name in _R12_GREEN:
         return 8
     if name in _R11_GREEN:
@@ -605,12 +637,10 @@ def _eval_order(item: tuple[str, QuerySpec]) -> float:
     if name in _R9_GREEN:
         return 5
     if name in _R8_GREEN:
-        return 4
-    if name in _R7_GREEN:
         return 3
-    if name in _R6_GREEN:
+    if name in _R7_GREEN:
         return 1
-    # Green only in r2-r5 — empty after the r6-r12 rotations;
+    # Green only in r2-r6 — empty after the r7-r13 rotations;
     # anything left here is maximally stale and must re-score.
     return 0.5
 
