@@ -261,6 +261,7 @@ HEADLINE = [
     "release_neardup_reconcile",
     "classifier_apply_trained",
     "release_retraction_apply",
+    "diag_compaction_apply",
 ]
 
 # HEADLINE membership is TOTAL: every registry entry is either timed

@@ -1,0 +1,384 @@
+"""Executing small-file compaction — the reference's own remediation,
+applied (advisor-executing pattern #10).
+
+The reference DIAGNOSES small-file debt and SIMULATES the 750 MiB
+check-before-append remediation per partition
+(``icebergdiag/metrics/table_metrics.py:111-155,179-197``): bin-pack
+each partition's DATA file sizes, report predicted after_file_count /
+after_scan_overhead, and the improvement ratio. It never rewrites a
+byte. ``sinks.compact_write`` rewrites, but only to a uniform size
+target — not the plan the diagnostics priced. This module closes the
+loop: EXECUTE the exact group plan A9 produces (one physical output
+file per bin-pack group, ``binpack.pack_sizes`` semantics,
+``binpack.py:43-60``), surgically (a partition whose plan shows no
+file-count reduction is never read twice, never rewritten — its
+bytes on disk stay identical, the retraction-sink discipline), then
+re-derive the diagnostics FROM THE WRITTEN FILES so predicted-after
+is checked against measured-after instead of trusted.
+
+Scale shape (100 TB):
+- Pack decisions run on file METADATA (one row per file — the
+  Iceberg ``.files`` relation in production, a per-file aggregate of
+  the data here), never on data rows: the assignment applyInPandas
+  shuffles #files rows, not the table.
+- The data-side rewrite is ONE partition-pruned scan of the affected
+  partitions, one join against the file→group assignment (metadata
+  scale, stats-driven — no broadcast hint; Catalyst broadcasts it at
+  test scale and is free to shuffle at 1e8-file scale), one
+  repartition on (partition, group) — each group lands wholly in one
+  task, so partitionBy emits exactly ONE file per group — and one
+  append. Untouched partitions are never opened.
+- The ledger re-reads ONLY the rewritten partitions (pruned
+  predicate); untouched partitions' after-state IS their
+  before-state from the pre-pass over the same bytes (per-partition
+  digests and counts vouch, the release_retraction_apply idiom).
+- Bounded driver state: one collect of per-partition decision rows
+  (#partitions, metadata scale), exactly like the retraction sink.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from iceberg_diag_spark.functions.cost import (
+    MAX_GROUP_BYTE_SIZE,
+    read_file_cost,
+)
+
+ASSIGN_SCHEMA = "partition_key string, file_id long, gid long"
+
+LEDGER_COLUMNS = [
+    "partition_key",
+    "files_before",
+    "rows_before",
+    "size_before",
+    "scan_overhead_before",
+    "groups_planned",
+    "scan_overhead_planned",
+    "compacted",
+    "files_after",
+    "rows_after",
+    "size_after",
+    "scan_overhead_after",
+    "members_xor_after",
+    "members_xor2_after",
+]
+
+
+def binpack_assign(
+    file_sizes: DataFrame,
+    partition_col: str = "partition_key",
+    file_col: str = "file_id",
+    size_col: str = "logical_size",
+    max_bytes_per_group: int = MAX_GROUP_BYTE_SIZE,
+) -> DataFrame:
+    """File → bin-pack group assignment: WHICH group each file lands
+    in, not just the group profile ``binpack_groups`` emits.
+
+    Same fold as ``pack_sizes`` (check-before-append, ascending,
+    ``binpack.py:43-60``) with a (size, file_id) tie-break so
+    membership is deterministic under any input order; the group
+    (count, total) profile is tie-invariant and equals pack_sizes'
+    (property-pinned in tests). Input is file metadata — one row per
+    file — so the grouped pandas fold is metadata-scale, parallel
+    across partitions exactly like binpack_groups.
+    """
+
+    def _assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([size_col, file_col], kind="mergesort")
+        gids = []
+        gid = 0
+        total = 0
+        for s in pdf[size_col]:
+            if total > max_bytes_per_group:
+                gid += 1
+                total = 0
+            gids.append(gid)
+            total += int(s)
+        return pd.DataFrame(
+            {
+                "partition_key": pdf[partition_col],
+                "file_id": pdf[file_col],
+                "gid": gids,
+            }
+        )
+
+    cols = file_sizes.select(partition_col, file_col, size_col)
+    return cols.groupBy(partition_col).applyInPandas(
+        _assign, schema=ASSIGN_SCHEMA
+    )
+
+
+def physical_file_sizes(
+    spark: SparkSession, path: str, partition_col: str, file_col: str
+) -> DataFrame:
+    """(partition, file, size_in_bytes, n_phys) from a recursive
+    Hadoop FS listing of a two-level Hive layout
+    ``{partition_col}=P/{file_col}=K/part-*.parquet``.
+
+    Test/driver-scale helper: on a production Iceberg table this
+    relation is the ``.files`` metadata table (SURVEY §2 S4) — never
+    a filesystem walk. The listing is driver-side but file-count
+    (metadata) scale, and works on any Hadoop filesystem.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    agg: dict[tuple[str, int], list[int]] = {}
+    it = fs.listFiles(jpath, True)
+    p_tag, f_tag = f"{partition_col}=", f"{file_col}="
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not st.isFile() or name.startswith(("_", ".")):
+            continue
+        part = file_id = None
+        for seg in st.getPath().toString().split("/"):
+            if seg.startswith(p_tag):
+                part = seg[len(p_tag):]
+            elif seg.startswith(f_tag):
+                file_id = int(seg[len(f_tag):])
+        if part is None or file_id is None:
+            continue
+        cur = agg.setdefault((part, file_id), [0, 0])
+        cur[0] += int(st.getLen())
+        cur[1] += 1
+    return spark.createDataFrame(
+        [(p, f, s, n) for (p, f), (s, n) in sorted(agg.items())],
+        f"{partition_col} string, {file_col} long, size_in_bytes long,"
+        " n_phys long",
+    )
+
+
+def compact_apply_binpack(
+    spark: SparkSession,
+    path: str,
+    read_schema: str,
+    row_size: Column,
+    key: Column,
+    partition_col: str = "partition_key",
+    file_col: str = "file_id",
+    order_cols: tuple[str, ...] = (),
+    file_sizes: DataFrame | None = None,
+    max_bytes_per_group: int = MAX_GROUP_BYTE_SIZE,
+) -> DataFrame:
+    """Execute the bin-pack compaction plan against the layout at
+    ``path`` and return a per-partition predicted-vs-measured ledger.
+
+    The layout is ``{partition_col}=P/{file_col}=K`` Hive dirs — one
+    physical file per (partition, file) leaf, the write discipline of
+    every sink here. ``read_schema`` is explicit per the fileless-dir
+    lesson (schema inference dies on an empty partition dir).
+
+    File sizes driving the plan: ``file_sizes`` (partition, file,
+    size_in_bytes) when given — REAL bytes from
+    ``physical_file_sizes`` or the Iceberg ``.files`` relation, in
+    which case the measured after-overhead comes from a fresh
+    post-write listing — else the per-file sum of ``row_size`` (a
+    logical per-row byte estimate), which keeps the whole ledger
+    cross-engine checkable: every output column is then a
+    deterministic function of the table rows, so a DuckDB oracle can
+    predict what the engine MEASURES from disk. A hash-green row
+    certifies the physical rewrite, not just the plan: files_after
+    counts real post-write files (input_file_name), and the
+    membership digests are re-aggregated from the rewritten bytes.
+
+    Execution (per the module docstring's scale shape): ONE pre-pass
+    scan aggregates per-file stats + digests, the assignment fold
+    runs on that metadata, partitions whose plan shows no reduction
+    (groups == files) are LEFT ON DISK UNTOUCHED, and the rest are
+    rewritten one-file-per-group via repartition(partition, gid) +
+    partitionBy — then re-read, partition-pruned, for the measured
+    after-state. Re-running CONVERGES rather than replays as a no-op:
+    every closed group's total already exceeds the cap, but a
+    partition's LAST group may be under-cap and re-merge with one
+    neighbor on the next pass (check-before-append admits it), so a
+    re-run can reduce the file count once more; within two further
+    passes every file exceeds the cap or stands alone and the layout
+    is a fixed point (convergence pytest-pinned).
+
+    Output: one row per partition, ``LEDGER_COLUMNS`` — before
+    (files/rows/bytes/scan-overhead), planned (groups + predicted
+    overhead under the reference cost model, ``read_file_cost``),
+    and measured-after (real file count, re-read rows/bytes/digests;
+    untouched partitions vouched by the pre-pass), ordered by
+    partition. scan_overhead_* columns use the SAME size basis the
+    plan used, so predicted-vs-measured is apples-to-apples.
+    """
+    from iceberg_diag_spark.operators.sampling import membership_checksums
+    from iceberg_diag_spark.sources.sinks import delete_path
+
+    if max_bytes_per_group <= 0:
+        raise ValueError("max_bytes_per_group must be positive")
+    pre = spark.read.schema(read_schema).parquet(path)
+    x1, x2 = membership_checksums(key)
+
+    def _per_file_stats(rel: DataFrame) -> DataFrame:
+        # input_file_name is non-deterministic for the analyzer —
+        # project it before aggregating over it.
+        return (
+            rel.withColumn("_phys_file", F.input_file_name())
+            .groupBy(partition_col, file_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(row_size).cast("long").alias("row_bytes"),
+                F.countDistinct("_phys_file").cast("long").alias("n_phys"),
+                x1.alias("x1"),
+                x2.alias("x2"),
+            )
+        )
+
+    # ONE scan: per-file stats + per-partition digests. Eager — every
+    # downstream decision must not re-read files the rewrite replaces.
+    per_file = _per_file_stats(pre).localCheckpoint(eager=True)
+    if file_sizes is not None:
+        sized = per_file.join(
+            file_sizes.select(
+                partition_col, file_col, F.col("size_in_bytes").alias("fsz")
+            ),
+            [partition_col, file_col],
+        ).localCheckpoint(eager=True)
+    else:
+        sized = per_file.withColumn("fsz", F.col("row_bytes"))
+
+    asg = binpack_assign(
+        sized.select(
+            partition_col, file_col, F.col("fsz").alias("logical_size")
+        ),
+        max_bytes_per_group=max_bytes_per_group,
+    )
+    withg = sized.join(asg, [partition_col, file_col])
+    per_group = withg.groupBy(partition_col, "gid").agg(
+        F.sum("fsz").alias("gsz")
+    )
+    plan = (
+        withg.groupBy(partition_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files_before"),
+            F.sum("n_phys").cast("long").alias("phys_before"),
+            F.sum("n_rows").cast("long").alias("rows_before"),
+            F.sum("row_bytes").cast("long").alias("size_before"),
+            F.sum(read_file_cost(F.col("fsz")))
+            .cast("long")
+            .alias("scan_overhead_before"),
+            F.countDistinct("gid").cast("long").alias("groups_planned"),
+            F.bit_xor("x1").alias("bx1"),
+            F.bit_xor("x2").alias("bx2"),
+        )
+        .join(
+            per_group.groupBy(partition_col).agg(
+                F.sum(read_file_cost(F.col("gsz")))
+                .cast("long")
+                .alias("scan_overhead_planned")
+            ),
+            partition_col,
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # Decision rows: metadata-bounded collect (#partitions), the
+    # retraction sink's discipline.
+    decisions = plan.select(
+        partition_col, "files_before", "groups_planned"
+    ).collect()
+    todo = [
+        r[partition_col]
+        for r in decisions
+        if r["groups_planned"] < r["files_before"]
+    ]
+    if todo:
+        n_groups = sum(
+            r["groups_planned"]
+            for r in decisions
+            if r["groups_planned"] < r["files_before"]
+        )
+        data_cols = [
+            f.name
+            for f in pre.schema.fields
+            if f.name not in (partition_col, file_col)
+        ]
+        kept = (
+            pre.filter(F.col(partition_col).isin(todo))
+            .join(asg, [partition_col, file_col])
+            .select(
+                *data_cols,
+                F.col("gid").cast("long").alias(file_col),
+                partition_col,
+            )
+            .localCheckpoint(eager=True)  # the write replaces its input
+        )
+        for p in todo:
+            delete_path(spark, f"{path}/{partition_col}={p}")
+        (
+            kept.repartition(max(1, int(n_groups)), partition_col, file_col)
+            .sortWithinPartitions(partition_col, file_col, *order_cols)
+            .write.mode("append")
+            .partitionBy(partition_col, file_col)
+            .parquet(path)
+        )
+
+    # Measured after-state: rewritten partitions re-read FROM THE
+    # WRITTEN FILES (pruned); untouched partitions reuse the pre-pass
+    # row — same bytes on disk, byte-identity pytest-pinned.
+    untouched = plan
+    if todo:
+        untouched = plan.filter(~F.col(partition_col).isin(todo))
+    after = untouched.select(
+        partition_col,
+        F.col("phys_before").alias("files_after"),
+        F.col("rows_before").alias("rows_after"),
+        F.col("size_before").alias("size_after"),
+        F.col("scan_overhead_before").alias("scan_overhead_after"),
+        F.col("bx1").alias("members_xor_after"),
+        F.col("bx2").alias("members_xor2_after"),
+    )
+    if todo:
+        post = _per_file_stats(
+            spark.read.schema(read_schema)
+            .parquet(path)
+            .filter(F.col(partition_col).isin(todo))
+        )
+        if file_sizes is not None:
+            relisted = physical_file_sizes(
+                spark, path, partition_col, file_col
+            ).filter(F.col(partition_col).isin(todo))
+            post = post.join(
+                relisted.select(
+                    partition_col,
+                    file_col,
+                    F.col("size_in_bytes").alias("fsz"),
+                ),
+                [partition_col, file_col],
+            )
+        else:
+            post = post.withColumn("fsz", F.col("row_bytes"))
+        measured = post.groupBy(partition_col).agg(
+            F.sum("n_phys").cast("long").alias("files_after"),
+            F.sum("n_rows").cast("long").alias("rows_after"),
+            F.sum("row_bytes").cast("long").alias("size_after"),
+            F.sum(read_file_cost(F.col("fsz")))
+            .cast("long")
+            .alias("scan_overhead_after"),
+            F.bit_xor("x1").alias("members_xor_after"),
+            F.bit_xor("x2").alias("members_xor2_after"),
+        )
+        after = after.unionByName(measured)
+
+    return (
+        plan.select(
+            partition_col,
+            F.col("phys_before").alias("files_before"),
+            "rows_before",
+            "size_before",
+            "scan_overhead_before",
+            "groups_planned",
+            "scan_overhead_planned",
+            (F.col("groups_planned") < F.col("files_before")).alias(
+                "compacted"
+            ),
+        )
+        .join(after, partition_col)
+        .orderBy(partition_col)
+    )

@@ -586,8 +586,17 @@ def release_neardup_reconcile(
                 .distinct()
                 .collect()
             }
-        except AnalysisException:
-            return set()  # store not created yet — first call
+        except AnalysisException as e:
+            # Only a path that does not exist yet is benign (store
+            # not created — first call; release root absent). Any
+            # OTHER analysis failure must propagate: swallowing it
+            # here would fabricate an empty release-batch set (a
+            # misleading 'foreign lineage' error below) or silently
+            # disable the lineage guard entirely.
+            cond = e.getCondition() if hasattr(e, "getCondition") else None
+            if cond == "PATH_NOT_FOUND":
+                return set()
+            raise
 
     store_batches = _batch_ids(sig_path, f"{sig_schema}, sb long, batch long")
     if store_batches:
@@ -709,6 +718,11 @@ def release_neardup_reconcile(
 
 RELEASE_FILE_SCHEMA = "source string, doc_id long, n_tokens long, seq_id long"
 
+# Sentinel distinguishing "caller never considered the signature
+# store" (an error — see release_retraction_apply) from the explicit
+# opt-out sig_path=None ("this release lineage has no store").
+_SIG_PATH_UNSET = object()
+
 
 def release_retraction_apply(
     spark,
@@ -716,7 +730,7 @@ def release_retraction_apply(
     release_path: str,
     n_shards: int = RELEASE_N_SHARDS,
     min_shared_bands: int = 1,
-    sig_path: str | None = None,
+    sig_path=_SIG_PATH_UNSET,
     sig_buckets: int = RECONCILE_SIG_BUCKETS,
 ) -> DataFrame:
     """Advisor-EXECUTING pattern #9 — apply the retraction
@@ -753,8 +767,15 @@ def release_retraction_apply(
     rewrites nothing (no shard holds a retracted doc). Idempotence
     is pytest-pinned, as is sibling-shard byte-identity.
 
-    `sig_path` (pass the reconcile's signature store whenever one
-    exists) purges the retracted docs' band-key/content-hash rows
+    `sig_path` is REQUIRED — pass the reconcile's signature store,
+    or an explicit ``sig_path=None`` to declare the lineage has no
+    store (a release never reconciled incrementally). Leaving it
+    unset raises: the docstring-only contract was unenforceable, and
+    forgetting the store on a lineage that has one leaves orphan
+    signatures — a later reconcile can pair against an
+    already-retracted doc_a, and applying THAT pair deletes the last
+    copy of content. The purge removes the retracted docs'
+    band-key/content-hash rows
     from the store with the same surgical idiom (only the sb=K
     bucket dirs holding a named doc are rewritten; emptied dirs
     dropped). Without the purge, orphan signatures keep matching:
@@ -785,10 +806,13 @@ def release_retraction_apply(
     (you cannot overwrite parquet you are lazily still reading),
     bounded by one batch's affected shards.
 
-    Output per batch (every batch of the release, retracted or not):
-    (batch, n_docs_before, n_retracted, n_docs_after, n_seqs_after,
-    n_tokens_before, n_tokens_retracted, n_tokens_after,
-    members_xor_after, members_xor2_after), ordered by batch.
+    Output per batch holding at least one document (a fileless
+    batch directory — an all-junk increment whose funnel dropped
+    every doc writes only _SUCCESS — holds no rows and gets no
+    ledger row): (batch, n_docs_before, n_retracted, n_docs_after,
+    n_seqs_after, n_tokens_before, n_tokens_retracted,
+    n_tokens_after, members_xor_after, members_xor2_after), ordered
+    by batch.
     """
     from iceberg_diag_spark.operators.sampling import membership_checksums
     from iceberg_diag_spark.sources.sinks import (
@@ -796,6 +820,16 @@ def release_retraction_apply(
         write_assigned_shards,
     )
 
+    if sig_path is _SIG_PATH_UNSET:
+        raise TypeError(
+            "release_retraction_apply requires sig_path: pass the "
+            "reconcile's signature store so the retracted docs' "
+            "signatures are purged with the release, or an explicit "
+            "sig_path=None to declare this release lineage has no "
+            "store (orphan signatures let a later reconcile pair "
+            "against an already-retracted doc and delete the last "
+            "copy of content)"
+        )
     if min_shared_bands < 1:
         raise ValueError("min_shared_bands must be >= 1")
     retract = (

@@ -45,6 +45,7 @@ from iceberg_diag_spark.plans import oracles_round9  # noqa: F401,E402
 from iceberg_diag_spark.plans import oracles_round11  # noqa: F401,E402
 from iceberg_diag_spark.plans import oracles_round12  # noqa: F401,E402
 from iceberg_diag_spark.plans import oracles_round13  # noqa: F401,E402
+from iceberg_diag_spark.plans import oracles_round14  # noqa: F401,E402
 
 # Evaluation-order hedge: the correctness harness records rows for
 # exactly the first 50 registry entries (confirmed across rounds 1-3).

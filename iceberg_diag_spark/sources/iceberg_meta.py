@@ -12,9 +12,10 @@ the manifest count.)
 
 No Iceberg runtime jar (and no pyiceberg) ships in this container, so
 that call cannot execute here (re-verified rounds 2, 4, 5, 7, 8, 10,
-11, 12, and 13: no iceberg/delta/hudi jar or wheel anywhere on disk
-including the pyspark jars dir, no pyiceberg import, and no network —
-maven-central DNS resolution fails — to fetch either). This module pins the SHAPE of the integration instead, so
+11, 12, 13, and 14: no iceberg/delta/hudi jar or wheel anywhere on
+disk including the pyspark jars dir, no pyiceberg import, and no
+network — maven-central DNS resolution fails and pip finds no
+distribution — to fetch either). This module pins the SHAPE of the integration instead, so
 the wiring is real and contract-tested even though the catalog
 binding is not exercisable:
 

@@ -185,7 +185,7 @@ def retracted(spark):
         ledger1 = sorted(
             tuple(r)
             for r in funnel.release_retraction_apply(
-                spark, pairs, release
+                spark, pairs, release, sig_path=None
             ).collect()
         )
         post_ids = {
@@ -202,7 +202,7 @@ def retracted(spark):
         ledger2 = sorted(
             tuple(r)
             for r in funnel.release_retraction_apply(
-                spark, pairs, release
+                spark, pairs, release, sig_path=None
             ).collect()
         )
         yield {
@@ -291,7 +291,7 @@ def test_retraction_rewritten_shard_byte_equals_fresh_build(
         "batch_a long, doc_a long, batch_b long, doc_b long, "
         "n_shared_bands long, exact_dup boolean",
     )
-    funnel.release_retraction_apply(spark, pairs, release).collect()
+    funnel.release_retraction_apply(spark, pairs, release, sig_path=None).collect()
     fresh = str(tmp_path / "fresh")
     write_assigned_shards(
         asg.filter(F.col("doc_id") != victim["doc_id"]),
@@ -328,7 +328,7 @@ def test_retraction_drops_fully_emptied_shard_dir(spark, tmp_path):
         "batch_a long, doc_a long, batch_b long, doc_b long, "
         "n_shared_bands long, exact_dup boolean",
     )
-    led = funnel.release_retraction_apply(spark, pairs, release).collect()
+    led = funnel.release_retraction_apply(spark, pairs, release, sig_path=None).collect()
     assert not os.path.exists(f"{release}/batch=0/shard={some_shard}")
     row = led[0]
     assert row["n_retracted"] == len(victims)
@@ -353,12 +353,14 @@ def test_retraction_min_shared_bands_filter(spark, tmp_path):
         "n_shared_bands long, exact_dup boolean",
     )
     led = funnel.release_retraction_apply(
-        spark, pairs, release, min_shared_bands=3
+        spark, pairs, release,
+        min_shared_bands=3, sig_path=None
     ).collect()
     assert all(r["n_retracted"] == 0 for r in led)
     with pytest.raises(ValueError, match="min_shared_bands"):
         funnel.release_retraction_apply(
-            spark, pairs, release, min_shared_bands=0
+            spark, pairs, release,
+            min_shared_bands=0, sig_path=None
         )
 
 
@@ -381,7 +383,7 @@ def test_retraction_ledger_plan_hint_free(spark, tmp_path):
         [], "batch_a long, doc_a long, batch_b long, doc_b long, "
         "n_shared_bands long, exact_dup boolean",
     )
-    led = funnel.release_retraction_apply(spark, pairs, release)
+    led = funnel.release_retraction_apply(spark, pairs, release, sig_path=None)
     logical = led._jdf.queryExecution().logical().toString()
     assert "ResolvedHint" not in logical
     plan = led._jdf.queryExecution().executedPlan().toString()
@@ -580,7 +582,7 @@ def test_retraction_is_keyed_per_batch(spark, tmp_path):
     led = {
         r["batch"]: r
         for r in funnel.release_retraction_apply(
-            spark, pairs, release
+            spark, pairs, release, sig_path=None
         ).collect()
     }
     assert led[1]["n_retracted"] == 1 and led[0]["n_retracted"] == 0
@@ -617,7 +619,7 @@ def test_retraction_full_release_byte_equals_fresh_build(
         "batch_a long, doc_a long, batch_b long, doc_b long, "
         "n_shared_bands long, exact_dup boolean",
     )
-    funnel.release_retraction_apply(spark, pairs, release).collect()
+    funnel.release_retraction_apply(spark, pairs, release, sig_path=None).collect()
     fresh = str(tmp_path / "fresh")
     write_assigned_shards(
         asg.filter(~F.col("doc_id").isin(victims)),

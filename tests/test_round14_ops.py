@@ -1,0 +1,311 @@
+"""Round-14 operator contracts: diag_compaction_apply (the executing
+bin-pack remediation — advisor-executing pattern #10) and the
+round-14 funnel hardening (sig_path made explicit, lineage-guard
+error discrimination)."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_diag_spark.operators import funnel
+from iceberg_diag_spark.operators.binpack import pack_sizes
+from iceberg_diag_spark.operators.compaction import (
+    binpack_assign,
+    compact_apply_binpack,
+    physical_file_sizes,
+)
+
+LAYOUT_SCHEMA = (
+    "row_key string, row_bytes long, file_id long, partition_key string"
+)
+
+
+def _write_layout(spark, path: str, parts: dict[str, list[list[int]]]):
+    """Write a fragmented one-file-per-(partition, file_id) layout:
+    ``parts[pk][fid]`` is the list of per-row byte sizes file fid of
+    partition pk holds (its logical size = their sum)."""
+    rows = []
+    for pk, files in parts.items():
+        for fid, sizes in enumerate(files):
+            for i, s in enumerate(sizes):
+                rows.append((f"{pk}|{fid}|{i}", s, fid, pk))
+    df = spark.createDataFrame(rows, LAYOUT_SCHEMA)
+    (
+        df.repartition(4, "partition_key", "file_id")
+        .sortWithinPartitions("partition_key", "file_id", "row_key")
+        .write.mode("overwrite")
+        .partitionBy("partition_key", "file_id")
+        .parquet(path)
+    )
+
+
+def _apply(spark, path: str, cap: int, **kw):
+    return compact_apply_binpack(
+        spark,
+        path,
+        read_schema=LAYOUT_SCHEMA,
+        row_size=F.col("row_bytes"),
+        key=F.col("row_key"),
+        order_cols=("row_key",),
+        max_bytes_per_group=cap,
+        **kw,
+    )
+
+
+def _dir_md5s(root: str) -> dict[str, str]:
+    out = {}
+    for p in sorted(glob.glob(f"{root}/**/part-*.parquet", recursive=True)):
+        with open(p, "rb") as f:
+            out[os.path.relpath(p, root)] = hashlib.md5(f.read()).hexdigest()
+    return out
+
+
+# ---------------------------------------------------------------- #
+# binpack_assign vs the reference fold
+# ---------------------------------------------------------------- #
+
+def test_binpack_assign_matches_pack_sizes(spark):
+    """The assignment's per-gid (count, total) profile equals
+    pack_sizes' fold output exactly — including ties, where the
+    (size, file_id) tie-break changes membership but never the
+    profile."""
+    import random
+
+    rng = random.Random(14)
+    cases = {
+        "empty_tail": [10, 20, 30, 40],
+        "ties": [5, 5, 5, 5, 5, 5],
+        "one_big": [1000],
+        "all_over_cap": [70, 80, 90],
+        "random": [rng.randrange(1, 120) for _ in range(40)],
+    }
+    rows = [
+        (pk, fid, s)
+        for pk, sizes in cases.items()
+        for fid, s in enumerate(sizes)
+    ]
+    sized = spark.createDataFrame(
+        rows, "partition_key string, file_id long, logical_size long"
+    )
+    cap = 60
+    asg = binpack_assign(sized, max_bytes_per_group=cap)
+    got = (
+        asg.join(sized, ["partition_key", "file_id"])
+        .groupBy("partition_key", "gid")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("logical_size").alias("tot"),
+        )
+        .collect()
+    )
+    by_part: dict[str, dict[int, tuple[int, int]]] = {}
+    for r in got:
+        by_part.setdefault(r["partition_key"], {})[r["gid"]] = (
+            r["cnt"],
+            r["tot"],
+        )
+    for pk, sizes in cases.items():
+        expect = pack_sizes(sizes, cap)
+        prof = [by_part[pk][g] for g in sorted(by_part[pk])]
+        assert prof == [(c, t) for c, t in expect], pk
+
+
+# ---------------------------------------------------------------- #
+# compact_apply_binpack: execution, surgery, measurement
+# ---------------------------------------------------------------- #
+
+@pytest.fixture()
+def compacted_layout(spark, tmp_path):
+    """Two partitions: 'a' compacts 4 files -> 2 groups; 'b' is a
+    no-reduction plan (every file alone exceeds the cap) and must
+    stay byte-untouched."""
+    path = str(tmp_path / "layout")
+    parts = {
+        "a": [[4, 6], [8, 12], [30], [40]],  # sizes 10, 20, 30, 40
+        "b": [[25, 25], [60]],  # sizes 50, 60 — both > cap
+    }
+    _write_layout(spark, path, parts)
+    pre_md5 = _dir_md5s(path)
+    led = {r["partition_key"]: r for r in _apply(spark, path, cap=45).collect()}
+    return path, pre_md5, led
+
+
+def test_compaction_executes_the_plan(spark, compacted_layout):
+    path, _, led = compacted_layout
+    a = led["a"]
+    # plan: sorted [10,20,30,40] cap 45 -> (10,20,30)=60, (40)=40
+    assert a["files_before"] == 4 and a["groups_planned"] == 2
+    assert bool(a["compacted"]) is True
+    # measured from the written files: one physical file per group
+    assert a["files_after"] == 2
+    assert a["rows_before"] == a["rows_after"] == 6
+    assert a["size_before"] == a["size_after"] == 100
+    # sizes all < FETCH_SIZE -> cost 2 per file/group
+    assert a["scan_overhead_before"] == 8
+    assert a["scan_overhead_planned"] == a["scan_overhead_after"] == 4
+    dirs = sorted(glob.glob(f"{path}/partition_key=a/file_id=*"))
+    assert len(dirs) == 2
+    for d in dirs:
+        assert len(glob.glob(f"{d}/part-*.parquet")) == 1
+
+
+def test_compaction_untouched_partition_byte_identity(
+    spark, compacted_layout
+):
+    path, pre_md5, led = compacted_layout
+    b = led["b"]
+    assert b["files_before"] == b["files_after"] == b["groups_planned"] == 2
+    assert bool(b["compacted"]) is False
+    post_md5 = _dir_md5s(path)
+    pre_b = {k: v for k, v in pre_md5.items() if "partition_key=b" in k}
+    post_b = {k: v for k, v in post_md5.items() if "partition_key=b" in k}
+    assert pre_b == post_b and pre_b
+
+
+def test_compaction_membership_digests_survive(spark, compacted_layout):
+    path, _, led = compacted_layout
+    from iceberg_diag_spark.operators.sampling import membership_checksums
+
+    x1, x2 = membership_checksums(F.col("row_key"))
+    back = (
+        spark.read.schema(LAYOUT_SCHEMA)
+        .parquet(path)
+        .groupBy("partition_key")
+        .agg(x1.alias("x1"), x2.alias("x2"))
+        .collect()
+    )
+    for r in back:
+        row = led[r["partition_key"]]
+        assert row["members_xor_after"] == r["x1"]
+        assert row["members_xor2_after"] == r["x2"]
+
+
+def test_compaction_converges_to_fixed_point(spark, compacted_layout):
+    """A re-run may merge a partition's under-cap remainder group once
+    more (check-before-append admits it), but within two further
+    passes every file exceeds the cap or stands alone and nothing is
+    rewritten again."""
+    path, _, _ = compacted_layout
+    led2 = {r["partition_key"]: r for r in _apply(spark, path, cap=45).collect()}
+    # 'a' re-merges [60, 40] -> one group of 100; 'b' stays fixed
+    assert bool(led2["a"]["compacted"]) is True
+    assert led2["a"]["files_after"] == 1
+    assert bool(led2["b"]["compacted"]) is False
+    md5_after_2 = _dir_md5s(path)
+    led3 = {r["partition_key"]: r for r in _apply(spark, path, cap=45).collect()}
+    assert all(not bool(r["compacted"]) for r in led3.values())
+    assert led3["a"]["rows_after"] == 6 and led3["b"]["rows_after"] == 3
+    assert _dir_md5s(path) == md5_after_2
+
+
+def test_compaction_ledger_plan_hint_free(spark, tmp_path):
+    """The ledger's joins (assignment reattach, after-state join) are
+    stats-driven — no ResolvedHint anywhere in the lazy plan."""
+    path = str(tmp_path / "layout")
+    _write_layout(spark, path, {"a": [[10], [20]]})
+    led = _apply(spark, path, cap=1000)
+    assert "ResolvedHint" not in led._jdf.queryExecution().logical().toString()
+
+
+# ---------------------------------------------------------------- #
+# predicted-after == re-diagnosed written layout (the verdict's ask)
+# ---------------------------------------------------------------- #
+
+def test_compaction_prediction_matches_rediagnosis(spark, tmp_path):
+    """Execute the EXACT plan the diagnostics simulate, then re-run
+    the diagnostics on the written files: the re-diagnosed 'before'
+    of the rewritten layout equals the simulation's 'after' —
+    FILE_COUNT and FULL_SCAN_OVERHEAD exactly (real bytes drive both
+    the plan and the re-diagnosis; every size is sub-FETCH so the
+    cost model is exact on both sides)."""
+    from iceberg_diag_spark.operators.diagnostics import (
+        partition_stats,
+        partition_stats_with_after,
+        table_metrics,
+    )
+
+    path = str(tmp_path / "layout")
+    parts = {
+        "a": [[100] * (fid + 1) for fid in range(7)],
+        "b": [[250] * 3 for _ in range(5)],
+        "c": [[9000]],
+    }
+    _write_layout(spark, path, parts)
+
+    def _files_rel(listing):
+        return listing.select(
+            "partition_key",
+            F.col("size_in_bytes").alias("file_size_in_bytes"),
+            F.lit(0).alias("content"),
+        )
+
+    before_listing = physical_file_sizes(
+        spark, path, "partition_key", "file_id"
+    ).localCheckpoint(eager=True)
+    sim = {
+        r["partition_key"]: r
+        for r in partition_stats_with_after(_files_rel(before_listing)).collect()
+    }
+    sim_metrics = {
+        r["metric"]: r
+        for r in table_metrics(_files_rel(before_listing)).collect()
+    }
+
+    _apply(spark, path, cap=750 * 1024 * 1024, file_sizes=before_listing).collect()
+
+    after_listing = physical_file_sizes(spark, path, "partition_key", "file_id")
+    rediag = {
+        r["partition_key"]: r
+        for r in partition_stats(_files_rel(after_listing)).collect()
+    }
+    for pk, s in sim.items():
+        assert rediag[pk]["file_count"] == s["after_file_count"], pk
+        assert rediag[pk]["scan_overhead"] == s["after_scan_overhead"], pk
+    after_metrics = {
+        r["metric"]: r
+        for r in table_metrics(_files_rel(after_listing)).collect()
+    }
+    for m in ("FILE_COUNT", "FULL_SCAN_OVERHEAD"):
+        assert after_metrics[m]["before"] == sim_metrics[m]["after"], m
+
+
+# ---------------------------------------------------------------- #
+# funnel hardening pins
+# ---------------------------------------------------------------- #
+
+def test_retraction_sig_path_is_required(spark):
+    pairs = spark.createDataFrame(
+        [],
+        "batch_a long, doc_a long, batch_b long, doc_b long, "
+        "n_shared_bands long, exact_dup boolean",
+    )
+    with pytest.raises(TypeError, match="sig_path"):
+        funnel.release_retraction_apply(spark, pairs, "/tmp/nowhere")
+
+
+def test_reconcile_missing_store_is_benign(spark, tmp_path):
+    """PATH_NOT_FOUND (store/release not created yet) must stay the
+    silent first-call path after the error-discrimination fix."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta", "en",
+          "web", 46)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    from iceberg_diag_spark.sources.sinks import write_assigned_shards
+
+    release = str(tmp_path / "rel")
+    asg = funnel.release_assignments(docs)
+    write_assigned_shards(
+        asg, f"{release}/batch=0", funnel.RELEASE_N_SHARDS,
+        order_cols=("source", "seq_id", "doc_id"),
+    )
+    out = funnel.release_neardup_reconcile(
+        spark, [(0, docs)], release, str(tmp_path / "sig")
+    )
+    assert out.count() == 0

@@ -930,7 +930,7 @@ def test_release_retraction_apply_at_1m(spark, tmp_path_factory):
     t0 = time.time()
     led = {
         r["batch"]: r
-        for r in release_retraction_apply(spark, pairs, release).collect()
+        for r in release_retraction_apply(spark, pairs, release, sig_path=None).collect()
     }
     wall = time.time() - t0
     assert led[0]["n_retracted"] == 0
@@ -944,7 +944,7 @@ def test_release_retraction_apply_at_1m(spark, tmp_path_factory):
     t1 = time.time()
     led2 = {
         r["batch"]: r
-        for r in release_retraction_apply(spark, pairs, release).collect()
+        for r in release_retraction_apply(spark, pairs, release, sig_path=None).collect()
     }
     replay_wall = time.time() - t1
     assert led2[1]["n_retracted"] == 0
