@@ -954,3 +954,103 @@ def test_release_retraction_apply_at_1m(spark, tmp_path_factory):
         f"release_retraction_apply @1M: {wall:.1f}s "
         f"replay={replay_wall:.1f}s"
     )
+
+
+def test_compaction_apply_at_1m_rows_2k_files(spark, tmp_path):
+    """The executing compaction at scale: 1M rows fragmented into
+    ~2,000 physical files across 20 partitions, logical sizes chosen
+    so every partition packs ~100 files -> a handful of groups.
+    Asserts plan==measured on the ledger (the hash-oracle invariant
+    at 20x the bench layout), untouched-partition surgery on a
+    partition built to need none, and prints the wall breakdown."""
+    import shutil
+    import tempfile
+
+    from iceberg_diag_spark.operators.compaction import (
+        compact_apply_binpack,
+    )
+
+    n = N_DOCS
+    schema = (
+        "row_key string, row_bytes long, file_id long,"
+        " partition_key string"
+    )
+    i = F.col("id")
+    # partitions p00..p18 fragment into 100 buckets of ~526 16-KiB
+    # rows each (~8 MiB logical files, ~842 MiB partitions -> ~2
+    # groups under the 750 MiB cap); p19 holds 2 giant single-row
+    # files (already over cap -> must stay byte-untouched)
+    part = F.when(
+        i < n, F.concat(F.lit("p"), F.lpad((i % 19).cast("string"), 2, "0"))
+    ).otherwise(F.lit("p19"))
+    rows = (
+        spark.range(n + 2)
+        .select(
+            F.concat(F.lit("k"), i.cast("string")).alias("row_key"),
+            F.when(i < n, F.lit(16 * 1024))
+            .otherwise(F.lit(900 * 1024 * 1024))
+            .cast("long")
+            .alias("row_bytes"),
+            F.when(i < n, F.pmod(F.xxhash64(i), F.lit(100)))
+            .otherwise(i - n)
+            .cast("long")
+            .alias("file_id"),
+            part.alias("partition_key"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="stress_compaction_")
+    try:
+        t0 = time.time()
+        (
+            rows.repartition(64, "partition_key", "file_id")
+            .sortWithinPartitions("partition_key", "file_id", "row_key")
+            .write.mode("overwrite")
+            .partitionBy("partition_key", "file_id")
+            .parquet(root)
+        )
+        t_write = time.time() - t0
+        p19 = sorted(
+            (f, os.path.getsize(f"{d}/{f}"))
+            for d in __import__("glob").glob(f"{root}/partition_key=p19/file_id=*")
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+        t1 = time.time()
+        led = {
+            r["partition_key"]: r
+            for r in compact_apply_binpack(
+                spark,
+                root,
+                read_schema=schema,
+                row_size=F.col("row_bytes"),
+                key=F.col("row_key"),
+                order_cols=("row_key",),
+            ).collect()
+        }
+        t_apply = time.time() - t1
+        assert len(led) == 20
+        total_before = sum(r["files_before"] for r in led.values())
+        total_after = sum(r["files_after"] for r in led.values())
+        assert total_before >= 1900
+        for pk, r in led.items():
+            if pk == "p19":
+                assert not bool(r["compacted"])
+                assert r["files_after"] == r["files_before"] == 2
+            else:
+                assert bool(r["compacted"])
+                assert r["files_after"] == r["groups_planned"]
+                assert r["rows_after"] == r["rows_before"]
+                assert r["scan_overhead_after"] == r["scan_overhead_planned"]
+        p19_post = sorted(
+            (f, os.path.getsize(f"{d}/{f}"))
+            for d in __import__("glob").glob(f"{root}/partition_key=p19/file_id=*")
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+        assert p19_post == p19, "over-cap partition was touched"
+        print(
+            f"compaction_apply @1M/{total_before}files: write={t_write:.1f}s "
+            f"apply={t_apply:.1f}s files {total_before}->{total_after}"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
