@@ -27,7 +27,10 @@ Scale shape (100 TB):
   test scale and is free to shuffle at 1e8-file scale), one
   repartition on (partition, group) — each group lands wholly in one
   task, so partitionBy emits exactly ONE file per group — and one
-  append. Untouched partitions are never opened.
+  dynamic-partition-overwrite write, followed by dropping the stale
+  leaf dirs the smaller layout no longer uses (write-then-delete: a
+  crash in between leaves recoverable duplicates, never loss).
+  Untouched partitions are never opened.
 - The ledger re-reads ONLY the rewritten partitions (pruned
   predicate); untouched partitions' after-state IS their
   before-state from the pre-pass over the same bytes (per-partition
@@ -289,11 +292,12 @@ def compact_apply_binpack(
         if r["groups_planned"] < r["files_before"]
     ]
     if todo:
-        n_groups = sum(
-            r["groups_planned"]
+        groups_of = {
+            r[partition_col]: int(r["groups_planned"])
             for r in decisions
             if r["groups_planned"] < r["files_before"]
-        )
+        }
+        n_groups = sum(groups_of.values())
         data_cols = [
             f.name
             for f in pre.schema.fields
@@ -309,15 +313,32 @@ def compact_apply_binpack(
             )
             .localCheckpoint(eager=True)  # the write replaces its input
         )
-        for p in todo:
-            delete_path(spark, f"{path}/{partition_col}={p}")
+        # Write FIRST via dynamic partition overwrite (gids are
+        # contiguous 0..k-1 and every group is non-empty, so exactly
+        # those leaf dirs are replaced), THEN drop the stale leaf
+        # dirs the smaller layout no longer uses — the retraction
+        # sink's order: a crash in between leaves recoverable
+        # duplicates, never a deleted-but-unwritten partition.
         (
             kept.repartition(max(1, int(n_groups)), partition_col, file_col)
             .sortWithinPartitions(partition_col, file_col, *order_cols)
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partition_col, file_col)
             .parquet(path)
         )
+        stale = (
+            per_file.filter(F.col(partition_col).isin(todo))
+            .select(partition_col, file_col)
+            .collect()
+        )
+        for r in stale:
+            p, fid = r[partition_col], int(r[file_col])
+            if fid >= groups_of[p]:
+                delete_path(
+                    spark,
+                    f"{path}/{partition_col}={p}/{file_col}={fid}",
+                )
 
     # Measured after-state: rewritten partitions re-read FROM THE
     # WRITTEN FILES (pruned); untouched partitions reuse the pre-pass
