@@ -262,6 +262,7 @@ HEADLINE = [
     "classifier_apply_trained",
     "release_retraction_apply",
     "diag_compaction_apply",
+    "diag_clustering_apply",
 ]
 
 # HEADLINE membership is TOTAL: every registry entry is either timed

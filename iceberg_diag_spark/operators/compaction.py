@@ -403,3 +403,205 @@ def compact_apply_binpack(
         .join(after, partition_col)
         .orderBy(partition_col)
     )
+
+
+def cluster_apply_sorted(
+    spark: SparkSession,
+    path: str,
+    read_schema: str,
+    value_col: str,
+    key_col: str,
+    file_col: str = "file_id",
+    rows_per_file: int = 4096,
+) -> DataFrame:
+    """Execute the sort-order remediation the skip diagnostics only
+    price, and return a one-row predicted-vs-measured ledger.
+
+    clustering_advisor ranks WHICH column a sort-order rewrite should
+    target and skip_simulation prices it (the reference's
+    before/after-improvement idiom applied to data skipping);
+    sinks.sorted_rewrite performs A sorted rewrite — but via
+    repartitionByRange's sampled boundaries, which no closed form can
+    predict and no hash oracle can check. This sink instead
+    materializes EXACTLY the layout the simulation models: rows in
+    global ``value_col`` order, chunked ``rows_per_file`` per file —
+    so the simulation's closed-form after-stats are the PREDICTION
+    and the endpoint sweep over the WRITTEN files' min/max bounds is
+    the MEASUREMENT, equal when and only when the rewrite did what
+    the model says.
+
+    Distributed ranking (no global single-task window, SCALING §4):
+    per-value counts → grouped_prefix_sum gives each value's starting
+    rank; a per-value row_number (window bounded by the duplicate
+    count of one value — the same ceiling the simulation's model
+    already has: a hot low-cardinality value makes rank order within
+    it arbitrary AND its window big; pick high-cardinality sort
+    columns) finishes the total order. The rewrite joins rows to the
+    value-rank base (value-cardinality scale, stats-driven, no hint),
+    repartitions on the target file id — one task per file, one
+    physical file per leaf dir — and lands via dynamic partition
+    overwrite + stale-leaf-dir drop (the compact_apply_binpack
+    ordering: duplicates on crash, never loss). A global re-sort
+    rewrites every file by nature — there is no untouched-partition
+    shortcut here; the after-state is re-read entirely from the
+    written files (bounds, rows, digests).
+
+    Output, one row: files/rows/overlap_pairs/max_depth/avg_depth_ppm
+    before (measured from the layout on disk), the planned after
+    (sorted_after_stats closed form), and the measured after (the
+    clustering_advisor sweep over the written bounds + re-aggregated
+    membership digests).
+    """
+    from iceberg_diag_spark.operators.maintenance import (
+        clustering_advisor,
+        sorted_after_stats,
+    )
+    from iceberg_diag_spark.operators.sampling import membership_checksums
+    from iceberg_diag_spark.operators.shuffling import grouped_prefix_sum
+    from iceberg_diag_spark.sources.sinks import delete_path
+    from pyspark.sql.window import Window
+
+    if rows_per_file <= 0:
+        raise ValueError("rows_per_file must be positive")
+    m = rows_per_file
+    pre = spark.read.schema(read_schema).parquet(path)
+    x1, x2 = membership_checksums(F.col(key_col))
+
+    def _per_file(rel: DataFrame) -> DataFrame:
+        return (
+            rel.withColumn("_phys_file", F.input_file_name())
+            .groupBy(file_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min(value_col).cast("long").alias("lo"),
+                F.max(value_col).cast("long").alias("hi"),
+                F.countDistinct("_phys_file").cast("long").alias("n_phys"),
+                x1.alias("x1"),
+                x2.alias("x2"),
+            )
+        )
+
+    def _sweep(per_file: DataFrame) -> DataFrame:
+        return clustering_advisor(
+            per_file.select(
+                F.lit("v").alias("col_name"), file_col, "lo", "hi"
+            )
+        ).select(
+            F.lit(1).alias("_k"),
+            F.col("n_files"),
+            "overlap_pairs",
+            "max_depth",
+            "avg_depth_ppm",
+        )
+
+    # ONE metadata pre-pass over the input (bounds + digests), eager:
+    # the rewrite below replaces every file it was computed from.
+    bef_files = _per_file(pre).localCheckpoint(eager=True)
+    bef = _sweep(bef_files).join(
+        bef_files.agg(
+            F.sum("n_rows").cast("long").alias("rows_before"),
+            F.sum("n_phys").cast("long").alias("phys_before"),
+        ).select(F.lit(1).alias("_k"), "rows_before", "phys_before"),
+        "_k",
+    )
+
+    # Per-value counts: ONE data scan; drives both the prediction and
+    # the ranking, so it is computed once and checkpointed.
+    vals = (
+        pre.groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .select(F.lit("v").alias("col_name"), "v", "k")
+        .localCheckpoint(eager=True)
+    )
+    planned = sorted_after_stats(vals, m).select(
+        F.lit(1).alias("_k"),
+        F.col("n_files").alias("files_planned"),
+        F.col("overlap_pairs_after").alias("overlap_pairs_planned"),
+        F.col("max_depth_after").alias("max_depth_planned"),
+        F.col("avg_depth_ppm_after").alias("avg_depth_ppm_planned"),
+    )
+
+    # Rewrite: global rank = value's exclusive prefix + intra-value
+    # row_number; target file = (rank-1) DIV m (contiguous 0..F-1,
+    # every file non-empty).
+    base = grouped_prefix_sum(vals, "col_name", "v", "k", out_col="__pre")
+    data_cols = [
+        f.name for f in pre.schema.fields if f.name != file_col
+    ]
+    iw = Window.partitionBy(value_col).orderBy(key_col)
+    ranked = (
+        pre.select(*data_cols)
+        .join(
+            base.select(F.col("v").alias(value_col), "__pre"),
+            value_col,
+        )
+        .withColumn(
+            "__rank", F.col("__pre") + F.row_number().over(iw)
+        )
+        .select(
+            *data_cols,
+            ((F.col("__rank") - 1) / m).cast("long").alias(file_col),
+        )
+        .localCheckpoint(eager=True)  # the write replaces its input
+    )
+    n_rows_total = int(
+        bef_files.agg(F.sum("n_rows")).collect()[0][0] or 0
+    )
+    n_files_new = -(-n_rows_total // m)  # ceil; ranks are contiguous
+    (
+        ranked.repartition(max(1, int(n_files_new)), file_col)
+        .sortWithinPartitions(file_col, value_col, key_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(file_col)
+        .parquet(path)
+    )
+    stale = bef_files.select(file_col).collect()
+    for r in stale:
+        fid = int(r[file_col])
+        if fid >= n_files_new:
+            delete_path(spark, f"{path}/{file_col}={fid}")
+
+    # Measured after-state: entirely from the written files.
+    post_files = _per_file(spark.read.schema(read_schema).parquet(path))
+    aft = _sweep(post_files).join(
+        post_files.agg(
+            F.sum("n_rows").cast("long").alias("rows_after"),
+            F.sum("n_phys").cast("long").alias("phys_after"),
+            F.bit_xor("x1").alias("members_xor_after"),
+            F.bit_xor("x2").alias("members_xor2_after"),
+        ).select(
+            F.lit(1).alias("_k"),
+            "rows_after",
+            "phys_after",
+            "members_xor_after",
+            "members_xor2_after",
+        ),
+        "_k",
+    )
+
+    return (
+        bef.select(
+            "_k",
+            F.col("phys_before").alias("files_before"),
+            "rows_before",
+            F.col("overlap_pairs").alias("overlap_pairs_before"),
+            F.col("max_depth").alias("max_depth_before"),
+            F.col("avg_depth_ppm").alias("avg_depth_ppm_before"),
+        )
+        .join(planned, "_k")
+        .join(
+            aft.select(
+                "_k",
+                F.col("phys_after").alias("files_after"),
+                "rows_after",
+                F.col("overlap_pairs").alias("overlap_pairs_after"),
+                F.col("max_depth").alias("max_depth_after"),
+                F.col("avg_depth_ppm").alias("avg_depth_ppm_after"),
+                "members_xor_after",
+                "members_xor2_after",
+            ),
+            "_k",
+        )
+        .drop("_k")
+    )

@@ -361,9 +361,6 @@ def skip_simulation(
     skip-ratio a rewrite would buy (lower = better; 1_000_000 = the
     rewrite changes nothing).
     """
-    from iceberg_diag_spark.operators.shuffling import grouped_prefix_sum
-
-    m = rows_per_file
     before = clustering_advisor(file_stats).select(
         "col_name",
         F.col("overlap_pairs").alias("overlap_pairs_before"),
@@ -374,6 +371,52 @@ def skip_simulation(
     vals = column_values.groupBy("col_name", "v").agg(
         F.count(F.lit(1)).cast("long").alias("k")
     )
+    after = sorted_after_stats(vals, rows_per_file)
+
+    return (
+        before.join(after, "col_name")
+        .withColumn(
+            "improvement_ppm",
+            F.when(
+                F.col("avg_depth_ppm_before") > 0,
+                F.floor(
+                    F.lit(1_000_000.0)
+                    * F.col("avg_depth_ppm_after")
+                    / F.col("avg_depth_ppm_before")
+                ),
+            )
+            .otherwise(F.lit(1_000_000))
+            .cast("long"),
+        )
+        .select(
+            "col_name",
+            "n_files",
+            "overlap_pairs_before",
+            "overlap_pairs_after",
+            "max_depth_before",
+            "max_depth_after",
+            "avg_depth_ppm_before",
+            "avg_depth_ppm_after",
+            "improvement_ppm",
+        )
+    )
+
+
+def sorted_after_stats(vals: DataFrame, rows_per_file: int) -> DataFrame:
+    """The skip_simulation closed form, factored out so the executing
+    sorted rewrite (compaction.cluster_apply_sorted) can PREDICT the
+    stats it then measures from written files: given per-value counts
+    ``vals`` = (col_name, v, k), the exact post-rewrite interval
+    statistics of the globally-v-sorted, m-rows-per-file layout —
+    without materializing it. Pure extraction from skip_simulation
+    (identical plan); see that docstring for the arithmetic.
+
+    Output: (col_name, n_files, overlap_pairs_after, max_depth_after,
+    avg_depth_ppm_after).
+    """
+    from iceberg_diag_spark.operators.shuffling import grouped_prefix_sum
+
+    m = rows_per_file
     s = grouped_prefix_sum(vals, "col_name", "v", "k", out_col="__pre")
     per_val = s.select(
         "col_name",
@@ -400,7 +443,7 @@ def skip_simulation(
         (F.col("b") - F.col("f0")).alias("rb"),
         (F.col("b") >= F.col("a")).alias("spans"),
     )
-    after = per_val.groupBy("col_name").agg(
+    return per_val.groupBy("col_name").agg(
         F.sum("k").alias("n_rows"),
         F.sum(
             F.when(
@@ -435,34 +478,6 @@ def skip_simulation(
             * (F.col("overlap_pairs_after") + F.col("n_files"))
             / (F.col("n_files") * F.col("n_files"))
         ).cast("long"),
-    )
-
-    return (
-        before.join(after, "col_name")
-        .withColumn(
-            "improvement_ppm",
-            F.when(
-                F.col("avg_depth_ppm_before") > 0,
-                F.floor(
-                    F.lit(1_000_000.0)
-                    * F.col("avg_depth_ppm_after")
-                    / F.col("avg_depth_ppm_before")
-                ),
-            )
-            .otherwise(F.lit(1_000_000))
-            .cast("long"),
-        )
-        .select(
-            "col_name",
-            "n_files",
-            "overlap_pairs_before",
-            "overlap_pairs_after",
-            "max_depth_before",
-            "max_depth_after",
-            "avg_depth_ppm_before",
-            "avg_depth_ppm_after",
-            "improvement_ppm",
-        )
     )
 
 

@@ -161,7 +161,169 @@ def _diag_compaction_apply(spark, sf_dir):
     return out
 
 
+# --------------------------------------------------------------------
+# diag_clustering_apply — the sort-order twin of the compaction sink:
+# clustering_advisor names the column, diag_skip_simulation prices the
+# rewrite; this entry EXECUTES exactly the layout the simulation
+# models (global value order, fixed rows per file) and measures the
+# skipping stats from the written files' min/max bounds.
+# --------------------------------------------------------------------
+
+# Arrival-order fragmentation of the before-layout (orderkey chunks —
+# the file_column_stats_from_lineitem idiom, coarsened so the layout
+# stays a few hundred physical files at sf0.1).
+CLUSTER_FRAG_ORDERKEYS = 1024
+# Post-rewrite chunking: the simulation's rows-per-file model IS the
+# written layout, so prediction and measurement share one parameter.
+CLUSTER_ROWS_PER_FILE = 4096
+
+_CLUSTER_READ_SCHEMA = "row_key string, v long, file_id long"
+
+_SWEEP_SQL = """
+  SELECT CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(depth) AS BIGINT) AS op,
+         CAST(max(depth) + 1 AS BIGINT) AS md,
+         CAST(floor(1000000.0 * sum(depth + 1) / (count(*) * count(*)))
+              AS BIGINT) AS ad
+  FROM (
+    SELECT prev_starts - ends_lt AS depth
+    FROM (
+      SELECT typ,
+             COALESCE(SUM(typ) OVER w, 0) AS ends_lt,
+             COALESCE(SUM(1 - typ) OVER w, 0) AS prev_starts
+      FROM (
+        SELECT lo AS value, 0 AS typ, file_id FROM {bounds}
+        UNION ALL
+        SELECT hi, 1, file_id FROM {bounds}
+      )
+      WINDOW w AS (ORDER BY value, typ, file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ) WHERE typ = 0
+  )
+"""
+
+_CLUSTERING_APPLY_SQL = f"""
+WITH rws AS MATERIALIZED (
+  SELECT {_ROW_KEY_SQL} AS row_key,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+              AS BIGINT) AS v,
+         CAST(l_orderkey // {CLUSTER_FRAG_ORDERKEYS} AS BIGINT) AS file_id
+  FROM lineitem
+),
+bbnd AS MATERIALIZED (
+  SELECT file_id, min(v) AS lo, max(v) AS hi FROM rws GROUP BY file_id
+),
+abnd AS MATERIALIZED (
+  SELECT (r - 1) // {CLUSTER_ROWS_PER_FILE} AS file_id,
+         min(v) AS lo, max(v) AS hi
+  FROM (SELECT v, row_number() OVER (ORDER BY v, row_key) AS r FROM rws)
+  GROUP BY 1
+),
+bef AS ({_SWEEP_SQL.format(bounds="bbnd")}),
+aft AS ({_SWEEP_SQL.format(bounds="abnd")}),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         bit_xor(('0x' || substring(md5(row_key), 1, 15))::BIGINT) AS mx1,
+         bit_xor(('0x' || substring(md5('m2|' || row_key), 1, 15))::BIGINT)
+           AS mx2
+  FROM rws
+)
+SELECT bef.n_files AS files_before,
+       tot.n_rows AS rows_before,
+       bef.op AS overlap_pairs_before,
+       bef.md AS max_depth_before,
+       bef.ad AS avg_depth_ppm_before,
+       aft.n_files AS files_planned,
+       aft.op AS overlap_pairs_planned,
+       aft.md AS max_depth_planned,
+       aft.ad AS avg_depth_ppm_planned,
+       aft.n_files AS files_after,
+       tot.n_rows AS rows_after,
+       aft.op AS overlap_pairs_after,
+       aft.md AS max_depth_after,
+       aft.ad AS avg_depth_ppm_after,
+       tot.mx1 AS members_xor_after,
+       tot.mx2 AS members_xor2_after
+FROM bef, aft, tot
+"""
+
+
+def cluster_rows(spark, sf_dir):
+    """The deterministic arrival-order layout projection of lineitem:
+    (row_key, v = ship_day, file_id = orderkey chunk)."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return li.select(
+        key.alias("row_key"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.lit("1992-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("v"),
+        F.floor(F.col("l_orderkey") / CLUSTER_FRAG_ORDERKEYS)
+        .cast("long")
+        .alias("file_id"),
+    )
+
+
+def _diag_clustering_apply(spark, sf_dir):
+    """Write the arrival-order layout (one real parquet file per
+    orderkey chunk), EXECUTE the sorted rewrite the skip simulation
+    models, and return the one-row predicted-vs-measured skipping
+    ledger. Temp dir removed after the result checkpoint."""
+    import shutil
+    import tempfile
+
+    from iceberg_diag_spark.operators.compaction import (
+        cluster_apply_sorted,
+    )
+
+    rows = cluster_rows(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="clustering_apply_")
+    try:
+        (
+            rows.repartition(32, "file_id")
+            .sortWithinPartitions("file_id", "v", "row_key")
+            .write.mode("overwrite")
+            .partitionBy("file_id")
+            .parquet(tmp)
+        )
+        out = cluster_apply_sorted(
+            spark,
+            tmp,
+            read_schema=_CLUSTER_READ_SCHEMA,
+            value_col="v",
+            key_col="row_key",
+            rows_per_file=CLUSTER_ROWS_PER_FILE,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 REGISTRY.update({
+    "diag_clustering_apply": QuerySpec(
+        _diag_clustering_apply, _CLUSTERING_APPLY_SQL,
+        "advisor-EXECUTING pattern #11 — the sort-order twin of "
+        "diag_compaction_apply: clustering_advisor names the column, "
+        "diag_skip_simulation prices the rewrite with a closed form; "
+        "this entry EXECUTES exactly the layout that form models "
+        "(global ship-day order via distributed ranking — "
+        "grouped_prefix_sum + per-value row_number, no single-task "
+        "window — chunked rows_per_file per physical file, dynamic "
+        "partition overwrite + stale-leaf drop) against a real "
+        "arrival-order fragmented parquet layout, then MEASURES the "
+        "skipping stats from the written files' min/max bounds with "
+        "the same endpoint sweep the advisor uses: a hash-green row "
+        "certifies predicted-after == measured-after overlap "
+        "pairs/max depth/avg depth (and that rows and membership "
+        "digests survived the rewrite), not just the simulation",
+    ),
     "diag_compaction_apply": QuerySpec(
         _diag_compaction_apply, _COMPACTION_SQL,
         "advisor-EXECUTING pattern #10 — run the reference's own "

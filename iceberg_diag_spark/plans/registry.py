@@ -568,10 +568,11 @@ def _eval_order(item: tuple[str, QuerySpec]) -> float:
     Round-14 tiers — exactly the r13 handoff (24-entry r8 remainder +
     r9 cohort head) plus the prescribed rows-only evidence refresh,
     rotation-first:
-      0    oracled-but-never-green — must score. 1 entry:
-           diag_compaction_apply (the r14 growth budget of <=2-3, of
-           which 1 spent — the executing compaction the r13 verdict
-           prescribed, advisor-executing pattern #10).
+      0    oracled-but-never-green — must score. 2 entries:
+           diag_compaction_apply (the executing compaction the r13
+           verdict prescribed, advisor-executing pattern #10) and
+           diag_clustering_apply (its sort-order twin, pattern #11);
+           the r14 growth budget of <=2-3 is spent at 2.
       3    latest green in r8 — the 24-entry remainder the r13
            window could not fit; ALL of it scores this round,
            finishing the r8 cohort.
@@ -580,17 +581,17 @@ def _eval_order(item: tuple[str, QuerySpec]) -> float:
            tier 8 never rotates them naturally — the r13 verdict
            prescribes landing fresh r14 spark_rows rows, so they ride
            the window once, just behind the must-score cohort).
-      5    latest green in r9 — 44 entries; the first ~19 fill the
-           window, the ~25-entry remainder heads the r15 queue.
+      5    latest green in r9 — 44 entries; the first 18 fill the
+           window, the 26-entry remainder heads the r15 queue.
       6/7/8  latest green r10/r11/r12 — ride the tail
            (release_neardup_reconcile rides its r12 slot per the r13
            handoff: its r13 probe-every-increment fix was
            value-invariant with a byte-identical oracle).
       9    latest green r13 — freshest evidence, deepest tail.
 
-    Round-15 handoff: this window = 1 never-green + 24 r8 + 6
-    rows-only + 19 r9 head = 50. Next round's queue = the 25-entry
-    r9 remainder + the head of the r10 cohort (~25 of its slots);
+    Round-15 handoff: this window = 2 never-green + 24 r8 + 6
+    rows-only + 18 r9 head = 50. Next round's queue = the 26-entry
+    r9 remainder + the head of the r10 cohort (~24 of its slots);
     r16 takes the r10 remainder + the r11 cohort head. Keep new
     oracled entries <=2-3 per round so the r10 cohort clears by r16
     and nothing drifts past the five-round bound.

@@ -309,3 +309,138 @@ def test_reconcile_missing_store_is_benign(spark, tmp_path):
         spark, [(0, docs)], release, str(tmp_path / "sig")
     )
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------- #
+# cluster_apply_sorted: the sort-order twin
+# ---------------------------------------------------------------- #
+
+CLUSTER_SCHEMA = "row_key string, v long, file_id long"
+
+
+def _write_cluster_layout(spark, path: str, files: list[list[int]]):
+    """files[fid] = the v values file fid holds (arrival order)."""
+    rows = [
+        (f"{fid}|{i}", v, fid)
+        for fid, vs in enumerate(files)
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, CLUSTER_SCHEMA)
+    (
+        df.repartition(4, "file_id")
+        .sortWithinPartitions("file_id", "v", "row_key")
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(path)
+    )
+
+
+def test_cluster_apply_executes_the_model(spark, tmp_path):
+    """3 fully-overlapping arrival files of 4 rows -> sorted layout
+    at m=4: 3 disjoint files (values 1..12 unique), overlap 0;
+    measured-from-disk equals the closed-form prediction."""
+    from iceberg_diag_spark.operators.compaction import (
+        cluster_apply_sorted,
+    )
+
+    path = str(tmp_path / "cl")
+    # arrival files interleave the value range -> every pair overlaps
+    _write_cluster_layout(
+        spark, path, [[1, 4, 7, 10], [2, 5, 8, 11], [3, 6, 9, 12]]
+    )
+    led = cluster_apply_sorted(
+        spark,
+        path,
+        read_schema=CLUSTER_SCHEMA,
+        value_col="v",
+        key_col="row_key",
+        rows_per_file=4,
+    ).collect()
+    assert len(led) == 1
+    r = led[0]
+    assert r["files_before"] == 3 and r["overlap_pairs_before"] == 3
+    assert r["files_planned"] == r["files_after"] == 3
+    assert r["overlap_pairs_planned"] == r["overlap_pairs_after"] == 0
+    assert r["max_depth_planned"] == r["max_depth_after"] == 1
+    assert r["avg_depth_ppm_planned"] == r["avg_depth_ppm_after"]
+    assert r["rows_before"] == r["rows_after"] == 12
+    # the written layout really is sorted chunks of 4
+    import glob as _g
+
+    back = sorted(
+        (int(x["file_id"]), int(x["v"]))
+        for x in spark.read.schema(CLUSTER_SCHEMA).parquet(path).collect()
+    )
+    assert back == [(f, v) for f in range(3) for v in range(4 * f + 1, 4 * f + 5)]
+    dirs = sorted(_g.glob(f"{path}/file_id=*"))
+    assert len(dirs) == 3
+    for d in dirs:
+        assert len(_g.glob(f"{d}/part-*.parquet")) == 1
+
+
+def test_cluster_apply_digests_and_ties(spark, tmp_path):
+    """Duplicate values straddling a file boundary: the boundary
+    straddle is predicted (one shared value -> one overlapping pair)
+    and membership digests survive the rewrite byte-for-byte."""
+    from iceberg_diag_spark.operators.compaction import (
+        cluster_apply_sorted,
+    )
+    from iceberg_diag_spark.operators.sampling import membership_checksums
+    from pyspark.sql import functions as F2
+
+    path = str(tmp_path / "cl2")
+    # 6 rows, three of value 5 -> m=2 puts value 5 in files 1 and 2
+    _write_cluster_layout(spark, path, [[5, 9], [5, 1], [5, 3]])
+    pre = spark.read.schema(CLUSTER_SCHEMA).parquet(path)
+    x1, x2 = membership_checksums(F2.col("row_key"))
+    want = pre.agg(x1.alias("a"), x2.alias("b")).collect()[0]
+    r = cluster_apply_sorted(
+        spark,
+        path,
+        read_schema=CLUSTER_SCHEMA,
+        value_col="v",
+        key_col="row_key",
+        rows_per_file=2,
+    ).collect()[0]
+    assert r["files_after"] == 3
+    assert r["overlap_pairs_planned"] == r["overlap_pairs_after"] == 1
+    assert r["members_xor_after"] == want["a"]
+    assert r["members_xor2_after"] == want["b"]
+
+
+def test_cluster_apply_plan_scale_shape(spark, tmp_path):
+    """The only broadcast hints in the ledger plan are
+    grouped_prefix_sum's documented n_shards-bounded internals
+    (range-shard edges + per-shard offsets) from the PREDICTION call
+    site — the ranking call's are behind the eager rewrite
+    checkpoint; the row-scale and value-cardinality relations are
+    never hinted, and the plan has no cartesian product or
+    row-at-a-time Python."""
+    from iceberg_diag_spark.operators.compaction import (
+        cluster_apply_sorted,
+    )
+    from iceberg_diag_spark.operators.shuffling import grouped_prefix_sum
+    from pyspark.sql import functions as F2
+
+    path = str(tmp_path / "cl3")
+    _write_cluster_layout(spark, path, [[1, 2], [3, 4]])
+    led = cluster_apply_sorted(
+        spark,
+        path,
+        read_schema=CLUSTER_SCHEMA,
+        value_col="v",
+        key_col="row_key",
+        rows_per_file=2,
+    )
+    logical = led._jdf.queryExecution().logical().toString()
+    # baseline: hints one grouped_prefix_sum call contributes
+    vals = spark.createDataFrame(
+        [("v", 1, 1)], "col_name string, v long, k long"
+    )
+    one_gps = grouped_prefix_sum(
+        vals, "col_name", "v", "k", out_col="__pre"
+    )._jdf.queryExecution().logical().toString()
+    assert logical.count("ResolvedHint") == one_gps.count("ResolvedHint")
+    phys = led._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys
+    assert "BatchEvalPython" not in phys
