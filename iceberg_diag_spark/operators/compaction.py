@@ -37,6 +37,15 @@ Scale shape (100 TB):
   digests and counts vouch, the release_retraction_apply idiom).
 - Bounded driver state: one collect of per-partition decision rows
   (#partitions, metadata scale), exactly like the retraction sink.
+- Staging cost: the rows being rewritten are eagerly localCheckpoint'd
+  before the write (you cannot overwrite parquet you are lazily still
+  reading) — the same staging copy the retraction sink pays, but
+  scoped to ALL affected partitions at once, so a whole-table
+  compaction stages the whole table. At that scale, run the sink over
+  partition batches (``compact_apply_binpack(..., partitions=[...])``
+  scopes the scan, plan, rewrite, AND staging copy to the batch;
+  everything outside is never read) or stage to a sibling directory
+  and swap.
 """
 
 from __future__ import annotations
@@ -102,15 +111,16 @@ def binpack_assign(
             total += int(s)
         return pd.DataFrame(
             {
-                "partition_key": pdf[partition_col],
-                "file_id": pdf[file_col],
+                partition_col: pdf[partition_col],
+                file_col: pdf[file_col],
                 "gid": gids,
             }
         )
 
     cols = file_sizes.select(partition_col, file_col, size_col)
     return cols.groupBy(partition_col).applyInPandas(
-        _assign, schema=ASSIGN_SCHEMA
+        _assign,
+        schema=f"{partition_col} string, {file_col} long, gid long",
     )
 
 
@@ -126,6 +136,8 @@ def physical_file_sizes(
     a filesystem walk. The listing is driver-side but file-count
     (metadata) scale, and works on any Hadoop filesystem.
     """
+    from urllib.parse import unquote
+
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -140,7 +152,10 @@ def physical_file_sizes(
         part = file_id = None
         for seg in st.getPath().toString().split("/"):
             if seg.startswith(p_tag):
-                part = seg[len(p_tag):]
+                # Hive %XX-escapes special chars in partition dir
+                # names; the Spark read returns the UNescaped value,
+                # so parse back to it or the metadata join misses.
+                part = unquote(seg[len(p_tag):])
             elif seg.startswith(f_tag):
                 file_id = int(seg[len(f_tag):])
         if part is None or file_id is None:
@@ -155,6 +170,49 @@ def physical_file_sizes(
     )
 
 
+def _leaf_dirs(
+    spark: SparkSession,
+    path: str,
+    partition_col: str | None,
+    file_col: str,
+) -> list[tuple[str | None, int, str]]:
+    """(unescaped partition value, file id, real directory URI) for
+    every ``{partition_col}=P/{file_col}=K`` leaf under ``path`` (or
+    every root-level ``{file_col}=K`` dir when partition_col is None)
+    — the safe way to DELETE layout dirs: interpolating an unescaped
+    partition value into a path string misses any Hive-escaped dir
+    name, so deletions are driven by the listing instead. Driver-side
+    but directory-count (metadata) scale."""
+    from urllib.parse import unquote
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    f_tag = f"{file_col}="
+    if partition_col is None:
+        for fst in fs.listStatus(root):
+            fname = fst.getPath().getName()
+            if fst.isDirectory() and fname.startswith(f_tag):
+                out.append(
+                    (None, int(fname[len(f_tag):]), fst.getPath().toString())
+                )
+        return out
+    p_tag = f"{partition_col}="
+    for pst in fs.listStatus(root):
+        pname = pst.getPath().getName()
+        if not pst.isDirectory() or not pname.startswith(p_tag):
+            continue
+        pval = unquote(pname[len(p_tag):])
+        for fst in fs.listStatus(pst.getPath()):
+            fname = fst.getPath().getName()
+            if fst.isDirectory() and fname.startswith(f_tag):
+                out.append(
+                    (pval, int(fname[len(f_tag):]), fst.getPath().toString())
+                )
+    return out
+
+
 def compact_apply_binpack(
     spark: SparkSession,
     path: str,
@@ -166,9 +224,14 @@ def compact_apply_binpack(
     order_cols: tuple[str, ...] = (),
     file_sizes: DataFrame | None = None,
     max_bytes_per_group: int = MAX_GROUP_BYTE_SIZE,
+    partitions: list[str] | None = None,
 ) -> DataFrame:
     """Execute the bin-pack compaction plan against the layout at
     ``path`` and return a per-partition predicted-vs-measured ledger.
+    ``partitions`` restricts the whole call (scan, plan, rewrite,
+    ledger) to that batch of partition values — the staging-cost
+    lever from the module docstring; everything outside the batch is
+    never read, never written.
 
     The layout is ``{partition_col}=P/{file_col}=K`` Hive dirs — one
     physical file per (partition, file) leaf, the write discipline of
@@ -216,6 +279,10 @@ def compact_apply_binpack(
     if max_bytes_per_group <= 0:
         raise ValueError("max_bytes_per_group must be positive")
     pre = spark.read.schema(read_schema).parquet(path)
+    if partitions is not None:
+        if not partitions:
+            raise ValueError("partitions batch must be non-empty")
+        pre = pre.filter(F.col(partition_col).isin(list(partitions)))
     x1, x2 = membership_checksums(key)
 
     def _per_file_stats(rel: DataFrame) -> DataFrame:
@@ -237,11 +304,31 @@ def compact_apply_binpack(
     # downstream decision must not re-read files the rewrite replaces.
     per_file = _per_file_stats(pre).localCheckpoint(eager=True)
     if file_sizes is not None:
+        meta = file_sizes.select(
+            partition_col, file_col, F.col("size_in_bytes").alias("fsz")
+        )
+        # A file ON DISK but missing from the caller's metadata must
+        # abort, not silently drop: an inner join would exclude it
+        # from the plan AND from `kept`, so the rewrite would destroy
+        # its rows while every ledger digest stays green (stale
+        # .files snapshot = data loss). The check is metadata-scale.
+        uncovered = (
+            per_file.join(meta, [partition_col, file_col], "left_anti")
+            .select(partition_col, file_col)
+            .limit(5)
+            .collect()
+        )
+        if uncovered:
+            raise ValueError(
+                "file_sizes does not cover the layout on disk — "
+                "refusing to plan a rewrite from stale metadata; "
+                "first uncovered files: "
+                + ", ".join(
+                    f"({r[partition_col]}, {r[file_col]})" for r in uncovered
+                )
+            )
         sized = per_file.join(
-            file_sizes.select(
-                partition_col, file_col, F.col("size_in_bytes").alias("fsz")
-            ),
-            [partition_col, file_col],
+            meta, [partition_col, file_col]
         ).localCheckpoint(eager=True)
     else:
         sized = per_file.withColumn("fsz", F.col("row_bytes"))
@@ -250,6 +337,8 @@ def compact_apply_binpack(
         sized.select(
             partition_col, file_col, F.col("fsz").alias("logical_size")
         ),
+        partition_col=partition_col,
+        file_col=file_col,
         max_bytes_per_group=max_bytes_per_group,
     )
     withg = sized.join(asg, [partition_col, file_col])
@@ -282,21 +371,21 @@ def compact_apply_binpack(
     )
 
     # Decision rows: metadata-bounded collect (#partitions), the
-    # retraction sink's discipline.
+    # retraction sink's discipline. The decision compares groups
+    # against the PHYSICAL file count (what the ledger reports and
+    # the cost model prices): a leaf dir holding two physical files
+    # still shrinks when merged even if its logical file count
+    # equals the group count.
     decisions = plan.select(
-        partition_col, "files_before", "groups_planned"
+        partition_col, "phys_before", "groups_planned"
     ).collect()
-    todo = [
-        r[partition_col]
+    groups_of = {
+        r[partition_col]: int(r["groups_planned"])
         for r in decisions
-        if r["groups_planned"] < r["files_before"]
-    ]
+        if r["groups_planned"] < r["phys_before"]
+    }
+    todo = list(groups_of)
     if todo:
-        groups_of = {
-            r[partition_col]: int(r["groups_planned"])
-            for r in decisions
-            if r["groups_planned"] < r["files_before"]
-        }
         n_groups = sum(groups_of.values())
         data_cols = [
             f.name
@@ -327,18 +416,14 @@ def compact_apply_binpack(
             .partitionBy(partition_col, file_col)
             .parquet(path)
         )
-        stale = (
-            per_file.filter(F.col(partition_col).isin(todo))
-            .select(partition_col, file_col)
-            .collect()
-        )
-        for r in stale:
-            p, fid = r[partition_col], int(r[file_col])
-            if fid >= groups_of[p]:
-                delete_path(
-                    spark,
-                    f"{path}/{partition_col}={p}/{file_col}={fid}",
-                )
+        # Stale-dir drops are driven by a real directory listing, not
+        # by interpolating partition values into path strings — a
+        # Hive-escaped dir name (':', '%', '=', ... in the value)
+        # would never match an interpolated path and the stale files
+        # would double-count in the after-state.
+        for pval, fid, uri in _leaf_dirs(spark, path, partition_col, file_col):
+            if pval in groups_of and fid >= groups_of[pval]:
+                delete_path(spark, uri)
 
     # Measured after-state: rewritten partitions re-read FROM THE
     # WRITTEN FILES (pruned); untouched partitions reuse the pre-pass
@@ -396,7 +481,7 @@ def compact_apply_binpack(
             "scan_overhead_before",
             "groups_planned",
             "scan_overhead_planned",
-            (F.col("groups_planned") < F.col("files_before")).alias(
+            (F.col("groups_planned") < F.col("phys_before")).alias(
                 "compacted"
             ),
         )
@@ -444,7 +529,10 @@ def cluster_apply_sorted(
     ordering: duplicates on crash, never loss). A global re-sort
     rewrites every file by nature — there is no untouched-partition
     shortcut here; the after-state is re-read entirely from the
-    written files (bounds, rows, digests).
+    written files (bounds, rows, digests), and the pre-write staging
+    checkpoint is likewise the whole table (the unavoidable copy of
+    any overwrite-what-you-read rewrite; range-partition the value
+    domain and run per-range calls to bound it).
 
     Output, one row: files/rows/overlap_pairs/max_depth/avg_depth_ppm
     before (measured from the layout on disk), the planned after

@@ -564,7 +564,7 @@ _MODIFIED_R11 = {
 def _eval_order(item: tuple[str, QuerySpec]) -> float:
     """Driver scores the FIRST 50 registry entries; order by evidence
     staleness so every oracled entry's latest green row stays at most
-    ~five rounds old under the 50-slot window (268 entries now).
+    ~five rounds old under the 50-slot window (269 entries now).
     Round-14 tiers — exactly the r13 handoff (24-entry r8 remainder +
     r9 cohort head) plus the prescribed rows-only evidence refresh,
     rotation-first:

@@ -444,3 +444,64 @@ def test_cluster_apply_plan_scale_shape(spark, tmp_path):
     phys = led._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in phys
     assert "BatchEvalPython" not in phys
+
+
+def test_compaction_rejects_stale_file_sizes(spark, tmp_path):
+    """A file on disk but missing from the caller's metadata must
+    abort the rewrite — an inner join would silently drop (and then
+    destroy) its rows with every digest staying green."""
+    from iceberg_diag_spark.operators.compaction import (
+        physical_file_sizes,
+    )
+
+    path = str(tmp_path / "layout")
+    _write_layout(spark, path, {"a": [[10], [20]]})
+    stale = physical_file_sizes(
+        spark, path, "partition_key", "file_id"
+    ).filter(F.col("file_id") == 0)
+    with pytest.raises(ValueError, match="does not cover"):
+        _apply(spark, path, cap=1000, file_sizes=stale)
+
+
+def test_compaction_partitions_batch_scopes_everything(spark, tmp_path):
+    """partitions=[...] compacts only the batch; out-of-batch
+    partitions are absent from the ledger and byte-untouched."""
+    path = str(tmp_path / "layout")
+    _write_layout(
+        spark, path, {"a": [[10], [20]], "b": [[10], [20]]}
+    )
+    pre_md5 = _dir_md5s(path)
+    led = {
+        r["partition_key"]: r
+        for r in _apply(spark, path, cap=1000, partitions=["a"]).collect()
+    }
+    assert list(led) == ["a"]
+    assert led["a"]["files_after"] == 1
+    post_md5 = _dir_md5s(path)
+    pre_b = {k: v for k, v in pre_md5.items() if "partition_key=b" in k}
+    post_b = {k: v for k, v in post_md5.items() if "partition_key=b" in k}
+    assert pre_b == post_b and pre_b
+
+
+def test_compaction_merges_multi_file_leaf(spark, tmp_path):
+    """A leaf dir holding TWO physical files (append without the
+    one-file-per-leaf discipline) is still compacted: the decision
+    compares groups against the PHYSICAL count."""
+    path = str(tmp_path / "layout")
+    _write_layout(spark, path, {"a": [[10, 20]]})
+    # append a second physical file into the same leaf
+    extra = spark.createDataFrame(
+        [("a|0|x", 30, 0, "a")], LAYOUT_SCHEMA
+    )
+    (
+        extra.repartition(1)
+        .write.mode("append")
+        .partitionBy("partition_key", "file_id")
+        .parquet(path)
+    )
+    led = {r["partition_key"]: r for r in _apply(spark, path, cap=1000).collect()}
+    a = led["a"]
+    assert a["files_before"] == 2  # physical
+    assert a["groups_planned"] == 1
+    assert bool(a["compacted"]) is True
+    assert a["files_after"] == 1 and a["rows_after"] == 3
