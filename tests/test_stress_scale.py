@@ -1054,3 +1054,87 @@ def test_compaction_apply_at_1m_rows_2k_files(spark, tmp_path):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_clustering_apply_at_1m_rows(spark, tmp_path):
+    """The executing sort-order remediation at scale: 1M rows
+    arrival-interleaved into 640 files (every file spans ~the whole
+    value domain, so the before-layout is maximally overlapped),
+    globally re-sorted into 625 chunks of 1,600. Asserts the
+    plan==measured ledger invariant at ~85x the sf0.01 registry
+    layout, membership-digest survival, and that the written layout
+    is overlap-sparse (only duplicate-straddle pairs remain); prints
+    the wall breakdown."""
+    import shutil
+    import tempfile
+
+    from iceberg_diag_spark.operators.compaction import (
+        cluster_apply_sorted,
+    )
+    from iceberg_diag_spark.operators.sampling import (
+        membership_checksums,
+    )
+
+    n = N_DOCS
+    n_files = 640
+    m = 1_600  # -> ceil(1M / 1600) = 625 written files
+    schema = "row_key string, v long, file_id long"
+    i = F.col("id")
+    rows = spark.range(n).select(
+        F.concat(F.lit("k"), i.cast("string")).alias("row_key"),
+        # real hash into a 500k domain: ~2 rows/value on average, so
+        # the intra-value rank window stays tiny and a value straddles
+        # at most one file boundary
+        F.pmod(F.xxhash64(i), F.lit(500_000)).cast("long").alias("v"),
+        (i % n_files).cast("long").alias("file_id"),
+    )
+    root = tempfile.mkdtemp(prefix="stress_clustering_")
+    try:
+        t0 = time.time()
+        (
+            rows.repartition(64, "file_id")
+            .sortWithinPartitions("file_id", "v", "row_key")
+            .write.mode("overwrite")
+            .partitionBy("file_id")
+            .parquet(root)
+        )
+        t_write = time.time() - t0
+        x1, x2 = membership_checksums(F.col("row_key"))
+        want = (
+            spark.read.schema(schema)
+            .parquet(root)
+            .agg(x1.alias("a"), x2.alias("b"))
+            .collect()[0]
+        )
+        t1 = time.time()
+        r = cluster_apply_sorted(
+            spark,
+            root,
+            read_schema=schema,
+            value_col="v",
+            key_col="row_key",
+            rows_per_file=m,
+        ).collect()[0]
+        t_apply = time.time() - t1
+        assert r["files_before"] == n_files
+        assert r["rows_before"] == r["rows_after"] == n
+        # arrival interleave -> (almost) every pair overlapped before
+        full = n_files * (n_files - 1) // 2
+        assert r["overlap_pairs_before"] > 0.9 * full
+        # the core invariant: the closed-form prediction equals the
+        # sweep over the WRITTEN files' bounds, exactly
+        assert r["files_after"] == r["files_planned"] == 625
+        assert r["overlap_pairs_after"] == r["overlap_pairs_planned"]
+        assert r["max_depth_after"] == r["max_depth_planned"]
+        assert r["avg_depth_ppm_after"] == r["avg_depth_ppm_planned"]
+        # sorted layout: only duplicate-straddle (adjacent) overlaps
+        assert r["overlap_pairs_after"] < r["files_after"]
+        assert r["members_xor_after"] == want["a"]
+        assert r["members_xor2_after"] == want["b"]
+        print(
+            f"clustering_apply @1M/{n_files}files: write={t_write:.1f}s "
+            f"apply={t_apply:.1f}s files {n_files}->{r['files_after']} "
+            f"overlap {r['overlap_pairs_before']}->{r['overlap_pairs_after']}"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
