@@ -505,3 +505,91 @@ def test_compaction_merges_multi_file_leaf(spark, tmp_path):
     assert a["groups_planned"] == 1
     assert bool(a["compacted"]) is True
     assert a["files_after"] == 1 and a["rows_after"] == 3
+
+
+def test_cluster_apply_single_file_degenerate(spark, tmp_path):
+    """rows_per_file >= total rows collapses the layout to ONE file:
+    overlap 0, depth 1 everywhere, and plan==measured still holds at
+    the degenerate boundary (ceil arithmetic, no empty trailing
+    file)."""
+    from iceberg_diag_spark.operators.compaction import (
+        cluster_apply_sorted,
+    )
+
+    path = str(tmp_path / "cl_one")
+    _write_cluster_layout(spark, path, [[7, 1], [5, 3]])
+    r = cluster_apply_sorted(
+        spark,
+        path,
+        read_schema=CLUSTER_SCHEMA,
+        value_col="v",
+        key_col="row_key",
+        rows_per_file=100,
+    ).collect()[0]
+    assert r["files_before"] == 2
+    assert r["files_planned"] == r["files_after"] == 1
+    assert r["overlap_pairs_planned"] == r["overlap_pairs_after"] == 0
+    assert r["max_depth_planned"] == r["max_depth_after"] == 1
+    assert r["rows_after"] == 4
+    import glob as _g
+
+    dirs = sorted(_g.glob(f"{path}/file_id=*"))
+    assert dirs == [f"{path}/file_id=0"], "stale arrival dirs survive"
+
+
+def test_cluster_apply_converges_to_fixed_point(spark, tmp_path):
+    """Applying the sorted rewrite to its own output is an identity
+    in the stats domain: the second ledger's before == the first's
+    after, its plan == its measurement, and nothing moves (the
+    compaction fixed-point discipline for the sort-order twin)."""
+    from iceberg_diag_spark.operators.compaction import (
+        cluster_apply_sorted,
+    )
+
+    path = str(tmp_path / "cl_fix")
+    _write_cluster_layout(
+        spark, path, [[1, 4, 7, 10], [2, 5, 8, 11], [3, 6, 9, 12]]
+    )
+    kw = dict(
+        read_schema=CLUSTER_SCHEMA,
+        value_col="v",
+        key_col="row_key",
+        rows_per_file=4,
+    )
+    first = cluster_apply_sorted(spark, path, **kw).collect()[0]
+    second = cluster_apply_sorted(spark, path, **kw).collect()[0]
+    assert second["files_before"] == first["files_after"]
+    assert second["overlap_pairs_before"] == first["overlap_pairs_after"]
+    assert second["max_depth_before"] == first["max_depth_after"]
+    assert second["avg_depth_ppm_before"] == first["avg_depth_ppm_after"]
+    assert second["files_after"] == second["files_before"]
+    assert second["overlap_pairs_after"] == second["overlap_pairs_before"]
+    assert second["members_xor_after"] == first["members_xor_after"]
+    assert second["members_xor2_after"] == first["members_xor2_after"]
+
+
+def test_cluster_apply_hot_value_spans_files(spark, tmp_path):
+    """A value whose duplicate count exceeds rows_per_file spans
+    ceil(k/m)+ files; the spanned files pairwise overlap (C(span,2))
+    and the closed-form prediction prices exactly that."""
+    from iceberg_diag_spark.operators.compaction import (
+        cluster_apply_sorted,
+    )
+
+    path = str(tmp_path / "cl_hot")
+    # value 5 x5 + singles 1,9 -> sorted rank order 1,5,5,5,5,5,9;
+    # m=2 -> files [1,5][5,5][5,5][9]: files 0-2 all hold value 5
+    _write_cluster_layout(spark, path, [[5, 5, 9], [5, 5, 1], [5]])
+    r = cluster_apply_sorted(
+        spark,
+        path,
+        read_schema=CLUSTER_SCHEMA,
+        value_col="v",
+        key_col="row_key",
+        rows_per_file=2,
+    ).collect()[0]
+    assert r["files_planned"] == r["files_after"] == 4
+    # C(3,2) = 3 pairs among the value-5 span; file 3 is disjoint
+    assert r["overlap_pairs_planned"] == r["overlap_pairs_after"] == 3
+    assert r["max_depth_planned"] == r["max_depth_after"] == 3
+    assert r["rows_before"] == r["rows_after"] == 7
