@@ -155,34 +155,35 @@ def word_ngram_rows(
 ) -> DataFrame:
     """Exploded (id, gram) n-gram rows — the hot-path shingle source.
 
-    posexplode tokens, then window lead() reconstructs each n-gram:
-    everything stays in whole-stage codegen (the array higher-order
-    route runs interpreted and measured ~10× slower). Costs one
-    shuffle+sort on the doc id; docs with fewer than n tokens emit
-    nothing. Grams are NOT deduplicated — min-aggregation (MinHash)
-    is duplicate-insensitive, and set consumers dedup in their own
+    Shuffle-free: explode a start-index range per doc and slice the
+    token array positionally (`toks[i + k]` — GetArrayItem, plain
+    codegen exprs end to end; the transform()/higher-order route runs
+    interpreted and measured ~10× slower, and the earlier
+    posexplode + window-lead() route paid a full shuffle+sort of
+    every TOKEN row on the doc key just to see gram neighbors). The
+    generate + projection fuse into the scan stage, so grams are
+    born map-side and downstream aggregations (MinHash min-agg,
+    gram counts) partial-aggregate before anything crosses the wire
+    — the exchange carries per-doc/per-gram aggregate rows, never
+    token rows. Docs with fewer than n tokens emit nothing. Grams
+    are NOT deduplicated — min-aggregation (MinHash) is
+    duplicate-insensitive, and set consumers dedup in their own
     aggregation. Output: (id_col, gram).
     """
-    from pyspark.sql import Window
-
-    toks = ensure_parallelism(docs).select(
-        F.col(id_col),
-        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
-            "pos", "tok"
-        ),
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    base = ensure_parallelism(docs).select(
+        F.col(id_col), toks.alias("__toks")
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    last = F.lead("tok", n - 1).over(w)
-    return (
-        toks.select(
-            F.col(id_col),
-            F.concat_ws(" ", *parts).alias("gram"),
-            last.alias("__last"),
-        )
-        .filter(F.col("__last").isNotNull())
-        .drop("__last")
+    starts = F.when(
+        F.size("__toks") >= n,
+        F.sequence(F.lit(0), F.size("__toks") - n),
+    ).otherwise(F.expr("array()"))
+    gram = F.concat_ws(
+        " ", *[F.expr(f"__toks[__i + {k}]") for k in range(n)]
     )
+    return base.select(
+        F.col(id_col), "__toks", F.explode(starts).alias("__i")
+    ).select(F.col(id_col), gram.alias("gram"))
 
 
 def minhash_signatures_wide(
@@ -543,38 +544,57 @@ def _winnow_selected(
 ) -> DataFrame:
     """The distinct (id, fp) winnowing-fingerprint relation shared by
     winnow_fingerprints (per-doc digest) and winnow_clone_pairs
-    (cross-doc join)."""
-    from pyspark.sql import Window
+    (cross-doc join).
 
-    toks = ensure_parallelism(docs).select(
-        F.col(id_col),
-        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
-            "pos", "tok"
-        ),
+    Shuffle-free gram construction (the word_ngram_rows idiom): grams
+    come from positional slices of the per-doc token array instead of
+    a posexplode + window-lead reconstruction, so no token row ever
+    crosses an exchange. The sliding window min is a second map-side
+    explode — each gram hash fans out to the ≤ `window` full windows
+    it participates in (a window START index i picks up gram j iff
+    i ≤ j ≤ i + window − 1), and groupBy(id, window-start) takes the
+    min. Every window's w rows are produced consecutively inside one
+    task, so the partial aggregate collapses them before the exchange
+    — the shuffle carries one 24-byte row per full window, versus the
+    old plan's every-token-row shuffle + sort + two window passes.
+    Docs with fewer than window full grams emit nothing (the old
+    count-==-window filter, now enforced by the guarded index range).
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    base = ensure_parallelism(docs).select(
+        F.col(id_col), toks.alias("__toks")
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    last = F.lead("tok", n - 1).over(w)
+    # gram count G = size - n + 1; only docs with G >= window have a
+    # full window (sequence() must be guarded: a descending range
+    # would fabricate rows)
+    g_last = F.size("__toks") - n  # last gram start, G - 1
+    starts = F.when(
+        g_last - window + 1 >= 0, F.sequence(F.lit(0), g_last)
+    ).otherwise(F.expr("array()"))
+    gram = F.concat_ws(
+        " ", *[F.expr(f"__toks[__j + {k}]") for k in range(n)]
+    )
     gram_hash = F.conv(
-        F.substring(F.md5(F.concat_ws(" ", *parts)), 1, 15), 16, 10
+        F.substring(F.md5(gram), 1, 15), 16, 10
     ).cast("long")
-    grams = (
-        toks.select(F.col(id_col), F.col("pos"), gram_hash.alias("gh"), last.alias("__l"))
-        .filter(F.col("__l").isNotNull())
-        .drop("__l")
-    )
-    fw = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, window - 1)
+    fanout = F.sequence(
+        F.greatest(F.col("__j") - window + 1, F.lit(0)),
+        F.least(F.col("__j"), F.col("__lw")),
     )
     return (
-        grams.select(
+        base.select(
             F.col(id_col),
-            F.min("gh").over(fw).alias("fp"),
-            F.count(F.lit(1)).over(fw).alias("__n"),
+            "__toks",
+            (g_last - window + 1).alias("__lw"),  # last full-window start
+            F.explode(starts).alias("__j"),
         )
-        .filter(F.col("__n") == window)  # full windows only
+        .select(
+            F.col(id_col),
+            gram_hash.alias("__gh"),
+            F.explode(fanout).alias("__i"),
+        )
+        .groupBy(id_col, "__i")
+        .agg(F.min("__gh").alias("fp"))
         .select(id_col, "fp")
         .distinct()
     )
@@ -649,7 +669,13 @@ def connected_components(
     optimizer re-plans an exponentially growing tree).
 
     Driver involvement is one `count()` per round for convergence —
-    O(1) data to the driver, never the labels themselves.
+    O(1) data to the driver, never the labels themselves. The old
+    label rides THROUGH the min-aggregate (min over the own-row flag
+    — each node contributes exactly one own row, so the conditional
+    min IS the previous label), so convergence is a filter+count over
+    the round's already-checkpointed output instead of a second
+    join+shuffle of the two label generations per round — half the
+    per-round shuffle work, same labels.
 
     Raises RuntimeError if max_iter rounds pass without convergence
     (labels would silently be wrong for any component whose diameter
@@ -667,20 +693,21 @@ def connected_components(
     for _ in range(max_iter):
         neigh = both.join(
             labels.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), "label")
-        new_labels = (
-            labels.unionByName(neigh)
+        ).select(
+            F.col("src").alias("node"), "label", F.lit(False).alias("__own")
+        )
+        rolled = (
+            labels.withColumn("__own", F.lit(True))
+            .unionByName(neigh)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("__own"), F.col("label"))).alias("__old"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        changed = rolled.filter(F.col("label") != F.col("__old")).count()
+        labels = rolled.select("node", "label")
         if changed == 0:
             converged = True
             break
@@ -1407,49 +1434,47 @@ def ngram_dup_curve(
     near zero; the knee in between says where span-level dedup stops
     paying. dup_ppm(n) = 1e6·(total_n − distinct_n)/total_n.
 
-    Single corpus pass: posexplode + one window partitioning yields
-    all max_n gram lengths at once (lead chain shared across n — the
-    n-gram for every n reads the same max_n−1 leads), emitted as an
-    exploded (n, gram-md5) stream. Grams shuffle as fixed-width md5
-    digests, never as strings (identical digests on any engine, so
-    distinct-counting parity holds); one (n, digest) hash aggregate +
-    a max_n-row rollup. The ppm is DECIMAL-exact — 1e6·count wraps
-    int64 past ~9.2e12 grams, which a 100 TB corpus exceeds.
+    Single corpus pass, shuffle-free gram construction (the
+    word_ngram_rows idiom): explode a start-index range per doc and
+    slice the token array positionally, emitting every n = 1..max_n
+    gram anchored at that position at once — plain codegen exprs end
+    to end, no token row ever crosses an exchange (the earlier
+    posexplode + max_n-lead window paid a full shuffle+sort of every
+    token row first). Grams shuffle as fixed-width md5 digests, never
+    as strings (identical digests on any engine, so distinct-counting
+    parity holds), already partially aggregated map-side; one
+    (n, digest) hash aggregate + a max_n-row rollup. The ppm is
+    DECIMAL-exact — 1e6·count wraps int64 past ~9.2e12 grams, which
+    a 100 TB corpus exceeds.
 
     Output: (n, total_grams, distinct_grams, dup_ppm).
     """
-    from pyspark.sql import Window
-
-    toks = ensure_parallelism(docs).select(
-        F.col(id_col),
-        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
-            "pos", "tok"
-        ),
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    # window leads become PLAIN columns first (window exprs cannot
-    # nest inside higher-order functions), then the per-position
-    # entry array is built from those columns
-    led = toks.select(
-        F.col("tok").alias("l0"),
-        *[
-            F.lead("tok", i).over(w).alias(f"l{i}")
-            for i in range(1, max_n)
-        ],
-    )
-    leads = [F.col(f"l{i}") for i in range(max_n)]
+    toks_arr = F.split(normalized_text(F.col(text_col)), " ")
+    base = ensure_parallelism(docs).select(toks_arr.alias("__toks"))
+    starts = F.when(
+        F.size("__toks") >= 1,
+        F.sequence(F.lit(0), F.size("__toks") - 1),
+    ).otherwise(F.expr("array()"))
+    # per start j, one entry per gram length n that still fits
+    # (j + n - 1 <= size - 1); the when-guard trims the ragged tail
     entries = [
         F.when(
-            leads[n - 1].isNotNull(),
+            F.col("__j") + (n - 1) < F.size("__toks"),
             F.struct(
                 F.lit(n).cast("int").alias("n"),
-                F.md5(F.concat_ws(" ", *leads[:n])).alias("g"),
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[F.expr(f"__toks[__j + {k}]") for k in range(n)],
+                    )
+                ).alias("g"),
             ),
         )
         for n in range(1, max_n + 1)
     ]
     grams = (
-        led.select(
+        base.select("__toks", F.explode(starts).alias("__j"))
+        .select(
             F.explode(
                 F.filter(F.array(*entries), lambda e: e.isNotNull())
             ).alias("e")

@@ -1344,16 +1344,24 @@ def _lr_gd_trajectory(
         f" AS DOUBLE) / 1000000.0)))) AS BIGINT)"
     )
     for t in range(1, k_steps + 1):
+        # ONE broadcast per step (the weight state into the gradient
+        # pass); the weights ride THROUGH the aggregate as constant-
+        # column mins, so the update is a projection over the 1-row
+        # gradient result instead of a second crossJoin+broadcast of
+        # two 1-row relations — same integer arithmetic, half the
+        # per-step exchange machinery.
         g = (
             feat.crossJoin(F.broadcast(w.drop("step")))
             .select(
                 F.expr(p_expr).alias("p"),
                 "y",
                 *fcols,
+                *wcols,
             )
             .select(
                 (F.col("p") - F.lit(1_000_000) * F.col("y")).alias("r"),
                 *fcols,
+                *wcols,
             )
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n"),
@@ -1363,27 +1371,23 @@ def _lr_gd_trajectory(
                     .alias(f"g{j}")
                     for j, x in enumerate(fcols)
                 ],
+                *[F.min(c).alias(c) for c in wcols],
             )
         )
-        w = (
-            w.drop("step")
-            .crossJoin(F.broadcast(g))
-            .select(
-                F.lit(t).cast("long").alias("step"),
-                *[
-                    F.expr(
-                        f"CAST(w{j} - "
-                        + _signed_div(
-                            f"g{j} * {lr_ppm}",
-                            "CAST(n AS DECIMAL(38,0)) * 1000000000000",
-                        )
-                        + f" AS DECIMAL(38,0)) AS w{j}"
+        w = g.select(
+            F.lit(t).cast("long").alias("step"),
+            *[
+                F.expr(
+                    f"CAST(w{j} - "
+                    + _signed_div(
+                        f"g{j} * {lr_ppm}",
+                        "CAST(n AS DECIMAL(38,0)) * 1000000000000",
                     )
-                    for j in range(6)
-                ],
-            )
-            .localCheckpoint(eager=False)
-        )
+                    + f" AS DECIMAL(38,0)) AS w{j}"
+                )
+                for j in range(6)
+            ],
+        ).localCheckpoint(eager=False)
         trajectory.append(w)
     return trajectory
 

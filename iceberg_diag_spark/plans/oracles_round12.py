@@ -132,6 +132,37 @@ ORDER BY doc_a, doc_b
 )
 
 
+def build_release_increments(docs, release: str, batches=(0, 1)):
+    """Build the md5-bucket increment releases CONCURRENTLY (one
+    driver thread per batch — guide-§2.6 job overlap: each increment's
+    funnel is a chain of short, eagerly-checkpointed stages that
+    leaves most cores idle at every stage tail, and the two builds
+    write disjoint batch=<b> directories, so overlapping them is pure
+    wall-clock recovery with byte-identical outputs). Returns the
+    ordered (batch_id, docs) list the reconcile consumes. Shared by
+    release_neardup_reconcile and release_retraction_apply."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from iceberg_diag_spark.operators.sampling import hash_bucket
+    from iceberg_diag_spark.sources.sinks import write_assigned_shards
+
+    def _build(b: int):
+        d = docs.filter(hash_bucket(F.col("doc_id"), 2) == b)
+        asg = funnel.release_assignments(d)
+        write_assigned_shards(
+            asg,
+            f"{release}/batch={b}",
+            funnel.RELEASE_N_SHARDS,
+            order_cols=("source", "seq_id", "doc_id"),
+        )
+        return (b, d)
+
+    with ThreadPoolExecutor(max_workers=len(batches)) as pool:
+        return list(pool.map(_build, batches))
+
+
 def _release_neardup_reconcile(spark, sf_dir):
     """Build a genuine 2-increment release (the md5 doc-id bucket
     split), then reconcile it: per increment, persist the survivor
@@ -141,26 +172,11 @@ def _release_neardup_reconcile(spark, sf_dir):
     import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
-
-    from iceberg_diag_spark.operators.sampling import hash_bucket
-    from iceberg_diag_spark.sources.sinks import write_assigned_shards
-
     docs = _t(spark, sf_dir, "documents")
     release = tempfile.mkdtemp(prefix="reconcile_release_")
     sig = tempfile.mkdtemp(prefix="reconcile_sig_")
     try:
-        incs = []
-        for b in (0, 1):
-            d = docs.filter(hash_bucket(F.col("doc_id"), 2) == b)
-            asg = funnel.release_assignments(d)
-            write_assigned_shards(
-                asg,
-                f"{release}/batch={b}",
-                funnel.RELEASE_N_SHARDS,
-                order_cols=("source", "seq_id", "doc_id"),
-            )
-            incs.append((b, d))
+        incs = build_release_increments(docs, release)
         out = funnel.release_neardup_reconcile(
             spark, incs, release, sig
         ).localCheckpoint(eager=True)

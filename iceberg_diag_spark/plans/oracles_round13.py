@@ -129,26 +129,15 @@ def _release_retraction_apply(spark, sf_dir):
     import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
-
-    from iceberg_diag_spark.operators.sampling import hash_bucket
-    from iceberg_diag_spark.sources.sinks import write_assigned_shards
+    from iceberg_diag_spark.plans.oracles_round12 import (
+        build_release_increments,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     release = tempfile.mkdtemp(prefix="retraction_release_")
     sig = tempfile.mkdtemp(prefix="retraction_sig_")
     try:
-        incs = []
-        for b in (0, 1):
-            d = docs.filter(hash_bucket(F.col("doc_id"), 2) == b)
-            asg = funnel.release_assignments(d)
-            write_assigned_shards(
-                asg,
-                f"{release}/batch={b}",
-                funnel.RELEASE_N_SHARDS,
-                order_cols=("source", "seq_id", "doc_id"),
-            )
-            incs.append((b, d))
+        incs = build_release_increments(docs, release)
         pairs = funnel.release_neardup_reconcile(spark, incs, release, sig)
         # sig_path exercises the signature-store purge under the
         # driver (ledger values are release-derived, so the oracle is
