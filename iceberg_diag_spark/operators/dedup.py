@@ -318,6 +318,7 @@ def minhash_candidate_pairs(
     ngram: int = 3,
     collapse_exact: bool = True,
     wide: DataFrame | None = None,
+    marked: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into `bands` bands of
     num_hashes/bands consecutive seeds, concatenate each band into a
@@ -356,7 +357,12 @@ def minhash_candidate_pairs(
     star = None
     keep_ids = None
     if collapse_exact:
-        marked = content_rep_marks(docs, text_col, id_col)
+        # `marked` lets a caller that already materialized the
+        # (id, __keep) exact-dup mark relation (the funnel derives it
+        # from its enriched checkpoint's content hash) share it,
+        # skipping content_rep_marks' own corpus scan + window pass.
+        if marked is None:
+            marked = content_rep_marks(docs, text_col, id_col)
         star = marked.filter(F.col(id_col) != F.col("__keep")).select(
             F.col("__keep").alias("doc_a"), F.col(id_col).alias("doc_b")
         )

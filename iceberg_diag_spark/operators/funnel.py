@@ -13,9 +13,10 @@ is computed once and localCheckpointed; every later stage (dedup
 window, near-dup flag join, holdout apportionment + membership, pack
 fold) consumes the checkpoint. Only the near-dup candidate generator
 re-touches text (shingle MinHash needs it), so the corpus is scanned
-at most three times total (enriched pass + the two scans inside the
-exact-collapsed MinHash chain) — asserted in
-tests/test_plan_properties.py.
+at most twice total (enriched pass + the shingle scan inside the
+MinHash chain — the exact-dup mark relation the banding collapse
+needs is derived from the enriched checkpoint's content hash, not
+from a scan of its own) — asserted in tests/test_plan_properties.py.
 
 Stage semantics (each stage filters the previous stage's survivors —
 deterministic, no RNG):
@@ -86,7 +87,6 @@ def stage_flags(
         else (lambda df: df)
     )
     q = textops.quality_exprs(text_col)
-    best = textops.language_best(text_col)
     enriched = ensure_parallelism(docs).select(
         F.col(id_col),
         F.col(stratum_col).alias("stratum"),
@@ -97,20 +97,39 @@ def stage_flags(
         (
             (q["type_token_ratio"] >= 0.4)
             & (q["alpha_ratio"] >= 0.6)
-            & (best["hits"] > 0)
+            # "the best language scored a hit" ⟺ "any stopword of any
+            # list is present" — arrays_overlap short-circuits and,
+            # unlike the greatest-of-structs expression, doesn't
+            # defeat codegen subexpression elimination on the shared
+            # token split (the struct form measured 3× slower for the
+            # WHOLE projection; equivalence is pytest-pinned)
+            & F.arrays_overlap(
+                textops.tokens(F.col(text_col)),
+                F.array(*[F.lit(w) for w in textops.ALL_STOPWORDS]),
+            )
         ).alias("s1"),
     )
-    # exact-dedup survivor among stage-1 docs per content hash: one
-    # window shuffle on the uniform 32-byte hash key
-    s2_keep = F.min(F.when(F.col("s1"), F.col(id_col))).over(
-        Window.partitionBy("__ch")
-    )
+    # exact-dedup survivor per content hash, BOTH variants in the one
+    # window pass on the uniform 32-byte hash key: the stage-2 keep
+    # (min id among stage-1 docs) and the unconditional min id — the
+    # content_rep_marks relation the banding collapse needs. Fusing
+    # them here removes content_rep_marks' separate corpus scan AND
+    # its separate window shuffle from every funnel build (corpus
+    # scans per stage_flags: 3 → 2).
+    w_ch = Window.partitionBy("__ch")
     flagged = enriched.select(
         id_col,
         "stratum",
         "n_tokens",
         "s1",
-        (F.col("s1") & (F.col(id_col) == s2_keep)).alias("s2"),
+        (
+            F.col("s1")
+            & (
+                F.col(id_col)
+                == F.min(F.when(F.col("s1"), F.col(id_col))).over(w_ch)
+            )
+        ).alias("s2"),
+        F.min(id_col).over(w_ch).alias("__keep"),
     )
     # narrow per-doc lineage (~60 B/doc, no text) shared by the
     # near-dup flag join, the holdout, and the pack stage: checkpoint
@@ -118,6 +137,8 @@ def stage_flags(
     # quality/hash/language projection (or re-scan the corpus) once
     # per consumer
     flagged = _ckpt(flagged)
+    marks = flagged.select(id_col, "__keep")
+    flagged = flagged.drop("__keep")
 
     # near-dup drop set: connected-components collapse over the
     # candidate pairs restricted to stage-2 survivors — survivor =
@@ -132,7 +153,7 @@ def stage_flags(
     # banding chain's two corpus scans run once here and the final
     # funnel plan consumes only the label checkpoint.
     pairs = dedup.minhash_candidate_pairs(
-        docs, text_col=text_col, id_col=id_col
+        docs, text_col=text_col, id_col=id_col, marked=marks
     )
     s2_nodes = flagged.filter(F.col("s2")).select(id_col)
     fpairs = pairs.join(

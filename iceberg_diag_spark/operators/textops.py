@@ -23,6 +23,14 @@ STOPWORDS = {
     "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
 }
 
+# The union list, sorted: "some language scored a stopword hit" is
+# exactly "the token set overlaps this list" — consumers that only
+# need the boolean (the funnel's s1 gate) test it with ONE
+# arrays_overlap instead of the 4-way greatest-of-structs argmax,
+# which measured 3× slower for the surrounding projection (the struct
+# construction defeats codegen subexpression elimination).
+ALL_STOPWORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
+
 
 def tokens(col: Column) -> Column:
     """Whitespace tokenization of normalized text."""
