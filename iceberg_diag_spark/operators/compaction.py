@@ -274,7 +274,7 @@ def compact_apply_binpack(
     plan used, so predicted-vs-measured is apples-to-apples.
     """
     from iceberg_diag_spark.operators.sampling import membership_checksums
-    from iceberg_diag_spark.sources.sinks import delete_path
+    from iceberg_diag_spark.sources.sinks import delete_paths
 
     if max_bytes_per_group <= 0:
         raise ValueError("max_bytes_per_group must be positive")
@@ -420,10 +420,20 @@ def compact_apply_binpack(
         # by interpolating partition values into path strings — a
         # Hive-escaped dir name (':', '%', '=', ... in the value)
         # would never match an interpolated path and the stale files
-        # would double-count in the after-state.
-        for pval, fid, uri in _leaf_dirs(spark, path, partition_col, file_col):
-            if pval in groups_of and fid >= groups_of[pval]:
-                delete_path(spark, uri)
+        # would double-count in the after-state. Deletes batch
+        # through one FS handle + thread pool (delete_paths): ~300
+        # serial py4j/FS calls cost ~1.5 s locally and worse on an
+        # object store.
+        delete_paths(
+            spark,
+            [
+                uri
+                for pval, fid, uri in _leaf_dirs(
+                    spark, path, partition_col, file_col
+                )
+                if pval in groups_of and fid >= groups_of[pval]
+            ],
+        )
 
     # Measured after-state: rewritten partitions re-read FROM THE
     # WRITTEN FILES (pruned); untouched partitions reuse the pre-pass
@@ -546,7 +556,7 @@ def cluster_apply_sorted(
     )
     from iceberg_diag_spark.operators.sampling import membership_checksums
     from iceberg_diag_spark.operators.shuffling import grouped_prefix_sum
-    from iceberg_diag_spark.sources.sinks import delete_path
+    from iceberg_diag_spark.sources.sinks import delete_paths
     from pyspark.sql.window import Window
 
     if rows_per_file <= 0:
@@ -644,14 +654,26 @@ def cluster_apply_sorted(
         .partitionBy(file_col)
         .parquet(path)
     )
-    stale = bef_files.select(file_col).collect()
-    for r in stale:
-        fid = int(r[file_col])
-        if fid >= n_files_new:
-            delete_path(spark, f"{path}/{file_col}={fid}")
+    # Listing-driven stale-dir drops (same idiom as the bin-pack
+    # sink): file ids are integers so interpolation would happen to
+    # work, but the listing keeps both sinks on the one safe pattern
+    # and the deletes batch through one FS handle + thread pool.
+    delete_paths(
+        spark,
+        [
+            uri
+            for _pval, fid, uri in _leaf_dirs(spark, path, None, file_col)
+            if fid >= n_files_new
+        ],
+    )
 
-    # Measured after-state: entirely from the written files.
-    post_files = _per_file(spark.read.schema(read_schema).parquet(path))
+    # Measured after-state: entirely from the written files. The
+    # per-file stats feed both the sweep and the total/digest
+    # aggregate — checkpoint the file-count-scale relation so the
+    # written layout is re-read once, not once per consumer.
+    post_files = _per_file(
+        spark.read.schema(read_schema).parquet(path)
+    ).localCheckpoint(eager=False)
     aft = _sweep(post_files).join(
         post_files.agg(
             F.sum("n_rows").cast("long").alias("rows_after"),

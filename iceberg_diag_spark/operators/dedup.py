@@ -413,7 +413,14 @@ def incremental_dedup_status(
     Output: (id_col, status) — one row per batch doc.
     """
     chx = F.sha2(normalized_text(F.col(text_col)), 256)
-    bh = ensure_parallelism(batch).select(F.col(id_col), chx.alias("__ch"))
+    # (id, hash) feeds the exact-match probe AND the output id spine
+    # — checkpoint the 48 B/doc relation so the batch text is hashed
+    # once, not once per consumer.
+    bh = (
+        ensure_parallelism(batch)
+        .select(F.col(id_col), chx.alias("__ch"))
+        .localCheckpoint(eager=False)
+    )
     corpus_hashes = (
         ensure_parallelism(corpus).select(chx.alias("__ch")).distinct()
     )
@@ -432,7 +439,10 @@ def incremental_dedup_status(
         .withColumn("is_near", F.lit(True))
     )
     return (
-        batch.select(id_col)
+        # id spine from the already-projected hash relation — reading
+        # `batch` again here would re-scan the batch text for a
+        # column the hash projection already carries.
+        bh.select(id_col)
         .join(exact_ids, id_col, "left")
         .join(near_ids, id_col, "left")
         .select(
@@ -756,6 +766,10 @@ def ngram_jaccard_pairs(
     shingled = word_ngram_rows(docs, text_col, id_col, ngram).select(
         F.col(id_col).alias("__doc"), "gram"
     )
+    # `candidates` is consumed twice (member explode + sentinel) and
+    # its lineage is typically the whole banding chain — checkpoint
+    # the bounded pair-scale relation so the chain runs once.
+    candidates = candidates.localCheckpoint(eager=False)
     members = candidates.select(
         "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("__doc")
     )
@@ -1227,12 +1241,34 @@ def ngram_containment_pairs(
     sizes = shingled.groupBy("__doc").agg(
         F.countDistinct("gram").alias("n_grams")
     )
+    # `candidates` is consumed twice (member explode + the NULL-gram
+    # sentinel) and its lineage is typically the whole banding chain
+    # — checkpoint the bounded pair-scale relation so the chain runs
+    # once (the ngram_jaccard_pairs discipline).
+    candidates = candidates.localCheckpoint(eager=False)
     members = candidates.select(
         "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("__doc")
     )
-    per_gram = members.join(shingled, "__doc").groupBy(
-        "doc_a", "doc_b", "gram"
-    ).agg(F.countDistinct("__doc").alias("k"))
+    # One NULL-gram sentinel row per candidate pair rides the same
+    # aggregation (the ngram_jaccard_pairs idiom), so every pair —
+    # including gramless ones — reaches `inter` and the output needs
+    # NO candidates⋈inter reattach join (which sorted two pair-scale
+    # relations purely to re-derive the pair spine). Real grams are
+    # never NULL; countDistinct skips the sentinel's NULL __doc, so
+    # the sentinel group contributes k = 0, never an intersection.
+    sentinel = candidates.select(
+        "doc_a",
+        "doc_b",
+        F.lit(None).cast(candidates.schema["doc_a"].dataType).alias("__doc"),
+        F.lit(None).cast("string").alias("gram"),
+    )
+    per_gram = (
+        members.join(shingled, "__doc")
+        .select("doc_a", "doc_b", "__doc", "gram")
+        .unionByName(sentinel)
+        .groupBy("doc_a", "doc_b", "gram")
+        .agg(F.countDistinct("__doc").alias("k"))
+    )
     inter = per_gram.groupBy("doc_a", "doc_b").agg(
         F.sum(F.when(F.col("k") == 2, 1).otherwise(0)).alias("inter_size")
     )
@@ -1258,8 +1294,9 @@ def ngram_containment_pairs(
         )
 
     return (
-        candidates.select("doc_a", "doc_b")
-        .join(inter, ["doc_a", "doc_b"], "left")
+        # `inter` already holds every candidate pair (sentinel
+        # contract above), so it IS the pair spine.
+        inter
         .join(sa, "doc_a", "left")
         .join(sb, "doc_b", "left")
         .select(

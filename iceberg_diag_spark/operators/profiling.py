@@ -177,12 +177,20 @@ def part_affinity(
     Output: (part_a, part_b, co_orders, orders_a, orders_b,
     lift_ppm), part_a < part_b.
     """
+    # The distinct basket relation feeds FIVE consumers (per-part
+    # counts joined twice, both self-join sides, the order count) and
+    # Catalyst replays the scan + distinct shuffle once per consumer
+    # (measured: 10 parquet scans in the lazy plan). Checkpoint the
+    # narrow (ok, pk) relation (~16 B/row) so the corpus is scanned
+    # and distinct-shuffled exactly once — same materialized
+    # high-water mark as any one of the five shuffles it replaces.
     op = (
         ensure_parallelism(lineitem)
         .select(
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     cnt = op.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     n_orders = op.select("ok").distinct().agg(

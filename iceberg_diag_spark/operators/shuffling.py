@@ -32,9 +32,12 @@ def epoch_shuffle(
     16-row broadcast of cumulative shard sizes — no global window,
     no single-task sort. Output: (id, shuffle_key, shuffle_pos)."""
     key = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    # `base` feeds both the shard-size aggregate and the ranked
+    # output — checkpoint the narrow (id, key, shard) relation so the
+    # upstream scan + md5 keying runs once, not once per consumer.
     base = docs.select(F.col(id_col), key.alias("shuffle_key")).withColumn(
         "__shard", F.ascii(F.substring("shuffle_key", 1, 1))
-    )
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("__shard").orderBy("shuffle_key", id_col)
     sizes = base.groupBy("__shard").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = (
@@ -82,7 +85,15 @@ def global_rank(
        idiom.
 
     Output: input columns + `out_col` (1-based exact global rank).
+
+    Like grouped_prefix_sum, the input is consumed more than once
+    (percentile edges, shard sizes, the ranked base) and Catalyst
+    replays a lazy lineage per consumer — rfm_segments chains three
+    global_rank calls, which cubed the replay into 258 parquet scans
+    of one orders table. The primitive lazily localCheckpoints its
+    input so upstream runs exactly once.
     """
+    df = df.localCheckpoint(eager=False)
     probs = [i / n_shards for i in range(1, n_shards)]
     edges = df.agg(
         F.percentile_approx(value_col, probs, 10_000).alias("__edges")
@@ -134,7 +145,18 @@ def grouped_prefix_sum(
 
     Output: input columns + `out_col` = Σ val over rows strictly
     before this row in (group, order) order.
+
+    The input is consumed TWICE (the range-shard edges aggregate and
+    the ranked base), and Catalyst replays a lazy lineage once per
+    consumer — for skip_simulation that meant the whole row-scale
+    unpivot + per-value agg ran twice. The primitive therefore
+    lazily localCheckpoints its input: every caller passes a value-
+    cardinality/histogram-scale relation (per the contract that
+    `order_col` is unique per group), so the materialized copy is
+    small; an input that is already a checkpoint just pays one extra
+    small copy.
     """
+    df = df.localCheckpoint(eager=False)
     probs = [i / n_shards for i in range(1, n_shards)]
     edges = df.groupBy(group_col).agg(
         F.percentile_approx(order_col, probs, 10_000).alias("__edges")

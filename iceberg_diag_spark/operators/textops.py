@@ -765,10 +765,20 @@ def vocab_growth_curve(
             F.explode(tokens(F.col(text_col))).alias("term"),
         )
     )
-    per_shard_tokens = toks.groupBy("shard_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    # ONE pass over the token explode into a (term, shard) count —
+    # both the per-shard token volume (sum of counts) and the first-
+    # occurrence shard (min shard per term) derive from it, where the
+    # previous two-consumer shape replayed the corpus explode per
+    # branch. The intermediate is vocabulary × shards scale.
+    counts = (
+        toks.groupBy("term", "shard_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint(eager=False)
     )
-    first_seen = toks.groupBy("term").agg(
+    per_shard_tokens = counts.groupBy("shard_id").agg(
+        F.sum("__c").cast("long").alias("n_tokens")
+    )
+    first_seen = counts.groupBy("term").agg(
         F.min("shard_id").alias("shard_id")
     )
     new_types = first_seen.groupBy("shard_id").agg(
@@ -1784,9 +1794,15 @@ def source_tv_distance(
         F.col(source_col).alias("source"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     )
+    # `counts` feeds totals, the top-K vocab, AND the K-vocab
+    # restriction (which itself fans out to k_mass and the grid) —
+    # without materialization the corpus token explode + aggregate
+    # replays once per consumer (measured: 16 scans in the lazy
+    # plan). The relation is (source × distinct-token) cardinality,
+    # so the checkpoint is vocabulary-scale, never corpus-scale.
     counts = toks.groupBy("source", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
     vocab = (
         counts.groupBy("tok")
@@ -3039,6 +3055,10 @@ def source_quality_calibration(
         .cast("long")
         .alias("ttr_ppm"),
     )
+    # (id, source, score) feeds the percentile-edge aggregate AND the
+    # sharded rank base — checkpoint the ~24 B/doc relation so the
+    # corpus scan + tokenize runs once (the global_rank discipline).
+    scored = scored.localCheckpoint(eager=False)
     probs = [i / n_shards for i in range(1, n_shards)]
     edges = scored.groupBy("source").agg(
         F.percentile_approx("ttr_ppm", probs, 10_000).alias("__edges")
@@ -3842,12 +3862,16 @@ def bigram_kneser_ney(
     # filtered-out row still carries (the documented inferred-
     # predicate gotcha); get() returns NULL there and the row never
     # survives anyway
+    # Four consumers (left context agg, right continuation agg, the
+    # distinct-bigram total, the final join spine) — checkpoint the
+    # bigram-vocabulary-scale count relation so the corpus shingle
+    # explode + aggregate runs once, not once per consumer.
     c2 = c2.select(
         "gram",
         "c2",
         F.expr("get(split(gram, ' '), 0)").alias("w1"),
         F.expr("get(split(gram, ' '), 1)").alias("w2"),
-    )
+    ).localCheckpoint(eager=False)
     left = c2.groupBy("w1").agg(
         F.sum("c2").alias("c1w"),
         F.count(F.lit(1)).alias("n1p_w1"),

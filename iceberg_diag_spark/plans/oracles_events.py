@@ -75,16 +75,22 @@ def _events_funnel(spark, sf_dir):
     stage with the user count that reached it. Three conditional-agg
     passes over the same user partitioning — each stage's timestamp
     gates the next, which a single pivot cannot express."""
+    # Each stage relation is lazily checkpointed: t2's lineage
+    # contains t1's and t3's contains both, and every stage is ALSO
+    # counted — without materialization the events scan replays six
+    # times (1+2+3 across the chained lineages). The checkpoints are
+    # user-cardinality scale (16 B/row).
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     t1 = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
         F.min("ts").alias("t1")
-    )
+    ).localCheckpoint(eager=False)
     t2 = (
         ev.filter(F.col("event_type") == "click")
         .join(t1, "user_id")
         .filter(F.col("ts") >= F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=False)
     )
     t3 = (
         ev.filter(F.col("event_type") == "purchase")
@@ -92,6 +98,7 @@ def _events_funnel(spark, sf_dir):
         .filter(F.col("ts") >= F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
+        .localCheckpoint(eager=False)
     )
     stages = [
         ("1_signup", t1),

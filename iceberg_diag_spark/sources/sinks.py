@@ -260,3 +260,29 @@ def delete_path(spark: SparkSession, path: str) -> bool:
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.delete(jpath, True))
+
+def delete_paths(spark: SparkSession, paths: list[str], max_threads: int = 16) -> int:
+    """Batch recursive delete through ONE Hadoop FileSystem handle
+    with a small thread-pool fan-out. A sink dropping hundreds of
+    stale leaf dirs pays three py4j round-trips per `delete_path`
+    call (Path, getFileSystem, delete) serially; object-store deletes
+    are additionally per-call latency-bound, so the pool matters even
+    more off-box than locally. Returns how many paths deleted
+    anything. All paths must live on one filesystem (always true for
+    a sink's own layout dirs)."""
+    if not paths:
+        return 0
+    from concurrent.futures import ThreadPoolExecutor
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(paths[0]).getFileSystem(conf)
+
+    def _one(p: str) -> bool:
+        return bool(fs.delete(jvm.org.apache.hadoop.fs.Path(p), True))
+
+    with ThreadPoolExecutor(
+        max_workers=min(max_threads, len(paths))
+    ) as ex:
+        return sum(ex.map(_one, paths))
+
