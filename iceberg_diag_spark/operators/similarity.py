@@ -889,10 +889,17 @@ def _exact_bucketed(
         table_exprs.append(
             f"named_struct('t', {t}, 'bucket', CAST({bits} AS LONG))"
         )
+    # Both outputs fan out to multiple consumers in every caller
+    # (qa/qb vector re-joins, a/b bucket-join sides) — without
+    # materialization each consumer replays the quantize projection
+    # and, worse, the 8-table x 8-plane x dim bucket SQL per row.
+    # base is ~(dim+1) longs/vector, tabled is 3 longs per (vector,
+    # table): the cheap side of the materialize-vs-rescan trade.
+    base = base.localCheckpoint(eager=False)
     tabled = base.select(
         id_col,
         F.explode(F.expr(f"array({', '.join(table_exprs)})")).alias("tb"),
-    ).select(id_col, "tb.t", "tb.bucket")
+    ).select(id_col, "tb.t", "tb.bucket").localCheckpoint(eager=False)
     return base, tabled
 
 
@@ -994,6 +1001,7 @@ def lsh_topk_exact(
     scale_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucketed: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate kNN with EXACT cross-engine semantics — the
     hash-oracle-able sibling of lsh_topk (whose seeded float
@@ -1015,9 +1023,15 @@ def lsh_topk_exact(
     """
     from pyspark.sql.window import Window
 
-    base, tabled = _exact_bucketed(
-        embeddings, n_planes, n_tables, dim, scale_bits, id_col, vec_col
-    )
+    # `bucketed` lets a caller that already materialized the
+    # (base, tabled) quantize+bucket stage (ann_recall_eval /
+    # retrieval_rank_eval build it for their exact ground-truth
+    # side) share it instead of paying the stage twice.
+    if bucketed is None:
+        bucketed = _exact_bucketed(
+            embeddings, n_planes, n_tables, dim, scale_bits, id_col, vec_col
+        )
+    base, tabled = bucketed
     a = tabled.select(
         F.col("t"), F.col("bucket"), F.col(id_col).alias("vec_a")
     )
@@ -2037,10 +2051,10 @@ def ann_recall_eval(
     """
     from pyspark.sql.window import Window
 
-    base, _ = _exact_bucketed(
+    bucketed = _exact_bucketed(
         embeddings, n_planes, n_tables, dim, scale_bits, id_col, vec_col
     )
-    base = base.localCheckpoint(eager=False)
+    base = bucketed[0]  # checkpointed inside _exact_bucketed
     q = base.filter(
         (F.col(id_col) % query_mod == 0) & (F.col("n2") > 0)
     ).select(
@@ -2072,7 +2086,8 @@ def ann_recall_eval(
         .filter(F.col("rank") <= k)
     )
     approx = lsh_topk_exact(
-        embeddings, k, n_planes, n_tables, dim, scale_bits, id_col, vec_col
+        embeddings, k, n_planes, n_tables, dim, scale_bits, id_col, vec_col,
+        bucketed=bucketed,
     ).filter(F.col("query_id") % query_mod == 0)
     hit = approx.select(
         "query_id", "neighbor_id", F.lit(1).alias("__hit")
@@ -2673,10 +2688,10 @@ def retrieval_rank_eval(
     """
     from pyspark.sql.window import Window
 
-    base, _ = _exact_bucketed(
+    bucketed = _exact_bucketed(
         embeddings, n_planes, n_tables, dim, scale_bits, id_col, vec_col
     )
-    base = base.localCheckpoint(eager=False)
+    base = bucketed[0]  # checkpointed inside _exact_bucketed
     q = base.filter(
         (F.col(id_col) % query_mod == 0) & (F.col("n2") > 0)
     ).select(
@@ -2709,7 +2724,8 @@ def retrieval_rank_eval(
         .select("query_id", "neighbor_id", F.lit(1).alias("__rel"))
     )
     approx = lsh_topk_exact(
-        embeddings, k, n_planes, n_tables, dim, scale_bits, id_col, vec_col
+        embeddings, k, n_planes, n_tables, dim, scale_bits, id_col, vec_col,
+        bucketed=bucketed,
     ).filter(F.col("query_id") % query_mod == 0)
     # relevant/scored are panel-scale (n_queries × k, the broadcast
     # query panel's own fan-out) — hint them like the panel itself so

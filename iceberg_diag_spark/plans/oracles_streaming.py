@@ -460,21 +460,18 @@ def _cluster_representatives(spark, sf_dir):
     pairs = dedup.minhash_candidate_pairs(docs).select("doc_a", "doc_b")
     cc = dedup.connected_components(docs.select("doc_id"), pairs)
     member = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
+    # Struct-max argmax instead of a row_number window: (n_chars,
+    # -doc_id) max picks the longest member with smallest-id
+    # tie-break — identical to the old DESC/ASC window rank-1 row —
+    # but the aggregate partial-combines map-side, where the window
+    # shuffled AND sorted every member row per cluster (guide §2.3).
+    best = F.max(
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("__negid"))
     )
-    return (
-        member.withColumn("__rn", F.row_number().over(w))
-        .groupBy("cluster_id")
-        .agg(
-            F.max(F.when(F.col("__rn") == 1, F.col("doc_id"))).alias(
-                "rep_doc_id"
-            ),
-            F.count(F.lit(1)).alias("cluster_size"),
-            F.max(F.when(F.col("__rn") == 1, F.col("n_chars"))).cast(
-                "long"
-            ).alias("rep_n_chars"),
-        )
+    return member.groupBy("cluster_id").agg(
+        (-best.getField("__negid")).cast("long").alias("rep_doc_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+        best.getField("n_chars").cast("long").alias("rep_n_chars"),
     )
 
 
