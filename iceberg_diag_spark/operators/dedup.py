@@ -642,7 +642,15 @@ def winnow_clone_pairs(
 
     Output: (doc_a, doc_b, shared_fps), doc_a < doc_b.
     """
+    # The (id, fp) relation feeds THREE consumers (the posting-list
+    # stop-list count and both join sides) and Catalyst replays the
+    # whole winnow stage (token explode + window-min aggregate — the
+    # expensive part) once per consumer without materialization:
+    # the final plan read 4 parquet scans / 36 exchanges unchecked,
+    # 0 / 12 with the checkpoint. ~16 B/row, far cheaper than one
+    # replay.
     sel = _winnow_selected(docs, text_col, id_col, n, window)
+    sel = sel.localCheckpoint(eager=False)
     rare = (
         sel.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("__nd"))
@@ -932,6 +940,7 @@ def simhash_near_dup(
     text_col: str = "text",
     id_col: str = "doc_id",
     collapse_exact: bool = True,
+    marked: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: docs whose 64-bit fingerprints differ
     in ≤ max_hamming bits, via multi-index banding — split the
@@ -975,7 +984,13 @@ def simhash_near_dup(
     # materialized partitions.
     sh = simhash64(docs, text_col, id_col)
     if collapse_exact:
-        marked = content_rep_marks(docs, text_col, id_col)
+        # `marked` lets a caller that already materialized the
+        # (id, __keep) mark relation (dedup_method_agreement shares
+        # one across both pair families) skip content_rep_marks'
+        # extra corpus scan + window pass — the
+        # minhash_candidate_pairs idiom.
+        if marked is None:
+            marked = content_rep_marks(docs, text_col, id_col)
         star = marked.filter(F.col(id_col) != F.col("__keep")).select(
             F.col("__keep").alias("doc_a"), F.col(id_col).alias("doc_b")
         )
@@ -1238,9 +1253,6 @@ def ngram_containment_pairs(
     shingled = word_ngram_rows(docs, text_col, id_col, ngram).select(
         F.col(id_col).alias("__doc"), "gram"
     )
-    sizes = shingled.groupBy("__doc").agg(
-        F.countDistinct("gram").alias("n_grams")
-    )
     # `candidates` is consumed twice (member explode + the NULL-gram
     # sentinel) and its lineage is typically the whole banding chain
     # — checkpoint the bounded pair-scale relation so the chain runs
@@ -1251,11 +1263,19 @@ def ngram_containment_pairs(
     )
     # One NULL-gram sentinel row per candidate pair rides the same
     # aggregation (the ngram_jaccard_pairs idiom), so every pair —
-    # including gramless ones — reaches `inter` and the output needs
-    # NO candidates⋈inter reattach join (which sorted two pair-scale
-    # relations purely to re-derive the pair spine). Real grams are
-    # never NULL; countDistinct skips the sentinel's NULL __doc, so
-    # the sentinel group contributes k = 0, never an intersection.
+    # including gramless ones — survives to the output and NO
+    # candidates⋈stats reattach join is needed. Real grams are never
+    # NULL, so the sentinel group is unambiguous.
+    #
+    # Per-side set sizes ride the SAME per-(pair, gram) aggregate as
+    # the intersection (side-membership flags, max-folded over
+    # duplicate gram rows): n_grams_a = #distinct grams with an
+    # A-side row, exactly |grams(A)| for every doc that appears in a
+    # pair. The previous shape computed a separate corpus-wide
+    # per-doc distinct-gram aggregate and left-joined it onto the
+    # spine twice — a SECOND full shingle pass (the gram explode is
+    # the expensive stage) plus two pair-scale joins, all replaced by
+    # two boolean columns in the aggregate already running.
     sentinel = candidates.select(
         "doc_a",
         "doc_b",
@@ -1267,16 +1287,34 @@ def ngram_containment_pairs(
         .select("doc_a", "doc_b", "__doc", "gram")
         .unionByName(sentinel)
         .groupBy("doc_a", "doc_b", "gram")
-        .agg(F.countDistinct("__doc").alias("k"))
+        .agg(
+            F.max(
+                (F.col("__doc") == F.col("doc_a")).cast("int")
+            ).alias("in_a"),
+            F.max(
+                (F.col("__doc") == F.col("doc_b")).cast("int")
+            ).alias("in_b"),
+        )
     )
-    inter = per_gram.groupBy("doc_a", "doc_b").agg(
-        F.sum(F.when(F.col("k") == 2, 1).otherwise(0)).alias("inter_size")
-    )
-    sa = sizes.select(
-        F.col("__doc").alias("doc_a"), F.col("n_grams").alias("n_grams_a")
-    )
-    sb = sizes.select(
-        F.col("__doc").alias("doc_b"), F.col("n_grams").alias("n_grams_b")
+    stats = per_gram.groupBy("doc_a", "doc_b").agg(
+        F.sum(
+            F.when(
+                F.col("gram").isNotNull()
+                & (F.col("in_a") == 1)
+                & (F.col("in_b") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("inter_size"),
+        F.sum(
+            F.when(
+                F.col("gram").isNotNull() & (F.col("in_a") == 1), 1
+            ).otherwise(0)
+        ).alias("n_grams_a"),
+        F.sum(
+            F.when(
+                F.col("gram").isNotNull() & (F.col("in_b") == 1), 1
+            ).otherwise(0)
+        ).alias("n_grams_b"),
     )
 
     def _ppm(inter_col: Column, size_col: Column) -> Column:
@@ -1293,27 +1331,14 @@ def ngram_containment_pairs(
             .cast("long")
         )
 
-    return (
-        # `inter` already holds every candidate pair (sentinel
-        # contract above), so it IS the pair spine.
-        inter
-        .join(sa, "doc_a", "left")
-        .join(sb, "doc_b", "left")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.coalesce(F.col("inter_size"), F.lit(0))
-            .cast("long")
-            .alias("inter_size"),
-            F.coalesce(F.col("n_grams_a"), F.lit(0))
-            .cast("long")
-            .alias("n_grams_a"),
-            F.coalesce(F.col("n_grams_b"), F.lit(0))
-            .cast("long")
-            .alias("n_grams_b"),
-            _ppm(F.col("inter_size"), F.col("n_grams_a")).alias("cont_a_ppm"),
-            _ppm(F.col("inter_size"), F.col("n_grams_b")).alias("cont_b_ppm"),
-        )
+    return stats.select(
+        "doc_a",
+        "doc_b",
+        F.col("inter_size").cast("long").alias("inter_size"),
+        F.col("n_grams_a").cast("long").alias("n_grams_a"),
+        F.col("n_grams_b").cast("long").alias("n_grams_b"),
+        _ppm(F.col("inter_size"), F.col("n_grams_a")).alias("cont_a_ppm"),
+        _ppm(F.col("inter_size"), F.col("n_grams_b")).alias("cont_b_ppm"),
     )
 
 
@@ -1429,6 +1454,7 @@ def jaccard_threshold_histogram(
     text_col: str = "text",
     id_col: str = "doc_id",
     wide: DataFrame | None = None,
+    marked: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup threshold calibration curve: bucket every LSH
     candidate pair's exact n-gram Jaccard into deciles and report
@@ -1444,7 +1470,7 @@ def jaccard_threshold_histogram(
     floor (0, 100000, ..., 1000000 for exact-dup star edges).
     """
     cands = minhash_candidate_pairs(
-        docs, text_col=text_col, id_col=id_col, wide=wide
+        docs, text_col=text_col, id_col=id_col, wide=wide, marked=marked
     )
     pairs = ngram_jaccard_pairs(
         docs, cands.select("doc_a", "doc_b"), text_col, id_col
@@ -1610,9 +1636,13 @@ def clone_pairs_verified(
         .unionAll(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
+    # Both text join sides (ta, tb) derive from this pruned relation;
+    # without materialization each side replays the corpus scan +
+    # semi-join. It holds only the docs that appear in a candidate
+    # pair — pair-bounded, not corpus-bounded.
     norm = docs.join(F.broadcast(pair_ids), id_col, "semi").select(
         F.col(id_col), normalized_text(F.col(text_col)).alias("__nt")
-    )
+    ).localCheckpoint(eager=False)
     ta = norm.select(
         F.col(id_col).alias("doc_a"), F.col("__nt").alias("__ta")
     )
@@ -1663,12 +1693,17 @@ def dedup_method_agreement(
     only_minhash, only_simhash, n_union, overlap_ppm (Jaccard of the
     pair sets).
     """
+    # ONE exact-dup mark relation shared by both families' collapse
+    # (content_rep_marks localCheckpoints internally): both plans
+    # need the identical (id, __keep) marks, and computing it per
+    # family paid the text scan + sha2 + window shuffle twice.
+    marked = content_rep_marks(docs, text_col, id_col)
     mh = minhash_candidate_pairs(
-        docs, text_col=text_col, id_col=id_col
+        docs, text_col=text_col, id_col=id_col, marked=marked
     ).select("doc_a", "doc_b", F.lit(1).alias("__mh"))
     sh = simhash_near_dup(
         docs, max_hamming=simhash_max_hamming,
-        text_col=text_col, id_col=id_col,
+        text_col=text_col, id_col=id_col, marked=marked,
     ).select("doc_a", "doc_b", F.lit(1).alias("__sh"))
     j = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
     return j.agg(
@@ -1862,7 +1897,15 @@ def lsh_near_dup_tuned(
     shared_wide = minhash_signatures_wide(
         docs, text_col, id_col, num_hashes, ngram
     ).localCheckpoint(eager=False)
-    adv = lsh_param_advisor(docs, text_col, id_col, wide=shared_wide)
+    # ONE exact-dup mark relation shared by the advisor's candidate
+    # chain and the tuned execution below (content_rep_marks
+    # localCheckpoints internally) — both need the identical
+    # (id, __keep) marks, and computing it per consumer paid the text
+    # scan + sha2 + window shuffle twice.
+    marked = content_rep_marks(docs, text_col, id_col)
+    adv = lsh_param_advisor(
+        docs, text_col, id_col, wide=shared_wide, marked=marked
+    )
     # the 1-row pick is broadcast to three consumers; checkpoint it so
     # each does NOT replay the advisor's full histogram chain (the
     # no-cross-branch-reuse gotcha — 3x the advisor cost unchecked)
@@ -1880,9 +1923,7 @@ def lsh_near_dup_tuned(
         .localCheckpoint(eager=False)
     )
 
-    # narrow per-doc mark relation, consumed by star AND keep filter
-    # (content_rep_marks localCheckpoints internally)
-    marked = content_rep_marks(docs, text_col, id_col)
+    # the shared mark relation, consumed by star AND keep filter
     star = marked.filter(F.col(id_col) != F.col("__keep")).select(
         F.col("__keep").alias("doc_a"), F.col(id_col).alias("doc_b")
     )
@@ -1922,6 +1963,7 @@ def lsh_param_advisor(
     text_col: str = "text",
     id_col: str = "doc_id",
     wide: DataFrame | None = None,
+    marked: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding-parameter advisor — the design decision behind
     every MinHash deployment: with a 16-hash signature split into b
@@ -1946,7 +1988,9 @@ def lsh_param_advisor(
     expected_caught_pairs, catch_at_50_ppm, catch_at_70_ppm,
     catch_at_90_ppm).
     """
-    hist = jaccard_threshold_histogram(docs, text_col, id_col, wide=wide)
+    hist = jaccard_threshold_histogram(
+        docs, text_col, id_col, wide=wide, marked=marked
+    )
     cfg = F.expr(
         "explode(array({}))".format(
             ", ".join(
@@ -2034,12 +2078,17 @@ def minhash_estimator_audit(
     # ga, gb), two for the wide signature — checkpoint all three so
     # no branch replays the banding / signature / shingle lineage
     # (measured 18 parquet scans unchecked; the funnel's
-    # materialize-vs-rescan argument)
-    pairs = minhash_candidate_pairs(
-        docs, text_col, id_col, num_hashes, bands=4, ngram=ngram
-    ).localCheckpoint(eager=False)
+    # materialize-vs-rescan argument). The checkpointed wide
+    # signature feeds the banding chain too (`wide=`): the audit's
+    # estimate side needs the signature relation anyway, so the
+    # candidate generator must not pay the shingle+hash+min-agg pass
+    # a second time.
     wide = minhash_signatures_wide(
         docs, text_col, id_col, num_hashes, ngram
+    ).localCheckpoint(eager=False)
+    pairs = minhash_candidate_pairs(
+        docs, text_col, id_col, num_hashes, bands=4, ngram=ngram,
+        wide=wide,
     ).localCheckpoint(eager=False)
     wa = wide.select(
         F.col(id_col).alias("doc_a"),

@@ -301,9 +301,14 @@ def _lateness(events: DataFrame, n_shards: int = 32) -> DataFrame:
     broadcast-prefix formulation). Output columns: event_id,
     event_type, ts_us, lateness_us."""
     ts_us = F.unix_micros(F.col("ts"))
+    # ~26 B/event narrow projection with THREE consumers (the
+    # percentile edges, the running-max path, the per-shard max) —
+    # pin it so the scan runs once, and pin the sharded relation too
+    # (two consumers of the crossJoin + shard-assignment fold): the
+    # global_rank/grouped_prefix_sum input discipline.
     base = events.select(
         F.col("event_id"), F.col("event_type"), ts_us.alias("ts_us")
-    )
+    ).localCheckpoint(eager=False)
     probs = [i / n_shards for i in range(1, n_shards)]
     edges = base.agg(
         F.percentile_approx("event_id", probs, 10_000).alias("__edges")
@@ -320,6 +325,7 @@ def _lateness(events: DataFrame, n_shards: int = 32) -> DataFrame:
             ),
         )
         .drop("__edges")
+        .localCheckpoint(eager=False)
     )
     w_run = (
         Window.partitionBy("__shard")
@@ -572,6 +578,11 @@ def cadence_autocorr(
     spine = span.select(
         "event_type", F.explode(F.sequence("lo", "hi")).alias("h")
     )
+    # deliberately NOT checkpointed: the replayed subtree is one
+    # cheap hash aggregate + spine join, and both measured checkpoint
+    # variants (hours alone, hours+dense) read +32-62% on this entry
+    # (r15 ab7/ab8/ab9) — the barrier serializes what parallel
+    # replay recomputes for free here
     dense = (
         spine.join(hours, ["event_type", "h"], "left")
         .select(
@@ -647,6 +658,11 @@ def hourly_trend(events: DataFrame) -> DataFrame:
         (F.unix_micros(F.date_trunc("hour", F.col("ts")))
          / F.lit(3_600_000_000)).cast("long").alias("h"),
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # hours feeds the span AND the dense series — pin the
+    # series-scale (types × hours) aggregate so the corpus pass
+    # runs once, not per consumer (measured -21/-23% here,
+    # r15 ab8)
+    hours = hours.localCheckpoint(eager=False)
     span = hours.groupBy("event_type").agg(
         F.min("h").alias("lo"), F.max("h").alias("hi")
     )
@@ -721,6 +737,11 @@ def changepoint_detect(events: DataFrame) -> DataFrame:
         (F.unix_micros(F.date_trunc("hour", F.col("ts")))
          / F.lit(3_600_000_000)).cast("long").alias("h"),
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # hours feeds the span AND the dense series — pin the
+    # series-scale (types × hours) aggregate so the corpus pass
+    # runs once, not per consumer (measured -21/-23% here,
+    # r15 ab8)
+    hours = hours.localCheckpoint(eager=False)
     span = hours.groupBy("event_type").agg(
         F.min("h").alias("lo"), F.max("h").alias("hi")
     )

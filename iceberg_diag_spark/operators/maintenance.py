@@ -622,6 +622,9 @@ def bloom_advisor(
     subset. Output per probe: (probe_key, minmax_files,
     actual_files, wasted_files, wasted_ppm), ordered by key.
     """
+    # deliberately NOT checkpointed: the three consumers replay a
+    # column-pruned scan + cast only, which parallel stages recompute
+    # for free locally while a barrier read +8-25% here (r15 ab8/ab9)
     vals = column_values.select(
         F.col(file_col).alias("file_id"),
         F.col(value_col).cast("long").alias("v"),

@@ -471,6 +471,11 @@ def media_phash_near_dup(
         )
         .filter(F.col("__len") >= min_bytes)
         .select(F.col(id_col), F.expr(fp_expr).alias("fp"))
+        # both band-join sides consume the fingerprint relation, and
+        # the hex + interpreted 16-point sample fold is the expensive
+        # per-row stage — pin the 16 B/row relation so it runs once
+        # (the simhash64 fingerprint idiom)
+        .localCheckpoint(eager=False)
     )
     bands = fps.select(
         id_col,

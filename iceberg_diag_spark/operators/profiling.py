@@ -402,7 +402,10 @@ def cohort_ltv(orders: DataFrame) -> DataFrame:
         mnum.alias("m"),
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
+    # first-month relation (16 B/customer) feeds cohort sizes AND the
+    # per-cell join — pin it so the o_custkey aggregate runs once
     first = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    first = first.localCheckpoint(eager=False)
     cohort_sizes = first.groupBy("m0").agg(
         F.countDistinct("o_custkey").alias("cohort_size")
     )

@@ -396,12 +396,21 @@ def exact_quota_holdout(
 
     from iceberg_diag_spark.functions.parallel import ensure_parallelism
 
-    keyed = ensure_parallelism(docs).select(
-        F.col(id_col),
-        F.col(stratum_col).alias("stratum"),
-        F.md5(F.col(id_col).cast("string")).alias("__mh"),
+    # One narrow keyed+sharded relation (~50 B/row) pinned for its
+    # THREE consumers (stratum counts, shard sizes, the ranked base)
+    # — unpinned, Catalyst replays the scan + md5 projection once per
+    # consumer (the global_rank/grouped_prefix_sum input discipline).
+    sharded = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col),
+            F.col(stratum_col).alias("stratum"),
+            F.md5(F.col(id_col).cast("string")).alias("__mh"),
+        )
+        .withColumn("__shard", F.ascii(F.substring("__mh", 1, 1)))
+        .localCheckpoint(eager=False)
     )
-    counts = keyed.groupBy("stratum").agg(
+    counts = sharded.groupBy("stratum").agg(
         F.count(F.lit(1)).cast("long").alias("n_s")
     )
     totals = counts.agg(
@@ -435,9 +444,6 @@ def exact_quota_holdout(
                 + F.when(F.col("rk") <= F.col("spare"), 1).otherwise(0)
             ).cast("long").alias("quota"),
         )
-    )
-    sharded = keyed.withColumn(
-        "__shard", F.ascii(F.substring("__mh", 1, 1))
     )
     w_local = Window.partitionBy("stratum", "__shard").orderBy(
         "__mh", id_col

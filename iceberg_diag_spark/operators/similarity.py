@@ -526,15 +526,26 @@ def label_silhouette(
         .agg(F.sum((F.col("val") - F.col("c")) ** 2).alias("d2"))
         .withColumn("d2q", F.floor(F.col("d2") * F.lit(1_000_000.0)).cast("long"))
     )
-    own = dists.filter(F.col("cand") == F.col("label")).select(
-        "vec_id", "label", F.col("d2q").alias("own_d2q")
+    # own and nearest-other distances fold in ONE conditional
+    # aggregate over the per-(vec, cand) relation — the previous
+    # own⋈other self-join consumed `dists` twice, replaying the
+    # posexplode + centroid join + d2 aggregate subtree per side.
+    # The not-null filter keeps the inner-join semantics (a corpus
+    # with a single label has no "other" centroid and emits nothing).
+    j = (
+        dists.groupBy("vec_id", "label")
+        .agg(
+            F.min(
+                F.when(F.col("cand") == F.col("label"), F.col("d2q"))
+            ).alias("own_d2q"),
+            F.min(
+                F.when(F.col("cand") != F.col("label"), F.col("d2q"))
+            ).alias("other_d2q"),
+        )
+        .filter(
+            F.col("own_d2q").isNotNull() & F.col("other_d2q").isNotNull()
+        )
     )
-    other = (
-        dists.filter(F.col("cand") != F.col("label"))
-        .groupBy("vec_id", "label")
-        .agg(F.min("d2q").alias("other_d2q"))
-    )
-    j = own.join(other, ["vec_id", "label"])
     return j.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.floor(F.avg("own_d2q")).cast("long").alias("mean_own_d2q"),
@@ -634,6 +645,14 @@ def semantic_dedup(
     # inner loop pays a single dot product per pair instead of three
     # interpreted folds (dot + two norms) — ~3x on the hot path
     norm = l2_norm(F.col("v"))
+    # Both self-join sides replay this lineage (scan + assignment
+    # join + normalize transform). Measured both ways (r15 ab7/ab8):
+    # pinning the normalized copy cost a consistent +13-23% here —
+    # the two replays run as parallel stages on an idle box while the
+    # checkpoint serializes them behind a materialization barrier, so
+    # the replay stays. On a cluster where the assignment join is a
+    # genuine big-big SMJ, materializing this relation (the standard
+    # SemDeDup intermediate) is the lever to flip first.
     vecs = (
         embeddings.select("vec_id", F.col(vec_col).alias("v"))
         .join(assigned, "vec_id")
@@ -1168,9 +1187,11 @@ def embedding_consistency_audit(
     base = embeddings.select(
         F.col(vec_id_col).alias("__vid"), qv.alias("q")
     )
+    # both join sides consume the quantized relation — pin it so the
+    # scan + quantize transform + norm fold run once, not per side
     base = base.select(
         "__vid", "q", int_dot(F.col("q"), F.col("q")).alias("n2")
-    )
+    ).localCheckpoint(eager=False)
     qa = base.select(
         F.col("__vid").alias("rep_id"),
         F.col("q").alias("qa"),
@@ -1526,11 +1547,18 @@ def ivf_topk_exact(
     base = base.select(
         id_col, "q", int_dot(F.col("q"), F.col("q")).alias("n2")
     )
+    # `base` feeds three consumers (cells + both scoring sides) and
+    # `cells` two (assignment + probes); unpinned, Catalyst replays
+    # the quantize transform and the n_lists-way distance array_sort
+    # — the expensive per-row stages — once per consumer. Both
+    # relations are per-vector narrow (the quantized vector / 16
+    # (d2, c) structs), the standard IVF index materialization.
+    base = base.localCheckpoint(eager=False)
 
     cells = base.select(
         id_col,
         F.expr(_cells_sorted_expr(cents)).alias("cells"),
-    )
+    ).localCheckpoint(eager=False)
     assigned = cells.select(
         F.col(id_col).alias("neighbor_id"),
         F.expr("cells[0].c").alias("list_id"),

@@ -211,7 +211,12 @@ def tfidf_top_terms(
         F.col(id_col),
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term"),
     )
+    # tf feeds BOTH the df aggregate and the scored join — unpinned,
+    # the tokenize + explode + tf aggregate (the expensive stage)
+    # replays once per consumer. The (doc, term, tf) relation is the
+    # standard TF materialization any IR pipeline persists.
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint(eager=False)
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
@@ -586,6 +591,11 @@ def unigram_logprob(
     toks = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
+    # deliberately NOT checkpointed: the scalar-total branch replays
+    # one tokenize+count pass, which parallel stages recompute for
+    # free on an idle box while a checkpoint barrier costs a
+    # consistent +10-36% here (r15 ab7/ab8/ab9); on a cluster where
+    # the tokenize pass is the wall, pin `vocab` first
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     tot = vocab.agg(F.sum("cnt").cast("double").alias("n_total"))
     scored = vocab.crossJoin(F.broadcast(tot)).select(
@@ -628,11 +638,20 @@ def bigram_logprob(
     from iceberg_diag_spark.operators.dedup import word_ngram_rows
 
     bg = word_ngram_rows(docs, text_col, id_col, n=2)
-    c2 = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    # pinned vocabulary-scale bigram counts; the left-context counts
+    # DERIVE from them (c1(w1) = Σ c2 over grams starting with w1 —
+    # every bigram position contributes to exactly one left count),
+    # so the corpus gram pass runs once here instead of once per
+    # count relation
+    c2 = (
+        bg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=False)
+    )
     c1 = (
-        bg.select(F.split(F.col("gram"), " ")[0].alias("w1"))
+        c2.select(F.split(F.col("gram"), " ")[0].alias("w1"), "c2")
         .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c1"))
+        .agg(F.sum("c2").alias("c1"))
     )
     scored = (
         c2.withColumn("w1", F.split(F.col("gram"), " ")[0])
@@ -693,6 +712,9 @@ def dsir_logratio(
         (F.col(source_col) == target_source).alias("__is_t"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
+    # deliberately NOT checkpointed (the unigram_logprob adjudication,
+    # r15 ab8/ab9: a barrier here read +10-21% while the replayed
+    # tokenize+count branch recomputes in parallel for free locally)
     vocab = toks.groupBy("term").agg(
         F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("ct"),
         F.sum(F.when(F.col("__is_t"), 0).otherwise(1)).alias("cr"),
@@ -1973,6 +1995,10 @@ def bm25_topk(
             F.count(F.lit(1)).cast("long").alias("tf"),
             F.max("dl").alias("dl"),
         )
+        # feeds df_t AND scored: unpinned, the tokenize + explode +
+        # filter + tf aggregate replays per consumer; the matching
+        # (doc, query-term) relation is |terms|-bounded per doc
+        .localCheckpoint(eager=False)
     )
     df_t = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
