@@ -175,21 +175,23 @@ def join_cardinality(
     it first). Shuffles only (key, count) rows — #distinct-keys sized,
     not input sized. Output: one row (n_left, n_right, n_join_keys,
     join_rows, worst_key_repr, worst_key_rows)."""
-    # key-count relations pinned (distinct-key scale): each feeds the
-    # per-key join AND its side's total (Σ counts over every key
-    # group — including a NULL key group — equals count(*)), so each
-    # input is scanned once instead of twice
+    # deliberately NOT checkpointed: pinning lc/rc to derive the side
+    # totals from them (Σ counts = count(*)) read a consistent
+    # +25-50% across four A/B pairs (r15 ab7/ab8/closing/adj) — the
+    # two barrier materializations cost more than the two
+    # column-pruned count scans they replace on a box that runs the
+    # replayed branches in parallel
     lc = left.groupBy(F.col(key_col).cast("string").alias("k")).agg(
         F.count(F.lit(1)).alias("cl")
-    ).localCheckpoint(eager=False)
+    )
     rc = right.groupBy(F.col(key_col).cast("string").alias("k")).agg(
         F.count(F.lit(1)).alias("cr")
-    ).localCheckpoint(eager=False)
+    )
     per_key = lc.join(rc, "k").select(
         "k", (F.col("cl") * F.col("cr")).alias("contrib")
     )
-    totals_l = lc.agg(F.sum("cl").cast("long").alias("n_left"))
-    totals_r = rc.agg(F.sum("cr").cast("long").alias("n_right"))
+    totals_l = left.agg(F.count(F.lit(1)).alias("n_left"))
+    totals_r = right.agg(F.count(F.lit(1)).alias("n_right"))
     worst = F.max(F.struct(F.col("contrib"), F.col("k")))
     agg = per_key.agg(
         F.count(F.lit(1)).alias("n_join_keys"),
