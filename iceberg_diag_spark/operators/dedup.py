@@ -241,6 +241,104 @@ def minhash_signatures(
     )
 
 
+def _hash_sig_wide(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """ONE text scan → (id_col, __ch, h0..h{n-1}): the normalized
+    content hash AND the wide MinHash signature of every document.
+    Fuses the two passes incremental dedup needs (exact-hash tier +
+    LSH-band tier) so each side's text is scanned, normalized and
+    tokenized once instead of once per tier.
+
+    Docs with fewer than `ngram` tokens have no shingles; the
+    plain signature pipeline drops them (word_ngram_rows emits
+    nothing), but the hash tier must keep them, so a single sentinel
+    row (__i = -1, NULL gram) rides the explode for those docs: the
+    min-aggregates over its NULL hashes leave h* NULL, which marks
+    the doc gramless (filter h0 IS NOT NULL before banding — NULL
+    never concatenates into a shared band key by accident). The
+    content hash rides the explode as an extra GROUP KEY (constant
+    per doc, so the groups are still exactly one per doc): a
+    min(string) aggregate would give the buffer a variable-width
+    attribute and knock the plan off HashAggregateExec onto a
+    SortAggregate over every gram row, while extra keys keep the
+    buffer all-long (hash agg + map-side partial combine).
+    """
+    norm = normalized_text(F.col(text_col))
+    toks = F.split(norm, " ")
+    base = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.sha2(norm, 256).alias("__ch"),
+        toks.alias("__toks"),
+    )
+    starts = F.when(
+        F.size("__toks") >= ngram,
+        F.sequence(F.lit(0), F.size("__toks") - ngram),
+    ).otherwise(F.array(F.lit(-1)))
+    gram = F.when(
+        F.col("__i") >= 0,
+        F.concat_ws(
+            " ", *[F.expr(f"__toks[__i + {k}]") for k in range(ngram)]
+        ),
+    )
+    md5 = F.md5(F.col("gram"))
+    exploded = (
+        base.select(
+            F.col(id_col), "__ch", "__toks", F.explode(starts).alias("__i")
+        )
+        .select(F.col(id_col), "__ch", gram.alias("gram"))
+        .select(
+            F.col(id_col),
+            "__ch",
+            F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("g1"),
+            F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("g2"),
+        )
+    )
+    aggs = [
+        F.min((F.col("g1") + s * F.col("g2")) % F.lit(4294967296)).alias(
+            f"h{s}"
+        )
+        for s in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col, "__ch").agg(*aggs)
+
+
+def _fused_wide_and_marks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    ngram: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """(wide signature, exact-dup marks) carved off ONE checkpointed
+    _hash_sig_wide pass — the shared shape of every operator that
+    needs both the MinHash signatures and the (id, __keep) mark
+    relation (candidate banding, the agreement/estimator audits, the
+    tuned-banding chain). `wide` excludes gramless docs exactly as
+    minhash_signatures_wide never emits them; `marked` is the
+    content_rep_marks window over the fused (id, __ch), checkpointed
+    because every consumer reads it at least twice (star + keep)."""
+    from pyspark.sql import Window
+
+    fused = _hash_sig_wide(
+        docs, text_col, id_col, num_hashes, ngram
+    ).localCheckpoint(eager=False)
+    wide = fused.filter(F.col("h0").isNotNull()).select(
+        F.col(id_col), *[f"h{s}" for s in range(num_hashes)]
+    )
+    w_ch = Window.partitionBy("__ch")
+    marked = (
+        fused.select(id_col, "__ch")
+        .select(F.col(id_col), F.min(id_col).over(w_ch).alias("__keep"))
+        .localCheckpoint(eager=False)
+    )
+    return wide, marked
+
+
 def minhash_band_keys(
     docs: DataFrame,
     text_col: str = "text",
@@ -361,7 +459,15 @@ def minhash_candidate_pairs(
         # (id, __keep) exact-dup mark relation (the funnel derives it
         # from its enriched checkpoint's content hash) share it,
         # skipping content_rep_marks' own corpus scan + window pass.
-        if marked is None:
+        if marked is None and wide is None:
+            # self-derived path: ONE fused text pass (_hash_sig_wide)
+            # yields both the signature (wide) and the content hash
+            # the marks window needs — previously two text scans
+            # (content_rep_marks + the signature pipeline).
+            wide, marked = _fused_wide_and_marks(
+                docs, text_col, id_col, num_hashes, ngram
+            )
+        elif marked is None:
             marked = content_rep_marks(docs, text_col, id_col)
         star = marked.filter(F.col(id_col) != F.col("__keep")).select(
             F.col("__keep").alias("doc_a"), F.col(id_col).alias("doc_b")
@@ -412,26 +518,33 @@ def incremental_dedup_status(
 
     Output: (id_col, status) — one row per batch doc.
     """
-    chx = F.sha2(normalized_text(F.col(text_col)), 256)
-    # (id, hash) feeds the exact-match probe AND the output id spine
-    # — checkpoint the 48 B/doc relation so the batch text is hashed
-    # once, not once per consumer.
-    bh = (
-        ensure_parallelism(batch)
-        .select(F.col(id_col), chx.alias("__ch"))
-        .localCheckpoint(eager=False)
+    # BOTH tiers' per-doc state (content hash + wide signature) comes
+    # from ONE fused text scan per side (_hash_sig_wide), checkpointed
+    # (~200 B/doc) because each side feeds two consumers (hash probe /
+    # id spine and band keys) and lineage would replay the scan +
+    # shingle explode + min-aggregate per consumer. Before the fusion
+    # each side's text was scanned and normalized twice (hash pass +
+    # signature pass).
+    bs = _hash_sig_wide(batch, text_col, id_col).localCheckpoint(
+        eager=False
     )
-    corpus_hashes = (
-        ensure_parallelism(corpus).select(chx.alias("__ch")).distinct()
+    cs = _hash_sig_wide(corpus, text_col, id_col).localCheckpoint(
+        eager=False
     )
+    corpus_hashes = cs.select("__ch").distinct()
     exact_ids = (
-        bh.join(corpus_hashes, "__ch", "semi")
+        bs.select(id_col, "__ch")
+        .join(corpus_hashes, "__ch", "semi")
         .select(id_col, F.lit(True).alias("is_exact"))
     )
-    bkeys = minhash_band_keys(batch, text_col, id_col)
-    ckeys = minhash_band_keys(corpus, text_col, id_col).select(
-        "band", "band_key"
+    # gramless docs (h* NULL) carry no band keys — same contract as
+    # the plain signature pipeline, which never emits them.
+    bkeys = minhash_band_keys(
+        batch, text_col, id_col, wide=bs.filter(F.col("h0").isNotNull())
     )
+    ckeys = minhash_band_keys(
+        corpus, text_col, id_col, wide=cs.filter(F.col("h0").isNotNull())
+    ).select("band", "band_key")
     near_ids = (
         bkeys.join(ckeys, ["band", "band_key"], "semi")
         .select(id_col)
@@ -439,10 +552,11 @@ def incremental_dedup_status(
         .withColumn("is_near", F.lit(True))
     )
     return (
-        # id spine from the already-projected hash relation — reading
-        # `batch` again here would re-scan the batch text for a
-        # column the hash projection already carries.
-        bh.select(id_col)
+        # id spine from the checkpointed fused relation — reading
+        # `batch` again here would re-scan the batch text for rows
+        # the fused pass already carries (one per doc, sentinel
+        # included).
+        bs.select(id_col)
         .join(exact_ids, id_col, "left")
         .join(near_ids, id_col, "left")
         .select(
@@ -1693,13 +1807,19 @@ def dedup_method_agreement(
     only_minhash, only_simhash, n_union, overlap_ppm (Jaccard of the
     pair sets).
     """
-    # ONE exact-dup mark relation shared by both families' collapse
-    # (content_rep_marks localCheckpoints internally): both plans
-    # need the identical (id, __keep) marks, and computing it per
-    # family paid the text scan + sha2 + window shuffle twice.
-    marked = content_rep_marks(docs, text_col, id_col)
+    # ONE fused text pass (content hash + wide MinHash signature,
+    # _hash_sig_wide) feeds the shared exact-dup mark relation AND the
+    # MinHash chain's signatures: before the fusion the operator paid
+    # three text scans (marks, MinHash shingles, SimHash tokens) —
+    # now two. The marks window rides the fused checkpoint's (id,
+    # __ch) projection (identical to content_rep_marks, equivalence
+    # pytest-pinned for the stage_flags twin of this expression);
+    # SimHash keeps its own token scan — carrying a wide group key
+    # through its per-token vote aggregate measured slower (see
+    # simhash_near_dup's collapse-mechanics note).
+    wide, marked = _fused_wide_and_marks(docs, text_col, id_col)
     mh = minhash_candidate_pairs(
-        docs, text_col=text_col, id_col=id_col, marked=marked
+        docs, text_col=text_col, id_col=id_col, marked=marked, wide=wide
     ).select("doc_a", "doc_b", F.lit(1).alias("__mh"))
     sh = simhash_near_dup(
         docs, max_hamming=simhash_max_hamming,
@@ -1890,19 +2010,16 @@ def lsh_near_dup_tuned(
 
     Output: (doc_a, doc_b, n_shared_bands, bands, rows_per_band).
     """
-    # ONE signature pass shared by the advisor's candidate chain and
-    # the tuned key construction below (one row/doc, ~150 B — the
-    # cheap side of the materialize-vs-rescan trade; without it the
-    # shingle+hash+min-agg stage runs twice)
-    shared_wide = minhash_signatures_wide(
+    # ONE fused text pass (_hash_sig_wide: content hash + wide
+    # signature) shared by the advisor's candidate chain and the
+    # tuned key construction below — the signature feeds both (one
+    # row/doc, ~150 B), and the exact-dup mark relation is the window
+    # over the SAME relation's (id, __ch), so the whole operator
+    # scans the corpus once (it previously paid two text scans:
+    # signatures + content_rep_marks).
+    shared_wide, marked = _fused_wide_and_marks(
         docs, text_col, id_col, num_hashes, ngram
-    ).localCheckpoint(eager=False)
-    # ONE exact-dup mark relation shared by the advisor's candidate
-    # chain and the tuned execution below (content_rep_marks
-    # localCheckpoints internally) — both need the identical
-    # (id, __keep) marks, and computing it per consumer paid the text
-    # scan + sha2 + window shuffle twice.
-    marked = content_rep_marks(docs, text_col, id_col)
+    )
     adv = lsh_param_advisor(
         docs, text_col, id_col, wide=shared_wide, marked=marked
     )
@@ -2083,12 +2200,17 @@ def minhash_estimator_audit(
     # estimate side needs the signature relation anyway, so the
     # candidate generator must not pay the shingle+hash+min-agg pass
     # a second time.
-    wide = minhash_signatures_wide(
+    # the wide signature AND the exact-dup marks come from ONE fused
+    # text pass (_hash_sig_wide) — the banding chain previously
+    # derived its marks from a content_rep_marks scan of its own,
+    # so the operator paid three text scans (signature, marks,
+    # shingles); now two.
+    wide, marked = _fused_wide_and_marks(
         docs, text_col, id_col, num_hashes, ngram
-    ).localCheckpoint(eager=False)
+    )
     pairs = minhash_candidate_pairs(
         docs, text_col, id_col, num_hashes, bands=4, ngram=ngram,
-        wide=wide,
+        wide=wide, marked=marked,
     ).localCheckpoint(eager=False)
     wa = wide.select(
         F.col(id_col).alias("doc_a"),

@@ -7,16 +7,16 @@ not six re-reads.
 
 Composition contract (what this module actually tests, beyond each
 stage's own operator tests): the stages share a single narrow per-doc
-lineage. The enriched projection (content hash, quality signals,
-language pick, token count, holdout order key — ~80 B/doc, no text)
-is computed once and localCheckpointed; every later stage (dedup
-window, near-dup flag join, holdout apportionment + membership, pack
-fold) consumes the checkpoint. Only the near-dup candidate generator
-re-touches text (shingle MinHash needs it), so the corpus is scanned
-at most twice total (enriched pass + the shingle scan inside the
-MinHash chain — the exact-dup mark relation the banding collapse
-needs is derived from the enriched checkpoint's content hash, not
-from a scan of its own) — asserted in tests/test_plan_properties.py.
+lineage. ONE fused corpus pass computes the enriched projection
+(content hash, quality signals, language pick, token count) AND the
+MinHash signature (the per-doc scalars ride the shingle explode as
+group keys of the signature min-aggregate), localCheckpointed
+(~200 B/doc, no text); every later stage (dedup window, banding via
+`wide`, near-dup flag join, holdout apportionment + membership, pack
+fold) consumes checkpoints — the corpus is scanned exactly ONCE per
+build (the exact-dup mark relation and the band signatures are both
+carved off the fused checkpoint, not scans of their own) — asserted
+in tests/test_plan_properties.py.
 
 Stage semantics (each stage filters the previous stage's survivors —
 deterministic, no RNG):
@@ -75,7 +75,7 @@ def stage_flags(
     the shared core corpus_build_funnel aggregates into stage counts
     and corpus_release materializes into shards. Pure extraction of
     the funnel's stage logic (plan-identical); see the module
-    docstring for stage semantics and the ≤3-corpus-scan contract.
+    docstring for stage semantics and the one-corpus-scan contract.
     """
     # checkpoint=False keeps the whole funnel as ONE inspectable plan
     # (results identical): the plan-property test uses it to count how
@@ -87,13 +87,26 @@ def stage_flags(
         else (lambda df: df)
     )
     q = textops.quality_exprs(text_col)
-    enriched = ensure_parallelism(docs).select(
+    # ONE corpus scan: the enriched per-doc projection AND the MinHash
+    # signature pipeline, fused. The per-doc scalars (stratum, token
+    # count, content hash, s1) ride the shingle explode as GROUP KEYS
+    # (constant per doc, so groups are still exactly one per doc;
+    # extra keys keep the aggregate buffer all-long — a min(string)
+    # buffer would knock the plan off HashAggregateExec onto a
+    # SortAggregate over every gram row). Docs with fewer than `ngram`
+    # tokens have no shingles but MUST stay in the lineage (stage-0
+    # counts every raw doc), so a single sentinel row (__i = -1, NULL
+    # gram) rides the explode for them and its all-NULL mins mark the
+    # doc gramless (h0 IS NULL). Before the fusion the funnel paid a
+    # second full text scan + normalize + split inside the banding
+    # chain; now the banding consumes `wide` below.
+    ngram, num_hashes = 3, 16
+    norm = dedup.normalized_text(F.col(text_col))
+    base = ensure_parallelism(docs).select(
         F.col(id_col),
         F.col(stratum_col).alias("stratum"),
-        F.size(textops.tokens(F.col(text_col))).cast("long").alias(
-            "n_tokens"
-        ),
-        F.sha2(dedup.normalized_text(F.col(text_col)), 256).alias("__ch"),
+        F.split(norm, " ").alias("__toks"),
+        F.sha2(norm, 256).alias("__ch"),
         (
             (q["type_token_ratio"] >= 0.4)
             & (q["alpha_ratio"] >= 0.6)
@@ -109,15 +122,68 @@ def stage_flags(
             )
         ).alias("s1"),
     )
+    starts = F.when(
+        F.size("__toks") >= ngram,
+        F.sequence(F.lit(0), F.size("__toks") - ngram),
+    ).otherwise(F.array(F.lit(-1)))
+    gram = F.when(
+        F.col("__i") >= 0,
+        F.concat_ws(
+            " ", *[F.expr(f"__toks[__i + {k}]") for k in range(ngram)]
+        ),
+    )
+    md5 = F.md5(F.col("gram"))
+    exploded = (
+        base.select(
+            F.col(id_col),
+            "stratum",
+            F.size("__toks").cast("long").alias("n_tokens"),
+            "__ch",
+            "s1",
+            "__toks",
+            F.explode(starts).alias("__i"),
+        )
+        .select(
+            F.col(id_col), "stratum", "n_tokens", "__ch", "s1",
+            gram.alias("gram"),
+        )
+        .select(
+            F.col(id_col),
+            "stratum",
+            "n_tokens",
+            "__ch",
+            "s1",
+            F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("g1"),
+            F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("g2"),
+        )
+    )
+    enriched = exploded.groupBy(
+        F.col(id_col), F.col("stratum"), F.col("n_tokens"),
+        F.col("__ch"), F.col("s1"),
+    ).agg(
+        *[
+            F.min(
+                (F.col("g1") + s * F.col("g2")) % F.lit(4294967296)
+            ).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    # the fused (enriched + signature) relation feeds TWO consumers —
+    # the exact-dedup window pass and the banding chain's `wide` —
+    # and its lineage is the corpus scan + explode + aggregate:
+    # checkpoint it (~200 B/doc) or each consumer replays the scan
+    enriched = _ckpt(enriched)
+
     # exact-dedup survivor per content hash, BOTH variants in the one
     # window pass on the uniform 32-byte hash key: the stage-2 keep
     # (min id among stage-1 docs) and the unconditional min id — the
-    # content_rep_marks relation the banding collapse needs. Fusing
-    # them here removes content_rep_marks' separate corpus scan AND
-    # its separate window shuffle from every funnel build (corpus
-    # scans per stage_flags: 3 → 2).
+    # content_rep_marks relation the banding collapse needs. The
+    # window shuffles only the narrow flag columns — the 16 signature
+    # columns stay behind on the checkpoint.
     w_ch = Window.partitionBy("__ch")
     flagged = enriched.select(
+        id_col, "stratum", "n_tokens", "__ch", "s1"
+    ).select(
         id_col,
         "stratum",
         "n_tokens",
@@ -134,8 +200,7 @@ def stage_flags(
     # narrow per-doc lineage (~60 B/doc, no text) shared by the
     # near-dup flag join, the holdout, and the pack stage: checkpoint
     # it so Catalyst's per-branch lineage replay cannot re-run the
-    # quality/hash/language projection (or re-scan the corpus) once
-    # per consumer
+    # window pass once per consumer
     flagged = _ckpt(flagged)
     marks = flagged.select(id_col, "__keep")
     flagged = flagged.drop("__keep")
@@ -148,12 +213,25 @@ def stage_flags(
     # the minimum runs through a larger intermediate). Pairs come
     # from the production banding plan (exact dups pre-collapsed;
     # star pairs connect collapsed members through their
-    # representative) — the only text-touching branch. The min-label
-    # propagation eager-checkpoints its per-round state, so the
-    # banding chain's two corpus scans run once here and the final
-    # funnel plan consumes only the label checkpoint.
+    # representative). The banding chain consumes the fused
+    # checkpoint's signatures (`wide`) and mark relation (`marked`) —
+    # it touches NO text of its own, so the whole funnel build scans
+    # the corpus exactly once (the fused pass above). The min-label
+    # propagation eager-checkpoints its per-round state, so the final
+    # funnel plan consumes only the label checkpoint. Gramless docs
+    # (h0 NULL — the sentinel rows) carry no signature, exactly as
+    # the plain signature pipeline never emits them.
+    wide = enriched.filter(F.col("h0").isNotNull()).select(
+        F.col(id_col), *[f"h{s}" for s in range(num_hashes)]
+    )
     pairs = dedup.minhash_candidate_pairs(
-        docs, text_col=text_col, id_col=id_col, marked=marks
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        ngram=ngram,
+        marked=marks,
+        wide=wide,
     )
     s2_nodes = flagged.filter(F.col("s2")).select(id_col)
     fpairs = pairs.join(

@@ -99,3 +99,95 @@ def test_candidate_pairs_with_shared_marks_identical(spark):
     }
     assert shared == base
     assert base  # non-trivial fixture
+
+
+def test_fused_hash_sig_matches_plain_pipelines(spark):
+    """The fused one-scan (content hash + wide signature) relation —
+    the shape stage_flags and incremental_dedup_status now build —
+    matches the plain two-pass pipelines exactly: __ch equals the
+    sha2-of-normalized-text projection for EVERY doc (short/empty/null
+    text included), and the h* columns equal minhash_signatures_wide
+    for every doc that has shingles, with h0 NULL marking exactly the
+    gramless docs the plain signature pipeline never emits."""
+    docs = load_table(spark, SF_DIR, "documents")
+    # inject the edge cases the fixture lacks: empty, 2-token (< ngram)
+    # and NULL text
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    edges = spark.createDataFrame(
+        [(max_id + 1, ""), (max_id + 2, "two tokens"), (max_id + 3, None)],
+        "doc_id long, text string",
+    )
+    all_docs = docs.select("doc_id", "text").unionByName(edges)
+
+    fused = dedup._hash_sig_wide(all_docs)
+    got_ch = {r["doc_id"]: r["__ch"] for r in fused.collect()}
+    exp_ch = {
+        r.doc_id: r.ch
+        for r in all_docs.select(
+            "doc_id",
+            F.sha2(dedup.normalized_text(F.col("text")), 256).alias("ch"),
+        ).collect()
+    }
+    assert got_ch == exp_ch  # every doc present, hashes identical
+
+    hcols = [f"h{s}" for s in range(16)]
+    got_sig = {
+        r.doc_id: tuple(r[h] for h in hcols)
+        for r in fused.filter(F.col("h0").isNotNull()).collect()
+    }
+    exp_sig = {
+        r.doc_id: tuple(r[h] for h in hcols)
+        for r in dedup.minhash_signatures_wide(all_docs).collect()
+    }
+    assert got_sig == exp_sig
+    # the gramless sentinel set is exactly the docs the plain
+    # pipeline dropped
+    gramless = {d for d in got_ch if d not in exp_sig}
+    assert {max_id + 1, max_id + 2, max_id + 3} <= gramless
+
+
+def test_stage_flags_fused_wide_feeds_identical_pairs(spark):
+    """The funnel's fused-checkpoint band signatures produce the same
+    stage-3 collapse as a from-first-principles rebuild: CC over the
+    self-derived candidate pairs restricted to stage-2 survivors.
+    (The DuckDB oracle pins the full funnel output; this pins the
+    fused `wide` hand-off specifically, at the flag level.)"""
+    from iceberg_diag_spark.operators import funnel
+
+    docs = load_table(spark, SF_DIR, "documents")
+    flags = {
+        r.doc_id: (r.s1, r.s2, r.s3, r.s4)
+        for r in funnel.stage_flags(docs).collect()
+    }
+    assert flags
+    # first-principles stage-3: pairs from the PLAIN two-pass banding
+    # chain (no shared wide/marks), filtered to stage-2 survivors,
+    # collapsed by connected components to component minima
+    s2 = {d for d, (s1, s2_, s3, s4) in flags.items() if s2_}
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_candidate_pairs(docs).collect()
+        if r.doc_a in s2 and r.doc_b in s2
+    ]
+    # union-find over the surviving pairs
+    parent = {d: d for d in s2}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min = {}
+    for d in s2:
+        r = find(d)
+        comp_min.setdefault(r, d)
+        comp_min[r] = min(comp_min[r], d)
+    expected_s3 = {d for d in s2 if comp_min[find(d)] == d}
+    got_s3 = {d for d, (s1, s2_, s3, s4) in flags.items() if s3}
+    assert got_s3 == expected_s3
+    assert pairs  # the fixture exercises real near-dup pairs
