@@ -207,17 +207,10 @@ def minhash_signatures_wide(
     scheme is plain integer arithmetic on md5 hex — bit-identical in
     DuckDB ('0x'||substr)::BIGINT — so the oracle still hash-matches.
     """
-    md5 = F.md5(F.col("gram"))
     exploded = word_ngram_rows(docs, text_col, id_col, ngram).select(
-        F.col(id_col),
-        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("g1"),
-        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("g2"),
+        F.col(id_col), *_md5_halves_exprs("gram", "g1", "g2")
     )
-    aggs = [
-        F.min((F.col("g1") + s * F.col("g2")) % F.lit(4294967296)).alias(f"h{s}")
-        for s in range(num_hashes)
-    ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return exploded.groupBy(id_col).agg(*_minhash_agg_exprs(num_hashes))
 
 
 def minhash_signatures(
@@ -279,32 +272,25 @@ def _hash_sig_wide(
         F.size("__toks") >= ngram,
         F.sequence(F.lit(0), F.size("__toks") - ngram),
     ).otherwise(F.array(F.lit(-1)))
-    gram = F.when(
-        F.col("__i") >= 0,
-        F.concat_ws(
-            " ", *[F.expr(f"__toks[__i + {k}]") for k in range(ngram)]
-        ),
+    gram_sql = "concat_ws(' ', {})".format(
+        ", ".join(f"__toks[__i + {k}]" for k in range(ngram))
     )
-    md5 = F.md5(F.col("gram"))
     exploded = (
         base.select(
             F.col(id_col), "__ch", "__toks", F.explode(starts).alias("__i")
         )
-        .select(F.col(id_col), "__ch", gram.alias("gram"))
         .select(
             F.col(id_col),
             "__ch",
-            F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("g1"),
-            F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("g2"),
+            F.expr(
+                f"CASE WHEN __i >= 0 THEN {gram_sql} END"
+            ).alias("gram"),
         )
+        .select(F.col(id_col), "__ch", *_md5_halves_exprs("gram", "g1", "g2"))
     )
-    aggs = [
-        F.min((F.col("g1") + s * F.col("g2")) % F.lit(4294967296)).alias(
-            f"h{s}"
-        )
-        for s in range(num_hashes)
-    ]
-    return exploded.groupBy(id_col, "__ch").agg(*aggs)
+    return exploded.groupBy(id_col, "__ch").agg(
+        *_minhash_agg_exprs(num_hashes)
+    )
 
 
 def _fused_wide_and_marks(
@@ -330,13 +316,22 @@ def _fused_wide_and_marks(
     wide = fused.filter(F.col("h0").isNotNull()).select(
         F.col(id_col), *[f"h{s}" for s in range(num_hashes)]
     )
+    return wide, _marks_from_ch(fused, id_col)
+
+
+def _marks_from_ch(fused: DataFrame, id_col: str) -> DataFrame:
+    """content_rep_marks' (id, __keep) window over an
+    already-materialized (id, __ch, ...) relation — the marks half of
+    every fused-pass consumer, checkpointed because star + keep both
+    read it."""
+    from pyspark.sql import Window
+
     w_ch = Window.partitionBy("__ch")
-    marked = (
+    return (
         fused.select(id_col, "__ch")
         .select(F.col(id_col), F.min(id_col).over(w_ch).alias("__keep"))
         .localCheckpoint(eager=False)
     )
-    return wide, marked
 
 
 def minhash_band_keys(
@@ -983,34 +978,181 @@ def _simhash_from_tokens(toks: DataFrame, key_col: str) -> DataFrame:
     which exceeds int64 once 2^31 tokens vote 1 on a bit — still a
     ~2-billion-token doc, far past any real corpus row)."""
     id_col = key_col
-    md5 = F.md5(F.col("tok"))
     occ = toks.select(
-        F.col(id_col),
-        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("g1"),
-        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("g2"),
+        F.col(id_col), *_md5_halves_exprs("tok", "g1", "g2")
     )
-    # packed sum j accumulates bit j (g2, low field) and bit j+32
-    # (g1, high field): Σ (bit_j + bit_{j+32}·2^32) — branch-free.
-    vote_cols = [F.count(F.lit(1)).alias("n_toks")]
+    votes = occ.groupBy(id_col).agg(*_vote_agg_cols("g1", "g2"))
+    return votes.select(
+        F.col(id_col), F.expr(_fingerprint_sql()).alias("simhash")
+    )
+
+
+# Expression-construction discipline for the wide dedup aggregates:
+# these helpers emit ONE parsed SQL expression per output column
+# (F.expr) instead of building the tree Column-by-Column through
+# py4j. Semantics are identical (same resolved expression tree); the
+# difference is DRIVER-SIDE construction cost — the column-builder
+# form costs ~10 py4j round trips per node, and at 49 aggregate
+# buffers + a 64-term fingerprint the driver measurably spent MORE
+# wall-clock constructing the plan than executing it (measured
+# 1.73 s → 0.24 s for the fused pass's construction alone; bench
+# times build+collect, and planning is serial driver work at any
+# scale — guide §7.3).
+_MOD32 = 4294967296
+
+
+def _md5_halves_exprs(src: str, hi: str, lo: str) -> list[Column]:
+    """(hi, lo) 32-bit halves of md5(src) as BIGINTs — the
+    Carter-Wegman / SimHash shared hash-family construction
+    (cross-engine: '0x'||substr parses identically in DuckDB)."""
+    return [
+        F.expr(
+            f"CAST(conv(substring(md5({src}), 1, 8), 16, 10) AS BIGINT)"
+        ).alias(hi),
+        F.expr(
+            f"CAST(conv(substring(md5({src}), 9, 8), 16, 10) AS BIGINT)"
+        ).alias(lo),
+    ]
+
+
+def _minhash_agg_exprs(
+    num_hashes: int, g1: str = "g1", g2: str = "g2"
+) -> list[Column]:
+    """The num_hashes Carter-Wegman min-aggregates
+    min((h1 + s·h2) mod 2^32) as h0..h{n-1}."""
+    return [
+        F.expr(f"min(({g1} + {s} * {g2}) % {_MOD32})").alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+
+
+def _vote_agg_cols(hi_col: str, lo_col: str) -> list[Column]:
+    """The 33 SimHash vote aggregates over (hi, lo) 32-bit token-hash
+    halves: n_toks + 32 PACKED per-bit counters (bit j of the low
+    half in the low 32 bits of packed sum j, bit j of the high half —
+    fingerprint bit j+32 — in the high 32). Σ (bit_j + bit_{j+32}·2^32)
+    — branch-free. Shared by _simhash_from_tokens and the fused
+    signature+votes pass so the vote arithmetic lives in one place."""
+    cols = [F.expr("count(1)").alias("n_toks")]
     for j in range(32):
-        lo = F.shiftright(F.col("g2"), j).bitwiseAND(F.lit(1)).cast("long")
-        hi = F.shiftright(F.col("g1"), j).bitwiseAND(F.lit(1)).cast("long")
-        vote_cols.append(
-            F.sum(lo + F.shiftleft(hi, 32)).alias(f"p{j}")
+        cols.append(
+            F.expr(
+                f"sum(CAST(shiftright({lo_col}, {j}) & 1 AS BIGINT)"
+                f" + shiftleft(CAST(shiftright({hi_col}, {j}) & 1"
+                f" AS BIGINT), 32))"
+            ).alias(f"p{j}")
         )
-    votes = occ.groupBy(id_col).agg(*vote_cols)
-    lo_mask = F.lit((1 << 32) - 1).cast("long")
-    fingerprint = F.lit(0).cast("long")
+    return cols
+
+
+def _fingerprint_sql() -> str:
+    """The signed 64-bit SimHash fingerprint from the packed vote
+    columns p0..p31 + n_toks (the _vote_agg_cols output) as ONE SQL
+    expression string: -2^63·bit63 + Σ 2^b·bit_b,
+    bit_b = (2·cnt_b > n_toks)."""
+    terms = []
     for b in range(64):
-        if b < 32:
-            cnt_b = F.col(f"p{b}").bitwiseAND(lo_mask)
-        else:
-            cnt_b = F.shiftrightunsigned(F.col(f"p{b - 32}"), 32)
-        val = -(1 << 63) if b == 63 else (1 << b)
-        fingerprint = fingerprint + F.when(
-            cnt_b * 2 > F.col("n_toks"), F.lit(val).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return votes.select(F.col(id_col), fingerprint.alias("simhash"))
+        cnt = (
+            f"(p{b} & {(1 << 32) - 1})"
+            if b < 32
+            else f"shiftrightunsigned(p{b - 32}, 32)"
+        )
+        val = "(-9223372036854775807 - 1)" if b == 63 else str(1 << b)
+        terms.append(
+            f"CASE WHEN {cnt} * 2 > n_toks THEN CAST({val} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
+        )
+    return " + ".join(terms)
+
+
+def _sig_votes_fused(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    ngram: int = 3,
+    minhash: bool = True,
+) -> DataFrame:
+    """ONE text scan → (id_col, __ch, [h0..h{n-1},] simhash): the
+    normalized content hash, (optionally) the wide MinHash signature,
+    AND the SimHash fingerprint of every document — the _hash_sig_wide
+    fusion extended so the SimHash tier shares the normalize+tokenize
+    scan too (guide §2.4/§6: the corpus text is read, normalized and
+    split exactly once for all tiers).
+
+    One row per token POSITION rides the explode (0..size-1 — every
+    non-NULL text has ≥1 token because split('') is ['']): the token
+    at the position feeds the SimHash vote sums, and the `ngram`-gram
+    STARTING at the position (NULL-guarded for the ragged tail and
+    for sub-shingle docs) feeds the MinHash min-aggregates — NULL
+    gram hashes vanish from min(), so gramless docs surface with h*
+    NULL exactly like _hash_sig_wide's sentinel convention. NULL-text
+    docs ride a single sentinel row (__i = -1): they stay in the
+    lineage for the marks window (content_rep_marks keeps them), but
+    their all-NULL vote sums leave `simhash` NULL — exactly the docs
+    simhash64 never emits (explode of a NULL token array produces no
+    rows), so fingerprint consumers filter simhash IS NOT NULL.
+    Identical aggregate semantics to the separate passes: groups are
+    (id, __ch) — one per doc — and per-occurrence votes ARE tf
+    weighting.
+
+    The content hash rides as an extra GROUP KEY (constant per doc —
+    the _hash_sig_wide rationale: a min(string) aggregate would knock
+    the plan off HashAggregateExec), so the buffer stays all-long:
+    16 mins + 33 packed vote sums."""
+    norm = normalized_text(F.col(text_col))
+    toks = F.split(norm, " ")
+    base = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.sha2(norm, 256).alias("__ch"),
+        toks.alias("__toks"),
+    )
+    starts = F.when(
+        F.size("__toks") >= 1,
+        F.sequence(F.lit(0), F.size("__toks") - 1),
+    ).otherwise(F.array(F.lit(-1)))
+    gram_sql = "concat_ws(' ', {})".format(
+        ", ".join(f"__toks[__i + {k}]" for k in range(ngram))
+    )
+    exploded = (
+        base.select(
+            F.col(id_col),
+            "__ch",
+            "__toks",
+            F.explode(starts).alias("__i"),
+        )
+        .select(
+            F.col(id_col),
+            "__ch",
+            F.expr(
+                f"CASE WHEN __i >= 0 AND __i <= size(__toks) - {ngram}"
+                f" THEN {gram_sql} END"
+            ).alias("gram"),
+            F.expr("CASE WHEN __i >= 0 THEN __toks[__i] END").alias("tok"),
+        )
+        .select(
+            F.col(id_col),
+            "__ch",
+            *(_md5_halves_exprs("gram", "g1", "g2") if minhash else []),
+            *_md5_halves_exprs("tok", "t1", "t2"),
+        )
+    )
+    votes = exploded.groupBy(id_col, "__ch").agg(
+        *(_minhash_agg_exprs(num_hashes) if minhash else []),
+        *_vote_agg_cols("t1", "t2"),
+    )
+    # p0 is NULL iff every row's token halves were NULL — exactly the
+    # NULL-text sentinel docs simhash64 never emits; their simhash
+    # stays NULL so fingerprint consumers can filter them out while
+    # the marks window still sees the doc.
+    return votes.select(
+        F.col(id_col),
+        "__ch",
+        *([f"h{s}" for s in range(num_hashes)] if minhash else []),
+        F.expr(
+            f"CASE WHEN p0 IS NOT NULL THEN {_fingerprint_sql()} END"
+        ).alias("simhash"),
+    )
 
 
 # Plain pigeonhole banding (one band per allowed error + 1) shrinks
@@ -1055,6 +1197,7 @@ def simhash_near_dup(
     id_col: str = "doc_id",
     collapse_exact: bool = True,
     marked: DataFrame | None = None,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: docs whose 64-bit fingerprints differ
     in ≤ max_hamming bits, via multi-index banding — split the
@@ -1096,13 +1239,36 @@ def simhash_near_dup(
     # tiny (id, simhash) relation (16 bytes/doc — ~2.4 GB cluster-wide
     # at 100M docs) and truncates the lineage so each side reads the
     # materialized partitions.
-    sh = simhash64(docs, text_col, id_col)
+    sh = fingerprints
+    if collapse_exact and marked is None and sh is None:
+        # Standalone collapse path: ONE fused text scan
+        # (_sig_votes_fused, votes-only) yields both the fingerprints
+        # and the content hash the marks window needs — previously
+        # two full text scans (simhash64 + content_rep_marks). The
+        # content hash rides the token explode as a constant-per-doc
+        # group key (the _hash_sig_wide rationale); the fused relation
+        # is checkpointed because the marks window and the fingerprint
+        # projection both read it.
+        fused = _sig_votes_fused(
+            docs, text_col, id_col, minhash=False
+        ).localCheckpoint(eager=False)
+        marked = _marks_from_ch(fused, id_col)
+        # NULL simhash = the NULL-text sentinel docs simhash64 never
+        # emits (they still reach the marks window above)
+        sh = fused.filter(F.col("simhash").isNotNull()).select(
+            F.col(id_col), "simhash"
+        )
+    if sh is None:
+        sh = simhash64(docs, text_col, id_col)
     if collapse_exact:
         # `marked` lets a caller that already materialized the
         # (id, __keep) mark relation (dedup_method_agreement shares
         # one across both pair families) skip content_rep_marks'
         # extra corpus scan + window pass — the
-        # minhash_candidate_pairs idiom.
+        # minhash_candidate_pairs idiom; `fingerprints` likewise lets
+        # it hand over the (id, simhash) relation its fused pass
+        # already computed, so the SimHash tier shares the
+        # normalize+tokenize scan.
         if marked is None:
             marked = content_rep_marks(docs, text_col, id_col)
         star = marked.filter(F.col(id_col) != F.col("__keep")).select(
@@ -1114,25 +1280,31 @@ def simhash_near_dup(
         sh = sh.join(keep_ids, id_col, "semi")
     sh = sh.localCheckpoint()
 
-    def _band_key(b: int) -> Column:
+    # Banding expressions are emitted as parsed SQL strings (ONE
+    # py4j round trip each) — the column-builder loops here cost
+    # ~0.7 s of driver-side construction per build (guide §7.3;
+    # semantics identical, pinned by test_simhash_pairs + the oracle).
+    def _band_slice_sql(b: int, src: str) -> str:
         # band b = bits [b*width, (b+1)*width); the last band absorbs
         # the remainder bits. When a band spans all 64 bits
         # (n_bands=1), the mask (1<<64)-1 would overflow LongType —
-        # the key is just the fingerprint itself.
+        # the slice is just `src` itself.
         mask_bits = (64 - b * width) if b == n_bands - 1 else width
-        shifted = F.shiftrightunsigned(F.col("simhash"), b * width)
         if mask_bits >= 64:
-            return F.col("simhash")
-        return shifted.bitwiseAND(F.lit((1 << mask_bits) - 1).cast("long"))
+            return src
+        return (
+            f"(shiftrightunsigned({src}, {b * width})"
+            f" & CAST({(1 << mask_bits) - 1} AS BIGINT))"
+        )
 
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                _band_key(b).alias("band_key"),
+    band_structs = F.expr(
+        "array({})".format(
+            ", ".join(
+                f"named_struct('band', {b},"
+                f" 'band_key', {_band_slice_sql(b, 'simhash')})"
+                for b in range(n_bands)
             )
-            for b in range(n_bands)
-        ]
+        )
     )
     banded = sh.select(
         F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("b")
@@ -1144,21 +1316,18 @@ def simhash_near_dup(
     # the extra high bits.
     tail_width = 64 - (n_bands - 1) * width
 
+    def _mask_arr_sql(w: int, max_flips: int) -> str:
+        return "array({})".format(
+            ", ".join(f"{m}L" for m in _probe_masks(w, max_flips))
+        )
+
     def _per_band_masks(max_flips: int) -> Column:
-        mask_arr = F.array(
-            *[F.lit(m).cast("long") for m in _probe_masks(width, max_flips)]
-        )
-        tail_mask_arr = F.array(
-            *[
-                F.lit(m).cast("long")
-                for m in _probe_masks(tail_width, max_flips)
-            ]
-        )
-        return (
-            F.when(F.col("band") == n_bands - 1, tail_mask_arr)
-            .otherwise(mask_arr)
-            if tail_width != width
-            else mask_arr
+        if tail_width == width:
+            return F.expr(_mask_arr_sql(width, max_flips))
+        return F.expr(
+            f"CASE WHEN band = {n_bands - 1}"
+            f" THEN {_mask_arr_sql(tail_width, max_flips)}"
+            f" ELSE {_mask_arr_sql(width, max_flips)} END"
         )
 
     def _exploded_side(
@@ -1207,31 +1376,30 @@ def simhash_near_dup(
             F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"),
         )
         probe = _exploded_side(d, "doc_a", "sh_a", "__mp").drop("__mp")
-    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-    hamming = F.bit_count(xor)
+    xor_sql = "(sh_a ^ sh_b)"
+    hamming = F.expr(f"bit_count{xor_sql}")
 
-    def _band_dist(b: int) -> Column:
-        mask_bits = (64 - b * width) if b == n_bands - 1 else width
-        shifted = F.shiftrightunsigned(xor, b * width)
-        if mask_bits >= 64:
-            return F.bit_count(xor)
-        return F.bit_count(
-            shifted.bitwiseAND(F.lit((1 << mask_bits) - 1).cast("long"))
-        )
+    def _band_dist_sql(b: int) -> str:
+        return f"bit_count({_band_slice_sql(b, xor_sql)})"
 
     # A pair surfaces once per band within the band budget (≤ n_bands
     # times). Deduplicate ARITHMETICALLY instead of with a distinct
     # shuffle: both fingerprints are in the joined row, so keep a row
     # only when its band is the FIRST band whose in-band distance is
     # within d — every qualifying pair survives exactly once.
-    first_band = F.lit(True)
-    for b in range(1, n_bands):
-        earlier_ok = F.lit(True)
-        for j in range(b):
-            earlier_ok = earlier_ok & (_band_dist(j) > d)
-        first_band = F.when(F.col("band") == b, earlier_ok).otherwise(
-            first_band
+    if n_bands > 1:
+        cases = " ".join(
+            "WHEN band = {b} THEN ({cond})".format(
+                b=b,
+                cond=" AND ".join(
+                    f"{_band_dist_sql(j)} > {d}" for j in range(b)
+                ),
+            )
+            for b in range(n_bands - 1, 0, -1)
         )
+        first_band = F.expr(f"CASE {cases} ELSE TRUE END")
+    else:
+        first_band = F.lit(True)
 
     # The exploded sides' size estimates come from the pre-explode
     # relation, so the optimizer could wrongly pick a BROADCAST of a
@@ -1249,24 +1417,20 @@ def simhash_near_dup(
         # x = mp ^ mb has weight ≤ 2 by construction; keep only the
         # canonical factorization mp = lowest set bit of x (0 when
         # x = 0), mb = the rest — one surviving row per (pair, band).
-        x_band = F.lit(0).cast("long")
-        for b in range(n_bands):
-            mask_bits = (64 - b * width) if b == n_bands - 1 else width
-            shifted = F.shiftrightunsigned(xor, b * width)
-            val = (
-                xor
-                if mask_bits >= 64
-                else shifted.bitwiseAND(
-                    F.lit((1 << mask_bits) - 1).cast("long")
-                )
-            )
-            x_band = F.when(F.col("band") == b, val).otherwise(x_band)
-        exp_p = F.when(
-            x_band == F.lit(0).cast("long"), F.lit(0).cast("long")
-        ).otherwise(x_band.bitwiseAND(x_band * F.lit(-1)))
+        x_cases = " ".join(
+            f"WHEN band = {b} THEN {_band_slice_sql(b, xor_sql)}"
+            for b in range(n_bands - 1, -1, -1)
+        )
+        x_sql = f"(CASE {x_cases} ELSE CAST(0 AS BIGINT) END)"
+        exp_p_sql = (
+            f"(CASE WHEN {x_sql} = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE ({x_sql} & ({x_sql} * -1)) END)"
+        )
         out = out.filter(
-            (F.col("__mp") == exp_p)
-            & (F.col("__mb") == x_band.bitwiseXOR(exp_p))
+            F.expr(
+                f"(__mp = {exp_p_sql})"
+                f" AND (__mb = ({x_sql} ^ {exp_p_sql}))"
+            )
         )
     out = out.select("doc_a", "doc_b", hamming.alias("hamming"))
     if star is not None:
@@ -1807,23 +1971,35 @@ def dedup_method_agreement(
     only_minhash, only_simhash, n_union, overlap_ppm (Jaccard of the
     pair sets).
     """
-    # ONE fused text pass (content hash + wide MinHash signature,
-    # _hash_sig_wide) feeds the shared exact-dup mark relation AND the
-    # MinHash chain's signatures: before the fusion the operator paid
-    # three text scans (marks, MinHash shingles, SimHash tokens) —
-    # now two. The marks window rides the fused checkpoint's (id,
-    # __ch) projection (identical to content_rep_marks, equivalence
-    # pytest-pinned for the stage_flags twin of this expression);
-    # SimHash keeps its own token scan — carrying a wide group key
-    # through its per-token vote aggregate measured slower (see
-    # simhash_near_dup's collapse-mechanics note).
-    wide, marked = _fused_wide_and_marks(docs, text_col, id_col)
+    # ONE fused text pass (_sig_votes_fused: content hash + wide
+    # MinHash signature + SimHash fingerprint) feeds the shared
+    # exact-dup mark relation, the MinHash chain's signatures AND the
+    # SimHash tier's fingerprints: before the fusion the operator
+    # paid three text scans (marks, MinHash shingles, SimHash
+    # tokens), then two (cs8 fused marks+signature), now ONE — the
+    # corpus text is read, normalized and tokenized once for both
+    # tiers. The marks window rides the fused checkpoint's (id, __ch)
+    # projection (identical to content_rep_marks, equivalence
+    # pytest-pinned); per-position rows feed the MinHash
+    # min-aggregates (gram at the position) and the SimHash vote
+    # sums (token at the position) in the same grouped aggregate.
+    num_hashes = 16
+    fused = _sig_votes_fused(
+        docs, text_col, id_col, num_hashes=num_hashes
+    ).localCheckpoint(eager=False)
+    wide = fused.filter(F.col("h0").isNotNull()).select(
+        F.col(id_col), *[f"h{s}" for s in range(num_hashes)]
+    )
+    marked = _marks_from_ch(fused, id_col)
     mh = minhash_candidate_pairs(
         docs, text_col=text_col, id_col=id_col, marked=marked, wide=wide
     ).select("doc_a", "doc_b", F.lit(1).alias("__mh"))
     sh = simhash_near_dup(
         docs, max_hamming=simhash_max_hamming,
         text_col=text_col, id_col=id_col, marked=marked,
+        fingerprints=fused.filter(F.col("simhash").isNotNull()).select(
+            F.col(id_col), "simhash"
+        ),
     ).select("doc_a", "doc_b", F.lit(1).alias("__sh"))
     j = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
     return j.agg(
@@ -2046,19 +2222,24 @@ def lsh_near_dup_tuned(
     )
     keep_ids = marked.filter(F.col(id_col) == F.col("__keep")).select(id_col)
     wide = shared_wide.join(keep_ids, id_col, "semi")
-    key_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("long").alias("bands"),
-                F.lit(r).cast("long").alias("rows_per_band"),
-                F.lit(band).alias("band"),
-                F.concat_ws(
-                    "|", *[F.col(f"h{band * r + i}") for i in range(r)]
-                ).alias("band_key"),
+    # ONE parsed array-of-named_struct expression (the 31-struct
+    # column-builder form cost ~2s of py4j round trips per build)
+    key_structs = F.expr(
+        "array({})".format(
+            ", ".join(
+                "named_struct('bands', {b}L, 'rows_per_band', {r}L,"
+                " 'band', {band}, 'band_key', concat_ws('|', {cols}))".format(
+                    b=b,
+                    r=r,
+                    band=band,
+                    cols=", ".join(
+                        f"h{band * r + i}" for i in range(r)
+                    ),
+                )
+                for b, r in LSH_PARAM_CONFIGS
+                for band in range(b)
             )
-            for b, r in LSH_PARAM_CONFIGS
-            for band in range(b)
-        ]
+        )
     )
     keys = (
         wide.select(F.col(id_col), F.explode(key_structs).alias("k"))
